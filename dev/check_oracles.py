@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-time mirror of the driver's correctness gate: for each query output
+parquet written by graft.Verify, run the recorded DuckDB oracle SQL over the
+same testdata tables and compare as sorted multisets (columns sorted by name,
+exact value equality — stricter than any plausible driver hash)."""
+import json, math, os, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+def main(sf_dir, out_dir, only=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        res_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(res_dir):
+            failures.append((name, "NO SPARK OUTPUT"))
+            print(f"FAIL {name}: no spark output"); continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            got_cols = [c[0].lower() for c in got.description]
+            got_rows = got.fetchall()
+            exp = con.execute(sql)
+            exp_cols = [c[0].lower() for c in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            failures.append((name, f"ERROR {e}"))
+            print(f"FAIL {name}: {e}"); continue
+        if sorted(got_cols) != sorted(exp_cols):
+            failures.append((name, f"cols {sorted(got_cols)} vs {sorted(exp_cols)}"))
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}"); continue
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = sorted(tuple(norm(r[i]) for i in gi) for r in got_rows)
+        e = sorted(tuple(norm(r[i]) for i in ei) for r in exp_rows)
+        if g != e:
+            diff = next((i for i, (a, b) in enumerate(zip(g, e)) if a != b), min(len(g), len(e)))
+            failures.append((name, f"rows {len(g)} vs {len(e)}"))
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}; first diff at {diff}:")
+            print("  got:", g[diff] if diff < len(g) else "<none>")
+            print("  exp:", e[diff] if diff < len(e) else "<none>")
+        else:
+            print(f"OK   {name} ({len(g)} rows)")
+    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle-checked queries match")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None)

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.model.TableSpec
+
+/** C1 validation (validate_data.py:40-86): NOT NULL check on every column and
+  * primary-key uniqueness, raising on the first violation.
+  *
+  * The reference issues N+1 full-table scans — one `SELECT COUNT(*) WHERE col
+  * IS NULL` per column (validate_data.py:69-71) plus one `GROUP BY pk HAVING
+  * COUNT(*) > 1` (validate_data.py:79-81). At 100 TB that is N+1 reads of the
+  * table; this engine collapses all null counts into ONE aggregate pass
+  * (`count(when(isnull(c),1))` per column in a single `select`), and the
+  * duplicate scan into one hash aggregate, so validation is exactly two jobs
+  * regardless of column count — and the null pass is a single stage with no
+  * shuffle (global aggregate of 32/1000 partial rows).
+  */
+object Validator {
+
+  final case class ValidationResult(
+      table: String,
+      rowCount: Long,
+      nullViolations: Map[String, Long],  // column -> null count (only >0 entries)
+      duplicateKeys: Long                 // number of distinct PK values appearing >1 time
+  ) {
+    def ok: Boolean = nullViolations.isEmpty && duplicateKeys == 0
+  }
+
+  /** Raised with the same message semantics as validate_data.py:74 ("Not Null
+    * constraints violation") and :85 (duplicate key). */
+  final class ValidationException(msg: String) extends RuntimeException(msg)
+
+  /** Single-pass null counts for `cols` (A1). One row out, no shuffle. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__rows") +: cols.map(c => count(when(col(c).isNull, 1)).as(c))
+    val row: Row = df.select(aggs: _*).head()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+  }
+
+  /** A2: distinct PK values that occur more than once. */
+  def duplicateKeys(df: DataFrame, pk: Seq[String]): DataFrame =
+    df.groupBy(pk.map(col): _*).count().filter(col("count") > 1)
+
+  /** Full C1 check. Caches the input because it feeds two jobs (SURVEY.md §4).
+    * Set `failFast=true` for the reference's raise-on-violation behavior. */
+  def validate(df: DataFrame, spec: TableSpec, failFast: Boolean = false): ValidationResult = {
+    val cached = df.cache()
+    try {
+      val checkCols = spec.columnNames.filter(c => cached.columns.map(_.toLowerCase)
+        .contains(c.toLowerCase))
+      val nulls = nullCounts(cached, checkCols)
+      val rowCount = cached.count()
+      val violations = nulls.filter(_._2 > 0)
+      if (failFast && violations.nonEmpty)
+        throw new ValidationException(
+          s"Not Null constraints violation in table ${spec.name}: " +
+            violations.keys.toSeq.sorted.mkString(", "))
+      val dups =
+        if (spec.primaryKey.nonEmpty) duplicateKeys(cached, spec.primaryKey).count() else 0L
+      if (failFast && dups > 0)
+        throw new ValidationException(
+          s"Duplicate values found in column(s) ${spec.primaryKey.mkString(",")} " +
+            s"of table ${spec.name}")
+      ValidationResult(spec.name, rowCount, violations, dups)
+    } finally cached.unpersist()
+  }
+}

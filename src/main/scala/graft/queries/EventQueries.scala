@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Batch analytics over the `events` table. These are the batch-equivalent
+  * shapes of the Structured Streaming pipeline in [[graft.streaming]] —
+  * tumbling-window aggregation and gap-based sessionization — so the gate can
+  * oracle-check the semantics that the streaming path (not SQL-expressible)
+  * reuses.
+  *
+  * Timestamps are compared in epoch microseconds: the parquet column is
+  * nanosecond-precision (all values are whole microseconds — probed), Spark
+  * reads it as a microsecond timestamp, DuckDB as TIMESTAMP_NS; `unix_micros`
+  * / `epoch_us` agree exactly.
+  */
+object EventQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour window per event type; measures in exact cents.
+    QueryDef("q_x_events_hourly",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"),
+          countDistinct(col("user_id")).as("n_users")),
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win, event_type,
+               count(*) AS n_events,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents,
+               count(DISTINCT user_id) AS n_users
+               FROM events GROUP BY 1, 2""")),
+
+    // Gap-based sessionization (30-min inactivity): lag + running sum of
+    // session breaks — the batch twin of the mapGroupsWithState session op in
+    // graft.streaming.Sessionize. Partition-by-user keeps it one shuffle.
+    QueryDef("q_x_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        val e = events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us").as("tus"),
+            cents(col("value")).as("vc"))
+          .withColumn("brk",
+            when(col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1)
+              .when(lag(col("tus"), 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("session_id", sum(col("brk"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        e.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("tus")) - min(col("tus"))).as("duration_us"),
+            sum(col("vc")).as("value_cents"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                          ${centsSql("value")} AS vc FROM events),
+               m AS (SELECT *, CASE WHEN tus - lag(tus) OVER w > 1800000000 THEN 1
+                                    WHEN lag(tus) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+                     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+               s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+               SELECT user_id, session_id, count(*) AS n_events,
+                      CAST(max(tus) - min(tus) AS BIGINT) AS duration_us,
+                      CAST(sum(vc) AS BIGINT) AS value_cents
+               FROM s GROUP BY user_id, session_id"""))
+  )
+}

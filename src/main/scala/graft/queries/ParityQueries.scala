@@ -1,0 +1,360 @@
+package graft.queries
+
+import java.sql.Date
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Scd2Spec
+import graft.ops.{DateDimension, FactBuilder, Scd2Upsert, SurrogateKeys}
+import Q._
+
+/** SURVEY.md §2 operator inventory, one gate query per operator, mapped onto
+  * the driver test tables (FIXTURES.md §B: orders+lineitem play
+  * Orders+OrderDetails, customer/part/supplier play the SCD2 dim sources).
+  * Each `fn` is the idiomatic Spark plan; each oracle is the semantically
+  * equivalent DuckDB SQL.
+  */
+object ParityQueries {
+
+  /** TPC-H-mapped SCD2 specs (the reference specs in [[graft.model.Schemas]]
+    * keep the reference's own column names; these map the same op onto the
+    * test tables). */
+  val custSpec: Scd2Spec = Scd2Spec("dim_customer", "customerkey", "c_custkey",
+    Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+  val partSpec: Scd2Spec = Scd2Spec("dim_part", "productkey", "p_partkey",
+    Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+  val suppSpec: Scd2Spec = Scd2Spec("dim_supplier", "storekey", "s_suppkey",
+    Seq("s_name", "s_nationkey", "s_acctbal"))
+
+  val run1: Date = Date.valueOf("2024-01-01")
+  val run2: Date = Date.valueOf("2024-06-01")
+
+  private val scdCols = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+  lazy val all: Seq[QueryDef] = Seq(
+
+    // S3+P1 — table scan with column projection (pruned at the parquet scan).
+    QueryDef("q_s3_scan_projection",
+      (s, d) => t(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer")),
+
+    // P2+F11 — arithmetic projection (UnitPrice*Quantity, populate_fact.py:110),
+    // computed in decimal for cross-engine exactness, surfaced as double.
+    QueryDef("q_p2_arithmetic",
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") * col("l_quantity").cast("decimal(12,2)"))
+          .cast("double").as("total_price")),
+      Some("""SELECT l_orderkey, l_linenumber,
+              CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+              FROM lineitem""")),
+
+    // P5 — IS NULL predicate filter (validate_data.py:70).
+    QueryDef("q_p5_null_filter",
+      (s, d) => events(s, d).filter(col("props").isNull).select(col("event_id")),
+      Some("SELECT event_id FROM events WHERE props IS NULL")),
+
+    // P6 — equality filter on a status/sentinel value (dynamic_upsert.py:131).
+    QueryDef("q_p6_filter_eq",
+      (s, d) => t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'")),
+
+    // P7+J4 — IN-subquery as a left-semi join (dynamic_upsert.py:130).
+    QueryDef("q_p7_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      Some("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)")),
+
+    // P8 — conditional column rewrite, the Spark form of the reference's
+    // in-place UPDATE (dynamic_upsert.py:128-131).
+    QueryDef("q_p8_conditional_rewrite",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, lit("delinquent")).otherwise(col("c_mktsegment")).as("segment")),
+      Some("""SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE c_mktsegment END AS segment
+              FROM customer""")),
+
+    // A1 — per-column null counts in ONE pass (vs the reference's N scans,
+    // validate_data.py:69-71).
+    QueryDef("q_a1_null_counts",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("row_count"),
+        count(when(col("l_orderkey").isNull, 1)).as("nn_l_orderkey"),
+        count(when(col("l_quantity").isNull, 1)).as("nn_l_quantity"),
+        count(when(col("l_returnflag").isNull, 1)).as("nn_l_returnflag"),
+        count(when(col("l_shipdate").isNull, 1)).as("nn_l_shipdate")),
+      Some("""SELECT count(*) AS row_count,
+              count(*) - count(l_orderkey) AS nn_l_orderkey,
+              count(*) - count(l_quantity) AS nn_l_quantity,
+              count(*) - count(l_returnflag) AS nn_l_returnflag,
+              count(*) - count(l_shipdate) AS nn_l_shipdate
+              FROM lineitem""")),
+
+    // A2 — duplicate-key detection via GROUP BY + HAVING (validate_data.py:79-81).
+    QueryDef("q_a2_dup_keys",
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_orderkey")).count()
+        .filter(col("count") > 1).select(col("l_orderkey"), col("count").as("cnt")),
+      Some("""SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""")),
+
+    // A3 — DISTINCT projection (dynamic_upsert.py:121).
+    QueryDef("q_a3_distinct",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment")).distinct(),
+      Some("SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")),
+
+    // J1 — the big-big equi join Orders ⋈ OrderDetails (populate_fact.py:111-112).
+    // Shuffle join on the key; AQE balances/skew-splits it at scale.
+    QueryDef("q_j1_join_bigbig",
+      (s, d) => t(s, d, "orders").join(
+          t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_orderdate"),
+          cents(col("l_extendedprice")).as("price_cents")),
+      Some(s"""SELECT o_orderkey, l_linenumber, o_orderdate, ${centsSql("l_extendedprice")} AS price_cents
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey""")),
+
+    // J2 — multi-way star join with small dims broadcast (populate_fact.py:119-123);
+    // exact integer-cents revenue so the agg is order-insensitive.
+    QueryDef("q_j2_star_agg",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"), count(lit(1)).as("n_items")),
+      Some(s"""SELECT r_name, n_name,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev_cents,
+               count(*) AS n_items
+               FROM lineitem
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation   ON c_nationkey = n_nationkey
+               JOIN region   ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name""")),
+
+    // J3 — join with residual dim filter, stated pre-join as Catalyst would
+    // rewrite it anyway (populate_fact.py:124; SURVEY.md §4).
+    QueryDef("q_j3_join_residual",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_size") < 15)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"),
+          sum(col("l_quantity").cast("long")).as("sum_qty")),
+      Some(s"""SELECT p_brand, CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_size < 15 GROUP BY p_brand""")),
+
+    // W1+F8+L1 — ROW_NUMBER date-series synthesis, the faithful form of
+    // datespopulation.py:19-23 (the idiomatic form is q_c4_date_dimension).
+    QueryDef("q_w1_row_number",
+      (s, d) => t(s, d, "orders")
+        .select(row_number().over(Window.orderBy(col("o_orderkey"))).cast("long").as("rn"))
+        .filter(col("rn") <= 731)
+        .select(col("rn"), date_add(lit(Date.valueOf("2023-01-01")), col("rn").cast("int") - 1).as("d")),
+      Some("""SELECT rn, DATE '2023-01-01' + CAST(rn - 1 AS INT) AS d
+              FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+              WHERE rn <= 731""")),
+
+    // W2 — IDENTITY surrogate keys: dense row_number over the business key +
+    // high-water-mark offset (SURVEY.md §2.5 W2).
+    QueryDef("q_w2_surrogate_keys",
+      (s, d) => SurrogateKeys.assign(
+          t(s, d, "customer").select(col("c_custkey"), col("c_name")), "customerkey", 1000L, "c_custkey")
+        .select(col("customerkey"), col("c_custkey"), col("c_name")),
+      Some("""SELECT row_number() OVER (ORDER BY c_custkey) + 1000 AS customerkey, c_custkey, c_name
+              FROM customer""")),
+
+    // F1-F10 — date-part and date-arithmetic functions, incl. the Redshift DOW
+    // numbering trap (SURVEY.md §2.7 F5: Spark dayofweek is 1-based Sunday).
+    QueryDef("q_f_date_parts",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("day"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+        weekofyear(col("o_orderdate")).cast("long").as("week"),
+        date_add(col("o_orderdate").cast("date"), 7).as("plus7"),
+        date_sub(col("o_orderdate").cast("date"), 1).as("minus1")),
+      Some("""SELECT o_orderkey,
+              year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m,
+              day(o_orderdate) AS day, dayofweek(o_orderdate) AS dow, weekofyear(o_orderdate) AS week,
+              CAST(o_orderdate AS DATE) + 7 AS plus7, CAST(o_orderdate AS DATE) - 1 AS minus1
+              FROM orders""")),
+
+    // L1+L2 — deterministic top-k (ORDER BY + LIMIT with a tie-break).
+    QueryDef("q_l1_topk",
+      (s, d) => t(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10).select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // Set op — the SCD2 append is a union (dynamic_upsert.py:137-139 →
+    // unionByName, SURVEY.md §2.6).
+    QueryDef("q_u1_union",
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+        .unionByName(t(s, d, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind"))),
+      Some("""SELECT c_custkey AS id, 'customer' AS kind FROM customer
+              UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier""")),
+
+    // C4 — the date dimension itself (datespopulation.py:16-43) via
+    // spark.range, no row-source hack, no single-partition sort.
+    QueryDef("q_c4_date_dimension",
+      (s, _) => DateDimension.build(s).select(
+        col("datekey"), col("date"),
+        col("year").cast("long").as("year"), col("quarter").cast("long").as("quarter"),
+        col("month").cast("long").as("month"), col("day").cast("long").as("day"),
+        col("weekday").cast("long").as("weekday"), col("week").cast("long").as("week")),
+      Some("""SELECT i + 1 AS datekey, DATE '2023-01-01' + CAST(i AS INT) AS date,
+              year(DATE '2023-01-01' + CAST(i AS INT)) AS year,
+              quarter(DATE '2023-01-01' + CAST(i AS INT)) AS quarter,
+              month(DATE '2023-01-01' + CAST(i AS INT)) AS month,
+              day(DATE '2023-01-01' + CAST(i AS INT)) AS day,
+              dayofweek(DATE '2023-01-01' + CAST(i AS INT)) AS weekday,
+              weekofyear(DATE '2023-01-01' + CAST(i AS INT)) AS week
+              FROM range(731) t(i)""")),
+
+    // C1 — the full validation verdict as one row: row count, null counts,
+    // duplicate-PK count (validate_data.py:40-86), two jobs total.
+    QueryDef("q_c1_validate_summary",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val aggs = li.agg(
+          count(lit(1)).as("row_count"),
+          count(when(col("l_orderkey").isNull, 1)).as("nn_orderkey"),
+          count(when(col("l_extendedprice").isNull, 1)).as("nn_extendedprice"))
+        val dups = li.groupBy(col("l_orderkey"), col("l_linenumber")).count()
+          .filter(col("count") > 1).agg(count(lit(1)).as("dup_keys"))
+        aggs.crossJoin(dups)
+      },
+      Some("""SELECT (SELECT count(*) FROM lineitem) AS row_count,
+              (SELECT count(*) - count(l_orderkey) FROM lineitem) AS nn_orderkey,
+              (SELECT count(*) - count(l_extendedprice) FROM lineitem) AS nn_extendedprice,
+              (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS dup_keys""")),
+
+    // C2 — SCD2 initial load with injected runDate (dynamic_upsert.py:108-152
+    // on an empty dimension).
+    QueryDef("q_c2_scd2_initial",
+      (s, d) => Scd2Upsert.initialLoad(t(s, d, "customer"), custSpec, run1),
+      Some(s"""SELECT row_number() OVER (ORDER BY c_custkey) AS customerkey, $scdCols,
+               DATE '2024-01-01' AS startdate, DATE '9999-12-31' AS enddate
+               FROM (SELECT DISTINCT $scdCols FROM customer)""")),
+
+    // C2 — SCD2 re-run: the as-is reference semantics re-version EVERY source
+    // row (no change detection): run1 rows close at run2-1, all keys get a new
+    // version keyed past the old max (SURVEY.md §7.5.1).
+    QueryDef("q_c2_scd2_rerun",
+      (s, d) => {
+        val src = t(s, d, "customer")
+        val dim1 = Scd2Upsert.initialLoad(src, custSpec, run1)
+        Scd2Upsert.run(src, dim1, custSpec, run2)
+      },
+      Some(s"""WITH src AS (SELECT DISTINCT $scdCols FROM customer),
+               run1 AS (SELECT row_number() OVER (ORDER BY c_custkey) AS customerkey, $scdCols,
+                        DATE '2024-01-01' AS startdate, DATE '9999-12-31' AS enddate FROM src)
+               SELECT customerkey, $scdCols, startdate, DATE '2024-05-31' AS enddate FROM run1
+               UNION ALL
+               SELECT (SELECT max(customerkey) FROM run1) + row_number() OVER (ORDER BY c_custkey),
+                      $scdCols, DATE '2024-06-01', DATE '9999-12-31' FROM src""")),
+
+    // C3 — the flagship fact build: Orders ⋈ OrderDetails staging + 4-way
+    // broadcast star join against current-version dims + generated date dim
+    // (populate_fact.py:74-150). The only shuffle is the big-big join.
+    QueryDef("q_c3_fact_build", (s, d) => factBuild(s, d), Some(factOracle)),
+
+    // C2+C3 chained — surrogate-key stability across re-versioning: after a
+    // second SCD2 run the fact must resolve to the CURRENT version's keys.
+    QueryDef("q_c3_fact_after_rerun",
+      (s, d) => {
+        val src = t(s, d, "customer")
+        val dimC2 = Scd2Upsert.run(src, Scd2Upsert.initialLoad(src, custSpec, run1), custSpec, run2)
+        factJoin(s, d, dimC2)
+      },
+      Some(factAfterRerunOracle))
+  )
+
+  /** TPC-H→reference column mapping for the fact build (FIXTURES.md §B):
+    * orders(o_orderkey,o_custkey,o_orderdate) is Orders; lineitem is
+    * OrderDetails with l_partkey→ProductID, l_suppkey→StoreID,
+    * l_extendedprice→UnitPrice. */
+  private def factInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val orders = t(s, d, "orders").select(
+      col("o_orderkey").as("orderid"), col("o_custkey").as("customerid"),
+      to_date(col("o_orderdate")).as("orderdate"))
+    val details = t(s, d, "lineitem").select(
+      col("l_orderkey").as("orderid"), col("l_partkey").as("productid"),
+      col("l_suppkey").as("storeid"), col("l_quantity").as("quantity"),
+      col("l_extendedprice").cast("decimal(12,2)").as("unitprice"))
+    (orders, details)
+  }
+
+  private def dims(s: SparkSession, d: String, dimCust: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dimPart = Scd2Upsert.initialLoad(
+      t(s, d, "part").withColumnRenamed("p_partkey", "productid"), partSpec.copy(businessKey = "productid"), run1)
+    val dimSupp = Scd2Upsert.initialLoad(
+      t(s, d, "supplier").withColumnRenamed("s_suppkey", "storeid"), suppSpec.copy(businessKey = "storeid"), run1)
+    val dates = DateDimension.build(s, Date.valueOf("1995-01-01"), Date.valueOf("2001-12-31"))
+    (dimCust, dimPart, dimSupp, dates)
+  }
+
+  private def factBuild(s: SparkSession, d: String): DataFrame = {
+    val dimCust = Scd2Upsert.initialLoad(
+      t(s, d, "customer").withColumnRenamed("c_custkey", "customerid"),
+      custSpec.copy(businessKey = "customerid"), run1)
+    factJoin(s, d, dimCust)
+  }
+
+  private def factJoin(s: SparkSession, d: String, dimCustRaw: DataFrame): DataFrame = {
+    val (orders, details) = factInputs(s, d)
+    val dimCust = dimCustRaw.withColumnRenamed("c_custkey", "customerid")
+    val (dc, dp, dsup, dates) = dims(s, d, dimCust)
+    FactBuilder.build(orders, details, dc, dsup, dp, dates,
+        custSpec.copy(businessKey = "customerid"),
+        suppSpec.copy(businessKey = "storeid"),
+        partSpec.copy(businessKey = "productid"),
+        totalPriceType = "decimal(14,2)")
+      .select(col("orderid"), col("customerkey"), col("storekey"), col("productkey"),
+        col("quantity"), col("unitprice").cast("double").as("unitprice"),
+        col("totalprice").cast("double").as("totalprice"), col("orderdateid"))
+  }
+
+  /** Oracle CTEs shared by the two fact queries; `dimcDef` supplies the
+    * customer-dim CTE (initial-load keys vs post-rerun keys). */
+  private def factOracleWith(dimcDef: String): String =
+    s"""WITH $dimcDef,
+        dimp AS (SELECT row_number() OVER (ORDER BY p_partkey) AS productkey, p_partkey
+                 FROM (SELECT DISTINCT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part)),
+        dims AS (SELECT row_number() OVER (ORDER BY s_suppkey) AS storekey, s_suppkey
+                 FROM (SELECT DISTINCT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier)),
+        dates AS (SELECT i + 1 AS datekey, DATE '1995-01-01' + CAST(i AS INT) AS date FROM range(2557) t(i)),
+        staged AS (SELECT o_orderkey AS orderid, o_custkey, l_partkey, l_suppkey,
+                     l_quantity AS quantity,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) AS unitprice,
+                     CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * l_quantity AS DECIMAL(14,2)) AS totalprice,
+                     CAST(o_orderdate AS DATE) AS orderdate
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT orderid, customerkey, storekey, productkey, quantity,
+        CAST(unitprice AS DOUBLE) AS unitprice, CAST(totalprice AS DOUBLE) AS totalprice,
+        datekey AS orderdateid
+        FROM staged
+        JOIN dimc  ON o_custkey = c_custkey
+        JOIN dims  ON l_suppkey = s_suppkey
+        JOIN dimp  ON l_partkey = p_partkey
+        JOIN dates ON orderdate = date"""
+
+  private val factOracle = factOracleWith(
+    s"""dimc AS (SELECT row_number() OVER (ORDER BY c_custkey) AS customerkey, c_custkey
+        FROM (SELECT DISTINCT $scdCols FROM customer))""")
+
+  /** After the re-run, current customer rows carry keys max+rn — the fact must
+    * pick those up (current-version filter J3/P6). */
+  private val factAfterRerunOracle = factOracleWith(
+    s"""src AS (SELECT DISTINCT $scdCols FROM customer),
+        dimc AS (SELECT (SELECT count(*) FROM src) + row_number() OVER (ORDER BY c_custkey) AS customerkey,
+                 c_custkey FROM src)""")
+}

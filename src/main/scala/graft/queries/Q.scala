@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One operator exposed through the driver's correctness gate: a named Spark
+  * implementation plus (where SQL-expressible) an equivalent DuckDB oracle over
+  * the same parquet tables. Conventions that make the hash compare stable
+  * across engines (the driver sorts columns by name and hashes values):
+  *
+  *  - every output column is lower-case and explicitly aliased in BOTH sides;
+  *  - integer-ish outputs are BIGINT on both sides (Spark `count`/`sum(long)`
+  *    are already long; `row_number`/`year`/... are cast);
+  *  - money/measure aggregates are computed in EXACT arithmetic (integer cents
+  *    or decimal), never by summing doubles (double addition is
+  *    order-dependent, and Spark and DuckDB would disagree in the last ulp);
+  *  - cross-engine hashing uses md5 (identical hex in both engines) parsed to
+  *    a 60-bit int, not engine-native hash functions.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object Q {
+  /** Read one of the driver-generated parquet tables (TESTDATA.md). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    * rejects by default. Read `ts` as nanos-since-epoch (legacy long mode)
+    * and surface `ts_us` (exact: the data is whole microseconds) so event
+    * queries agree with DuckDB's `epoch_us` to the microsecond. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Exact integer cents from a 2-decimal double (BASELINE probe: prices are
+    * 2-decimal within 1e-9, so round-then-cast is tie-free and identical in
+    * both engines; note DuckDB CAST(double AS BIGINT) rounds while Spark
+    * truncates — rounding FIRST makes that moot). */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  def centsSql(e: String): String = s"CAST(round($e*100,0) AS BIGINT)"
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, parsed to a BIGINT.
+    * Spark: conv(hex,16,10); DuckDB: '0x'-prefixed cast. Same value on both
+    * engines for any UTF-8 string. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash64Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Seeded variant for minhash families. */
+  def hash64Seeded(seed: Int, c: Column): Column =
+    hash64(concat(lit(s"$seed:"), c))
+  def hash64SeededSql(seed: Int, e: String): String =
+    hash64Sql(s"'$seed:' || $e")
+
+  /** Whitespace tokens of a text column — split(' ') keeps empty trailing
+    * fields in both engines, so counts agree. */
+  def tokens(c: Column): Column = split(c, " ")
+  val tokensSql: String = "string_split(text, ' ')"
+
+  /** Distinct 3-token shingles. Spark arrays are 0-based, DuckDB lists
+    * 1-based; both sides guard len<3 → empty list. Only order-insensitive
+    * reductions (min / membership / counts) are applied downstream, because
+    * the two engines order `distinct` results differently. */
+  def shingles3(toksCol: String): Column = when(size(col(toksCol)) >= 3,
+    array_distinct(expr(
+      s"transform(sequence(0, size($toksCol) - 3), " +
+        s"i -> concat($toksCol[i], ' ', $toksCol[i+1], ' ', $toksCol[i+2]))"
+    ))).otherwise(array().cast("array<string>"))
+
+  /** DuckDB side of [[shingles3]]; `e` must be a list expression. */
+  def shingles3Sql(e: String): String =
+    s"CASE WHEN len($e) >= 3 THEN list_distinct(list_transform(generate_series(1, len($e)-2), " +
+      s"i -> $e[i] || ' ' || $e[i+1] || ' ' || $e[i+2])) ELSE [] END"
+}

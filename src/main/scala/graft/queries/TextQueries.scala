@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Text-analysis + document-dedup operators over the `documents` table —
+  * the training-data-pipeline extensions (builder brief; SURVEY.md §7.8).
+  *
+  * Scale design: every operator here is embarrassingly parallel per document
+  * except the pair-forming dedup joins, which NEVER do an all-pairs cross
+  * join — candidates come from equality joins on cheap blocking keys (token
+  * prefix, MinHash LSH bands, SimHash half-fingerprints), so the shuffle is
+  * bucket-sized, not O(n²). At 100 TB the bucket join is a plain shuffled
+  * equi-join that AQE load-balances; skewed buckets (boilerplate prefixes)
+  * would be handled by salting the block key.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+  private val stopIn = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** doc_id + toks + distinct 3-shingles + blocking prefix, Spark side. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("sh", shingles3("toks"))
+      .withColumn("pfx", concat_ws(" ", slice(col("toks"), 1, 3)))
+
+  /** Matching DuckDB CTEs (`tk` → `shd`). */
+  private val shingledSql: String =
+    s"""tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        shd AS (SELECT doc_id, toks, ${shingles3Sql("toks")} AS sh,
+                array_to_string(toks[1:3], ' ') AS pfx FROM tk)"""
+
+  /** Exact Jaccard over two distinct-shingle arrays (order-insensitive,
+    * integer-exact → identical doubles on both engines). */
+  private val jacSpark =
+    "size(filter(sh1, x -> array_contains(sh2, x))) / CAST(size(sh1) + size(sh2) - size(filter(sh1, x -> array_contains(sh2, x))) AS DOUBLE)"
+  private val jacSql =
+    "len(list_filter(a.sh, x -> list_contains(b.sh, x))) / CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)"
+
+  // ---- MinHash constants (one md5 per shingle, then 16 cheap affine perms
+  // mod a Mersenne prime; 8 bands × 2 rows) ----
+  private val P = 2147483647L
+  private val numHashes = 16
+  private val numBands = 8
+  private def aj(j: Int): Long = 2L * j + 3
+  private def bj(j: Int): Long = 101L * j + 7
+
+  /** 32-bit SimHash fingerprints, Spark side (shared by two gate queries). */
+  private def simhashFp(s: SparkSession, d: String): DataFrame = {
+    val h = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), hash64(col("tok")).as("h"))
+    val votes = (0 until 32).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    val voted = h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Text quality scoring: token/char/letter counts, stopword ratio, and a
+    // deterministic composite score — all integer-exact or fixed-order double
+    // arithmetic so both engines agree bitwise.
+    QueryDef("q_x_text_stats",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("n_letters"),
+          expr(s"size(filter(toks, t -> t IN ($stopIn)))").cast("long").as("n_stopwords"))
+        .withColumn("alpha_ratio", col("n_letters") / col("n_chars").cast("double"))
+        .withColumn("stop_ratio", col("n_stopwords") / col("n_tokens").cast("double"))
+        .withColumn("quality_score", col("alpha_ratio") * 0.5 + col("stop_ratio") * 0.5),
+      Some(s"""SELECT doc_id, n_tokens, n_chars, n_letters, n_stopwords,
+               n_letters / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+               n_stopwords / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+               (n_letters / CAST(n_chars AS DOUBLE)) * 0.5 + (n_stopwords / CAST(n_tokens AS DOUBLE)) * 0.5 AS quality_score
+               FROM (SELECT doc_id,
+                     len($tokensSql) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_letters,
+                     len(list_filter($tokensSql, t -> t IN ($stopIn))) AS n_stopwords
+                     FROM documents)""")),
+
+    // Corpus token statistics (BPE-ish accounting rolls up the same way).
+    QueryDef("q_x_token_totals",
+      (s, d) => t(s, d, "documents")
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens")),
+      Some(s"""SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS n_docs,
+               CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens
+               FROM (SELECT len($tokensSql) AS n FROM documents)""")),
+
+    // Language-ID by stopword-hit scoring with a fixed priority tie-break.
+    // (The synthetic corpus is English-vocabulary for every labeled lang, so
+    // the interesting property here is determinism, not accuracy.)
+    QueryDef("q_x_lang_id",
+      (s, d) => {
+        val hits = Map(
+          "en" -> Seq("the", "a", "of", "and", "is"), "fr" -> Seq("le", "la", "les", "et"),
+          "es" -> Seq("el", "los", "y", "que"), "de" -> Seq("der", "die", "und", "das"))
+        val base = t(s, d, "documents").select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        val scored = hits.keys.toSeq.sorted.foldLeft(base) { (df, l) =>
+          val inList = hits(l).map(w => s"'$w'").mkString(", ")
+          df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long"))
+        }
+        scored.select(col("doc_id"), col("lang"),
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de"), "fr")
+            .when(col("s_es") >= col("s_de"), "es").otherwise("de").as("pred_lang"),
+          col("s_en"), col("s_fr"), col("s_es"), col("s_de"))
+      },
+      Some(s"""SELECT doc_id, lang,
+               CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                    WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+               s_en, s_fr, s_es, s_de
+               FROM (SELECT doc_id, lang,
+                     len(list_filter($tokensSql, t -> t IN ('the','a','of','and','is'))) AS s_en,
+                     len(list_filter($tokensSql, t -> t IN ('le','la','les','et'))) AS s_fr,
+                     len(list_filter($tokensSql, t -> t IN ('el','los','y','que'))) AS s_es,
+                     len(list_filter($tokensSql, t -> t IN ('der','die','und','das'))) AS s_de
+                     FROM documents)""")),
+
+    // Content fingerprint: md5 over the sorted distinct token set (word-order
+    // insensitive document identity; the rolling-hash variant lives in
+    // graft.functions.TextFunctions with ScalaTest coverage).
+    QueryDef("q_x_fingerprint",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fingerprint")),
+      Some(s"""SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fingerprint
+               FROM documents""")),
+
+    // Exact dedup: group identical content by hash, keep the smallest id.
+    // At scale this is one hash-partitioned aggregate — no comparisons.
+    QueryDef("q_x_dedup_exact",
+      (s, d) => t(s, d, "documents").groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+              count(*) AS n_copies FROM documents GROUP BY md5(text)""")),
+
+    // N-gram Jaccard near-dup: prefix-blocked candidate pairs + exact
+    // 3-shingle Jaccard ≥ 0.5. Blocking keeps pair formation linear-ish.
+    QueryDef("q_x_dedup_ngram",
+      (s, d) => {
+        val a = shingled(s, d).select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
+        val b = shingled(s, d).select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx"))
+        a.join(b, Seq("pfx")).filter(col("id1") < col("id2"))
+          .withColumn("jaccard", expr(jacSpark))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id1"), col("id2"), col("jaccard"))
+      },
+      Some(s"""WITH $shingledSql
+               SELECT a.doc_id AS id1, b.doc_id AS id2, $jacSql AS jaccard
+               FROM shd a JOIN shd b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+               WHERE $jacSql >= 0.5""")),
+
+    // MinHash + LSH near-dup: 16 permutations (one md5 per shingle + affine
+    // maps mod 2^31-1), 8 bands of 2 rows; band-bucket equi-join forms
+    // candidates; exact Jaccard verifies. The canonical 100 TB dedup shape:
+    // shuffle volume is |docs|×bands, never |docs|².
+    QueryDef("q_x_dedup_minhash",
+      (s, d) => {
+        val base = shingled(s, d)
+          .withColumn("hs", expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $P)"))
+        val sigs = (0 until numHashes).foldLeft(base) { (df, j) =>
+          df.withColumn(s"sig$j", expr(s"array_min(transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P))"))
+        }
+        val bandKeys = (0 until numBands).map(bn =>
+          concat(lit(s"$bn|"), col(s"sig${2 * bn}"), lit(":"), col(s"sig${2 * bn + 1}")))
+        val bands = sigs.select(col("doc_id"), col("sh"), explode(array(bandKeys: _*)).as("band"))
+        val cands = bands.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("band"))
+          .join(bands.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("band")), Seq("band"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
+        cands.withColumn("jaccard", expr(jacSpark)).filter(col("jaccard") >= 0.5)
+          .select(col("id1"), col("id2"), col("jaccard"))
+      },
+      Some {
+        val sigExprs = (0 until numHashes).map(j =>
+          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+        val bandList = (0 until numBands).map(bn =>
+          s"'$bn|' || sig${2 * bn} || ':' || sig${2 * bn + 1}").mkString(", ")
+        s"""WITH $shingledSql,
+            hsh AS (SELECT doc_id, sh,
+                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+            sigs AS (SELECT doc_id, sh, $sigExprs FROM hsh),
+            bands AS (SELECT doc_id, sh, unnest([$bandList]) AS band FROM sigs),
+            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+            SELECT id1, id2, $jacSql AS jaccard
+            FROM cands JOIN shd a ON a.doc_id = id1 JOIN shd b ON b.doc_id = id2
+            WHERE $jacSql >= 0.5"""
+      }),
+
+    // SimHash fingerprints: 32-bit, token-frequency weighted (sign of the
+    // per-bit vote), built from one portable 60-bit hash per token.
+    QueryDef("q_x_simhash", (s, d) => simhashFp(s, d),
+      Some {
+        val votes = (0 until 32).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+        val fp = (0 until 32).map(i =>
+          s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+            h AS (SELECT doc_id, ${hash64Sql("t")} AS h FROM tok),
+            v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+            SELECT doc_id, $fp AS simhash FROM v"""
+      }),
+
+    // SimHash near-dup pairs: block on either 16-bit half (a pair within
+    // hamming distance ≤ 6 of 32 bits usually agrees on one half exactly for
+    // the planted near-dups), then exact popcount verify.
+    QueryDef("q_x_dedup_simhash",
+      (s, d) => {
+        val fp = simhashFp(s, d)
+        val withHalves = fp.select(col("doc_id"), col("simhash"),
+          expr("shiftright(simhash, 16)").as("hi"), expr("simhash & 65535").as("lo"))
+        def half(k: String) = withHalves.select(col("doc_id").as("id1"), col("simhash").as("f1"), col(k))
+          .join(withHalves.select(col("doc_id").as("id2"), col("simhash").as("f2"), col(k)), Seq(k))
+          .filter(col("id1") < col("id2")).select(col("id1"), col("id2"), col("f1"), col("f2"))
+        half("hi").unionByName(half("lo")).distinct()
+          .withColumn("hamming", expr("bit_count(f1 ^ f2)").cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("id1"), col("id2"), col("hamming"))
+      },
+      Some {
+        val votes = (0 until 32).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+        val fp = (0 until 32).map(i =>
+          s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+            h AS (SELECT doc_id, ${hash64Sql("t")} AS h FROM tok),
+            v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+            f AS (SELECT doc_id, $fp AS simhash FROM v),
+            fh AS (SELECT doc_id, simhash, simhash >> 16 AS hi, simhash & 65535 AS lo FROM f),
+            cand AS (
+              SELECT a.doc_id id1, b.doc_id id2, a.simhash f1, b.simhash f2
+              FROM fh a JOIN fh b ON a.hi = b.hi AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+              FROM fh a JOIN fh b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+            SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(f1, f2)) <= 6"""
+      }),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata.
+    // The real decode path (graft.multimodal) is a mapPartitions stub; this
+    // gate query proves the binary-column schema/arithmetic round-trips.
+    QueryDef("q_x_binary_meta",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_hash"),
+        (hash64(col("text")) % 997).as("stub_feature")),
+      Some(s"""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+               md5(text) AS content_hash, ${hash64Sql("text")} % 997 AS stub_feature
+               FROM documents"""))
+  )
+}
