@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-processing column functions (training-data pipeline surface). All
+  * are composed from codegen'd built-ins — no UDFs — so they stay inside
+  * whole-stage codegen on the 100 TB scan path. */
+object Text {
+
+  /** Whitespace tokens (keeps empty trailing fields — count-stable). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct k-token shingles of a tokens-array column (by name, because
+    * Spark lambda HOFs bind names). Empty when fewer than k tokens. */
+  def shingles(toksCol: String, k: Int = 3): Column = {
+    val parts = (0 until k).map(i => s"$toksCol[i + $i]").mkString(", ' ', ")
+    when(size(col(toksCol)) >= k,
+      array_distinct(expr(
+        s"transform(sequence(0, size($toksCol) - $k), i -> concat($parts))")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens drawn from a fixed vocabulary (stopword scoring). */
+  def vocabHits(toksCol: String, vocab: Seq[String]): Column = {
+    val inList = vocab.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+    expr(s"size(filter($toksCol, t -> t IN ($inList)))").cast("long")
+  }
+
+  /** Letter count via an ASCII class strip (identical across regex engines). */
+  def letterCount(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+
+  /** Exact Jaccard similarity of two distinct-element array columns —
+    * order-insensitive, integer-exact, deterministic as a double. */
+  def jaccard(a: String, b: String): Column = expr(
+    s"size(filter($a, x -> array_contains($b, x))) / " +
+      s"CAST(size($a) + size($b) - size(filter($a, x -> array_contains($b, x))) AS DOUBLE)")
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set. For the order-SENSITIVE variant see [[Hashing.rollingHash]]. */
+  def setFingerprint(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+}

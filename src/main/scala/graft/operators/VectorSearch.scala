@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * All arithmetic runs on integer-quantized coordinates (round(x·10⁴)) so
+  * dot products and norms are exact integers and every similarity is a
+  * deterministic double — reruns of a 100 TB job produce identical top-k
+  * sets and thresholds (float summation order never leaks in).
+  *
+  * Two execution shapes:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set, scan the corpus
+  *    once — the exact baseline, O(|Q|·N) with no corpus shuffle.
+  *  - [[lshBuckets]] / [[nearDuplicates]]: random-hyperplane signatures
+  *    turn all-pairs work into bucket-equality joins — the ANN/near-dup
+  *    scale path (an IVF-style index materializes the same bucket column and
+  *    probes it at query time).
+  */
+object VectorSearch {
+
+  val Scale = 10000
+
+  /** Integer quantization of an embedding column (exact longs). */
+  def quantize(embedding: String): Column =
+    expr(s"transform($embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))")
+
+  /** Exact integer dot product of two quantized array columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  /** Cosine similarity from integer dot/norms (deterministic double). */
+  def cosine(dotCol: String, na: String, nb: String): Column =
+    expr(s"CAST($dotCol AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))")
+
+  /** vec_id + quantized vector + squared norm. */
+  def prepared(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"), quantize(embCol).as("q"))
+      .withColumn("nn", dot("q", "q"))
+
+  /** Exact top-k cosine neighbors for each query row (self excluded). */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = prepared(emb)
+    val qs = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn")))
+    qs.join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn")),
+        col("qid") =!= col("nid"))
+      .withColumn("dp", dot("qv", "cv"))
+      .withColumn("sim", cosine("dp", "qn", "cn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (ints in [-1000, 1000]) derived
+    * from md5 — reproducible across runs/engines, embeddable as literals. */
+  def planes(numPlanes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(numPlanes, dim)((p, j) => Hashing.hash64Local(s"plane:$p:$j") % 2001L - 1000L)
+
+  /** Adds a sign-bucket column from `numPlanes` hyperplane sign bits. */
+  def lshBuckets(emb: DataFrame, numPlanes: Int = 8): DataFrame = {
+    val e = prepared(emb)
+    val dim = 64
+    val pl = planes(numPlanes, dim)
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val arr = s"array(${pl(p).mkString(", ")})"
+      s"(CASE WHEN aggregate(zip_with(q, $arr, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    e.withColumn("bucket", expr(bucketExpr))
+  }
+
+  /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ threshold). */
+  def nearDuplicates(emb: DataFrame, threshold: Double = 0.8, numPlanes: Int = 8): DataFrame = {
+    val e = lshBuckets(emb, numPlanes)
+    val a = e.select(col("vec_id").as("id1"), col("q").as("q1"), col("nn").as("n1"), col("bucket"))
+    val b = e.select(col("vec_id").as("id2"), col("q").as("q2"), col("nn").as("n2"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("dp", dot("q1", "q2"))
+      .withColumn("sim", cosine("dp", "n1", "n2"))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+}

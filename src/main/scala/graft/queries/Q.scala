@@ -45,36 +45,23 @@ object Q {
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
   def centsSql(e: String): String = s"CAST(round($e*100,0) AS BIGINT)"
 
-  /** Portable 60-bit hash: first 15 hex chars of md5, parsed to a BIGINT.
-    * Spark: conv(hex,16,10); DuckDB: '0x'-prefixed cast. Same value on both
-    * engines for any UTF-8 string. */
-  def hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash (Spark side: [[graft.functions.Hashing.hash64]];
+    * DuckDB side: '0x'-prefixed cast of the same md5 prefix). Same value on
+    * both engines for any UTF-8 string. */
+  def hash64(c: Column): Column = graft.functions.Hashing.hash64(c)
   def hash64Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 
-  /** Seeded variant for minhash families. */
-  def hash64Seeded(seed: Int, c: Column): Column =
-    hash64(concat(lit(s"$seed:"), c))
-  def hash64SeededSql(seed: Int, e: String): String =
-    hash64Sql(s"'$seed:' || $e")
-
   /** Whitespace tokens of a text column — split(' ') keeps empty trailing
     * fields in both engines, so counts agree. */
-  def tokens(c: Column): Column = split(c, " ")
+  def tokens(c: Column): Column = graft.functions.Text.tokens(c)
   val tokensSql: String = "string_split(text, ' ')"
 
-  /** Distinct 3-token shingles. Spark arrays are 0-based, DuckDB lists
-    * 1-based; both sides guard len<3 → empty list. Only order-insensitive
-    * reductions (min / membership / counts) are applied downstream, because
-    * the two engines order `distinct` results differently. */
-  def shingles3(toksCol: String): Column = when(size(col(toksCol)) >= 3,
-    array_distinct(expr(
-      s"transform(sequence(0, size($toksCol) - 3), " +
-        s"i -> concat($toksCol[i], ' ', $toksCol[i+1], ' ', $toksCol[i+2]))"
-    ))).otherwise(array().cast("array<string>"))
-
-  /** DuckDB side of [[shingles3]]; `e` must be a list expression. */
+  /** DuckDB side of [[graft.functions.Text.shingles]] (k=3). Spark arrays
+    * are 0-based, DuckDB lists 1-based; both sides guard len<3 → empty list.
+    * Only order-insensitive reductions (min / membership / counts) may be
+    * applied downstream, because the two engines order `distinct` results
+    * differently. */
   def shingles3Sql(e: String): String =
     s"CASE WHEN len($e) >= 3 THEN list_distinct(list_transform(generate_series(1, len($e)-2), " +
       s"i -> $e[i] || ' ' || $e[i+1] || ' ' || $e[i+2])) ELSE [] END"

@@ -20,23 +20,14 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
   private val stopIn = stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** doc_id + toks + distinct 3-shingles + blocking prefix, Spark side. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("sh", shingles3("toks"))
-      .withColumn("pfx", concat_ws(" ", slice(col("toks"), 1, 3)))
-
-  /** Matching DuckDB CTEs (`tk` → `shd`). */
+  /** DuckDB CTEs matching [[graft.operators.TextDedup.shingled]]. */
   private val shingledSql: String =
     s"""tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
         shd AS (SELECT doc_id, toks, ${shingles3Sql("toks")} AS sh,
                 array_to_string(toks[1:3], ' ') AS pfx FROM tk)"""
 
-  /** Exact Jaccard over two distinct-shingle arrays (order-insensitive,
+  /** DuckDB side of [[graft.functions.Text.jaccard]] (order-insensitive,
     * integer-exact → identical doubles on both engines). */
-  private val jacSpark =
-    "size(filter(sh1, x -> array_contains(sh2, x))) / CAST(size(sh1) + size(sh2) - size(filter(sh1, x -> array_contains(sh2, x))) AS DOUBLE)"
   private val jacSql =
     "len(list_filter(a.sh, x -> list_contains(b.sh, x))) / CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)"
 
@@ -47,18 +38,6 @@ object TextQueries {
   private val numBands = 8
   private def aj(j: Int): Long = 2L * j + 3
   private def bj(j: Int): Long = 101L * j + 7
-
-  /** 32-bit SimHash fingerprints, Spark side (shared by two gate queries). */
-  private def simhashFp(s: SparkSession, d: String): DataFrame = {
-    val h = t(s, d, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), hash64(col("tok")).as("h"))
-    val votes = (0 until 32).map(i =>
-      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
-    val voted = h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    voted.select(col("doc_id"), fp.as("simhash"))
-  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -134,7 +113,7 @@ object TextQueries {
     // graft.functions.TextFunctions with ScalaTest coverage).
     QueryDef("q_x_fingerprint",
       (s, d) => t(s, d, "documents").select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fingerprint")),
+        graft.functions.Text.setFingerprint(tokens(col("text"))).as("fingerprint")),
       Some(s"""SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fingerprint
                FROM documents""")),
@@ -142,22 +121,14 @@ object TextQueries {
     // Exact dedup: group identical content by hash, keep the smallest id.
     // At scale this is one hash-partitioned aggregate — no comparisons.
     QueryDef("q_x_dedup_exact",
-      (s, d) => t(s, d, "documents").groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      (s, d) => graft.operators.TextDedup.exact(t(s, d, "documents")),
       Some("""SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
               count(*) AS n_copies FROM documents GROUP BY md5(text)""")),
 
     // N-gram Jaccard near-dup: prefix-blocked candidate pairs + exact
     // 3-shingle Jaccard ≥ 0.5. Blocking keeps pair formation linear-ish.
     QueryDef("q_x_dedup_ngram",
-      (s, d) => {
-        val a = shingled(s, d).select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
-        val b = shingled(s, d).select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx"))
-        a.join(b, Seq("pfx")).filter(col("id1") < col("id2"))
-          .withColumn("jaccard", expr(jacSpark))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id1"), col("id2"), col("jaccard"))
-      },
+      (s, d) => graft.operators.TextDedup.ngramJaccard(t(s, d, "documents"), 0.5),
       Some(s"""WITH $shingledSql
                SELECT a.doc_id AS id1, b.doc_id AS id2, $jacSql AS jaccard
                FROM shd a JOIN shd b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
@@ -168,22 +139,7 @@ object TextQueries {
     // candidates; exact Jaccard verifies. The canonical 100 TB dedup shape:
     // shuffle volume is |docs|×bands, never |docs|².
     QueryDef("q_x_dedup_minhash",
-      (s, d) => {
-        val base = shingled(s, d)
-          .withColumn("hs", expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $P)"))
-        val sigs = (0 until numHashes).foldLeft(base) { (df, j) =>
-          df.withColumn(s"sig$j", expr(s"array_min(transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P))"))
-        }
-        val bandKeys = (0 until numBands).map(bn =>
-          concat(lit(s"$bn|"), col(s"sig${2 * bn}"), lit(":"), col(s"sig${2 * bn + 1}")))
-        val bands = sigs.select(col("doc_id"), col("sh"), explode(array(bandKeys: _*)).as("band"))
-        val cands = bands.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("band"))
-          .join(bands.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("band")), Seq("band"))
-          .filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
-        cands.withColumn("jaccard", expr(jacSpark)).filter(col("jaccard") >= 0.5)
-          .select(col("id1"), col("id2"), col("jaccard"))
-      },
+      (s, d) => graft.operators.TextDedup.minhashLsh(t(s, d, "documents"), 0.5, numHashes, numBands),
       Some {
         val sigExprs = (0 until numHashes).map(j =>
           s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
@@ -203,7 +159,7 @@ object TextQueries {
 
     // SimHash fingerprints: 32-bit, token-frequency weighted (sign of the
     // per-bit vote), built from one portable 60-bit hash per token.
-    QueryDef("q_x_simhash", (s, d) => simhashFp(s, d),
+    QueryDef("q_x_simhash", (s, d) => graft.operators.TextDedup.simhash(t(s, d, "documents")),
       Some {
         val votes = (0 until 32).map(i =>
           s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
@@ -219,18 +175,7 @@ object TextQueries {
     // hamming distance ≤ 6 of 32 bits usually agrees on one half exactly for
     // the planted near-dups), then exact popcount verify.
     QueryDef("q_x_dedup_simhash",
-      (s, d) => {
-        val fp = simhashFp(s, d)
-        val withHalves = fp.select(col("doc_id"), col("simhash"),
-          expr("shiftright(simhash, 16)").as("hi"), expr("simhash & 65535").as("lo"))
-        def half(k: String) = withHalves.select(col("doc_id").as("id1"), col("simhash").as("f1"), col(k))
-          .join(withHalves.select(col("doc_id").as("id2"), col("simhash").as("f2"), col(k)), Seq(k))
-          .filter(col("id1") < col("id2")).select(col("id1"), col("id2"), col("f1"), col("f2"))
-        half("hi").unionByName(half("lo")).distinct()
-          .withColumn("hamming", expr("bit_count(f1 ^ f2)").cast("long"))
-          .filter(col("hamming") <= 6)
-          .select(col("id1"), col("id2"), col("hamming"))
-      },
+      (s, d) => graft.operators.TextDedup.simhashNearDups(t(s, d, "documents"), 6),
       Some {
         val votes = (0 until 32).map(i =>
           s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")

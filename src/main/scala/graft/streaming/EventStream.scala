@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion of the `events` stream — the streaming
+  * twin of the batch ops in [[graft.queries.EventQueries]] (the reference
+  * itself is batch-only, SURVEY.md §2.8; this is the §7.8 extension).
+  *
+  * Scale design: the windowed aggregate is a standard watermarked
+  * shuffle-agg — state is bounded by (watermark horizon × #(type) groups).
+  * Sessionization keeps one small state object per user key via
+  * `flatMapGroupsWithState` with event-time timeout, the canonical bounded-
+  * state pattern for 1000-executor streaming jobs.
+  */
+object EventStream {
+
+  /** Schema of the events stream (TESTDATA.md), timestamp in microseconds. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** readStream leaf over a parquet directory. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a late-data watermark —
+    * semantically the streaming version of q_x_events_hourly. */
+  def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("win"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  // ---- Stateful sessionization ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, valueCents: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, value_cents: Long)
+
+  /** 30-minute-gap sessions via flatMapGroupsWithState: emits a session when
+    * the gap passes or the state times out. Batch twin: q_x_sessionize. */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFn(gapUs))
+  }
+
+  private[graft] def sessionFn(gapUs: Long)(
+      userId: Long, events: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+    val out = scala.collection.mutable.ListBuffer[Session]()
+    var cur = state.getOption
+    if (state.hasTimedOut) {
+      cur.foreach(s => out += Session(userId, s.start, s.last, s.n, s.valueCents))
+      state.remove()
+      cur = None
+    }
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val tUs = e.ts.getTime * 1000L
+      val cents = math.round(e.value * 100)
+      cur match {
+        case Some(s) if tUs - s.last <= gapUs =>
+          cur = Some(s.copy(last = tUs, n = s.n + 1, valueCents = s.valueCents + cents))
+        case Some(s) =>
+          out += Session(userId, s.start, s.last, s.n, s.valueCents)
+          cur = Some(SessionState(tUs, tUs, 1, cents))
+        case None =>
+          cur = Some(SessionState(tUs, tUs, 1, cents))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+    }
+    out.iterator
+  }
+}

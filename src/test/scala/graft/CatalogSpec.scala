@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Versioned-parquet catalog: atomic pointer swap + pruning (SURVEY.md §7.6). */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog() =
+    new Catalog(spark, Files.createTempDirectory("graft-cat").toString)
+
+  test("write then read round-trips; names are case-insensitive") {
+    val cat = freshCatalog()
+    cat.write("Orders", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(cat.read("orders").count() == 2)
+    assert(cat.read("ORDERS").count() == 2)
+    assert(cat.exists("orders") && !cat.exists("nope"))
+  }
+
+  test("overwrite is versioned: readers see old data until the pointer flips") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1, 2, 3).toDF("id"))
+    val before = cat.currentPath("t").get
+    cat.write("t", Seq(4).toDF("id"))
+    assert(cat.currentPath("t").get != before)
+    assert(rows(cat.read("t")).flatten == Seq(4))
+  }
+
+  test("truncate leaves an empty current version (S2)") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1, 2, 3).toDF("id"))
+    cat.truncate("t")
+    assert(cat.read("t").count() == 0)
+    assert(cat.read("t").schema.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("old versions are pruned beyond keepVersions") {
+    val cat = freshCatalog()
+    (1 to 5).foreach(i => cat.write("t", Seq(i).toDF("id")))
+    val dir = new java.io.File(cat.currentPath("t").get).getParentFile
+    val versions = dir.listFiles().filter(_.getName.startsWith("v_"))
+    assert(versions.length <= 2)
+    assert(rows(cat.read("t")).flatten == Seq(5))
+  }
+
+  test("missing table read fails clearly") {
+    val cat = freshCatalog()
+    val e = intercept[IllegalArgumentException](cat.read("ghost"))
+    assert(e.getMessage.contains("ghost"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, Text}
+import graft.operators.{TextDedup, VectorSearch}
+
+/** Library-surface tests for the text/hashing/vector operator API. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash64: column and driver-side twins agree; values are 60-bit non-negative") {
+    val inputs = Seq("", "a", "hello world", "caffé")
+    val fromCol = rows(inputs.toDF("s").select(Hashing.hash64(col("s")))).flatten
+      .map(_.asInstanceOf[Long])
+    val local = inputs.map(Hashing.hash64Local)
+    assert(fromCol == local)
+    assert(fromCol.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
+  test("rollingHash is order-sensitive; setFingerprint is order-insensitive") {
+    val df = Seq("a b c", "c b a").toDF("text").select(Text.tokens(col("text")).as("toks"))
+    val rolling = rows(df.select(Hashing.rollingHash(col("toks")))).flatten.distinct
+    assert(rolling.size == 2)
+    val set = rows(df.select(Text.setFingerprint(col("toks")))).flatten.distinct
+    assert(set.size == 1)
+  }
+
+  test("shingles: k-grams with distinctness, short docs yield empty") {
+    val df = Seq("a b c d", "a b", "x x x x x").toDF("text")
+      .select(Text.tokens(col("text")).as("toks"))
+      .select(Text.shingles("toks").as("sh"))
+    val got = rows(df).map(_.head.asInstanceOf[collection.Seq[String]].toSeq)
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq())
+    assert(got(2) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("jaccard: exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("s1", "s2")
+    assert(rows(df.select(Text.jaccard("s1", "s2"))).head.head == 0.5)
+  }
+
+  test("exact dedup collapses identical texts") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = rows(TextDedup.exact(docs).orderBy("keep_id")
+      .select("keep_id", "n_copies"))
+    assert(got == Seq(Seq(1L, 2L), Seq(3L, 1L)))
+  }
+
+  test("minhash LSH finds an obvious near-dup and skips unrelated docs") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = rows(TextDedup.minhashLsh(docs, 0.5).select("id1", "id2"))
+    assert(pairs == Seq(Seq(1L, 2L)))
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " zz yy"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "completely different words here now")).toDF("doc_id", "text")
+    val pairs = rows(TextDedup.simhashNearDups(docs, 6).select("id1", "id2"))
+    assert(pairs.contains(Seq(1L, 2L)))
+    assert(!pairs.exists(p => p.contains(3L)))
+  }
+
+  test("vector search: identical vectors rank first with sim 1.0") {
+    val v = (1 to 64).map(_.toFloat / 100)
+    val w = (1 to 64).map(i => (65 - i).toFloat / 100)
+    val emb = Seq((0L, v), (1L, v), (2L, w)).toDF("vec_id", "embedding")
+    val topk = rows(VectorSearch.bruteForceTopK(emb, col("vec_id") < 1, 2)
+      .orderBy("rank").select("nid", "sim"))
+    assert(topk.head(0) == 1L && topk.head(1) == 1.0)
+    // near-dup LSH also pairs the identical vectors
+    val nd = rows(VectorSearch.nearDuplicates(emb, 0.99).select("id1", "id2"))
+    assert(nd == Seq(Seq(0L, 1L)))
+  }
+}

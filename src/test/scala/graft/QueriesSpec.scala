@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Sanity over the full gate surface on sf0.001: every query plans, runs,
+  * and satisfies a structural property. (Exact oracle equality is checked by
+  * dev/check_oracles.py against DuckDB — this suite guards plan-ability and
+  * the internal invariants an oracle can't express.) */
+class QueriesSpec extends SparkSpec {
+
+  test("every declared query has unique name; every oracle key has a query") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("all queries run non-crashing on sf0.001") {
+    SparkEntry.allQueries.foreach { q =>
+      val n = q.fn(spark, sf0001).count()
+      assert(n >= 0, s"${q.name} failed")
+    }
+  }
+
+  test("dedup family agrees on the planted near-dups") {
+    val ngram = rows(SparkEntry.queries("q_x_dedup_ngram")(spark, sf0001)
+      .select("id1", "id2")).map(r => (r(0), r(1))).toSet
+    val minhash = rows(SparkEntry.queries("q_x_dedup_minhash")(spark, sf0001)
+      .select("id1", "id2")).map(r => (r(0), r(1))).toSet
+    // LSH recall: every minhash candidate pair that verified is a true
+    // near-dup pair found by the exact blocked scan
+    assert(minhash.subsetOf(ngram))
+    assert(minhash.nonEmpty)
+  }
+
+  test("embed top-k: ranks are 1..5 per query id, sims in [-1,1]") {
+    val topk = SparkEntry.queries("q_x_embed_topk")(spark, sf0001).cache()
+    val badRank = topk.groupBy("qid").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .filter(col("n") =!= 5 || col("mx") =!= 5)
+    assert(badRank.count() == 0)
+    assert(topk.filter(col("sim") > 1.0 || col("sim") < -1.0).count() == 0)
+    topk.unpersist()
+  }
+
+  test("validation summary: no nulls; dup-key count matches an independent scan") {
+    // (the synthetic lineitem deliberately contains duplicate
+    // (l_orderkey, l_linenumber) pairs — the validator must surface them)
+    val r = rows(SparkEntry.queries("q_c1_validate_summary")(spark, sf0001)).head
+    assert(r(0).asInstanceOf[Long] > 0)                    // row_count
+    assert(r(1) == 0L && r(2) == 0L)                       // no nulls
+    val expectedDups = Q.t(spark, sf0001, "lineitem")
+      .groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1).count()
+    assert(r(3) == expectedDups && expectedDups > 0)
+  }
+
+  test("fact build: TotalPrice arithmetic and FK completeness at sf0.001") {
+    val fact = SparkEntry.queries("q_c3_fact_build")(spark, sf0001).cache()
+    assert(fact.count() == 6000)
+    val bad = fact.filter(abs(col("totalprice") - col("unitprice") * col("quantity")) > 0.01)
+    assert(bad.count() == 0)
+    assert(fact.filter(col("customerkey").isNull || col("productkey").isNull ||
+      col("storekey").isNull || col("orderdateid").isNull).count() == 0)
+    fact.unpersist()
+  }
+}

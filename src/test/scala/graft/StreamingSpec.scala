@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Structured Streaming pipeline driven synchronously by a parquet batch
+  * (memory sink + processAllAvailable, per the Spark testing idiom). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage the nano-timestamp events fixture as a µs-timestamp stream dir. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    graft.queries.Q.events(spark, sf0001)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed streaming agg matches the batch computation") {
+    val q = EventStream.hourlyByType(EventStream.read(spark, streamDir))
+      .writeStream.outputMode("complete").format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+      val batch = graft.queries.Q.events(spark, sf0001)
+        .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      // same groups, same counts
+      val joined = streamed.select(col("win"), col("event_type"), col("n_events").as("sn"))
+        .join(batch, Seq("win", "event_type"), "full_outer")
+      assert(joined.filter(col("sn").isNull || col("n_events").isNull ||
+        col("sn") =!= col("n_events")).count() == 0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits gap-separated sessions") {
+    import EventStream._
+    val events = Seq(
+      Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, 1.0),
+      Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L, 2.0),
+      Event(3, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 7L, 4.0) // > 30min gap
+    )
+    // exercise the state function directly (deterministic, no clock coupling)
+    val state = new TestGroupState[SessionState]
+    val out = EventStream.sessionFn(1800000000L)(7L, events.iterator, state).toList
+    assert(out.map(_.n_events) == List(2))         // first session closed by the gap
+    assert(out.head.value_cents == 300)
+    assert(state.getOption.exists(_.n == 1))       // third event holds open state
+  }
+}
+
+/** Minimal in-memory GroupState for driving the session function. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var v: Option[S] = None
+  private var removed = false
+  override def exists: Boolean = v.isDefined
+  override def get: S = v.get
+  override def getOption: Option[S] = v
+  override def update(s: S): Unit = { v = Some(s); removed = false }
+  override def remove(): Unit = { v = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(d: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = ()
+  override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
