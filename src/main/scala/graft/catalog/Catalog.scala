@@ -61,6 +61,16 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   /** TRUNCATE equivalent (validate_data.py:139): next version is empty. */
   def truncate(name: String): Unit = write(name, read(name).limit(0))
 
+  /** INSERT INTO equivalent (S4, populate_fact.py:117): append rows as a new
+    * version (existing ∪ new), preserving the atomic-swap visibility rule.
+    * Scale note: this rewrites the table; at fact scale an appender would
+    * instead add files to the current version directory and commit a new
+    * manifest — same pointer-swap idea, kept simple here because the
+    * reference's unit of work is a full per-run rebuild. */
+  def append(name: String, df: DataFrame): Unit =
+    if (!exists(name)) write(name, df)
+    else write(name, read(name).unionByName(df))
+
   private def prune(name: String, current: String): Unit = {
     val dir = tableDir(name)
     val versions = Files.list(dir).iterator().asScala

@@ -1,0 +1,76 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd integer dot product over two `array<bigint>` columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, *), 0, +)` — is correct
+  * but higher-order functions evaluate INTERPRETED in Spark (per-element
+  * boxed lambda calls plus a zipped array allocation per row). On the
+  * similarity-search hot path that eval runs once per candidate PAIR, which
+  * profiling showed dominating the brute-force top-k at bench scale. This
+  * expression replaces it with a primitive `long` loop over the unsafe array
+  * data, generated inline into whole-stage codegen (preference order (b) of
+  * the builder brief: native Expression over UDF).
+  *
+  * Null/length semantics match the HOF composition: null if either side is
+  * null; elements are paired up to the shorter length (inputs here are
+  * fixed-dim embeddings, so lengths always agree).
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductLong {
+  /** Column-API surface: `dot_long(a, b)`. */
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -28,9 +28,12 @@ object VectorSearch {
   def quantize(embedding: String): Column =
     expr(s"transform($embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))")
 
-  /** Exact integer dot product of two quantized array columns. */
+  /** Exact integer dot product — a custom codegen'd Catalyst expression
+    * ([[graft.expressions.DotProductLong]]): the HOF composition
+    * `aggregate(zip_with(...))` evaluates interpreted per candidate pair and
+    * dominated the bench profile. */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    graft.expressions.DotProductLong(col(a), col(b))
 
   /** Cosine similarity from integer dot/norms (deterministic double). */
   def cosine(dotCol: String, na: String, nb: String): Column =
@@ -64,13 +67,12 @@ object VectorSearch {
   /** Adds a sign-bucket column from `numPlanes` hyperplane sign bits. */
   def lshBuckets(emb: DataFrame, numPlanes: Int = 8): DataFrame = {
     val e = prepared(emb)
-    val dim = 64
-    val pl = planes(numPlanes, dim)
-    val bucketExpr = (0 until numPlanes).map { p =>
-      val arr = s"array(${pl(p).mkString(", ")})"
-      s"(CASE WHEN aggregate(zip_with(q, $arr, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
-    e.withColumn("bucket", expr(bucketExpr))
+    val pl = planes(numPlanes, dim = 64)
+    val bucket = (0 until numPlanes).map { p =>
+      when(graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.withColumn("bucket", bucket)
   }
 
   /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ threshold). */

@@ -45,6 +45,13 @@ class CatalogSpec extends SparkSpec {
     assert(rows(cat.read("t")).flatten == Seq(5))
   }
 
+  test("append adds rows as a new atomic version (S4 INSERT INTO)") {
+    val cat = freshCatalog()
+    cat.append("t", Seq(1, 2).toDF("id"))
+    cat.append("t", Seq(3).toDF("id"))
+    assert(rows(cat.read("t").orderBy("id")).flatten == Seq(1, 2, 3))
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))
