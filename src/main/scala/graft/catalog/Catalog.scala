@@ -71,6 +71,20 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     if (!exists(name)) write(name, df)
     else write(name, read(name).unionByName(df))
 
+  /** Write `df` as a BUCKETED managed table (hash-bucketed + sorted by the
+    * join key). Two tables bucketed the same way join with ZERO shuffle —
+    * the 100 TB answer for the repeated `Orders ⋈ OrderDetails` key join
+    * (SCALE.md): pay the shuffle once at write time, never per query.
+    * Bucketing metadata lives in the session catalog (`saveAsTable`), which
+    * is where Spark requires it; the versioned-parquet path above stays the
+    * plain storage layer. */
+  def writeBucketed(name: String, df: DataFrame, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", tableDir(s"bucketed_$name").toString)
+      .saveAsTable(name)
+
   private def prune(name: String, current: String): Unit = {
     val dir = tableDir(name)
     val versions = Files.list(dir).iterator().asScala

@@ -75,6 +75,26 @@ object VectorSearch {
     e.withColumn("bucket", bucket)
   }
 
+  /** IVF-style ANN probe: neighbors are ranked ONLY within the query's LSH
+    * bucket — the index shape for corpus-scale search (the bucket column is
+    * the "inverted file"; a production index persists the corpus bucketed/
+    * sorted by it and prunes the scan to probed buckets). Recall trades off
+    * with `numPlanes`; may return fewer than k when the bucket is small. */
+  def ivfProbeTopK(emb: DataFrame, queryPred: Column, k: Int, numPlanes: Int = 8): DataFrame = {
+    val e = lshBuckets(emb, numPlanes)
+    val qs = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"), col("bucket"))
+    qs.join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dp", dot("qv", "cv"))
+      .withColumn("sim", cosine("dp", "qn", "cn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ threshold). */
   def nearDuplicates(emb: DataFrame, threshold: Double = 0.8, numPlanes: Int = 8): DataFrame = {
     val e = lshBuckets(emb, numPlanes)

@@ -108,6 +108,25 @@ object TextQueries {
                      len(list_filter($tokensSql, t -> t IN ('der','die','und','das'))) AS s_de
                      FROM documents)""")),
 
+    // Corpus vocabulary: global token frequencies, deterministic top-20
+    // (explode → hash agg → top-k; one shuffle at any scale, WindowGroupLimit
+    // prunes the sort).
+    QueryDef("q_x_vocab_topk",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        counts.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+          .filter(col("rank") <= 20)
+          .select(col("tok"), col("n"), col("rank"))
+      },
+      Some(s"""SELECT tok, n, rank FROM (
+               SELECT tok, count(*) AS n,
+                      row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+               FROM (SELECT unnest($tokensSql) AS tok FROM documents) GROUP BY tok)
+               WHERE rank <= 20""")),
+
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in
     // graft.functions.TextFunctions with ScalaTest coverage).

@@ -47,6 +47,28 @@ object VectorQueries {
                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
                  FROM p) WHERE rank <= 5""")),
 
+    // IVF-style ANN: rank neighbors only within the query's LSH bucket —
+    // the scan-pruned scale path next to the exact brute-force baseline.
+    QueryDef("q_x_ann_ivf",
+      (s, d) => graft.operators.VectorSearch.ivfProbeTopK(
+        t(s, d, "embeddings"), col("vec_id") < 20, 3),
+      Some {
+        val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+            n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, $bucketSql AS bucket FROM e),
+            p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                  FROM n a JOIN n b ON a.bucket = b.bucket
+                  AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
+            SELECT qid, nid, sim, rank FROM (
+              SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+              FROM p) WHERE rank <= 3"""
+      }),
+
     // LSH-bucketed embedding near-dup: 8 random-hyperplane sign bits → 256
     // buckets; exact cosine verify within buckets. Threshold 0.3 because the
     // synthetic embeddings are random (max pairwise cosine ≈ 0.5 — probed);

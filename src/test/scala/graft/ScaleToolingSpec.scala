@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.operators.Skew
+
+/** The explicit scale levers: salted joins and bucketed co-located joins.
+  * These tests assert plan SHAPE (exchange elimination), not just results —
+  * the property that matters at 100 TB. */
+class ScaleToolingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns the same multiset as the plain join") {
+    val skewed = spark.range(1000).select((col("id") % 3).as("k"), col("id").as("v"))
+    val build = Seq((0L, "a"), (1L, "b"), (2L, "c"), (0L, "a2")).toDF("k", "w")
+    val plain = skewed.join(build, Seq("k"))
+    val salted = Skew.saltedJoin(skewed, build, "k", 8)
+    assert(salted.count() == plain.count())
+    val diff = salted.groupBy("k", "v", "w").count()
+      .except(plain.groupBy("k", "v", "w").count())
+    assert(diff.count() == 0)
+    assert(salted.columns.toSeq == plain.columns.toSeq) // salt column dropped
+  }
+
+  test("heavyHitters surfaces the skewed keys in order") {
+    val df = (Seq.fill(90)(1) ++ Seq.fill(9)(2) ++ Seq(3)).toDF("k")
+    val hh = rows(Skew.heavyHitters(df, "k", 2))
+    assert(hh == Seq(Seq(1, 90L), Seq(2, 9L)))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft-bucket").toString
+    val cat = new Catalog(spark, wh)
+    val left = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("a"))
+    val right = spark.range(10000).select(col("id").as("k"), (col("id") * 3).as("b"))
+    cat.writeBucketed("t_left", left, "k", 8)
+    cat.writeBucketed("t_right", right, "k", 8)
+    // force the big-big shape (broadcast would hide the bucketing benefit —
+    // at 100 TB neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("t_left").join(spark.table("t_right"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+      assert(joined.count() == 10000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
