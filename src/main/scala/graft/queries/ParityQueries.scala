@@ -267,6 +267,48 @@ object ParityQueries {
     // (populate_fact.py:74-150). The only shuffle is the big-big join.
     QueryDef("q_c3_fact_build", (s, d) => factBuild(s, d), Some(factOracle)),
 
+    // Headline agg (TPC-H Q1 shape): wide aggregate over the fact table —
+    // all measures in exact decimal/integer space, surfaced as doubles.
+    QueryDef("q_h1_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_base_price"),
+          (sum((col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(BigDecimal(1)).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))))
+            .cast("double")).as("sum_disc_price"),
+          count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS DOUBLE) / 100 AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+               GROUP BY l_returnflag, l_linestatus""")),
+
+    // Headline join+topk (TPC-H Q3 shape): revenue-ranked orders for one
+    // segment — join pruned by the dim filter, deterministic top-10.
+    QueryDef("q_h3_top_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey")).limit(10),
+      Some(s"""SELECT o_orderkey, o_orderdate,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               WHERE c_mktsegment = 'BUILDING'
+               GROUP BY o_orderkey, o_orderdate
+               ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""")),
+
     // C2+C3 chained — surrogate-key stability across re-versioning: after a
     // second SCD2 run the fact must resolve to the CURRENT version's keys.
     QueryDef("q_c3_fact_after_rerun",

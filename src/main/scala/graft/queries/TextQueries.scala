@@ -67,6 +67,25 @@ object TextQueries {
                      len(list_filter($tokensSql, t -> t IN ($stopIn))) AS n_stopwords
                      FROM documents)""")),
 
+    // Quality filtering: the pre-training corpus gate (length bounds + alpha
+    // ratio + stopword density) — map-side only, verdict kept for audit.
+    QueryDef("q_x_quality_filter",
+      (s, d) => graft.operators.QualityFilter.verdicts(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
+          col("stop_ratio"), col("keep")),
+      Some(s"""SELECT doc_id, n_tokens,
+               n_letters / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+               n_stopwords / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+               (n_tokens >= 20 AND n_tokens <= 1048576
+                AND n_letters / CAST(n_chars AS DOUBLE) >= 0.6
+                AND n_stopwords / CAST(n_tokens AS DOUBLE) >= 0.01) AS keep
+               FROM (SELECT doc_id,
+                     len($tokensSql) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_letters,
+                     len(list_filter($tokensSql, t -> t IN ($stopIn))) AS n_stopwords
+                     FROM documents)""")),
+
     // Corpus token statistics (BPE-ish accounting rolls up the same way).
     QueryDef("q_x_token_totals",
       (s, d) => t(s, d, "documents")

@@ -65,6 +65,20 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p.contains(3L)))
   }
 
+  test("quality filter: short and letter-poor docs are rejected") {
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over a lazy dog and then some more words " * 2).trim),
+      (2L, "too short"),
+      (3L, "1234 5678 9012 3456 7890 " * 6 + "the a of and in to numbers only mostly here")
+    ).toDF("doc_id", "text")
+    val v = graft.operators.QualityFilter.verdicts(docs)
+    val keep = rows(v.filter(col("keep")).select("doc_id")).flatten
+    assert(keep == Seq(1L))
+    val kept = graft.operators.QualityFilter.filter(docs)
+    assert(rows(kept.select("doc_id")).flatten == Seq(1L))
+    assert(!kept.columns.contains("keep"))
+  }
+
   test("vector search: identical vectors rank first with sim 1.0") {
     val v = (1 to 64).map(_.toFloat / 100)
     val w = (1 to 64).map(i => (65 - i).toFloat / 100)
