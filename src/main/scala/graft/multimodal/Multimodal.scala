@@ -91,6 +91,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Payload "resize" (image downscale stand-in): binary → bounded binary,
+    * batch-wise per partition; metadata passes through. */
+  def resizePayloads(media: DataFrame, targetBytes: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("n_bytes_in", LongType, nullable = false),
+      StructField("n_bytes_out", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val out = StubDecoder.resize(bytes, targetBytes)
+        Row(r.getLong(0), r.getString(1), out, bytes.length.toLong, out.length.toLong)
+      }
+    }(enc)
+  }
+
   /** Frame sampling (video → n frame rows each): flatMap shape. */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
     val outSchema = StructType(Seq(

@@ -24,9 +24,17 @@ final case class QueryDef(
 )
 
 object Q {
+  /** Lazy table registry: one analyzed relation per (session, path). The
+    * file listing + schema read otherwise repeats for every query (43
+    * queries × 2 bench runs — a measurable slice of the fixed per-query
+    * overhead). Plans stay lazy; nothing is materialized here. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Read one of the driver-generated parquet tables (TESTDATA.md). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark 4
     * rejects by default. Read `ts` as nanos-since-epoch (legacy long mode)

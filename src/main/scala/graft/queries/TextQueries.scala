@@ -146,6 +146,20 @@ object TextQueries {
                FROM (SELECT unnest($tokensSql) AS tok FROM documents) GROUP BY tok)
                WHERE rank <= 20""")),
 
+    // BPE-ish token accounting: regex word/number/punct-run classes (the
+    // pre-tokenizer shape of GPT-style BPE), next to whitespace counts.
+    // Identical class semantics in Java regex and RE2 for ASCII classes.
+    QueryDef("q_x_token_bpe",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+', 0))")
+          .cast("long").as("n_bpe_tokens")),
+      Some(s"""SELECT doc_id,
+               len($tokensSql) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS n_bpe_tokens
+               FROM documents""")),
+
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in
     // graft.functions.TextFunctions with ScalaTest coverage).

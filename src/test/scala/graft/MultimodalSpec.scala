@@ -42,6 +42,14 @@ class MultimodalSpec extends SparkSpec {
     assert(sums.filter(col("fl") > col("pl")).count() == 0)
   }
 
+  test("resize bounds payload bytes and reports in/out sizes") {
+    val resized = Multimodal.resizePayloads(media, 64)
+    assert(resized.filter(col("n_bytes_out") > 64).count() == 0)
+    assert(resized.filter(col("n_bytes_out") =!= length(col("payload"))).count() == 0)
+    // small payloads pass through untouched
+    assert(resized.filter(col("n_bytes_in") <= 64 && col("n_bytes_out") =!= col("n_bytes_in")).count() == 0)
+  }
+
   test("payload-aware repartitioning bounds rows per partition") {
     val rep = Multimodal.repartitionForPayloads(media, 100)
     assert(rep.rdd.getNumPartitions == 5)
