@@ -76,7 +76,43 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** 32-bit SimHash fingerprints (token-frequency-weighted bit votes). */
+  /** Near-dup CLUSTERS from a pair list: connected components by iterative
+    * min-label propagation (each node adopts the smallest id reachable so
+    * far; converges in O(diameter) rounds ≤ maxIters). The cluster minimum
+    * is the canonical "keep" document; everything else is droppable.
+    *
+    * Scale shape: each round is one groupBy over the edge list — the
+    * standard large-graph connected-components pattern (label propagation,
+    * not union-find, because state must live in the data, not the driver).
+    * Near-dup graphs have tiny diameters (dup clusters are cliques-ish), so
+    * a handful of rounds suffices at any corpus size.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().cache()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist() // `changed` materialized `next`; the old cache is dead
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val h = docs.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), Hashing.hash64(col("tok")).as("h"))

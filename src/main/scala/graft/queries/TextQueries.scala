@@ -186,6 +186,24 @@ object TextQueries {
                FROM shd a JOIN shd b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
                WHERE $jacSql >= 0.5""")),
 
+    // Near-dup clustering: connected components over the verified pair list
+    // (iterative min-label propagation; the cluster min is the keeper).
+    // Oracle: recursive-CTE transitive closure — same components.
+    QueryDef("q_x_dedup_clusters",
+      (s, d) => graft.operators.TextDedup.clusters(
+        graft.operators.TextDedup.ngramJaccard(t(s, d, "documents"), 0.5)),
+      Some(s"""WITH RECURSIVE $shingledSql,
+               pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                         FROM shd a JOIN shd b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+                         WHERE $jacSql >= 0.5),
+               edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                         UNION SELECT id2, id1 FROM pairs),
+               reach AS (SELECT src, dst FROM edges
+                         UNION
+                         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+               SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+               FROM reach GROUP BY src""")),
+
     // MinHash + LSH near-dup: 16 permutations (one md5 per shingle + affine
     // maps mod 2^31-1), 8 bands of 2 rows; band-bucket equi-join forms
     // candidates; exact Jaccard verifies. The canonical 100 TB dedup shape:

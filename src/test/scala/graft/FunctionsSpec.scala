@@ -65,6 +65,13 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p.contains(3L)))
   }
 
+  test("clusters: transitive chains collapse to the minimum id") {
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; singletons don't appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = rows(TextDedup.clusters(pairs).orderBy("doc_id"))
+    assert(got == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(10L, 10L), Seq(11L, 10L)))
+  }
+
   test("quality filter: short and letter-poor docs are rejected") {
     val docs = Seq(
       (1L, ("the quick brown fox jumps over a lazy dog and then some more words " * 2).trim),
