@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the most recent right row with
+  * `right.ts <= left.ts` in the same key group (time-series enrichment —
+  * trades against quotes, events against the latest snapshot/rate).
+  *
+  * Spark lacks the operator; the brief's preference order applies and
+  * composition (a) suffices — no custom SparkPlan needed:
+  * tag both sides, UNION them, and take `last_value(right payload) IGNORE
+  * NULLS` over a (key, time) window ordered so right rows sort before
+  * coincident left rows. ONE shuffle on the key (the union is partitioned
+  * once), versus the naive range-join's quadratic explosion.
+  *
+  * Determinism: ties inside the right side resolve by the right id column
+  * (largest wins, being last in window order) — explicit, so reruns at any
+  * parallelism agree.
+  *
+  * Scale: the window is partitioned by key — state per task is one running
+  * "last right payload", memory O(1) per group; skewed keys split fine
+  * under range partitioning of (key, ts) if a single key dominates (switch
+  * `Window.partitionBy` to bucketed prefix keys in that regime).
+  */
+object AsOfJoin {
+
+  /** leftDf ⋈asof rightDf on `keyCol`, time `tsCol` (both sides), carrying
+    * `rightId` and `rightPayload` columns from the right side. Output: all
+    * left columns + matched right id/payload (null when no prior right row).
+    */
+  def lastAtOrBefore(
+      leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, tsCol: String,
+      rightId: String, rightPayload: String): DataFrame = {
+
+    val leftCols = leftDf.columns.toSeq
+    // side 1 = right (sorts BEFORE left at equal ts → "at or before" wins)
+    val otherLeftCols = leftCols.filterNot(Seq(keyCol, tsCol).contains)
+    val taggedRight = rightDf.select(
+      (Seq(col(keyCol), col(tsCol),
+        lit(0).as("__side"),
+        col(rightId).as("__rid"),
+        col(rightPayload).as("__rpay")) ++
+        otherLeftCols.map(c => lit(null).as(c))): _*)
+    val taggedLeft = leftDf.select(
+      (Seq(col(keyCol), col(tsCol),
+        lit(1).as("__side"),
+        lit(null).cast(taggedRight.schema("__rid").dataType).as("__rid"),
+        lit(null).cast(taggedRight.schema("__rpay").dataType).as("__rpay")) ++
+        otherLeftCols.map(col)): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__m_rid", last(when(col("__side") === 0, col("__rid")), ignoreNulls = true).over(w))
+      .withColumn("__m_rpay", last(when(col("__side") === 0, col("__rpay")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ Seq(
+        col("__m_rid").as(s"matched_$rightId"),
+        col("__m_rpay").as(s"matched_$rightPayload")): _*)
+  }
+}

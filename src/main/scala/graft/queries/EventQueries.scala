@@ -32,6 +32,39 @@ object EventQueries {
                count(DISTINCT user_id) AS n_users
                FROM events GROUP BY 1, 2""")),
 
+    // As-of join: each purchase matched to the user's most recent click at
+    // or before it (graft.operators.AsOfJoin — union+window composition, one
+    // key shuffle, no range-join explosion). The oracle replays the same
+    // tagged-union with last_value IGNORE NULLS.
+    QueryDef("q_x_asof_join",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us").as("tus"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+        graft.operators.AsOfJoin.lastAtOrBefore(
+            purchases, clicks, "user_id", "tus", "event_id", "value")
+          .select(col("event_id"), col("user_id"), col("tus"), col("value"),
+            col("matched_event_id").as("matched_click_id"),
+            col("matched_value").as("matched_click_value"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value FROM events),
+              r AS (SELECT user_id, tus, 0 AS side, event_id AS rid, value AS rpay,
+                    CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS DOUBLE) AS l_value
+                    FROM ev WHERE event_type = 'click'),
+              l AS (SELECT user_id, tus, 1, NULL, NULL, event_id, value
+                    FROM ev WHERE event_type = 'purchase'),
+              uall AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+              m AS (SELECT *,
+                    last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER w AS m_rid,
+                    last_value(CASE WHEN side = 0 THEN rpay END IGNORE NULLS) OVER w AS m_rpay
+                    FROM uall WINDOW w AS (PARTITION BY user_id ORDER BY tus, side, rid
+                                           ROWS UNBOUNDED PRECEDING))
+              SELECT l_event_id AS event_id, user_id, tus, l_value AS value,
+                     m_rid AS matched_click_id, m_rpay AS matched_click_value
+              FROM m WHERE side = 1""")),
+
     // Gap-based sessionization (30-min inactivity): lag + running sum of
     // session breaks — the batch twin of the mapGroupsWithState session op in
     // graft.streaming.Sessionize. Partition-by-user keeps it one shuffle.

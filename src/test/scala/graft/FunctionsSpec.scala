@@ -65,6 +65,21 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p.contains(3L)))
   }
 
+  test("as-of join: latest at-or-before match, ties to right side, null when none") {
+    val left = Seq((100L, 7L, 50L, 1.0), (101L, 7L, 20L, 2.0), (102L, 8L, 10L, 3.0))
+      .toDF("event_id", "user_id", "tus", "value")
+    val right = Seq((1L, 7L, 10L, 0.1), (2L, 7L, 50L, 0.2), (3L, 9L, 5L, 0.3))
+      .toDF("event_id", "user_id", "tus", "value")
+    val got = rows(graft.operators.AsOfJoin.lastAtOrBefore(
+        left, right, "user_id", "tus", "event_id", "value")
+      .orderBy("event_id").select("event_id", "matched_event_id", "matched_value"))
+    assert(got == Seq(
+      Seq(100L, 2L, 0.2),    // tie at tus=50 → the coincident click matches
+      Seq(101L, 1L, 0.1),    // latest click ≤ 20 is at 10
+      Seq(102L, null, null)  // user 8 has no clicks
+    ))
+  }
+
   test("clusters: transitive chains collapse to the minimum id") {
     // components: {1,2,3} via 1-2, 2-3; {10,11}; singletons don't appear
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
