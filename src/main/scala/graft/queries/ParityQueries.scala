@@ -290,6 +290,23 @@ object ParityQueries {
                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
                GROUP BY l_returnflag, l_linestatus""")),
 
+    // Hierarchical aggregate: ROLLUP over (returnflag, linestatus) with
+    // grouping indicators — subtotals + grand total in one pass (Spark
+    // expands grouping sets before the hash agg; still a single shuffle).
+    QueryDef("q_h2_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev_cents,
+               count(*) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
     // Headline join+topk (TPC-H Q3 shape): revenue-ranked orders for one
     // segment — join pruned by the dim filter, deterministic top-10.
     QueryDef("q_h3_top_revenue",
