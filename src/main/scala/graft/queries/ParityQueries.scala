@@ -167,6 +167,31 @@ object ParityQueries {
       Some("""SELECT row_number() OVER (ORDER BY c_custkey) + 1000 AS customerkey, c_custkey, c_name
               FROM customer""")),
 
+    // Anti-join (NOT EXISTS) — the complement of the P7 semi-join:
+    // customers with no finalized ('F') orders.
+    QueryDef("q_j5_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""")),
+
+    // Explicit window frame: per-customer running order total (rowsBetween
+    // unbounded-preceding..current), deterministic order incl. tie-break.
+    QueryDef("q_w3_running_total",
+      (s, d) => t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(cents(col("o_totalprice"))).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents")),
+      Some(s"""SELECT o_custkey, o_orderkey,
+               CAST(sum(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+               FROM orders""")),
+
     // F1-F10 — date-part and date-arithmetic functions, incl. the Redshift DOW
     // numbering trap (SURVEY.md §2.7 F5: Spark dayofweek is 1-based Sunday).
     QueryDef("q_f_date_parts",
