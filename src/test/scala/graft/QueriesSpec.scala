@@ -42,6 +42,27 @@ class QueriesSpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("IVF probe is a sound approximation of brute force") {
+    val brute = rows(graft.operators.VectorSearch.bruteForceTopK(
+        Q.t(spark, sf0001, "embeddings"), col("vec_id") < 20, 1)
+      .select("qid", "sim")).map(r => r(0) -> r(1).asInstanceOf[Double]).toMap
+    val ivf = rows(graft.operators.VectorSearch.ivfProbeTopK(
+        Q.t(spark, sf0001, "embeddings"), col("vec_id") < 20, 1)
+      .select("qid", "sim")).map(r => r(0) -> r(1).asInstanceOf[Double]).toMap
+    // every probed best is ≤ the true best, never better
+    ivf.foreach { case (qid, sim) => assert(sim <= brute(qid) + 1e-12, s"qid $qid") }
+    assert(ivf.nonEmpty)
+  }
+
+  test("validator handles an empty input frame") {
+    val empty = Q.t(spark, sf0001, "customer").limit(0)
+    val res = graft.ops.Validator.validate(empty,
+      graft.model.TableSpec("t", Seq(
+        graft.model.ColumnSpec("c_custkey", org.apache.spark.sql.types.LongType, notNull = true)),
+        primaryKey = Seq("c_custkey")))
+    assert(res.ok && res.rowCount == 0)
+  }
+
   test("validation summary: no nulls; dup-key count matches an independent scan") {
     // (the synthetic lineitem deliberately contains duplicate
     // (l_orderkey, l_linenumber) pairs — the validator must surface them)
