@@ -103,6 +103,20 @@ object ParityQueries {
       (s, d) => t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment")).distinct(),
       Some("SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")),
 
+    // Pivot aggregation: revenue by returnflag spread over the linestatus
+    // domain (Spark pivot = grouping + conditional aggregates; the oracle
+    // spells the CASE-WHEN form, which is also the exact plan Spark builds).
+    QueryDef("q_a4_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_extendedprice"))))
+        .withColumnRenamed("F", "rev_f").withColumnRenamed("O", "rev_o"),
+      Some(s"""SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN ${centsSql("l_extendedprice")} END) AS BIGINT) AS rev_f,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN ${centsSql("l_extendedprice")} END) AS BIGINT) AS rev_o
+               FROM lineitem GROUP BY l_returnflag""")),
+
     // J1 — the big-big equi join Orders ⋈ OrderDetails (populate_fact.py:111-112).
     // Shuffle join on the key; AQE balances/skew-splits it at scale.
     QueryDef("q_j1_join_bigbig",

@@ -38,6 +38,13 @@ object EventStream {
       .select(col("window.start").as("win"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Streaming exact dedup: drop re-delivered events by id inside the
+    * watermark horizon — the streaming twin of TextDedup.exact/at-least-once
+    * ingestion hygiene. State is bounded: ids older than the watermark are
+    * evicted (`dropDuplicatesWithinWatermark` semantics on event time). */
+  def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   // ---- Stateful sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)

@@ -55,6 +55,21 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() >= 0)
   }
 
+  test("streaming dedup drops re-delivered event ids") {
+    // duplicate the staged stream dir: every event delivered twice
+    val dupDir = Files.createTempDirectory("graft-dup").toString
+    val once = spark.read.parquet(streamDir)
+    once.unionByName(once).write.mode("overwrite").parquet(dupDir)
+    val q = EventStream.dedupByEventId(EventStream.read(spark, dupDir))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup")
+      assert(got.count() == once.count())
+      assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import EventStream._
     val events = Seq(
