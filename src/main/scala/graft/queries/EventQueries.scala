@@ -32,6 +32,24 @@ object EventQueries {
                count(DISTINCT user_id) AS n_users
                FROM events GROUP BY 1, 2""")),
 
+    // Exact distinct cardinalities per event type (the oracle-checkable side
+    // of cardinality estimation)...
+    QueryDef("q_x_user_distinct",
+      (s, d) => events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+              FROM events GROUP BY event_type""")),
+
+    // ...and the sketch variant: HLL++ approximate distinct. No oracle —
+    // sketch estimates are implementation-defined (driver records the
+    // weaker rows-only check); the ScalaTest suite bounds the error vs the
+    // exact counts instead. At 100 TB this replaces the exact count's
+    // shuffle-heavy distinct with fixed-size mergeable state.
+    QueryDef("q_x_user_distinct_approx",
+      (s, d) => events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx")),
+      None),
+
     // As-of join: each purchase matched to the user's most recent click at
     // or before it (graft.operators.AsOfJoin — union+window composition, one
     // key shuffle, no range-join explosion). The oracle replays the same

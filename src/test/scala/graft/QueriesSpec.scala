@@ -42,6 +42,17 @@ class QueriesSpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("approx distinct users within rsd bounds of the exact counts") {
+    val exact = rows(SparkEntry.queries("q_x_user_distinct")(spark, sf0001)
+      .select("event_type", "n_users")).map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
+    val approx = rows(SparkEntry.queries("q_x_user_distinct_approx")(spark, sf0001))
+      .map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e) <= math.max(2L, (e * 0.1).toLong), s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("IVF probe is a sound approximation of brute force") {
     val brute = rows(graft.operators.VectorSearch.bruteForceTopK(
         Q.t(spark, sf0001, "embeddings"), col("vec_id") < 20, 1)

@@ -29,6 +29,21 @@ class ScaleToolingSpec extends SparkSpec {
     assert(hh == Seq(Seq(1, 90L), Seq(2, 9L)))
   }
 
+  test("projection prunes the parquet scan to selected columns") {
+    val plan = graft.SparkEntry.queries("q_s3_scan_projection")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"),
+      s"scan must read only the 3 projected columns:\n$plan")
+  }
+
+  test("fact build plan: star lookups broadcast, no sort-merge join") {
+    val plan = graft.SparkEntry.queries("q_c3_fact_build")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge expected:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"the four dim lookups must broadcast:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft-bucket").toString
     val cat = new Catalog(spark, wh)
