@@ -55,6 +55,40 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() >= 0)
   }
 
+  test("watermark finalizes windows: late events beyond the horizon are dropped") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-late").toString
+    val schema = EventStream.schema
+    def batch(rows: Seq[(Long, String, Long, String, Double, String)]) = {
+      import spark.implicits._
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    }
+    // batch 1: events in hour 10, plus a watermark-advancing event at hour 13
+    batch(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 1.0, "{}"),
+      (3L, "2024-01-01 13:00:00", 1L, "click", 1.0, "{}")
+    )).write.mode("append").parquet(dir)
+    val agg = EventStream.hourlyByType(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir),
+      watermark = "2 hours")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event for hour 10 — watermark is 13:00 - 2h = 11:00,
+      // so the hour-10 window is finalized and the event must be dropped
+      batch(Seq((4L, "2024-01-01 10:45:00", 1L, "click", 9.0, "{}")))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val hour10 = spark.table("late")
+        .filter(col("win") === to_timestamp(lit("2024-01-01 10:00:00")))
+      // the finalized hour-10 window counts only the two on-time events
+      assert(rows(hour10.select("n_events")).flatten == Seq(2L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     // duplicate the staged stream dir: every event delivered twice
     val dupDir = Files.createTempDirectory("graft-dup").toString
