@@ -23,6 +23,7 @@ object Run {
     val Seq(warehouse, table, csv) = args.take(3).toSeq
     val runDate = if (args.length > 3) Date.valueOf(args(3)) else new Date(System.currentTimeMillis())
     val spark = SparkSession.builder()
+      .withExtensions(new graft.extensions.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Driver-style smoke: SparkEntry.entry on sf0.001 must return rows > 0. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.extensions.GraftExtensions).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

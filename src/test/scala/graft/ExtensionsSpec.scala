@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.extensions.{GraftExtensions, RewriteDotProduct}
+
+/** SparkSessionExtensions integration: the dot_long SQL function and the
+  * HOF-dot-product rewrite rule. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDf = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dp")
+
+  test("RewriteDotProduct rewrites the HOF pattern and preserves the result") {
+    val analyzed = hofDf.queryExecution.analyzed
+    val rewritten = RewriteDotProduct(analyzed)
+    assert(rewritten.toString.contains("dot_long"),
+      s"expected dot_long in:\n$rewritten")
+    val got = Bridge.ofRows(spark, rewritten).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(32L)) // 4 + 10 + 18
+    assert(hofDf.collect().map(_.getLong(0)).toSeq == got)
+  }
+
+  test("rule leaves non-matching aggregates alone") {
+    val other = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x + y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS s")
+    val rewritten = RewriteDotProduct(other.queryExecution.analyzed)
+    assert(!rewritten.toString.contains("dot_long"))
+    assert(Bridge.ofRows(spark, rewritten).collect().head.getLong(0) == 10L)
+  }
+
+  test("extensions session: dot_long callable from SQL, rule installed") {
+    // a second SparkSession over the same SparkContext, with extensions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT dot_long(array(1L, 2L), array(10L, 20L)) AS d")
+        .collect().head.getLong(0)
+      assert(r == 50L)
+      // optimizer applies the rewrite inside the extensions session — use a
+      // non-local source so constant folding can't pre-evaluate the plan
+      val df = s2.range(3)
+        .selectExpr("id", "transform(sequence(1, 4), x -> x + id) AS a",
+          "transform(sequence(1, 4), x -> x * 2 + id) AS b")
+        .selectExpr("id", "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dp")
+      assert(df.queryExecution.optimizedPlan.toString.contains("dot_long"))
+      // id=0: a=[1,2,3,4], b=[2,4,6,8] → dot = 2+8+18+32 = 60
+      val byId = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byId(0L) == 60L)
+    } finally {
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+}
