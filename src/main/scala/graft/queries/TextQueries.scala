@@ -96,36 +96,35 @@ object TextQueries {
                CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens
                FROM (SELECT len($tokensSql) AS n FROM documents)""")),
 
-    // Language-ID by stopword-hit scoring with a fixed priority tie-break.
-    // (The synthetic corpus is English-vocabulary for every labeled lang, so
-    // the interesting property here is determinism, not accuracy.)
+    // Language-ID by character-trigram profile scoring with a fixed
+    // priority tie-break (operators.LangId). The synthetic corpus uses
+    // English vocabulary under every label, so the checked property is
+    // deterministic scoring, not accuracy.
     QueryDef("q_x_lang_id",
-      (s, d) => {
-        val hits = Map(
-          "en" -> Seq("the", "a", "of", "and", "is"), "fr" -> Seq("le", "la", "les", "et"),
-          "es" -> Seq("el", "los", "y", "que"), "de" -> Seq("der", "die", "und", "das"))
-        val base = t(s, d, "documents").select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-        val scored = hits.keys.toSeq.sorted.foldLeft(base) { (df, l) =>
-          val inList = hits(l).map(w => s"'$w'").mkString(", ")
-          df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long"))
-        }
-        scored.select(col("doc_id"), col("lang"),
-          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
-            .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de"), "fr")
-            .when(col("s_es") >= col("s_de"), "es").otherwise("de").as("pred_lang"),
-          col("s_en"), col("s_fr"), col("s_es"), col("s_de"))
-      },
-      Some(s"""SELECT doc_id, lang,
-               CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
-                    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-                    WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
-               s_en, s_fr, s_es, s_de
-               FROM (SELECT doc_id, lang,
-                     len(list_filter($tokensSql, t -> t IN ('the','a','of','and','is'))) AS s_en,
-                     len(list_filter($tokensSql, t -> t IN ('le','la','les','et'))) AS s_fr,
-                     len(list_filter($tokensSql, t -> t IN ('el','los','y','que'))) AS s_es,
-                     len(list_filter($tokensSql, t -> t IN ('der','die','und','das'))) AS s_de
-                     FROM documents)""")),
+      (s, d) => graft.operators.LangId.predict(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")))
+        .select((Seq(col("doc_id"), col("lang"), col("pred_lang")) ++
+          graft.operators.LangId.profiles.map { case (l, _) => col(s"s_$l") }): _*),
+      Some {
+        val langs = graft.operators.LangId.profiles.map(_._1)
+        val scores = graft.operators.LangId.profiles.map { case (l, marks) =>
+          val inList = marks.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
+          s"len(list_filter(tg, t -> t IN ($inList))) AS s_$l"
+        }.mkString(",\n                     ")
+        val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val cond = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $cond THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang, CASE $pred ELSE '${langs.last}' END AS pred_lang,
+            ${langs.map(l => s"s_$l").mkString(", ")}
+            FROM (SELECT doc_id, lang, $scores
+                  FROM (SELECT doc_id, lang,
+                        CASE WHEN length(text) >= 3
+                             THEN list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                  i -> substr(text, i, 3)))
+                             ELSE [] END AS tg
+                        FROM documents))"""
+      }),
 
     // Corpus vocabulary: global token frequencies, deterministic top-20
     // (explode → hash agg → top-k; one shuffle at any scale, WindowGroupLimit
