@@ -32,6 +32,27 @@ object EventQueries {
                count(DISTINCT user_id) AS n_users
                FROM events GROUP BY 1, 2""")),
 
+    // Ranking-function family over exact per-user spend (row_number / rank /
+    // dense_rank agree across engines because the measure is integer-exact).
+    QueryDef("q_w4_rank_functions",
+      (s, d) => {
+        val spend = events(s, d).groupBy(col("user_id"))
+          .agg(sum(cents(col("value"))).as("spend_cents"))
+        val w = Window.orderBy(col("spend_cents").desc, col("user_id"))
+        spend.select(col("user_id"), col("spend_cents"),
+            row_number().over(w).cast("long").as("rn"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .filter(col("rn") <= 25)
+      },
+      Some(s"""SELECT user_id, spend_cents, rn, rnk, drnk FROM (
+               SELECT user_id, spend_cents,
+                      row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+               FROM (SELECT user_id, CAST(sum(${centsSql("value")}) AS BIGINT) AS spend_cents
+                     FROM events GROUP BY user_id)
+               WINDOW w AS (ORDER BY spend_cents DESC, user_id))
+               WHERE rn <= 25""")),
+
     // Exact distinct cardinalities per event type (the oracle-checkable side
     // of cardinality estimation)...
     QueryDef("q_x_user_distinct",

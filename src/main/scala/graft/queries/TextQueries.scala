@@ -86,6 +86,28 @@ object TextQueries {
                      len(list_filter($tokensSql, t -> t IN ($stopIn))) AS n_stopwords
                      FROM documents)""")),
 
+    // Length distribution: exact interpolated quantiles (Spark `percentile`
+    // and DuckDB `quantile_cont` share the linear-interpolation definition;
+    // integer inputs → identical doubles) + bucketed histogram.
+    QueryDef("q_x_length_quantiles",
+      (s, d) => t(s, d, "documents")
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .agg(
+          expr("percentile(n, 0.25)").as("p25"),
+          expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.75)").as("p75"),
+          expr("percentile(n, 0.95)").as("p95")),
+      Some(s"""SELECT quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.5) AS p50,
+               quantile_cont(n, 0.75) AS p75, quantile_cont(n, 0.95) AS p95
+               FROM (SELECT len($tokensSql) AS n FROM documents)""")),
+
+    QueryDef("q_x_length_histogram",
+      (s, d) => t(s, d, "documents")
+        .select((floor(size(tokens(col("text"))) / 10) * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs")),
+      Some(s"""SELECT CAST(floor(len($tokensSql) / 10) * 10 AS BIGINT) AS bucket,
+               count(*) AS n_docs FROM documents GROUP BY 1""")),
+
     // Corpus token statistics (BPE-ish accounting rolls up the same way).
     QueryDef("q_x_token_totals",
       (s, d) => t(s, d, "documents")
