@@ -65,22 +65,25 @@ class StreamingSpec extends SparkSpec {
         .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
     }
-    // batch 1: events in hour 10, plus a watermark-advancing event at hour 13
+    // batch 1: ONLY the hour-10 events (single file — row-to-file splits
+    // would otherwise race the watermark-advancing event past them)
     batch(Seq(
       (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
-      (2L, "2024-01-01 10:30:00", 1L, "click", 1.0, "{}"),
-      (3L, "2024-01-01 13:00:00", 1L, "click", 1.0, "{}")
-    )).write.mode("append").parquet(dir)
+      (2L, "2024-01-01 10:30:00", 1L, "click", 1.0, "{}")
+    )).coalesce(1).write.mode("append").parquet(dir)
     val agg = EventStream.hourlyByType(
-      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir),
-      watermark = "2 hours")
+      spark.readStream.schema(schema).parquet(dir), watermark = "2 hours")
     val q = agg.writeStream.outputMode("append").format("memory").queryName("late").start()
     try {
       q.processAllAvailable()
-      // batch 2: a LATE event for hour 10 — watermark is 13:00 - 2h = 11:00,
-      // so the hour-10 window is finalized and the event must be dropped
+      // batch 2: an hour-13 event pushes the watermark to 11:00 → the
+      // hour-10 window finalizes with its two on-time events
+      batch(Seq((3L, "2024-01-01 13:00:00", 1L, "click", 1.0, "{}")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // batch 3: a LATE event for hour 10 — beyond the watermark, dropped
       batch(Seq((4L, "2024-01-01 10:45:00", 1L, "click", 9.0, "{}")))
-        .write.mode("append").parquet(dir)
+        .coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       val hour10 = spark.table("late")
         .filter(col("win") === to_timestamp(lit("2024-01-01 10:00:00")))
