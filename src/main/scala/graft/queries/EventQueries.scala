@@ -32,6 +32,15 @@ object EventQueries {
                count(DISTINCT user_id) AS n_users
                FROM events GROUP BY 1, 2""")),
 
+    // Semi-structured extraction: the events `props` column is JSON; pull a
+    // typed field out (Spark get_json_object ↔ DuckDB json_extract_string).
+    QueryDef("q_x_json_extract",
+      (s, d) => events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+              FROM events""")),
+
     // Ranking-function family over exact per-user spend (row_number / rank /
     // dense_rank agree across engines because the measure is integer-exact).
     QueryDef("q_w4_rank_functions",

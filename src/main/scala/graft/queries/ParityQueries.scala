@@ -240,6 +240,20 @@ object ParityQueries {
       Some("""SELECT c_custkey AS id, 'customer' AS kind FROM customer
               UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier""")),
 
+    // Set ops beyond UNION: customers with any order EXCEPT those with a
+    // finalized order (Spark `except` = EXCEPT DISTINCT on both engines).
+    QueryDef("q_u2_except",
+      (s, d) => t(s, d, "orders").select(col("o_custkey"))
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey"))),
+      Some("""SELECT o_custkey FROM orders
+              EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
+    QueryDef("q_u3_intersect",
+      (s, d) => t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(t(s, d, "orders").filter(col("o_orderstatus") === "O").select(col("o_custkey"))),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
     // C4 — the date dimension itself (datespopulation.py:16-43) via
     // spark.range, no row-source hack, no single-partition sort.
     QueryDef("q_c4_date_dimension",
