@@ -360,6 +360,44 @@ object ParityQueries {
                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
                FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // CUBE: all grouping-set combinations with the grouping_id bitmap.
+    QueryDef("q_h4_cube",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // Collect + sort: per-group ordered array aggregation (sorting makes the
+    // nondeterministic collect order irrelevant on both engines).
+    QueryDef("q_a5_array_agg",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+              count(*) AS n FROM orders GROUP BY o_orderstatus""")),
+
+    // String-function surface (absent from the reference but table stakes
+    // for an analytics engine): case, substring, trim/pad, replace, concat.
+    QueryDef("q_f2_string_functions",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(trim(col("c_mktsegment"))).cast("long").as("seg_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("seg_name")),
+      Some("""SELECT c_custkey, upper(c_mktsegment) AS seg_upper, lower(c_name) AS name_lower,
+              substr(c_name, 1, 8) AS name_prefix, length(trim(c_mktsegment)) AS seg_len,
+              lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+              regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+              c_mktsegment || '/' || c_name AS seg_name
+              FROM customer""")),
+
     // Headline join+topk (TPC-H Q3 shape): revenue-ranked orders for one
     // segment — join pruned by the dim filter, deterministic top-10.
     QueryDef("q_h3_top_revenue",
