@@ -45,6 +45,28 @@ object EventStream {
   def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases enriched with any click by the
+    * same user in the preceding hour. Both sides watermarked so the join
+    * state is bounded (Spark drops buffered rows once they can no longer
+    * match — the required condition for unbounded streams). */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "inner")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("purchase_value"), col("click_id"), col("c_ts"))
+  }
+
   // ---- Stateful sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)

@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val q = EventStream.purchasesWithRecentClicks(EventStream.read(spark, streamDir))
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin")
+      val ev = spark.read.parquet(streamDir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      val batchJoin = p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") <= col("p_ts"))
+      assert(streamed.count() == batchJoin.count())
+      assert(streamed.count() > 0)
+      val diff = streamed.select("purchase_id", "click_id")
+        .except(batchJoin.select("purchase_id", "click_id"))
+      assert(diff.count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     // duplicate the staged stream dir: every event delivered twice
     val dupDir = Files.createTempDirectory("graft-dup").toString
