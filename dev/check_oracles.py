@@ -10,9 +10,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # wrap so None sorts (tuples compare element-wise; None gets rank 0)
+    if v is None:
+        return (0, "")
     if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+        return (1, "NaN")
+    return (1, v)
 
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()

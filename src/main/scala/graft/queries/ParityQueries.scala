@@ -225,6 +225,36 @@ object ParityQueries {
               CAST(o_orderdate AS DATE) + 7 AS plus7, CAST(o_orderdate AS DATE) - 1 AS minus1
               FROM orders""")),
 
+    // Time-series rollup: monthly order revenue via date_trunc.
+    QueryDef("q_f3_date_trunc",
+      (s, d) => t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"), count(lit(1)).as("n_orders")),
+      Some(s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents,
+               count(*) AS n_orders FROM orders GROUP BY 1""")),
+
+    // Analytic window family: lag/lead/first_value over per-customer order
+    // history (deterministic order incl. tie-break; exact-cents measures).
+    QueryDef("q_w5_analytic",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"),
+          lag(cents(col("o_totalprice")), 1).over(w).as("prev_cents"),
+          lead(cents(col("o_totalprice")), 1).over(w).as("next_cents"),
+          first(cents(col("o_totalprice"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_cents"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS price_cents,
+               lag(${centsSql("o_totalprice")}, 1) OVER w AS prev_cents,
+               lead(${centsSql("o_totalprice")}, 1) OVER w AS next_cents,
+               first_value(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS first_cents
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
     // L1+L2 — deterministic top-k (ORDER BY + LIMIT with a tie-break).
     QueryDef("q_l1_topk",
       (s, d) => t(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
