@@ -18,7 +18,8 @@ object Skew {
     * are replicated `salts`× . Row multiset equals the plain join. */
   def saltedJoin(skewed: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    val salted = skewed.withColumn("__salt", pmod(spark_hash(skewed.columns.map(col): _*), lit(salts)))
+    val salted = skewed.withColumn("__salt",
+      pmod(spark_hash(skewed.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicated = build.withColumn("__salt", explode(lit((0 until salts).toArray)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
