@@ -89,6 +89,15 @@ object Scd2Upsert {
   def currentRows(dim: DataFrame, spec: Scd2Spec): DataFrame =
     dim.filter(col(spec.endDateCol) === lit(Schemas.HighDate))
 
+  /** Point-in-time slice: the version of each business key valid on `asOf`
+    * (validity intervals are inclusive on both ends — close-out sets
+    * EndDate = nextRunDate − 1 day, dynamic_upsert.py:129). The consumer
+    * side of SCD2: joining facts to `asOfRows(dim, spec, factDate)` yields
+    * the attributes as they were when the fact happened. Filter-only — at
+    * scale it rides predicate pushdown into the dim scan. */
+  def asOfRows(dim: DataFrame, spec: Scd2Spec, asOf: java.sql.Date): DataFrame =
+    dim.filter(col(spec.startDateCol) <= lit(asOf) && col(spec.endDateCol) >= lit(asOf))
+
   def dimColumns(spec: Scd2Spec): Seq[String] =
     (spec.surrogateKey +: spec.trackedColumns) ++ Seq(spec.startDateCol, spec.endDateCol)
 }

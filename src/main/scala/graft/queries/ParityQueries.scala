@@ -345,6 +345,25 @@ object ParityQueries {
                SELECT (SELECT max(customerkey) FROM run1) + row_number() OVER (ORDER BY c_custkey),
                       $scdCols, DATE '2024-06-01', DATE '9999-12-31' FROM src""")),
 
+    // C2 consumer side — point-in-time lookup: after the re-run, "as of
+    // 2024-03-15" must return the CLOSED first versions (keys 1..n), not the
+    // current ones — the temporal-correctness property SCD2 exists for.
+    QueryDef("q_c2_scd2_asof",
+      (s, d) => {
+        val src = t(s, d, "customer")
+        val dim2 = Scd2Upsert.run(src, Scd2Upsert.initialLoad(src, custSpec, run1), custSpec, run2)
+        Scd2Upsert.asOfRows(dim2, custSpec, Date.valueOf("2024-03-15"))
+      },
+      Some(s"""WITH src AS (SELECT DISTINCT $scdCols FROM customer),
+               run1 AS (SELECT row_number() OVER (ORDER BY c_custkey) AS customerkey, $scdCols,
+                        DATE '2024-01-01' AS startdate, DATE '9999-12-31' AS enddate FROM src),
+               dim2 AS (SELECT customerkey, $scdCols, startdate, DATE '2024-05-31' AS enddate FROM run1
+                        UNION ALL
+                        SELECT (SELECT max(customerkey) FROM run1) + row_number() OVER (ORDER BY c_custkey),
+                               $scdCols, DATE '2024-06-01', DATE '9999-12-31' FROM src)
+               SELECT * FROM dim2
+               WHERE startdate <= DATE '2024-03-15' AND enddate >= DATE '2024-03-15'""")),
+
     // C3 — the flagship fact build: Orders ⋈ OrderDetails staging + 4-way
     // broadcast star join against current-version dims + generated date dim
     // (populate_fact.py:74-150). The only shuffle is the big-big join.

@@ -49,6 +49,22 @@ class Scd2UpsertSpec extends SparkSpec {
     assert(dim2.filter(col("startdate") > col("enddate")).count() == 0)
   }
 
+  test("as-of lookup returns the version valid at the requested date") {
+    val dim1 = Scd2Upsert.initialLoad(src("customers.csv"), spec, d1)
+    val dim2 = Scd2Upsert.run(src("customers_v2.csv"), dim1, spec, d2)
+    // between the runs: keys 1,2 resolve to their (now-closed) v1 rows
+    val mid = Scd2Upsert.asOfRows(dim2, spec, Date.valueOf("2024-03-15"))
+    assert(rows(mid.select("customerid")).flatten.toSet == Set(1, 2, 3, 4))
+    assert(rows(mid.filter(col("customerid") === 1).select("customerkey")).head == Seq(1L))
+    // after run2: re-versioned keys resolve to the new rows; 5 exists now
+    val after = Scd2Upsert.asOfRows(dim2, spec, Date.valueOf("2024-07-01"))
+    assert(rows(after.select("customerid")).flatten.toSet == Set(1, 2, 3, 4, 5))
+    assert(rows(after.filter(col("customerid") === 1).select("customerkey"))
+      .head.head.asInstanceOf[Long] > 4)
+    // before run1: nothing existed
+    assert(Scd2Upsert.asOfRows(dim2, spec, Date.valueOf("2023-12-31")).count() == 0)
+  }
+
   test("staging dedups source rows (A3, dynamic_upsert.py:121)") {
     val dupSrc = src("customers.csv").unionAll(src("customers.csv"))
     val dim = Scd2Upsert.initialLoad(dupSrc, spec, d1)
