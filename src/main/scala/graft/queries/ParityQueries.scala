@@ -475,7 +475,29 @@ object ParityQueries {
         factJoin(s, d, dimC2)
       },
       Some(factAfterRerunOracle))
-  )
+  ) :+ pipelineAudit
+
+  /** C5 capstone: one audit row over the whole pipeline — source rows, dim
+    * cardinality, fact rows, exact fact revenue. The oracle nests the full
+    * fact CTE as subqueries. */
+  private lazy val pipelineAudit = QueryDef("q_c5_pipeline_audit",
+    (s, d) => {
+      val fact = factBuild(s, d)
+      val sums = fact.agg(count(lit(1)).as("fact_rows"),
+        sum(cents(col("totalprice"))).as("rev_cents"))
+      val srcRows = t(s, d, "customer").agg(count(lit(1)).as("src_rows"))
+      val dimRows = Scd2Upsert.initialLoad(
+          t(s, d, "customer").withColumnRenamed("c_custkey", "customerid"),
+          custSpec.copy(businessKey = "customerid"), run1)
+        .agg(count(lit(1)).as("dim_rows"))
+      srcRows.crossJoin(dimRows).crossJoin(sums)
+    },
+    Some(s"""SELECT
+             (SELECT count(*) FROM customer) AS src_rows,
+             (SELECT count(*) FROM (SELECT DISTINCT $scdCols FROM customer)) AS dim_rows,
+             (SELECT count(*) FROM ($factOracle)) AS fact_rows,
+             (SELECT CAST(sum(CAST(round(totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+              FROM ($factOracle)) AS rev_cents"""))
 
   /** TPC-H→reference column mapping for the fact build (FIXTURES.md §B):
     * orders(o_orderkey,o_custkey,o_orderdate) is Orders; lineitem is
