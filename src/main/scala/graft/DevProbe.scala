@@ -30,6 +30,10 @@ object DevProbe {
     val mh = graft.operators.TextDedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), 0.5)
     time("minhash run1")(mh.count())
     time("minhash run2")(mh.count())
+    val sh = graft.operators.TextDedup.simhashNearDups(spark.read.parquet(s"$sfDir/documents.parquet"), 6)
+    time("simhash_nd run1")(sh.count())
+    time("simhash_nd run2")(sh.count())
+    time("simhash_nd run3")(sh.count())
     spark.stop()
   }
 }
