@@ -85,17 +85,21 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       .option("path", tableDir(s"bucketed_$name").toString)
       .saveAsTable(name)
 
+  /** Directory listing with the underlying DirectoryStream closed — a bare
+    * `Files.list(...).iterator()` leaks one fd per call. */
+  private def listDir(dir: Path): Seq[Path] =
+    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+
   private def prune(name: String, current: String): Unit = {
-    val dir = tableDir(name)
-    val versions = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v_")).toSeq
+    val versions = listDir(tableDir(name))
+      .filter(p => p.getFileName.toString.startsWith("v_"))
       .sortBy(_.getFileName.toString.stripPrefix("v_").toLong)
     versions.dropRight(keepVersions).filter(_.getFileName.toString != current)
       .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * data, generated inline into whole-stage codegen (preference order (b) of
   * the builder brief: native Expression over UDF).
   *
-  * Null/length semantics match the HOF composition: null if either side is
-  * null; elements are paired up to the shorter length (inputs here are
-  * fixed-dim embeddings, so lengths always agree).
+  * Null semantics: null if either array is null. Element nulls and unequal
+  * lengths DIFFER from the HOF composition (which null-pads via zip_with and
+  * nulls the sum): this loop truncates to the shorter length and assumes
+  * non-null elements. The optimizer rewrite in
+  * [[graft.extensions.RewriteDotProduct]] therefore only fires for
+  * `array<bigint>` with containsNull = false; direct callers own the
+  * contract (the engine's quantized embeddings are fixed-dim, non-null).
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -23,8 +23,13 @@ import graft.expressions.DotProductLong
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
+  /** Rewrite only for `array<bigint>` with containsNull = false: the HOF
+    * composition yields NULL results for null elements (and null-pads when
+    * lengths differ), while DotProductLong runs a primitive loop that cannot
+    * see element nulls. Restricting to non-null element types keeps the
+    * session-wide rule semantics-preserving for arbitrary user SQL. */
   private def isLongArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, false) => true
     case _ => false
   }
 

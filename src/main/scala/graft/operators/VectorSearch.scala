@@ -64,10 +64,19 @@ object VectorSearch {
   def planes(numPlanes: Int, dim: Int): Array[Array[Long]] =
     Array.tabulate(numPlanes, dim)((p, j) => Hashing.hash64Local(s"plane:$p:$j") % 2001L - 1000L)
 
-  /** Adds a sign-bucket column from `numPlanes` hyperplane sign bits. */
-  def lshBuckets(emb: DataFrame, numPlanes: Int = 8): DataFrame = {
+  /** Embedding dimensionality probed from the first row (one tiny job).
+    * Hardcoding a dim would silently bucket wider embeddings by their first
+    * coordinates only — a hidden recall cliff. */
+  def probeDim(emb: DataFrame, embCol: String = "embedding"): Int =
+    emb.select(size(col(embCol))).head().getInt(0)
+
+  /** Adds a sign-bucket column from `numPlanes` hyperplane sign bits.
+    * `dim` must match the embedding dimensionality (probe with [[probeDim]]
+    * when unknown); hyperplanes shorter than the vectors would project onto
+    * a prefix of the coordinates and degrade recall silently. */
+  def lshBuckets(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val e = prepared(emb)
-    val pl = planes(numPlanes, dim = 64)
+    val pl = planes(numPlanes, dim)
     val bucket = (0 until numPlanes).map { p =>
       when(graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq)) >= 0,
         lit(1L << p)).otherwise(lit(0L))
@@ -80,8 +89,9 @@ object VectorSearch {
     * the "inverted file"; a production index persists the corpus bucketed/
     * sorted by it and prunes the scan to probed buckets). Recall trades off
     * with `numPlanes`; may return fewer than k when the bucket is small. */
-  def ivfProbeTopK(emb: DataFrame, queryPred: Column, k: Int, numPlanes: Int = 8): DataFrame = {
-    val e = lshBuckets(emb, numPlanes)
+  def ivfProbeTopK(emb: DataFrame, queryPred: Column, k: Int, numPlanes: Int = 8,
+      dim: Int = -1): DataFrame = {
+    val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
     val qs = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"), col("bucket"))
     qs.join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn"), col("bucket")),
@@ -96,8 +106,9 @@ object VectorSearch {
   }
 
   /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ threshold). */
-  def nearDuplicates(emb: DataFrame, threshold: Double = 0.8, numPlanes: Int = 8): DataFrame = {
-    val e = lshBuckets(emb, numPlanes)
+  def nearDuplicates(emb: DataFrame, threshold: Double = 0.8, numPlanes: Int = 8,
+      dim: Int = -1): DataFrame = {
+    val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
     val a = e.select(col("vec_id").as("id1"), col("q").as("q1"), col("nn").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("q").as("q2"), col("nn").as("n2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))

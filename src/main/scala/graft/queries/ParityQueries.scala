@@ -419,13 +419,16 @@ object ParityQueries {
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
     // Collect + sort: per-group ordered array aggregation (sorting makes the
-    // nondeterministic collect order irrelevant on both engines).
+    // nondeterministic collect order irrelevant on both engines). The gate
+    // column is the '|'-joined scalar rather than the raw array because the
+    // driver's pandas-based compare cannot sort an array column.
     QueryDef("q_a5_array_agg",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
           count(lit(1)).as("n")),
-      Some("""SELECT o_orderstatus, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      Some("""SELECT o_orderstatus,
+              array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
               count(*) AS n FROM orders GROUP BY o_orderstatus""")),
 
     // String-function surface (absent from the reference but table stakes

@@ -31,10 +31,15 @@ object Q {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Read one of the driver-generated parquet tables (TESTDATA.md). */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Read one of the driver-generated parquet tables (TESTDATA.md). Entries
+    * for stopped sessions are dropped on access so the cache cannot retain
+    * DataFrames of dead sessions in a long-lived process (the bench/verify
+    * mains are single-session, so this is a one-pass no-op there). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark 4
     * rejects by default. Read `ts` as nanos-since-epoch (legacy long mode)

@@ -51,7 +51,7 @@ object VectorQueries {
     // the scan-pruned scale path next to the exact brute-force baseline.
     QueryDef("q_x_ann_ivf",
       (s, d) => graft.operators.VectorSearch.ivfProbeTopK(
-        t(s, d, "embeddings"), col("vec_id") < 20, 3),
+        t(s, d, "embeddings"), col("vec_id") < 20, 3, numPlanes, dim = 64),
       Some {
         val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
         val bucketSql = (0 until numPlanes).map { p =>
@@ -74,7 +74,8 @@ object VectorQueries {
     // synthetic embeddings are random (max pairwise cosine ≈ 0.5 — probed);
     // a real corpus would use ≥0.9 (the operator default is 0.8).
     QueryDef("q_x_dedup_embed",
-      (s, d) => graft.operators.VectorSearch.nearDuplicates(t(s, d, "embeddings"), 0.3),
+      (s, d) => graft.operators.VectorSearch.nearDuplicates(
+        t(s, d, "embeddings"), 0.3, numPlanes, dim = 64),
       Some {
         val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
         val bucketSql = (0 until numPlanes).map { p =>
