@@ -30,10 +30,14 @@ object DevProbe {
     val mh = graft.operators.TextDedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), 0.5)
     time("minhash run1")(mh.count())
     time("minhash run2")(mh.count())
-    val sh = graft.operators.TextDedup.simhashNearDups(spark.read.parquet(s"$sfDir/documents.parquet"), 6)
+    val sh = graft.operators.TextDedup.simhashNearDups(spark.read.parquet(s"$sfDir/documents.parquet"), 11)
     time("simhash_nd run1")(sh.count())
     time("simhash_nd run2")(sh.count())
     time("simhash_nd run3")(sh.count())
+    time("clusters run1")(graft.operators.TextDedup.clusters(
+      graft.operators.TextDedup.ngramJaccard(spark.read.parquet(s"$sfDir/documents.parquet"), 0.5)).count())
+    time("clusters run2")(graft.operators.TextDedup.clusters(
+      graft.operators.TextDedup.ngramJaccard(spark.read.parquet(s"$sfDir/documents.parquet"), 0.5)).count())
     spark.stop()
   }
 }

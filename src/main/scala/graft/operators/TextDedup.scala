@@ -40,22 +40,32 @@ object TextDedup {
 
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verify.
     * One md5 per shingle; the k permutations are affine maps mod 2^31-1
-    * (operands bounded so the arithmetic never overflows a long). */
+    * (operands bounded so the arithmetic never overflows a long).
+    *
+    * Two single-scan guarantees for the corpus-scale path:
+    *  - the tokenize→shingle→md5 pipeline runs ONCE: the shingled frame is
+    *    persisted (memory-and-disk) and shared by the signature stage and the
+    *    verify join — without it the whole pipeline re-executes for each
+    *    consumer (two full corpus scans at 100 TB);
+    *  - all k signature minima come from ONE pass over the shingle-hash
+    *    array via the codegen'd [[graft.expressions.MinHashSignatures]],
+    *    not k interpreted `array_min(transform(...))` re-traversals. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 16, numBands: Int = 8): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val rows = numHashes / numBands
     val P = 2147483647L
-    def aj(j: Int): Long = 2L * j + 3
-    def bj(j: Int): Long = 101L * j + 7
+    val as = (0 until numHashes).map(j => 2L * j + 3)
+    val bs = (0 until numHashes).map(j => 101L * j + 7)
 
-    val base = shingled(docs).withColumn("hs",
-      expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $P)"))
-    val sigs = (0 until numHashes).foldLeft(base) { (df, j) =>
-      df.withColumn(s"sig$j", expr(s"array_min(transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P))"))
-    }
+    val base = shingled(docs)
+      .withColumn("hs",
+        expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $P)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = base.withColumn("sigs",
+      graft.expressions.MinHashSignatures(col("hs"), as, bs, P))
     val bandKeys = (0 until numBands).map { bn =>
-      val parts = (0 until rows).map(r => col(s"sig${rows * bn + r}"))
+      val parts = (0 until rows).map(r => element_at(col("sigs"), rows * bn + r + 1))
       concat((lit(s"$bn|") +: parts.flatMap(p => Seq(p, lit(":"))).dropRight(1)): _*)
     }
     // Candidate formation carries ONLY (id, band): the shingle arrays would
@@ -67,7 +77,7 @@ object TextDedup {
       .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    val shd = shingled(docs).select(col("doc_id"), col("sh"))
+    val shd = base.select(col("doc_id"), col("sh"))
     cands
       .join(shd.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(shd.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -88,51 +98,80 @@ object TextDedup {
     * a handful of rounds suffices at any corpus size.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    // undirected edge list, both directions
+    // Undirected edge list, both directions. localCheckpoint (not cache):
+    // the frame is re-read every round, and checkpointing cuts its plan off
+    // from the upstream pair pipeline once materialized.
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().cache()
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).cache()
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist() // `changed` materialized `next`; the old cache is dead
-      labels = next
-      converged = changed == 0
+      // One job per round: the eager localCheckpoint materializes the new
+      // labels AND truncates lineage (without it each round's plan nests the
+      // previous one — at corpus scale that means unbounded plan growth and
+      // full-recompute recovery after executor loss; a production run on an
+      // unreliable cluster would use checkpoint() to durable storage every
+      // few rounds instead). The per-row `chg` flag rides along so
+      // convergence is a short-circuit scan of the checkpointed blocks, not
+      // a second join.
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      converged = stepped.filter(col("chg")).isEmpty
+      labels = stepped.select(col("id"), col("label"))
       i += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+  /** Number of SimHash fingerprint bits: 60, because the portable
+    * md5-derived [[Hashing.hash64]] carries 60 bits of entropy (production
+    * SimHash is 64-bit; bits beyond the hash width would be constant-zero
+    * and only dilute banding). 32 bits under-separates at web-corpus scale. */
+  val SimHashBits = 60
+  private val SimHashBands = 4                  // 4 bands × 15 bits
+  private val BandBits = SimHashBits / SimHashBands
+
+  /** Token-frequency-weighted SimHash fingerprint (sign of each per-bit vote). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val h = docs.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), Hashing.hash64(col("tok")).as("h"))
-    val votes = (0 until 32).map(i =>
+    val votes = (0 until SimHashBits).map(i =>
       sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
     val voted = h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val fp = (0 until SimHashBits)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     voted.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on either 16-bit half, verify popcount. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val withHalves = simhash(docs).select(col("doc_id"), col("simhash"),
-      expr("shiftright(simhash, 16)").as("hi"), expr("simhash & 65535").as("lo"))
-    def half(k: String) = withHalves.select(col("doc_id").as("id1"), col("simhash").as("f1"), col(k))
-      .join(withHalves.select(col("doc_id").as("id2"), col("simhash").as("f2"), col(k)), Seq(k))
-      .filter(col("id1") < col("id2")).select(col("id1"), col("id2"), col("f1"), col("f2"))
-    half("hi").unionByName(half("lo")).distinct()
-      .withColumn("hamming", expr("bit_count(f1 ^ f2)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+  /** SimHash near-dup pairs: block on any of 4 15-bit bands (a pair with
+    * ≤ 3 differing bits is GUARANTEED to share a band; beyond that recall is
+    * probabilistic, as in any banded LSH), then exact popcount verify.
+    * The hamming filter runs per band BEFORE the cross-band distinct, so the
+    * final distinct shuffles only surviving near-dup pairs, not every
+    * candidate. The fingerprint frame is persisted — it feeds 2×4 join
+    * branches, and each would otherwise re-run the token explode + vote
+    * aggregate over the corpus. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 11): DataFrame = {
+    val f = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mask = (1L << BandBits) - 1
+    val perBand = (0 until SimHashBands).map { b =>
+      val keyed = f.withColumn("bk", expr(s"shiftright(simhash, ${BandBits * b}) & $mask"))
+      keyed.select(col("doc_id").as("id1"), col("simhash").as("f1"), col("bk"))
+        .join(keyed.select(col("doc_id").as("id2"), col("simhash").as("f2"), col("bk")), Seq("bk"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("hamming", expr("bit_count(f1 ^ f2)").cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id1"), col("id2"), col("hamming"))
+    }
+    perBand.reduce(_ unionByName _).distinct()
   }
 }

@@ -39,6 +39,20 @@ object TextQueries {
   private def aj(j: Int): Long = 2L * j + 3
   private def bj(j: Int): Long = 101L * j + 7
 
+  /** DuckDB CTEs (`tok`/`h`/`v`/`f`) computing the 60-bit SimHash fingerprint
+    * exactly as [[graft.operators.TextDedup.simhash]] does. */
+  private val simhashFingerprintSql: String = {
+    val bits = graft.operators.TextDedup.SimHashBits
+    val votes = (0 until bits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val fp = (0 until bits).map(i =>
+      s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+        h AS (SELECT doc_id, ${hash64Sql("t")} AS h FROM tok),
+        v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+        f AS (SELECT doc_id, $fp AS simhash FROM v)"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Text quality scoring: token/char/letter counts, stopword ratio, and a
@@ -248,43 +262,28 @@ object TextQueries {
             WHERE $jacSql >= 0.5"""
       }),
 
-    // SimHash fingerprints: 32-bit, token-frequency weighted (sign of the
-    // per-bit vote), built from one portable 60-bit hash per token.
+    // SimHash fingerprints: 60-bit (all the entropy the portable md5-derived
+    // hash carries), token-frequency weighted (sign of the per-bit vote).
     QueryDef("q_x_simhash", (s, d) => graft.operators.TextDedup.simhash(t(s, d, "documents")),
-      Some {
-        val votes = (0 until 32).map(i =>
-          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
-        val fp = (0 until 32).map(i =>
-          s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
-            h AS (SELECT doc_id, ${hash64Sql("t")} AS h FROM tok),
-            v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-            SELECT doc_id, $fp AS simhash FROM v"""
-      }),
+      Some(simhashFingerprintSql + "\n            SELECT doc_id, simhash FROM f")),
 
-    // SimHash near-dup pairs: block on either 16-bit half (a pair within
-    // hamming distance ≤ 6 of 32 bits usually agrees on one half exactly for
-    // the planted near-dups), then exact popcount verify.
+    // SimHash near-dup pairs: block on any of 4 15-bit bands (≤ 3 differing
+    // bits guarantees a shared band), then exact popcount verify ≤ 11 of 60
+    // bits (the 32-bit gate used ≤ 6 of 32 — same differing-bit fraction).
     QueryDef("q_x_dedup_simhash",
-      (s, d) => graft.operators.TextDedup.simhashNearDups(t(s, d, "documents"), 6),
+      (s, d) => graft.operators.TextDedup.simhashNearDups(t(s, d, "documents"), 11),
       Some {
-        val votes = (0 until 32).map(i =>
-          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
-        val fp = (0 until 32).map(i =>
-          s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
-            h AS (SELECT doc_id, ${hash64Sql("t")} AS h FROM tok),
-            v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
-            f AS (SELECT doc_id, $fp AS simhash FROM v),
-            fh AS (SELECT doc_id, simhash, simhash >> 16 AS hi, simhash & 65535 AS lo FROM f),
-            cand AS (
-              SELECT a.doc_id id1, b.doc_id id2, a.simhash f1, b.simhash f2
-              FROM fh a JOIN fh b ON a.hi = b.hi AND a.doc_id < b.doc_id
-              UNION
-              SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-              FROM fh a JOIN fh b ON a.lo = b.lo AND a.doc_id < b.doc_id)
-            SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
-            FROM cand WHERE bit_count(xor(f1, f2)) <= 6"""
+        val bandJoins = (0 until 4).map { b =>
+          s"""SELECT a.doc_id AS id1, b.doc_id AS id2,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              FROM fb a JOIN fb b ON a.bk$b = b.bk$b AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 11"""
+        }.mkString("\n            UNION\n            ")
+        val bandCols = (0 until 4).map(b =>
+          s"(simhash >> ${15 * b}) & 32767 AS bk$b").mkString(", ")
+        s"""$simhashFingerprintSql,
+            fb AS (SELECT doc_id, simhash, $bandCols FROM f)
+            $bandJoins"""
       }),
 
     // Multimodal plumbing: opaque binary payload column + typed metadata.

@@ -60,7 +60,7 @@ class FunctionsSpec extends SparkSpec {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " zz yy"
     val docs = Seq((1L, base), (2L, nearDup), (3L, "completely different words here now")).toDF("doc_id", "text")
-    val pairs = rows(TextDedup.simhashNearDups(docs, 6).select("id1", "id2"))
+    val pairs = rows(TextDedup.simhashNearDups(docs, 11).select("id1", "id2"))
     assert(pairs.contains(Seq(1L, 2L)))
     assert(!pairs.exists(p => p.contains(3L)))
   }
