@@ -10,7 +10,11 @@ import org.apache.spark.sql.types._
 final case class ColumnSpec(
     name: String,
     dataType: DataType,
-    notNull: Boolean = false
+    notNull: Boolean = false,
+    // VARCHAR(n) width from the reference DDL (dynamic_upsert.py:17-26);
+    // Redshift rejects over-length values at load, Spark stores any string —
+    // so the width is enforced by [[graft.ops.Validator]] instead.
+    maxLength: Option[Int] = None
 ) {
   def field: StructField = StructField(name, dataType, nullable = !notNull)
 }
@@ -26,6 +30,9 @@ final case class TableSpec(
   def schema: StructType = StructType(columns.map(_.field))
   def columnNames: Seq[String] = columns.map(_.name)
   def notNullColumns: Seq[String] = columns.filter(_.notNull).map(_.name)
+  /** (column, VARCHAR width) pairs that carry a declared max length. */
+  def lengthColumns: Seq[(String, Int)] =
+    columns.collect { case c if c.maxLength.isDefined => c.name -> c.maxLength.get }
 }
 
 /** SCD Type-2 dimension spec, generalizing the reference's per-table dicts
@@ -38,7 +45,11 @@ final case class Scd2Spec(
     businessKey: String,        // e.g. "customerid"
     attributes: Seq[String],    // tracked columns besides the business key
     startDateCol: String = "startdate",
-    endDateCol: String = "enddate"
+    endDateCol: String = "enddate",
+    // Surrogate keys via the distributed sort+zipWithIndex path instead of a
+    // single-partition window — set for a dimension that is itself huge
+    // (same dense deterministic keys, no one-partition sort bottleneck).
+    scalableKeys: Boolean = false
 ) {
   def trackedColumns: Seq[String] = businessKey +: attributes
 }
@@ -56,13 +67,19 @@ object Schemas {
   private val I = IntegerType
   private def dec: DecimalType = createDecimalType(8, 2)
 
+  /** VARCHAR(50) / VARCHAR(10) for zipcode — the widths every string column
+    * carries in the reference DDL (dynamic_upsert.py:17-26). */
+  private def v50(name: String, notNull: Boolean = false) =
+    ColumnSpec(name, S, notNull, maxLength = Some(50))
+  private def v10(name: String) = ColumnSpec(name, S, maxLength = Some(10))
+
   val customers: TableSpec = TableSpec(
     "customers",
     Seq(
       ColumnSpec("customerid", I, notNull = true),
-      ColumnSpec("firstname", S), ColumnSpec("lastname", S),
-      ColumnSpec("email", S, notNull = true), ColumnSpec("address", S),
-      ColumnSpec("city", S), ColumnSpec("state", S), ColumnSpec("zipcode", S)
+      v50("firstname"), v50("lastname"),
+      v50("email", notNull = true), v50("address"),
+      v50("city"), v50("state"), v10("zipcode")
     ),
     primaryKey = Seq("customerid")
   )
@@ -71,8 +88,8 @@ object Schemas {
     "products",
     Seq(
       ColumnSpec("productid", I, notNull = true),
-      ColumnSpec("productname", S, notNull = true), ColumnSpec("category", S),
-      ColumnSpec("description", S), ColumnSpec("price", dec)
+      v50("productname", notNull = true), v50("category"),
+      v50("description"), ColumnSpec("price", dec)
     ),
     primaryKey = Seq("productid")
   )
@@ -81,8 +98,8 @@ object Schemas {
     "stores",
     Seq(
       ColumnSpec("storeid", I, notNull = true),
-      ColumnSpec("storename", S, notNull = true), ColumnSpec("address", S),
-      ColumnSpec("city", S), ColumnSpec("state", S), ColumnSpec("zipcode", S)
+      v50("storename", notNull = true), v50("address"),
+      v50("city"), v50("state"), v10("zipcode")
     ),
     primaryKey = Seq("storeid")
   )

@@ -54,13 +54,25 @@ object Scd2Upsert {
 
     // New versions for every staged row (no change detection — as-is parity).
     val offset = SurrogateKeys.maxKey(dim, spec.surrogateKey)
-    val newRows = SurrogateKeys.assign(staged, spec.surrogateKey, offset, spec.businessKey)
+    val newRows = assignKeys(staged, spec, offset)
       .withColumn(spec.startDateCol, lit(runDate))
       .withColumn(spec.endDateCol, lit(Schemas.HighDate))
       .select(dimColumns(spec).map(col): _*)
 
     closed.select(dimColumns(spec).map(col): _*).unionByName(newRows)
   }
+
+  /** Key assignment ordered by ALL tracked columns, not just the business
+    * key: the staging is `SELECT DISTINCT trackedColumns`, so one business
+    * key can stage two attribute variants in a batch — ordering by the full
+    * row makes which variant gets which key deterministic across reruns.
+    * `spec.scalableKeys` routes a huge dimension to the distributed
+    * sort+zipWithIndex path (no single-partition window sort). */
+  private def assignKeys(staged: DataFrame, spec: Scd2Spec, offset: Long): DataFrame =
+    if (spec.scalableKeys)
+      SurrogateKeys.assignScalable(staged, spec.surrogateKey, offset, spec.trackedColumns: _*)
+    else
+      SurrogateKeys.assign(staged, spec.surrogateKey, offset, spec.trackedColumns: _*)
 
   /** Opt-in improvement (SURVEY.md §7.5.1): only rows whose tracked-attribute
     * hash differs from the current dim version are re-versioned. */
@@ -79,7 +91,7 @@ object Scd2Upsert {
   /** Initial load: empty dim → every source row becomes version 1. */
   def initialLoad(source: DataFrame, spec: Scd2Spec, runDate: Date): DataFrame = {
     val staged = source.select(spec.trackedColumns.map(col): _*).distinct()
-    SurrogateKeys.assign(staged, spec.surrogateKey, 0L, spec.businessKey)
+    assignKeys(staged, spec, 0L)
       .withColumn(spec.startDateCol, lit(runDate))
       .withColumn(spec.endDateCol, lit(Schemas.HighDate))
       .select(dimColumns(spec).map(col): _*)

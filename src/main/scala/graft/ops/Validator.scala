@@ -22,9 +22,10 @@ object Validator {
       table: String,
       rowCount: Long,
       nullViolations: Map[String, Long],  // column -> null count (only >0 entries)
-      duplicateKeys: Long                 // number of distinct PK values appearing >1 time
+      duplicateKeys: Long,                // number of distinct PK values appearing >1 time
+      lengthViolations: Map[String, Long] = Map.empty // column -> over-VARCHAR-width count
   ) {
-    def ok: Boolean = nullViolations.isEmpty && duplicateKeys == 0
+    def ok: Boolean = nullViolations.isEmpty && duplicateKeys == 0 && lengthViolations.isEmpty
   }
 
   /** Raised with the same message semantics as validate_data.py:74 ("Not Null
@@ -45,26 +46,44 @@ object Validator {
     df.groupBy(pk.map(col): _*).count().filter(col("count") > 1)
 
   /** Full C1 check. Caches the input because it feeds two jobs (SURVEY.md §4).
-    * Set `failFast=true` for the reference's raise-on-violation behavior. */
+    * Set `failFast=true` for the reference's raise-on-violation behavior.
+    *
+    * One aggregate pass carries the row count, every null count, AND every
+    * VARCHAR over-width count (the width the reference's DDL would have
+    * enforced at COPY time, dynamic_upsert.py:17-26) — validation stays
+    * exactly two jobs no matter how many constraints the spec declares. */
   def validate(df: DataFrame, spec: TableSpec, failFast: Boolean = false): ValidationResult = {
     val cached = df.cache()
     try {
-      val checkCols = spec.columnNames.filter(c => cached.columns.map(_.toLowerCase)
-        .contains(c.toLowerCase))
-      val nulls = nullCounts(cached, checkCols)
-      val rowCount = cached.count()
-      val violations = nulls.filter(_._2 > 0)
-      if (failFast && violations.nonEmpty)
+      val present = cached.columns.map(_.toLowerCase).toSet
+      val checkCols = spec.columnNames.filter(c => present.contains(c.toLowerCase))
+      val lenCols = spec.lengthColumns.filter { case (c, _) => present.contains(c.toLowerCase) }
+      val aggs: Seq[Column] =
+        (count(lit(1)).as("__rows") +:
+          checkCols.map(c => count(when(col(c).isNull, 1)).as(s"__null_$c"))) ++
+          lenCols.map { case (c, n) => count(when(length(col(c)) > n, 1)).as(s"__len_$c") }
+      val row: Row = cached.select(aggs: _*).head()
+      val rowCount = row.getLong(0)
+      val nulls = checkCols.zipWithIndex
+        .map { case (c, i) => c -> row.getLong(i + 1) }.filter(_._2 > 0).toMap
+      val lens = lenCols.zipWithIndex
+        .map { case ((c, _), i) => c -> row.getLong(i + 1 + checkCols.length) }
+        .filter(_._2 > 0).toMap
+      if (failFast && nulls.nonEmpty)
         throw new ValidationException(
           s"Not Null constraints violation in table ${spec.name}: " +
-            violations.keys.toSeq.sorted.mkString(", "))
+            nulls.keys.toSeq.sorted.mkString(", "))
+      if (failFast && lens.nonEmpty)
+        throw new ValidationException(
+          s"Value exceeds declared VARCHAR length in table ${spec.name}: " +
+            lens.keys.toSeq.sorted.mkString(", "))
       val dups =
         if (spec.primaryKey.nonEmpty) duplicateKeys(cached, spec.primaryKey).count() else 0L
       if (failFast && dups > 0)
         throw new ValidationException(
           s"Duplicate values found in column(s) ${spec.primaryKey.mkString(",")} " +
             s"of table ${spec.name}")
-      ValidationResult(spec.name, rowCount, violations, dups)
+      ValidationResult(spec.name, rowCount, nulls, dups, lens)
     } finally cached.unpersist()
   }
 }

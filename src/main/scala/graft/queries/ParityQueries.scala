@@ -309,7 +309,11 @@ object ParityQueries {
         val aggs = li.agg(
           count(lit(1)).as("row_count"),
           count(when(col("l_orderkey").isNull, 1)).as("nn_orderkey"),
-          count(when(col("l_extendedprice").isNull, 1)).as("nn_extendedprice"))
+          count(when(col("l_extendedprice").isNull, 1)).as("nn_extendedprice"),
+          // VARCHAR width enforcement (Validator maxLength): rows exceeding
+          // the flag's declared 1-char width — same one-pass shape (the
+          // violating case is exercised in ValidatorSpec fixtures).
+          count(when(length(col("l_returnflag")) > 1, 1)).as("len_returnflag"))
         val dups = li.groupBy(col("l_orderkey"), col("l_linenumber")).count()
           .filter(col("count") > 1).agg(count(lit(1)).as("dup_keys"))
         aggs.crossJoin(dups)
@@ -317,6 +321,7 @@ object ParityQueries {
       Some("""SELECT (SELECT count(*) FROM lineitem) AS row_count,
               (SELECT count(*) - count(l_orderkey) FROM lineitem) AS nn_orderkey,
               (SELECT count(*) - count(l_extendedprice) FROM lineitem) AS nn_extendedprice,
+              (SELECT count(*) FILTER (WHERE length(l_returnflag) > 1) FROM lineitem) AS len_returnflag,
               (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS dup_keys""")),
 

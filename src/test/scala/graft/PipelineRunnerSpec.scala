@@ -60,4 +60,21 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(dim.count() == 7)
     assert(dim.filter(col("enddate") === lit(Schemas.HighDate)).count() == 5)
   }
+
+  test("appendFact reproduces the reference's INSERT INTO accumulation (populate_fact.py:117)") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-run").toString)
+    val runner = new PipelineRunner(spark, cat, appendFact = true)
+    runner.run(RunConfig("customers", fixture("customers.csv"), d1))
+    runner.run(RunConfig("products", fixture("products.csv"), d1))
+    runner.run(RunConfig("stores", fixture("stores.csv"), d1))
+    runner.run(RunConfig("orders", fixture("orders.csv"), d1))
+    runner.run(RunConfig("orderdetails", fixture("orderdetails.csv"), d1))
+    assert(cat.read("fact_orders").count() == 6)
+    // rerunning the orderdetails workflow APPENDS — duplicate fact rows, as-is
+    runner.run(RunConfig("orderdetails", fixture("orderdetails.csv"), d1))
+    assert(cat.read("fact_orders").count() == 12)
+    // the default (rebuild) runner stays idempotent on the same catalog
+    new PipelineRunner(spark, cat).run(RunConfig("orderdetails", fixture("orderdetails.csv"), d1))
+    assert(cat.read("fact_orders").count() == 6)
+  }
 }

@@ -32,4 +32,24 @@ class SurrogateKeysSpec extends SparkSpec {
     val keyed = SurrogateKeys.assign(df.repartition(3), "id", 0L, "k")
     assert(rows(keyed.orderBy("id")) == rows(keyed.orderBy("id")))
   }
+
+  test("SCD2 tie-break: two attribute variants of one business key get deterministic keys") {
+    val spec = graft.model.Scd2Spec("dim_t", "tkey", "tid", Seq("attr"))
+    val src = Seq((1, "b"), (1, "a")).toDF("tid", "attr")
+    val got = rows(graft.ops.Scd2Upsert
+      .initialLoad(src, spec, java.sql.Date.valueOf("2024-01-01"))
+      .orderBy("tkey").select("tkey", "tid", "attr"))
+    // ordered by ALL tracked columns, so (1,"a") always takes key 1
+    assert(got == Seq(Seq(1L, 1, "a"), Seq(2L, 1, "b")))
+  }
+
+  test("scalableKeys spec routes SCD2 keying around the single-partition window (plan shape)") {
+    val spec = graft.model.Scd2Spec("dim_t", "tkey", "tid", Seq("attr"), scalableKeys = true)
+    val src = Seq((2, "y"), (1, "x"), (3, "z")).toDF("tid", "attr")
+    val out = graft.ops.Scd2Upsert.initialLoad(src, spec, java.sql.Date.valueOf("2024-01-01"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "scalable path must not plan a global window sort")
+    assert(rows(out.orderBy("tkey").select("tkey", "tid")) ==
+      Seq(Seq(1L, 1), Seq(2L, 2), Seq(3L, 3)))
+  }
 }

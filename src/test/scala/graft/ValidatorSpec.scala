@@ -46,6 +46,20 @@ class ValidatorSpec extends SparkSpec {
     assert(counts.values.sum == 1L)
   }
 
+  test("VARCHAR over-width value raises length violation (DDL widths, dynamic_upsert.py:17-26)") {
+    import spark.implicits._
+    val df = Seq((1, "x" * 60, "a@x.com"), (2, "ok", "b@x.com"))
+      .toDF("customerid", "firstname", "email")
+    val res = Validator.validate(df, Schemas.customers)
+    assert(!res.ok)
+    assert(res.lengthViolations == Map("firstname" -> 1L))
+    assert(res.nullViolations.isEmpty && res.duplicateKeys == 0)
+    val e = intercept[ValidationException] {
+      Validator.validate(df, Schemas.customers, failFast = true)
+    }
+    assert(e.getMessage.contains("VARCHAR"))
+  }
+
   test("composite primary key duplicate detection (orderdetails)") {
     val df = Sources.csv(spark, fixture("orderdetails.csv"), Schemas.orderdetails)
     val res = Validator.validate(df, Schemas.orderdetails)
