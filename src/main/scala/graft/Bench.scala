@@ -20,7 +20,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce to the FEWEST partitions that respect the advisory size,
+      // not to max parallelism: the gate inputs are small enough that task
+      // scheduling, not compute, dominates post-shuffle stages.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Single-node bench: shuffle blocks never cross a wire, so compression
+      // is pure CPU overhead on the many tiny gate shuffles.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.locality.wait", "0")
       // 37 queries × several codegen stages exceed the 100-entry default —
       // cache thrash forces janino recompiles on every rerun (measured: 6×
       // slowdowns on the HOF-heavy vector/minhash queries).

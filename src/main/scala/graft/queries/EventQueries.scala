@@ -113,6 +113,39 @@ object EventQueries {
                      m_rid AS matched_click_id, m_rpay AS matched_click_value
               FROM m WHERE side = 1""")),
 
+    // Purchase attribution: every (purchase, click) pair where the click is
+    // within the hour before the purchase — the BATCH twin of the
+    // stream-stream interval join (graft.streaming.EventStream
+    // .purchasesWithRecentClicks), so the watermarked streaming semantics
+    // have an oracle-checked row. Scale shape: one equi-join shuffle on
+    // user_id with the time interval as a residual predicate (never a range
+    // cross join).
+    QueryDef("q_x_attribution",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("p_tus"), cents(col("value")).as("purchase_cents"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+            col("ts_us").as("c_tus"))
+        purchases.join(clicks,
+            col("user_id") === col("c_user_id") &&
+              col("c_tus") >= col("p_tus") - lit(3600000000L) &&
+              col("c_tus") <= col("p_tus"))
+          .select(col("purchase_id"), col("user_id"), col("p_tus"),
+            col("purchase_cents"), col("click_id"), col("c_tus"))
+      },
+      Some(s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value
+                           FROM events),
+               p AS (SELECT event_id AS purchase_id, user_id, tus AS p_tus,
+                     ${centsSql("value")} AS purchase_cents FROM ev WHERE event_type = 'purchase'),
+               c AS (SELECT event_id AS click_id, user_id, tus AS c_tus
+                     FROM ev WHERE event_type = 'click')
+               SELECT purchase_id, p.user_id, p_tus, purchase_cents, click_id, c_tus
+               FROM p JOIN c ON p.user_id = c.user_id
+               AND c_tus >= p_tus - 3600000000 AND c_tus <= p_tus""")),
+
     // Gap-based sessionization (30-min inactivity): lag + running sum of
     // session breaks — the batch twin of the mapGroupsWithState session op in
     // graft.streaming.Sessionize. Partition-by-user keeps it one shuffle.
