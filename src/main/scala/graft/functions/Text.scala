@@ -41,4 +41,13 @@ object Text {
     * token set. For the order-SENSITIVE variant see [[Hashing.rollingHash]]. */
   def setFingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  /** PII scrubbing for training corpora: email addresses then digit runs
+    * replaced with typed placeholders (ASCII character classes only, so the
+    * Java and RE2 regex engines agree byte-for-byte). Order matters — emails
+    * first, or their digits would be mangled before the address matches. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.{Hashing, Text}
+import graft.functions.Text
 
 /** Document deduplication operators — the library surface behind the
   * q_x_dedup_* gate queries. Input contract: a DataFrame with an id column
@@ -27,9 +27,13 @@ object TextDedup {
       .withColumn("sh", Text.shingles("toks"))
       .withColumn("pfx", concat_ws(" ", slice(col("toks"), 1, 3)))
 
-  /** Prefix-blocked n-gram Jaccard near-dup pairs (id1 < id2, jac ≥ t). */
+  /** Prefix-blocked n-gram Jaccard near-dup pairs (id1 < id2, jac ≥ t).
+    * The shingled frame is persisted: it feeds both sides of the blocking
+    * self-join, and without it the tokenize→shingle pipeline executes twice
+    * over the corpus (and four more times when [[clusters]] composes on
+    * top). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val s = shingled(docs)
+    val s = shingled(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = s.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
     val b = s.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx"))
     a.join(b, Seq("pfx")).filter(col("id1") < col("id2"))
@@ -139,17 +143,16 @@ object TextDedup {
   private val SimHashBands = 4                  // 4 bands × 15 bits
   private val BandBits = SimHashBits / SimHashBands
 
-  /** Token-frequency-weighted SimHash fingerprint (sign of each per-bit vote). */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val h = docs.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), Hashing.hash64(col("tok")).as("h"))
-    val votes = (0 until SimHashBits).map(i =>
-      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
-    val voted = h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until SimHashBits)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    voted.select(col("doc_id"), fp.as("simhash"))
-  }
+  /** Token-frequency-weighted SimHash fingerprint (sign of each per-bit
+    * vote), computed MAP-SIDE in one pass per document by the codegen'd
+    * [[graft.expressions.SimHash]] — no token explode, no vote shuffle. The
+    * equivalent explode→60-vote-aggregate formulation (kept as the DuckDB
+    * oracle) shuffles a 60-column partial aggregate per document; this form
+    * makes fingerprinting a pure map over the corpus scan, so at 100 TB the
+    * candidate join is the only shuffle in the whole dedup. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.expressions.SimHash(Text.tokens(col(textCol)), SimHashBits).as("simhash"))
 
   /** SimHash near-dup pairs: block on any of 4 15-bit bands (a pair with
     * ≤ 3 differing bits is GUARANTEED to share a band; beyond that recall is

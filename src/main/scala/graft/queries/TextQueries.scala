@@ -286,6 +286,51 @@ object TextQueries {
             $bandJoins"""
       }),
 
+    // Deterministic corpus sampling: selection is a pure function of the
+    // document id (portable hash bucket), never RNG/partition state — the
+    // same 10% of a 100 TB corpus is selected on every rerun and engine.
+    QueryDef("q_x_sample_hash",
+      (s, d) => graft.operators.Sampling.hashSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id", 10)
+        .withColumn("bucket", graft.operators.Sampling.hashBucket(col("doc_id"))),
+      Some(s"""SELECT doc_id, lang,
+               ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+               FROM documents
+               WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""")),
+
+    // PII scrubbing: emails then digit runs replaced with typed placeholders
+    // (map-side regexp over the scan; ASCII classes agree across engines).
+    // The gate carries the md5 of the redacted text, not the text itself.
+    QueryDef("q_x_redact_pii",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        md5(graft.functions.Text.redactPii(col("text"))).as("redacted_hash"),
+        expr("size(regexp_extract_all(text, '[0-9]+', 0))").cast("long").as("n_num_runs")),
+      Some("""SELECT doc_id,
+              md5(regexp_replace(regexp_replace(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]+', '<NUM>', 'g')) AS redacted_hash,
+              len(regexp_extract_all(text, '[0-9]+')) AS n_num_runs
+              FROM documents""")),
+
+    // Data mixing: top-20 documents per language by letter-density score —
+    // the per-source quota step of a training-data pipeline. One group-key
+    // shuffle; WindowGroupLimit keeps it per-partition top-k.
+    QueryDef("q_x_mix_quota",
+      (s, d) => {
+        val scored = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          (graft.functions.Text.letterCount(col("text")) /
+            length(col("text")).cast("double")).as("score"))
+        graft.operators.Sampling.quotaPerGroup(scored, "lang", "score", 20, "doc_id")
+      },
+      Some("""SELECT doc_id, lang, score, rank FROM (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank
+              FROM (SELECT doc_id, lang,
+                    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS score
+                    FROM documents))
+              WHERE rank <= 20""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The real decode path (graft.multimodal) is a mapPartitions stub; this
     // gate query proves the binary-column schema/arithmetic round-trips.

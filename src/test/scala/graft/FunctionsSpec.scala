@@ -56,6 +56,27 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Seq(Seq(1L, 2L)))
   }
 
+  test("SimHash expression matches the explode+vote composition and the portable hash") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep all day"),
+      (3L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    // map-side expression vs the vote-aggregate formulation it replaced
+    val bits = TextDedup.SimHashBits
+    val h = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), graft.functions.Hashing.hash64(col("tok")).as("h"))
+    val votes = (0 until bits).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    val fp = (0 until bits).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val composed = h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    assert(rows(TextDedup.simhash(docs).orderBy("doc_id")) ==
+      rows(composed.orderBy("doc_id")))
+    // hash60 (driver-side) vs the engine-wide portable md5 hash column
+    val got = graft.expressions.SimHash.hash60("fox".getBytes("UTF-8"))
+    val exp = rows(Seq("fox").toDF("s").select(graft.functions.Hashing.hash64(col("s")))).head.head
+    assert(got == exp)
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " zz yy"

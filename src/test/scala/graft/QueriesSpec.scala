@@ -80,9 +80,10 @@ class QueriesSpec extends SparkSpec {
     val r = rows(SparkEntry.queries("q_c1_validate_summary")(spark, sf0001)).head
     assert(r(0).asInstanceOf[Long] > 0)                    // row_count
     assert(r(1) == 0L && r(2) == 0L)                       // no nulls
+    assert(r(3) == 0L)                                     // no VARCHAR over-width
     val expectedDups = Q.t(spark, sf0001, "lineitem")
       .groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1).count()
-    assert(r(3) == expectedDups && expectedDups > 0)
+    assert(r(4) == expectedDups && expectedDups > 0)
   }
 
   test("fact build: TotalPrice arithmetic and FK completeness at sf0.001") {

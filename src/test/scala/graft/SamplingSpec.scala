@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Training-data selection: deterministic sampling, quota mixing, redaction. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample: deterministic, partition-independent, ~pct of rows") {
+    val df = spark.range(1000).toDF("id")
+    val a = rows(Sampling.hashSample(df, "id", 10).orderBy("id"))
+    val b = rows(Sampling.hashSample(df.repartition(7), "id", 10).orderBy("id"))
+    assert(a == b)
+    assert(a.size > 50 && a.size < 200) // ~100 expected of 1000
+  }
+
+  test("quotaPerGroup: top-k per group, deterministic tie-break on key") {
+    val df = Seq(("en", 1L, 0.5), ("en", 2L, 0.9), ("en", 3L, 0.9), ("fr", 4L, 0.1))
+      .toDF("lang", "doc_id", "score")
+    val got = rows(Sampling.quotaPerGroup(df, "lang", "score", 2, "doc_id")
+      .orderBy("lang", "rank").select("lang", "doc_id", "rank"))
+    // tie at 0.9 resolves to the smaller doc_id first
+    assert(got == Seq(Seq("en", 2L, 1L), Seq("en", 3L, 2L), Seq("fr", 4L, 1L)))
+  }
+
+  test("redactPii: emails replaced before digit runs, digits typed") {
+    val got = rows(Seq("mail a1@b2.com or call 555 1234 now").toDF("text")
+      .select(graft.functions.Text.redactPii(col("text")))).head.head
+    assert(got == "mail <EMAIL> or call <NUM> <NUM> now")
+  }
+}
