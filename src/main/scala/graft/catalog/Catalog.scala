@@ -71,6 +71,16 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     if (!exists(name)) write(name, df)
     else write(name, read(name).unionByName(df))
 
+  /** Small-file compaction: rewrite the current version into `numFiles`
+    * parquet files (next version + pointer flip, so readers never see a
+    * half-compacted table). `coalesce`, not `repartition`: compaction must
+    * not pay a shuffle — each output file is a concatenation of input
+    * partitions. The 100 TB housekeeping op: long-running ingest accretes
+    * small files per run, and scan throughput degrades with file count
+    * (footer reads + task scheduling per file). */
+  def compact(name: String, numFiles: Int): Unit =
+    write(name, read(name).coalesce(numFiles))
+
   /** Write `df` as a BUCKETED managed table (hash-bucketed + sorted by the
     * join key). Two tables bucketed the same way join with ZERO shuffle —
     * the 100 TB answer for the repeated `Orders ⋈ OrderDetails` key join

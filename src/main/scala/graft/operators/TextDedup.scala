@@ -54,29 +54,43 @@ object TextDedup {
     *  - all k signature minima come from ONE pass over the shingle-hash
     *    array via the codegen'd [[graft.expressions.MinHashSignatures]],
     *    not k interpreted `array_min(transform(...))` re-traversals. */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 16, numBands: Int = 8): DataFrame = {
+  private val MinHashPrime = 2147483647L
+
+  /** Persisted (doc_id, toks, sh, pfx, hs) frame: shingles plus one 60-bit
+    * md5 hash per shingle reduced mod the Mersenne prime. Persisted because
+    * every MinHash composition reads it at least twice (signatures + verify). */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    shingled(docs)
+      .withColumn("hs",
+        expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $MinHashPrime)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, band) pairs: all `numHashes` signature minima in one codegen'd
+    * pass ([[graft.expressions.MinHashSignatures]]), concatenated into
+    * `numBands` band keys. At 100 TB this is the frame a persisted LSH index
+    * materializes — incremental dedup joins new batches against it. */
+  private def bandFrame(base: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val rows = numHashes / numBands
-    val P = 2147483647L
     val as = (0 until numHashes).map(j => 2L * j + 3)
     val bs = (0 until numHashes).map(j => 101L * j + 7)
-
-    val base = shingled(docs)
-      .withColumn("hs",
-        expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $P)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.withColumn("sigs",
-      graft.expressions.MinHashSignatures(col("hs"), as, bs, P))
+      graft.expressions.MinHashSignatures(col("hs"), as, bs, MinHashPrime))
     val bandKeys = (0 until numBands).map { bn =>
       val parts = (0 until rows).map(r => element_at(col("sigs"), rows * bn + r + 1))
       concat((lit(s"$bn|") +: parts.flatMap(p => Seq(p, lit(":"))).dropRight(1)): _*)
     }
+    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+  }
+
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 16, numBands: Int = 8): DataFrame = {
+    val base = hashedShingles(docs)
     // Candidate formation carries ONLY (id, band): the shingle arrays would
     // otherwise ride through the explode→join→distinct shuffle (measured 10×
     // slowdown at bench scale; at 100 TB the band shuffle must be id-sized).
     // Shingles are joined back just for the verify step.
-    val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+    val bands = bandFrame(base, numHashes, numBands)
     val cands = bands.select(col("doc_id").as("id1"), col("band"))
       .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
       .filter(col("id1") < col("id2"))
@@ -88,6 +102,38 @@ object TextDedup {
       .withColumn("jaccard", Text.jaccard("sh1", "sh2"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Incremental near-dup: each NEW batch document against an EXISTING
+    * corpus — the shape every recurring crawl-ingest pipeline actually runs
+    * (never re-dedup the whole corpus). Batch band keys equi-join corpus
+    * band keys, so there is NO corpus self-join: candidate volume is
+    * O(batch × collisions), and the corpus side is exactly what a persisted
+    * LSH band index provides. Returns (batch_id, corpus_id, jaccard ≥ t). */
+  def minhashLshIncremental(corpus: DataFrame, batch: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 16, numBands: Int = 8): DataFrame = {
+    val cBase = hashedShingles(corpus)
+    val bBase = hashedShingles(batch)
+    val cands = bandFrame(bBase, numHashes, numBands)
+      .select(col("doc_id").as("batch_id"), col("band"))
+      .join(bandFrame(cBase, numHashes, numBands)
+        .select(col("doc_id").as("corpus_id"), col("band")), Seq("band"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    cands
+      .join(bBase.select(col("doc_id").as("batch_id"), col("sh").as("sh1")), Seq("batch_id"))
+      .join(cBase.select(col("doc_id").as("corpus_id"), col("sh").as("sh2")), Seq("corpus_id"))
+      .withColumn("jaccard", Text.jaccard("sh1", "sh2"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Incremental EXACT dedup: batch documents whose content hash is absent
+    * from the corpus (left-anti on md5 — one hash join, no comparisons). */
+  def exactIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
+    val c = corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+    b.join(c, Seq("content_hash"), "left_anti").select(col("doc_id"), col("content_hash"))
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components by iterative

@@ -262,6 +262,48 @@ object TextQueries {
             WHERE $jacSql >= 0.5"""
       }),
 
+    // Incremental near-dup: NEW batch (odd ids) against the EXISTING corpus
+    // (even ids) — batch bands equi-join corpus bands, no corpus self-join.
+    // The recurring-crawl shape: at 100 TB the corpus side is a persisted
+    // LSH band index, and only the new batch is shingled per run.
+    QueryDef("q_x_dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TextDedup.minhashLshIncremental(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+          0.5, numHashes, numBands)
+      },
+      Some {
+        val sigExprs = (0 until numHashes).map(j =>
+          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+        val bandList = (0 until numBands).map(bn =>
+          s"'$bn|' || sig${2 * bn} || ':' || sig${2 * bn + 1}").mkString(", ")
+        s"""WITH $shingledSql,
+            hsh AS (SELECT doc_id, sh,
+                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+            sigs AS (SELECT doc_id, sh, $sigExprs FROM hsh),
+            bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+            cands AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+                      FROM bands bb JOIN bands cb ON bb.band = cb.band
+                      WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0)
+            SELECT batch_id, corpus_id, $jacSql AS jaccard
+            FROM cands JOIN shd a ON a.doc_id = batch_id JOIN shd b ON b.doc_id = corpus_id
+            WHERE $jacSql >= 0.5"""
+      }),
+
+    // Incremental exact dedup: batch documents whose content hash is new to
+    // the corpus — one left-anti hash join, the cheapest "is this novel"
+    // gate a crawl pipeline runs before anything else.
+    QueryDef("q_x_dedup_new_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TextDedup.exactIncremental(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      },
+      Some("""SELECT doc_id, md5(text) AS content_hash FROM documents
+              WHERE doc_id % 2 = 1 AND md5(text) NOT IN
+                (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""")),
+
     // SimHash fingerprints: 60-bit (all the entropy the portable md5-derived
     // hash carries), token-frequency weighted (sign of the per-bit vote).
     QueryDef("q_x_simhash", (s, d) => graft.operators.TextDedup.simhash(t(s, d, "documents")),

@@ -52,6 +52,18 @@ class CatalogSpec extends SparkSpec {
     assert(rows(cat.read("t").orderBy("id")).flatten == Seq(1, 2, 3))
   }
 
+  test("compact rewrites many small files into few, same rows, new version") {
+    val cat = freshCatalog()
+    cat.write("t", spark.range(100).toDF("id").repartition(16))
+    def partFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cat.currentPath("t").get))
+      .filter(p => p.getFileName.toString.startsWith("part-")).count()
+    assert(partFiles == 16)
+    cat.compact("t", 2)
+    assert(partFiles <= 2)
+    assert(cat.read("t").count() == 100)
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))

@@ -56,6 +56,20 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Seq(Seq(1L, 2L)))
   }
 
+  test("incremental dedup: batch joins corpus bands only, exact path left-antis") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val corpus = Seq((10L, base), (30L, "something else entirely here")).toDF("doc_id", "text")
+    val batch = Seq((21L, nearDup), (23L, "fresh new content words")).toDF("doc_id", "text")
+    val pairs = rows(TextDedup.minhashLshIncremental(corpus, batch, 0.5)
+      .select("batch_id", "corpus_id"))
+    assert(pairs == Seq(Seq(21L, 10L)))
+    val novel = rows(TextDedup.exactIncremental(
+        corpus, Seq((21L, base), (22L, "unseen")).toDF("doc_id", "text"))
+      .select("doc_id"))
+    assert(novel == Seq(Seq(22L))) // 21 duplicates corpus content → dropped
+  }
+
   test("SimHash expression matches the explode+vote composition and the portable hash") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep all day"),
       (3L, "the quick brown fox jumps")).toDF("doc_id", "text")
