@@ -46,17 +46,47 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   /** Write `df` as the next version of `name` and atomically flip `_CURRENT`.
     * Equivalent observable semantics to the reference's COMMIT: concurrent
     * readers see the previous version until the pointer move completes. */
-  def write(name: String, df: DataFrame): Unit = {
+  def write(name: String, df: DataFrame): Unit = writeVersion(name, df, Map.empty)
+
+  /** Version writer: lands the data AND any metadata files in the new
+    * version directory BEFORE the pointer flip, so metadata commits
+    * atomically with the rows it describes. */
+  private def writeVersion(name: String, df: DataFrame, meta: Map[String, String]): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
     val next = "v_" + (currentVersion(name).map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
     df.write.mode("overwrite").parquet(dir.resolve(next).toString)
+    meta.foreach { case (file, content) =>
+      Files.writeString(dir.resolve(next).resolve(file), content,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
     val tmp = dir.resolve(s"_CURRENT.tmp.$next")
     Files.writeString(tmp, next, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     prune(name, next)
   }
+
+  /** Idempotent micro-batch append for Structured Streaming `foreachBatch`
+    * sinks: the committed batch id travels IN the version directory (atomic
+    * with the rows), so a replayed batch after a restart — Structured
+    * Streaming's at-least-once foreachBatch contract — is detected and
+    * skipped. Composed with the pointer flip this gives effectively-once
+    * appends into the catalog. Returns false when the batch was a replay. */
+  def appendStreamBatch(name: String, df: DataFrame, batchId: Long): Boolean = {
+    val last = currentPath(name)
+      .map(p => Paths.get(p).resolve(BatchIdFile))
+      .filter(Files.exists(_))
+      .map(Files.readString(_).trim.toLong)
+      .getOrElse(-1L)
+    if (batchId <= last) false
+    else {
+      val combined = if (exists(name)) read(name).unionByName(df) else df
+      writeVersion(name, combined, Map(BatchIdFile -> batchId.toString))
+      true
+    }
+  }
+  private val BatchIdFile = "_BATCH_ID"
 
   /** TRUNCATE equivalent (validate_data.py:139): next version is empty. */
   def truncate(name: String): Unit = write(name, read(name).limit(0))

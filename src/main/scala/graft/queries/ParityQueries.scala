@@ -423,6 +423,21 @@ object ParityQueries {
               CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // Explicit GROUPING SETS (beyond rollup/cube): exactly the named
+    // combinations — (status, priority), (status), () — one shuffle, the
+    // expand operator fans rows per set before the aggregate.
+    QueryDef("q_h5_grouping_sets",
+      (s, d) => t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              FROM orders GROUP BY GROUPING SETS
+              ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""")),
+
     // Collect + sort: per-group ordered array aggregation (sorting makes the
     // nondeterministic collect order irrelevant on both engines). The gate
     // column is the '|'-joined scalar rather than the raw array because the

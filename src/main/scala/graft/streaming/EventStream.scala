@@ -67,6 +67,20 @@ object EventStream {
         col("purchase_value"), col("click_id"), col("c_ts"))
   }
 
+  /** Streaming sink into the versioned catalog: each micro-batch appends via
+    * `foreachBatch` → [[graft.catalog.Catalog.appendStreamBatch]], which
+    * records the batch id atomically with the rows — replayed batches after
+    * a restart are skipped, turning foreachBatch's at-least-once contract
+    * into effectively-once appends. Start with
+    * `sinkToCatalog(df, cat, "t").trigger(...).start()` (use
+    * `Trigger.AvailableNow` for catch-up-and-stop runs). */
+  def sinkToCatalog(df: DataFrame, catalog: graft.catalog.Catalog,
+      table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        catalog.appendStreamBatch(table, batch.toDF(), batchId): Unit
+    }
+
   // ---- Stateful sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)

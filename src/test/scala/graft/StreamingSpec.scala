@@ -143,6 +143,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.value_cents == 300)
     assert(state.getOption.exists(_.n == 1))       // third event holds open state
   }
+
+  test("catalog sink: micro-batches append effectively-once (replays skipped)") {
+    val cat = new graft.catalog.Catalog(spark,
+      Files.createTempDirectory("graft-cat-sink").toString)
+    // drive the stream end-to-end into the catalog
+    val q = EventStream.sinkToCatalog(
+        EventStream.read(spark, streamDir).filter(col("event_type") === "purchase"),
+        cat, "purchases")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = cat.read("purchases").count()
+    assert(n > 0)
+    // a replayed batch id (restart-after-crash contract) must be a no-op...
+    val replay = cat.read("purchases").limit(5)
+    assert(!cat.appendStreamBatch("purchases", replay, 0L))
+    assert(cat.read("purchases").count() == n)
+    // ...while the next batch id appends
+    assert(cat.appendStreamBatch("purchases", replay, 1000L))
+    assert(cat.read("purchases").count() == n + 5)
+  }
 }
 
 /** Minimal in-memory GroupState for driving the session function. */
