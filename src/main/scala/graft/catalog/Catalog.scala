@@ -111,6 +111,16 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   def compact(name: String, numFiles: Int): Unit =
     write(name, read(name).coalesce(numFiles))
 
+  /** Range-layout write: range-partition then sort within partitions on
+    * `cols`, so every parquet file (and row group) covers a tight, disjoint
+    * key range. Min/max statistics then prune selective range scans to a
+    * handful of files — the data-layout lever for time/key-range queries at
+    * 100 TB (one-dimensional Z-ordering). Same atomic version swap. */
+  def writeSorted(name: String, df: DataFrame, numFiles: Int, cols: String*): Unit =
+    write(name, df
+      .repartitionByRange(numFiles, cols.map(df.col): _*)
+      .sortWithinPartitions(cols.map(df.col): _*))
+
   /** Write `df` as a BUCKETED managed table (hash-bucketed + sorted by the
     * join key). Two tables bucketed the same way join with ZERO shuffle —
     * the 100 TB answer for the repeated `Orders ⋈ OrderDetails` key join

@@ -64,6 +64,24 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 100)
   }
 
+  test("writeSorted lays out disjoint key ranges per file (scan-pruning layout)") {
+    val cat = freshCatalog()
+    cat.writeSorted("t", spark.range(1000).toDF("id")
+      .repartition(8), 4, "id") // shuffled input → 4 range-sorted files
+    val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cat.currentPath("t").get))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map[String](_.toString).toArray.map(_.toString)
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("id"), max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // each file's range ends before the next begins → min/max stats prune
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => }
+    assert(cat.read("t").count() == 1000)
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))
