@@ -33,6 +33,33 @@ object AsOfJoin {
   def lastAtOrBefore(
       leftDf: DataFrame, rightDf: DataFrame,
       keyCol: String, tsCol: String,
+      rightId: String, rightPayload: String): DataFrame =
+    matched(leftDf, rightDf, keyCol, tsCol, rightId, rightPayload)
+      .drop("__m_rts")
+
+  /** Tolerance variant (the feature-store shape): a match only counts when
+    * the right row is at most `maxStaleness` time units old at the left
+    * timestamp — older matches become nulls, exactly as if no right row
+    * existed. Same single-shuffle union+window plan; the staleness test is
+    * a residual projection. */
+  def lastAtOrBeforeWithin(
+      leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, tsCol: String,
+      rightId: String, rightPayload: String,
+      maxStaleness: Long): DataFrame = {
+    val m = matched(leftDf, rightDf, keyCol, tsCol, rightId, rightPayload)
+    val fresh = col("__m_rts").isNotNull &&
+      (col(tsCol) - col("__m_rts")) <= maxStaleness
+    m.withColumn(s"matched_$rightId", when(fresh, col(s"matched_$rightId")))
+      .withColumn(s"matched_$rightPayload", when(fresh, col(s"matched_$rightPayload")))
+      .withColumn("staleness",
+        when(fresh, col(tsCol) - col("__m_rts")).cast("long"))
+      .drop("__m_rts")
+  }
+
+  private def matched(
+      leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, tsCol: String,
       rightId: String, rightPayload: String): DataFrame = {
 
     val leftCols = leftDf.columns.toSeq
@@ -58,9 +85,11 @@ object AsOfJoin {
     taggedRight.unionByName(taggedLeft)
       .withColumn("__m_rid", last(when(col("__side") === 0, col("__rid")), ignoreNulls = true).over(w))
       .withColumn("__m_rpay", last(when(col("__side") === 0, col("__rpay")), ignoreNulls = true).over(w))
+      .withColumn("__m_rts", last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ Seq(
         col("__m_rid").as(s"matched_$rightId"),
-        col("__m_rpay").as(s"matched_$rightPayload")): _*)
+        col("__m_rpay").as(s"matched_$rightPayload"),
+        col("__m_rts")): _*)
   }
 }

@@ -255,6 +255,63 @@ object ParityQueries {
                FROM orders
                WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
 
+    // Distribution window family: ntile / percent_rank / cume_dist over an
+    // exact integer measure (ranks are integers, the two ratios are single
+    // divisions of integers → identical doubles on both engines).
+    QueryDef("q_w6_distribution",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal_cents"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_custkey"), cents(col("c_acctbal")).as("c_acctbal_cents"))
+          .select(col("c_custkey"), col("c_acctbal_cents"),
+            ntile(10).over(w).cast("long").as("decile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cd"))
+      },
+      Some(s"""SELECT c_custkey, ${centsSql("c_acctbal")} AS c_acctbal_cents,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cd
+               FROM customer
+               WINDOW w AS (ORDER BY ${centsSql("c_acctbal")}, c_custkey)""")),
+
+    // String-distance + transform family: levenshtein, translate, reverse,
+    // repeat, split+element_at (all integer/byte-deterministic).
+    QueryDef("q_f4_string_distance",
+      (s, d) => t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).cast("long").as("dist_us"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("vowels_lower"),
+        reverse(col("n_name")).as("name_rev"),
+        org.apache.spark.sql.functions.repeat(lit("-"), 3).as("dashes"),
+        element_at(split(col("n_name"), " "), 1).as("first_word")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+              CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS dist_us,
+              translate(n_name, 'AEIOU', 'aeiou') AS vowels_lower,
+              reverse(n_name) AS name_rev,
+              repeat('-', 3) AS dashes,
+              string_split(n_name, ' ')[1] AS first_word
+              FROM nation""")),
+
+    // Salted big-big join (operators.Skew): semantics-preserving — the
+    // result multiset equals the PLAIN join, which is exactly what the
+    // oracle runs. The salt splits each hot key across `salts` tasks; the
+    // aggregate collapses it back, proving no row was lost or duplicated.
+    QueryDef("q_x_salted_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val ords = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.operators.Skew.saltedJoin(li, ords, "l_orderkey", 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus""")),
+
     // L1+L2 — deterministic top-k (ORDER BY + LIMIT with a tie-break).
     QueryDef("q_l1_topk",
       (s, d) => t(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))

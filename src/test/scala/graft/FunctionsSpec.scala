@@ -113,6 +113,14 @@ class FunctionsSpec extends SparkSpec {
       Seq(101L, 1L, 0.1),    // latest click ≤ 20 is at 10
       Seq(102L, null, null)  // user 8 has no clicks
     ))
+    // tolerance variant: the match at staleness 10 nulls out under tolerance 5
+    val tol = rows(graft.operators.AsOfJoin.lastAtOrBeforeWithin(
+        left, right, "user_id", "tus", "event_id", "value", 5L)
+      .orderBy("event_id").select("event_id", "matched_event_id", "staleness"))
+    assert(tol == Seq(
+      Seq(100L, 2L, 0L),     // coincident → staleness 0, kept
+      Seq(101L, null, null), // staleness 10 > 5 → treated as no match
+      Seq(102L, null, null)))
   }
 
   test("clusters: transitive chains collapse to the minimum id") {
