@@ -154,10 +154,15 @@ object TextDedup {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Initialization IS the first propagation round: label = min(self, best
+    // neighbor) comes free from one aggregate over the edge list, saving a
+    // whole join+checkpoint round (near-dup graphs are clique-ish, so this
+    // often converges immediately and the loop just confirms it).
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "id").localCheckpoint()
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), Seq("dst"))

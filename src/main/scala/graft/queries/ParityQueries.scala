@@ -191,6 +191,24 @@ object ParityQueries {
       Some("""SELECT c_custkey, c_name FROM customer
               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""")),
 
+    // Full outer join: per-customer order rollup keeping BOTH customers
+    // without orders and (synthetic) orders without customers — nulls on
+    // either side survive, count(*) vs count(col) distinguishes them.
+    QueryDef("q_j6_full_outer",
+      (s, d) => {
+        val custSide = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val ordSide = t(s, d, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        custSide.join(ordSide, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("o_custkey"),
+            col("n_orders"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, o_custkey, n_orders
+              FROM customer FULL OUTER JOIN
+              (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+              ON c_custkey = o_custkey""")),
+
     // Explicit window frame: per-customer running order total (rowsBetween
     // unbounded-preceding..current), deterministic order incl. tie-break.
     QueryDef("q_w3_running_total",

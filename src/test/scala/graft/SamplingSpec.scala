@@ -24,6 +24,12 @@ class SamplingSpec extends SparkSpec {
     assert(got == Seq(Seq("en", 2L, 1L), Seq("en", 3L, 2L), Seq("fr", 4L, 1L)))
   }
 
+  test("quotaPerGroup plans a partial WindowGroupLimit (per-partition top-k)") {
+    val df = spark.range(100).select((col("id") % 5).as("g"), col("id").as("s"), col("id").as("k"))
+    val plan = Sampling.quotaPerGroup(df, "g", "s", 3, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank filter must prune before the shuffle merge")
+  }
+
   test("redactPii: emails replaced before digit runs, digits typed") {
     val got = rows(Seq("mail a1@b2.com or call 555 1234 now").toDF("text")
       .select(graft.functions.Text.redactPii(col("text")))).head.head
