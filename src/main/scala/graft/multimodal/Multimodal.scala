@@ -66,6 +66,61 @@ object Multimodal {
     }
   }
 
+  /** REAL header decode for self-describing formats — BMP, WAV (RIFF) and
+    * PPM (P6) are plain byte arithmetic, no codec library needed. Formats
+    * that require an actual codec (JPEG/PNG/MP3/H.264) stay with
+    * [[StubDecoder]]; this split makes the "stub" boundary honest: the
+    * plumbing AND the parseable metadata path are real, only entropy-coded
+    * pixel/sample decode is not. */
+  object HeaderProbe {
+    final case class MediaMeta(format: String, width: Option[Int], height: Option[Int],
+        sampleRate: Option[Int], durationMs: Option[Int])
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def probe(b: Array[Byte]): MediaMeta = {
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+        MediaMeta("bmp", Some(le32(b, 18)), Some(le32(b, 22)), None, None)
+      else if (b.length >= 44 && b.startsWith("RIFF".getBytes) &&
+          new String(b, 8, 4, "US-ASCII") == "WAVE") {
+        val byteRate = le32(b, 28)
+        val dataBytes = b.length - 44 // canonical header; fine for probing
+        MediaMeta("wav", None, None, Some(le32(b, 24)),
+          if (byteRate > 0) Some((dataBytes.toLong * 1000 / byteRate).toInt) else None)
+      } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+        // "P6\n<w> <h>\n<max>\n" — ASCII ints separated by whitespace
+        val header = new String(b, 0, math.min(b.length, 64), "US-ASCII")
+        val ints = "\\d+".r.findAllIn(header.drop(2)).take(2).toList
+        ints match {
+          case w :: h :: Nil => MediaMeta("ppm", Some(w.toInt), Some(h.toInt), None, None)
+          case _ => MediaMeta("unknown", None, None, None, None)
+        }
+      } else MediaMeta("unknown", None, None, None, None)
+    }
+  }
+
+  /** Sniff payload headers batch-wise: (media_id, format, width, height,
+    * sample_rate, duration_ms) — nulls where the format does not carry the
+    * field or needs a real codec. */
+  def probeMetadata(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType), StructField("duration_ms", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val m = HeaderProbe.probe(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), m.format, m.width.orNull, m.height.orNull,
+          m.sampleRate.orNull, m.durationMs.orNull)
+      }
+    }(enc)
+  }
+
   /** Bound rows-per-partition so batch × payload stays in executor memory
     * (media rows are MB-scale; byte-based splits under-estimate them). */
   def repartitionForPayloads(df: DataFrame, rowsPerPartition: Int): DataFrame = {

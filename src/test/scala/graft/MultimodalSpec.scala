@@ -55,6 +55,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rep.rdd.getNumPartitions == 5)
   }
 
+  test("header probe REALLY decodes BMP/WAV/PPM headers; codec formats stay unknown") {
+    import spark.implicits._
+    // hand-assembled canonical headers — pure bytes, no media libraries
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(640) ++ le32(480) ++ le16(1) ++ le16(24) ++ new Array[Byte](20)
+    val byteRate = 8000 * 2 // 8 kHz mono 16-bit
+    val wav = "RIFF".getBytes ++ le32(36 + byteRate) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(byteRate) ++
+      le16(2) ++ le16(16) ++ "data".getBytes ++ le32(byteRate) ++ new Array[Byte](byteRate)
+    val ppm = "P6\n12 34\n255\n".getBytes ++ new Array[Byte](12 * 34 * 3)
+    val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ new Array[Byte](32)
+    val df = Seq((1L, bmp), (2L, wav), (3L, ppm), (4L, jpegish)).toDF("media_id", "payload")
+    val got = rows(Multimodal.probeMetadata(df).orderBy("media_id")
+      .select("media_id", "format", "width", "height", "sample_rate", "duration_ms"))
+    assert(got == Seq(
+      Seq(1L, "bmp", 640, 480, null, null),
+      Seq(2L, "wav", null, null, 8000, 1000),  // 16000 data bytes at 16 kB/s = 1 s
+      Seq(3L, "ppm", 12, 34, null, null),
+      Seq(4L, "unknown", null, null, null, null)))
+  }
+
   test("stub decoder: deterministic, resize bounds size, frames cover bytes") {
     val bytes = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
     val f1 = Multimodal.StubDecoder.features(bytes)
