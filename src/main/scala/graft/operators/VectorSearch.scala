@@ -105,6 +105,20 @@ object VectorSearch {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Per-group mean embedding (average pooling) in LONG-ROW form:
+    * (group, pos, centroid) — one posexplode + hash aggregate, the
+    * cluster-centroid / class-prototype step of an embedding pipeline.
+    * Arithmetic is exact: quantized integer sums (order-independent),
+    * one double division at the end. Row form avoids array re-assembly;
+    * `array_agg(sort by pos)` reassembles when a vector column is needed. */
+  def groupCentroids(emb: DataFrame, groupExpr: Column,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.select(groupExpr.as("grp"), quantize(embCol).as("q"))
+      .select(col("grp"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos").cast("long").as("pos"))
+      .agg((sum(col("v")) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+
   /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ threshold). */
   def nearDuplicates(emb: DataFrame, threshold: Double = 0.8, numPlanes: Int = 8,
       dim: Int = -1): DataFrame = {

@@ -69,6 +69,20 @@ object VectorQueries {
               FROM p) WHERE rank <= 3"""
       }),
 
+    // Mean pooling: per-group embedding centroid in long-row form — the
+    // cluster-prototype aggregate. Integer sums are order-independent, so
+    // the final double division is identical on both engines.
+    QueryDef("q_x_embed_centroid",
+      (s, d) => graft.operators.VectorSearch.groupCentroids(
+        t(s, d, "embeddings"), col("vec_id") % 4),
+      Some(s"""SELECT grp, pos, CAST(sum(val) AS DOUBLE) / count(*) AS centroid,
+               count(*) AS n_vectors
+               FROM (SELECT vec_id % 4 AS grp,
+                     unnest(generate_series(0, len(q) - 1)) AS pos,
+                     unnest(q) AS val
+                     FROM (SELECT vec_id, $quantSql AS q FROM embeddings))
+               GROUP BY 1, 2""")),
+
     // LSH-bucketed embedding near-dup: 8 random-hyperplane sign bits → 256
     // buckets; exact cosine verify within buckets. Threshold 0.3 because the
     // synthetic embeddings are random (max pairwise cosine ≈ 0.5 — probed);
