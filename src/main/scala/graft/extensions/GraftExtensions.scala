@@ -74,5 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductLong(args(0), args(1))
       }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
+    // Whole-operator extension (builder-brief preference (c)): the native
+    // as-of join's planner strategy — AsOfJoinPlan → AsOfJoinExec.
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -57,6 +57,34 @@ object AsOfJoin {
       .drop("__m_rts")
   }
 
+  /** NATIVE physical as-of join ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]]): same semantics and output columns as
+    * [[lastAtOrBefore]], executed as a co-partitioned per-partition merge —
+    * one streaming pass, O(1) carry state, no union row-padding or window
+    * machinery. Requires LongType key/ts and a session with
+    * [[graft.extensions.GraftExtensions]] installed (the planner strategy
+    * lives there). */
+  def native(leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, tsCol: String,
+      rightId: String, rightPayload: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def tpe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, c: String) =
+      p.output.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(s"as-of join: no column '$c'")).dataType
+    require(tpe(lPlan, keyCol) == LongType && tpe(rPlan, keyCol) == LongType &&
+      tpe(lPlan, tsCol) == LongType && tpe(rPlan, tsCol) == LongType,
+      "native as-of join v1 requires LongType key and ts columns on both sides")
+    val matchedAttrs = Seq(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        s"matched_$rightId", tpe(rPlan, rightId), nullable = true)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        s"matched_$rightPayload", tpe(rPlan, rightPayload), nullable = true)())
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(leftDf.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, keyCol, tsCol, rightId, rightPayload, matchedAttrs))
+  }
+
   private def matched(
       leftDf: DataFrame, rightDf: DataFrame,
       keyCol: String, tsCol: String,

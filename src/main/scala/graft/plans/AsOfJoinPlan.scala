@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The whole-operator extension surface (builder-brief preference (c)): a
+  * native AS-OF JOIN as a LogicalPlan + SparkStrategy + SparkPlan, installed
+  * session-wide by [[graft.extensions.GraftExtensions]].
+  *
+  * The composition form ([[graft.operators.AsOfJoin.lastAtOrBefore]] —
+  * union + last_value window) is semantically identical and remains the
+  * default; this operator exists because the physical algorithm Spark can't
+  * express declaratively is better: both sides hash-partition on the key and
+  * sort per partition, then ONE streaming merge pass matches every left row
+  * to the latest right row at-or-before it. No union row-padding (the window
+  * form widens every right row to the left schema), no window state machine
+  * — per partition it is two sorted iterators and O(1) carry state, the
+  * textbook as-of merge at any scale.
+  *
+  * v1 contract (checked by the builder in [[graft.operators.AsOfJoin.native]]):
+  * key and ts columns are LongType on both sides; ties among right rows at
+  * equal (key, ts) resolve to the largest right id — identical to the
+  * composition and the DuckDB oracle.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    keyCol: String, tsCol: String, rightId: String, rightPayload: String,
+    matchedAttrs: Seq[Attribute]  // generated ONCE by the builder: stable exprIds across copies
+) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ matchedAttrs
+  /** The matched columns originate HERE (like Generate's generator output) —
+    * without this, CheckAnalysis reports them missing from the inputs. */
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(matchedAttrs)
+
+  /** The operator consumes key/ts (+ right id/payload) BY NAME, which
+    * Catalyst cannot see in `expressions` — declaring them here keeps
+    * ColumnPruning from stripping them from the children (unused left
+    * payload columns still prune, which is the behavior we want). */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet = {
+    val lNeeded = Set(keyCol, tsCol)
+    val rNeeded = Set(keyCol, tsCol, rightId, rightPayload)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output.filter(a => lNeeded.exists(a.name.equalsIgnoreCase)) ++
+        right.output.filter(a => rNeeded.exists(a.name.equalsIgnoreCase)))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; ignores every other node. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.keyCol, p.tsCol, p.rightId, p.rightPayload, p.matchedAttrs) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    keyCol: String, tsCol: String, rightId: String, rightPayload: String,
+    matchedAttrs: Seq[Attribute]
+) extends BinaryExecNode {
+
+  private def attr(side: SparkPlan, name: String): Attribute =
+    side.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"as-of join: no column '$name' in ${side.output}"))
+
+  override def output: Seq[Attribute] = left.output ++ matchedAttrs
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(matchedAttrs)
+
+  /** Co-partition both sides on the key: EnsureRequirements inserts the two
+    * compatible hash exchanges (or reuses existing partitioning). */
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(attr(left, keyCol))),
+    ClusteredDistribution(Seq(attr(right, keyCol))))
+
+  /** Per-partition sort: (key, ts) on the left; (key, ts, rightId) on the
+    * right so the largest id is the LAST consumed at a tied timestamp. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(attr(left, keyCol), Ascending), SortOrder(attr(left, tsCol), Ascending)),
+    Seq(SortOrder(attr(right, keyCol), Ascending), SortOrder(attr(right, tsCol), Ascending),
+      SortOrder(attr(right, rightId), Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyOrd = left.output.indexWhere(_.name.equalsIgnoreCase(keyCol))
+    val lTsOrd = left.output.indexWhere(_.name.equalsIgnoreCase(tsCol))
+    val rKeyOrd = right.output.indexWhere(_.name.equalsIgnoreCase(keyCol))
+    val rTsOrd = right.output.indexWhere(_.name.equalsIgnoreCase(tsCol))
+    val rIdOrd = right.output.indexWhere(_.name.equalsIgnoreCase(rightId))
+    val rPayOrd = right.output.indexWhere(_.name.equalsIgnoreCase(rightPayload))
+    val ridType = matchedAttrs(0).dataType
+    val rpayType = matchedAttrs(1).dataType
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val rBuf = rIt.buffered
+      val joined = new JoinedRow
+      val matchedRow = new GenericInternalRow(2)
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      // O(1) carry state per partition: the latest right row seen for lastKey
+      var lastKey = 0L
+      var haveLast = false
+      var lastRid: Any = null
+      var lastRpay: Any = null
+
+      def copied(v: Any): Any = v match {
+        case s: UTF8String => s.clone()
+        case other => other // primitives / immutable boxed values
+      }
+
+      lIt.map { l =>
+        if (l.isNullAt(lKeyOrd) || l.isNullAt(lTsOrd)) {
+          matchedRow(0) = null; matchedRow(1) = null
+        } else {
+          val lk = l.getLong(lKeyOrd)
+          val lts = l.getLong(lTsOrd)
+          // consume rights up to (lk, lts]; rows for earlier keys just pass
+          while (rBuf.hasNext && {
+            val r = rBuf.head
+            r.isNullAt(rKeyOrd) || r.getLong(rKeyOrd) < lk ||
+              (r.getLong(rKeyOrd) == lk && !r.isNullAt(rTsOrd) && r.getLong(rTsOrd) <= lts)
+          }) {
+            val r = rBuf.next()
+            if (!r.isNullAt(rKeyOrd) && r.getLong(rKeyOrd) == lk) {
+              lastKey = lk
+              haveLast = true
+              lastRid = if (r.isNullAt(rIdOrd)) null else copied(r.get(rIdOrd, ridType))
+              lastRpay = if (r.isNullAt(rPayOrd)) null else copied(r.get(rPayOrd, rpayType))
+            }
+          }
+          val hit = haveLast && lastKey == lk
+          matchedRow(0) = if (hit) lastRid else null
+          matchedRow(1) = if (hit) lastRpay else null
+        }
+        toUnsafe(joined(l, matchedRow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -113,6 +113,40 @@ object EventQueries {
                      m_rid AS matched_click_id, m_rpay AS matched_click_value
               FROM m WHERE side = 1""")),
 
+    // NATIVE as-of join: the custom LogicalPlan → SparkStrategy → SparkPlan
+    // operator (graft.plans.AsOfJoinExec — co-partitioned merge, O(1) carry
+    // state per partition). Same oracle SQL as q_x_asof_join: the physical
+    // algorithm changed, the semantics must not.
+    QueryDef("q_x_asof_native",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us").as("tus"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+        graft.operators.AsOfJoin.native(
+            purchases, clicks, "user_id", "tus", "event_id", "value")
+          .select(col("event_id"), col("user_id"), col("tus"), col("value"),
+            col("matched_event_id").as("matched_click_id"),
+            col("matched_value").as("matched_click_value"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value FROM events),
+              r AS (SELECT user_id, tus, 0 AS side, event_id AS rid, value AS rpay,
+                    CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS DOUBLE) AS l_value
+                    FROM ev WHERE event_type = 'click'),
+              l AS (SELECT user_id, tus, 1, NULL, NULL, event_id, value
+                    FROM ev WHERE event_type = 'purchase'),
+              uall AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+              m AS (SELECT *,
+                    last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER w AS m_rid,
+                    last_value(CASE WHEN side = 0 THEN rpay END IGNORE NULLS) OVER w AS m_rpay
+                    FROM uall WINDOW w AS (PARTITION BY user_id ORDER BY tus, side, rid
+                                           ROWS UNBOUNDED PRECEDING))
+              SELECT l_event_id AS event_id, user_id, tus, l_value AS value,
+                     m_rid AS matched_click_id, m_rpay AS matched_click_value
+              FROM m WHERE side = 1""")),
+
     // As-of join with tolerance (the feature-store shape): the latest click
     // counts only if it is at most 30 minutes stale at purchase time —
     // older matches null out exactly as if absent. Same one-shuffle

@@ -113,6 +113,16 @@ class FunctionsSpec extends SparkSpec {
       Seq(101L, 1L, 0.1),    // latest click ≤ 20 is at 10
       Seq(102L, null, null)  // user 8 has no clicks
     ))
+    // native physical operator: identical semantics to the composition
+    val nat = rows(graft.operators.AsOfJoin.native(
+        left, right, "user_id", "tus", "event_id", "value")
+      .orderBy("event_id").select("event_id", "matched_event_id", "matched_value"))
+    assert(nat == got)
+    // and its plan is the custom exec, not a window
+    val natPlan = graft.operators.AsOfJoin.native(
+      left, right, "user_id", "tus", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    assert(natPlan.contains("AsOfJoin") && !natPlan.contains("Window"))
     // tolerance variant: the match at staleness 10 nulls out under tolerance 5
     val tol = rows(graft.operators.AsOfJoin.lastAtOrBeforeWithin(
         left, right, "user_id", "tus", "event_id", "value", 5L)
