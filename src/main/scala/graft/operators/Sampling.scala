@@ -26,6 +26,26 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, pct: Int, buckets: Int = 100): DataFrame =
     df.filter(hashBucket(col(keyCol), buckets) < pct * buckets / 100)
 
+  /** Sequence packing (the pretraining concat-then-chunk layout): place
+    * each document at its cumulative-token offset inside fixed
+    * `tokenBudget` training sequences. Documents shard by id hash (shards
+    * pack independently in parallel — the 100 TB axis), order
+    * deterministically within shard, and get
+    * `seq_id = cum_before div budget`, `offset = cum_before mod budget`
+    * (offset packing: a doc may straddle a boundary, as concat-and-chunk
+    * does). Pure integer arithmetic over one per-shard window — the same
+    * layout on every rerun. */
+  def packSequences(docs: DataFrame, tokenCount: Column, idCol: String,
+      tokenBudget: Int, shards: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), tokenCount.cast("long").as("n_tokens"),
+        hashBucket(col(idCol), shards).as("shard"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $tokenBudget"))
+      .withColumn("offset", (col("cum_before") % tokenBudget).cast("long"))
+  }
+
   /** Top-`k` rows per group by (scoreCol desc, keyCol) — the quota/mixing
     * step of a training-data pipeline (e.g. best N documents per language or
     * per source). One shuffle on the group key; Spark's WindowGroupLimit

@@ -373,6 +373,24 @@ object TextQueries {
                     FROM documents))
               WHERE rank <= 20""")),
 
+    // Sequence packing: documents placed at their cumulative-token offset
+    // inside 4096-token training sequences, 8 hash shards packing
+    // independently — the concat-then-chunk pretraining layout as one
+    // per-shard window of integer arithmetic.
+    QueryDef("q_x_pack_sequences",
+      (s, d) => graft.operators.Sampling.packSequences(
+        t(s, d, "documents"), size(tokens(col("text"))), "doc_id", 4096, 8),
+      Some(s"""SELECT doc_id, n_tokens, shard,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS seq_id,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 4096 AS offset
+               FROM (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+                     ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+                     FROM documents)""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The real decode path (graft.multimodal) is a mapPartitions stub; this
     // gate query proves the binary-column schema/arithmetic round-trips.

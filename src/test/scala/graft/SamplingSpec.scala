@@ -30,6 +30,22 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "rank filter must prune before the shuffle merge")
   }
 
+  test("packSequences: offsets bounded by budget, cumsum consistent per shard") {
+    val df = spark.range(100).toDF("doc_id").withColumn("n", col("doc_id") % 7 + 1)
+    val packed = Sampling.packSequences(df, col("n"), "doc_id", 10, 4).cache()
+    assert(packed.count() == 100)
+    assert(packed.filter(col("offset") < 0 || col("offset") >= 10).count() == 0)
+    assert(packed.filter(col("seq_id") * 10 + col("offset") =!= col("cum_before")).count() == 0)
+    // per shard: cum_before of each doc equals the sum of earlier docs' tokens
+    val bad = packed.as("a").join(packed.as("b"),
+        col("a.shard") === col("b.shard") && col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id"), col("a.cum_before"))
+      .agg(sum(col("b.n_tokens")).as("expect"))
+      .filter(col("expect") =!= col("cum_before"))
+    assert(bad.count() == 0)
+    packed.unpersist()
+  }
+
   test("redactPii: emails replaced before digit runs, digits typed") {
     val got = rows(Seq("mail a1@b2.com or call 555 1234 now").toDF("text")
       .select(graft.functions.Text.redactPii(col("text")))).head.head
