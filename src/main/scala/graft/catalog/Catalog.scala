@@ -43,6 +43,25 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     case None => throw new IllegalArgumentException(s"catalog: no such table '$name'")
   }
 
+  /** Time travel: read a specific retained version (the pointer-swap design
+    * keeps `keepVersions` directories, so recent history is queryable the
+    * way Delta/Iceberg expose it — audits, incremental diffs, rollback). */
+  def readVersion(name: String, version: Long): DataFrame = {
+    val dir = tableDir(name).resolve(s"v_$version")
+    if (!Files.isDirectory(dir))
+      throw new IllegalArgumentException(
+        s"catalog: version $version of '$name' does not exist or was pruned " +
+          s"(retained: ${versions(name).mkString(", ")})")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Retained version numbers, oldest first. */
+  def versions(name: String): Seq[Long] =
+    if (Files.isDirectory(tableDir(name)))
+      listDir(tableDir(name)).map(_.getFileName.toString)
+        .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong).sorted
+    else Seq.empty
+
   /** Write `df` as the next version of `name` and atomically flip `_CURRENT`.
     * Equivalent observable semantics to the reference's COMMIT: concurrent
     * readers see the previous version until the pointer move completes. */
@@ -100,6 +119,15 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   def append(name: String, df: DataFrame): Unit =
     if (!exists(name)) write(name, df)
     else write(name, read(name).unionByName(df))
+
+  /** Schema-evolving append: new columns in `df` are added to the table
+    * (existing rows read them as null) and columns `df` lacks are
+    * null-filled — the additive half of schema evolution, which is the only
+    * half a long-running ingest pipeline needs routinely. Renames/type
+    * changes stay explicit migrations. */
+  def appendEvolve(name: String, df: DataFrame): Unit =
+    if (!exists(name)) write(name, df)
+    else write(name, read(name).unionByName(df, allowMissingColumns = true))
 
   /** Small-file compaction: rewrite the current version into `numFiles`
     * parquet files (next version + pointer flip, so readers never see a

@@ -513,6 +513,23 @@ object ParityQueries {
               FROM orders GROUP BY GROUPING SETS
               ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""")),
 
+    // The spark.sql SURFACE itself: the same engine semantics reached
+    // through SQL text over registered views — a reference user's literal
+    // queries run unchanged (identical SQL runs on DuckDB as the oracle).
+    QueryDef("q_x_sql_api",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_orders")
+        t(s, d, "customer").createOrReplaceTempView("graft_customer")
+        s.sql(s"""SELECT c_mktsegment, count(*) AS n,
+                  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+                  FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey
+                  GROUP BY c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment""")),
+
     // Collect + sort: per-group ordered array aggregation (sorting makes the
     // nondeterministic collect order irrelevant on both engines). The gate
     // column is the '|'-joined scalar rather than the raw array because the

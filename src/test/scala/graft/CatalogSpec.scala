@@ -82,6 +82,32 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 1000)
   }
 
+  test("time travel: retained versions readable, pruned versions fail clearly") {
+    val cat = freshCatalog() // keepVersions = 2
+    cat.write("t", Seq(1).toDF("v"))       // v_0
+    cat.write("t", Seq(1, 2).toDF("v"))    // v_1
+    assert(cat.versions("t") == Seq(0L, 1L))
+    assert(cat.readVersion("t", 0).count() == 1)
+    assert(cat.readVersion("t", 1).count() == 2)
+    cat.write("t", Seq(1, 2, 3).toDF("v")) // v_2 → v_0 pruned
+    assert(cat.versions("t") == Seq(1L, 2L))
+    assert(cat.readVersion("t", 1).count() == 2)
+    val e = intercept[IllegalArgumentException](cat.readVersion("t", 0))
+    assert(e.getMessage.contains("pruned"))
+  }
+
+  test("appendEvolve: additive schema evolution, old rows null-fill new columns") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1, "a")).toDF("id", "v"))
+    cat.appendEvolve("t", Seq((2, "b", 9.5)).toDF("id", "v", "score"))
+    val got = cat.read("t").orderBy("id")
+    assert(got.columns.toSeq == Seq("id", "v", "score"))
+    assert(rows(got) == Seq(Seq(1, "a", null), Seq(2, "b", 9.5)))
+    // and the reverse: appending a NARROWER frame null-fills its missing cols
+    cat.appendEvolve("t", Seq((3, "c")).toDF("id", "v"))
+    assert(rows(cat.read("t").orderBy("id")).last == Seq(3, "c", null))
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))
