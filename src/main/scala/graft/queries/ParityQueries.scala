@@ -516,6 +516,23 @@ object ParityQueries {
               FROM orders GROUP BY GROUPING SETS
               ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""")),
 
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM): join facts where
+    // either both sides are null or both equal — the semantics UPDATE/MERGE
+    // predicates need when keys are nullable.
+    QueryDef("q_f5_null_safe_eq",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 100 === 0, lit(null)).otherwise(col("o_orderpriority"))
+            .as("pri_nullable"))
+        o.groupBy(col("pri_nullable")).agg(count(lit(1)).as("n"))
+          .withColumn("is_null_group", col("pri_nullable") <=> lit(null))
+      },
+      Some("""SELECT pri_nullable, count(*) AS n,
+              pri_nullable IS NOT DISTINCT FROM NULL AS is_null_group
+              FROM (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pri_nullable FROM orders)
+              GROUP BY pri_nullable""")),
+
     // The spark.sql SURFACE itself: the same engine semantics reached
     // through SQL text over registered views — a reference user's literal
     // queries run unchanged (identical SQL runs on DuckDB as the oracle).

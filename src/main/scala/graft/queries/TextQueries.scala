@@ -115,6 +115,19 @@ object TextQueries {
                quantile_cont(n, 0.75) AS p75, quantile_cont(n, 0.95) AS p95
                FROM (SELECT len($tokensSql) AS n FROM documents)""")),
 
+    // Grouped exact quantiles: per-language interpolated percentiles (same
+    // linear-interpolation definition on both engines; integer inputs).
+    QueryDef("q_x_group_quantiles",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.9)").as("p90"),
+          count(lit(1)).as("n_docs")),
+      Some(s"""SELECT lang, quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90,
+               count(*) AS n_docs
+               FROM (SELECT lang, len($tokensSql) AS n FROM documents) GROUP BY lang""")),
+
     QueryDef("q_x_length_histogram",
       (s, d) => t(s, d, "documents")
         .select((floor(size(tokens(col("text"))) / 10) * 10).cast("long").as("bucket"))

@@ -108,6 +108,20 @@ class CatalogSpec extends SparkSpec {
     assert(rows(cat.read("t").orderBy("id")).last == Seq(3, "c", null))
   }
 
+  test("failed write never moves the pointer (COMMIT-equivalent atomicity)") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1, 2).toDF("v"))
+    intercept[Exception] {
+      cat.write("t", Seq(1).toDF("v").select(expr("raise_error('boom')").as("v")))
+    }
+    // readers still see the last committed version, not a torn state
+    assert(cat.currentPath("t").get.endsWith("v_0"))
+    assert(cat.read("t").count() == 2)
+    // and the next successful write recovers cleanly
+    cat.write("t", Seq(1, 2, 3).toDF("v"))
+    assert(cat.read("t").count() == 3)
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))

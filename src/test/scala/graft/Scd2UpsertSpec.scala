@@ -65,6 +65,12 @@ class Scd2UpsertSpec extends SparkSpec {
     assert(Scd2Upsert.asOfRows(dim2, spec, Date.valueOf("2023-12-31")).count() == 0)
   }
 
+  test("empty source batch: no close-outs, no new versions, dim unchanged") {
+    val dim = Scd2Upsert.initialLoad(src("customers.csv"), spec, d1)
+    val after = Scd2Upsert.run(src("customers.csv").limit(0), dim, spec, d2)
+    assert(rows(after.orderBy("customerkey")) == rows(dim.orderBy("customerkey")))
+  }
+
   test("staging dedups source rows (A3, dynamic_upsert.py:121)") {
     val dupSrc = src("customers.csv").unionAll(src("customers.csv"))
     val dim = Scd2Upsert.initialLoad(dupSrc, spec, d1)
