@@ -69,13 +69,22 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
 
   /** Version writer: lands the data AND any metadata files in the new
     * version directory BEFORE the pointer flip, so metadata commits
-    * atomically with the rows it describes. */
+    * atomically with the rows it describes. Metadata the caller does not
+    * override is CARRIED FORWARD from the current version — otherwise any
+    * intervening write (compact, append, truncate) would silently reset the
+    * streaming batch-id high-water mark and re-open the replay window. */
   private def writeVersion(name: String, df: DataFrame, meta: Map[String, String]): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
+    val inherited = currentPath(name).map(Paths.get(_)).toSeq
+      .flatMap(p => listDir(p).filter(f => f.getFileName.toString.startsWith("_") &&
+        Files.isRegularFile(f)))
+      .map(f => f.getFileName.toString -> Files.readString(f))
+      .filterNot { case (n, _) => n.startsWith("_SUCCESS") }
+      .toMap
     val next = "v_" + (currentVersion(name).map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
     df.write.mode("overwrite").parquet(dir.resolve(next).toString)
-    meta.foreach { case (file, content) =>
+    (inherited ++ meta).foreach { case (file, content) =>
       Files.writeString(dir.resolve(next).resolve(file), content,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }

@@ -19,13 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * data, generated inline into whole-stage codegen (preference order (b) of
   * the builder brief: native Expression over UDF).
   *
-  * Null semantics: null if either array is null. Element nulls and unequal
-  * lengths DIFFER from the HOF composition (which null-pads via zip_with and
-  * nulls the sum): this loop truncates to the shorter length and assumes
-  * non-null elements. The optimizer rewrite in
-  * [[graft.extensions.RewriteDotProduct]] therefore only fires for
-  * `array<bigint>` with containsNull = false; direct callers own the
-  * contract (the engine's quantized embeddings are fixed-dim, non-null).
+  * Null semantics are EXACTLY the HOF composition's, for every input: null
+  * if either array is null, null if the lengths differ (zip_with would
+  * null-pad and null the sum), null if any paired element is null. This
+  * equivalence is what lets [[graft.extensions.RewriteDotProduct]] fire for
+  * ANY `array<bigint>` inputs — including parquet-read and transform-derived
+  * arrays, which carry containsNull = true even when no element is ever
+  * null (a containsNull=false-only guard would make the rule dead in
+  * practice). The null checks cost one predictable branch per element.
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,15 +42,21 @@ case class DotProductLong(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_long"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -58,13 +65,16 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |  else { $s += $a.getLong($i) * $b.getLong($i); }
          |}
-         |${ev.value} = $s;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
        """.stripMargin
     })
 

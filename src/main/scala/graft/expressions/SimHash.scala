@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Portability contract: the per-token hash is the engine-wide 60-bit
   * md5-prefix hash ([[graft.functions.Hashing.hash64]] /
   * `conv(substr(md5(t),1,15),16,10)`), so fingerprints are bit-identical to
-  * the SQL/DuckDB formulation. Null tokens are skipped; a doc whose every
-  * token is null yields null (mirroring the explode+groupBy form, which
-  * drops rows the aggregate never sees).
-  */
+  * the SQL/DuckDB formulation for every non-degenerate document. Null
+  * tokens are skipped; a doc with a null/empty/all-null token array yields
+  * a row with a NULL fingerprint — note this is a row-cardinality
+  * difference from the explode+groupBy form, which DROPS such docs (the
+  * aggregate never sees a row for them). Downstream banding treats a null
+  * fingerprint as unmatchable either way (null join keys never equal). */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   require(bits > 0 && bits <= 60, "SimHash supports 1..60 bits (60-bit portable hash)")
 

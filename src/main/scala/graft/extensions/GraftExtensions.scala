@@ -23,13 +23,13 @@ import graft.expressions.DotProductLong
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
-  /** Rewrite only for `array<bigint>` with containsNull = false: the HOF
-    * composition yields NULL results for null elements (and null-pads when
-    * lengths differ), while DotProductLong runs a primitive loop that cannot
-    * see element nulls. Restricting to non-null element types keeps the
-    * session-wide rule semantics-preserving for arbitrary user SQL. */
+  /** Any `array<bigint>` qualifies: [[DotProductLong]] reproduces the HOF
+    * composition's null/length semantics exactly (null on element nulls or
+    * length mismatch), so the session-wide rewrite is semantics-preserving
+    * even for containsNull = true inputs — which is what parquet-read and
+    * transform-derived arrays carry in practice. */
   private def isLongArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, false) => true
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 

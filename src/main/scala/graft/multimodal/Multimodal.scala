@@ -82,7 +82,8 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
     def probe(b: Array[Byte]): MediaMeta = {
-      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      if (b == null) MediaMeta("unknown", None, None, None, None)
+      else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
         MediaMeta("bmp", Some(le32(b, 18)), Some(le32(b, 22)), None, None)
       else if (b.length >= 44 && b.startsWith("RIFF".getBytes) &&
           new String(b, 8, 4, "US-ASCII") == "WAVE") {

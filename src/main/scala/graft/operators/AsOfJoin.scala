@@ -110,14 +110,21 @@ object AsOfJoin {
       .orderBy(col(tsCol), col("__side"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // ONE struct carries (id, payload, ts) of the matched right row, so the
+    // three outputs always describe the SAME row — three independent
+    // last_value(... IGNORE NULLS) columns could each skip different rows
+    // when a right id/payload/ts is null and disagree about which row
+    // matched (the tolerance check would then judge staleness on a
+    // different row than the id it reports).
     taggedRight.unionByName(taggedLeft)
-      .withColumn("__m_rid", last(when(col("__side") === 0, col("__rid")), ignoreNulls = true).over(w))
-      .withColumn("__m_rpay", last(when(col("__side") === 0, col("__rpay")), ignoreNulls = true).over(w))
-      .withColumn("__m_rts", last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn("__m", last(
+          when(col("__side") === 0,
+            struct(col("__rid").as("rid"), col("__rpay").as("rpay"), col(tsCol).as("rts"))),
+          ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ Seq(
-        col("__m_rid").as(s"matched_$rightId"),
-        col("__m_rpay").as(s"matched_$rightPayload"),
-        col("__m_rts")): _*)
+        col("__m.rid").as(s"matched_$rightId"),
+        col("__m.rpay").as(s"matched_$rightPayload"),
+        col("__m.rts").as("__m_rts")): _*)
   }
 }

@@ -13,6 +13,14 @@ import graft.functions.Text
   * half), never from a cross join — shuffle volume is O(docs × keys) and
   * per-bucket work is bucket², with AQE handling skewed buckets. Exact
   * verification (Jaccard / Hamming) runs only on candidates.
+  *
+  * Persist lifecycle: the near-dup operators persist (MEMORY_AND_DISK) the
+  * intermediate frame each composition reads from 2+ join branches, and the
+  * returned plan keeps depending on it — so entries live until the session
+  * ends or the caller runs `spark.catalog.clearCache()`. Right for the
+  * run-and-exit job/bench shape; a long-lived service looping dedup over
+  * many corpora should materialize the shingle/fingerprint frame to a table
+  * (e.g. `Catalog.write`) instead and manage its lifetime explicitly.
   */
 object TextDedup {
 
@@ -33,7 +41,8 @@ object TextDedup {
     * over the corpus (and four more times when [[clusters]] composes on
     * top). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val s = shingled(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = shingled(docs).select(col("doc_id"), col("sh"), col("pfx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = s.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
     val b = s.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx"))
     a.join(b, Seq("pfx")).filter(col("id1") < col("id2"))
@@ -56,13 +65,19 @@ object TextDedup {
     *    not k interpreted `array_min(transform(...))` re-traversals. */
   private val MinHashPrime = 2147483647L
 
-  /** Persisted (doc_id, toks, sh, pfx, hs) frame: shingles plus one 60-bit
-    * md5 hash per shingle reduced mod the Mersenne prime. Persisted because
-    * every MinHash composition reads it at least twice (signatures + verify). */
+  /** Persisted (doc_id, sh, hs) frame: shingles plus one 60-bit md5 hash
+    * per shingle reduced mod the Mersenne prime. Persisted because every
+    * MinHash composition reads it at least twice (signatures + verify);
+    * TRIMMED to exactly the columns those consumers need — toks/pfx would
+    * roughly double the cached footprint for nothing. At extreme corpus
+    * scale the same role is played by a materialized temp table (or just
+    * the (doc_id, band) index, re-deriving shingles for the candidate-only
+    * verify); MEMORY_AND_DISK keeps the single-job case simple. */
   private def hashedShingles(docs: DataFrame): DataFrame =
     shingled(docs)
       .withColumn("hs",
         expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $MinHashPrime)"))
+      .select(col("doc_id"), col("sh"), col("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** (doc_id, band) pairs: all `numHashes` signature minima in one codegen'd

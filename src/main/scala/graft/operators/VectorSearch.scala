@@ -64,11 +64,17 @@ object VectorSearch {
   def planes(numPlanes: Int, dim: Int): Array[Array[Long]] =
     Array.tabulate(numPlanes, dim)((p, j) => Hashing.hash64Local(s"plane:$p:$j") % 2001L - 1000L)
 
-  /** Embedding dimensionality probed from the first row (one tiny job).
-    * Hardcoding a dim would silently bucket wider embeddings by their first
-    * coordinates only — a hidden recall cliff. */
-  def probeDim(emb: DataFrame, embCol: String = "embedding"): Int =
-    emb.select(size(col(embCol))).head().getInt(0)
+  /** Embedding dimensionality probed from the first non-null row (one tiny
+    * job). Hardcoding a dim would silently bucket wider embeddings by their
+    * first coordinates only — a hidden recall cliff. Fails with a clear
+    * message on an empty/all-null frame (pass `dim` explicitly there). */
+  def probeDim(emb: DataFrame, embCol: String = "embedding"): Int = {
+    val first = emb.filter(col(embCol).isNotNull).select(size(col(embCol))).limit(1).collect()
+    if (first.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot probe embedding dim of an empty frame — pass dim explicitly")
+    first.head.getInt(0)
+  }
 
   /** Adds a sign-bucket column from `numPlanes` hyperplane sign bits.
     * `dim` must match the embedding dimensionality (probe with [[probeDim]]

@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.unsafe.types.UTF8String
 
 /** The whole-operator extension surface (builder-brief preference (c)): a
   * native AS-OF JOIN as a LogicalPlan + SparkStrategy + SparkPlan, installed
@@ -117,35 +116,47 @@ final case class AsOfJoinExec(
       var lastRid: Any = null
       var lastRpay: Any = null
 
-      def copied(v: Any): Any = v match {
-        case s: UTF8String => s.clone()
-        case other => other // primitives / immutable boxed values
-      }
+      // NULLS-FIRST comparators mirroring the composition's window order:
+      // null keys form their own group (window PARTITION BY semantics — the
+      // spec for this operator — not join equality), and a null ts counts
+      // as "before everything".
+      def cmpNullsFirst(aNull: Boolean, a: Long, bNull: Boolean, b: Long): Int =
+        if (aNull && bNull) 0 else if (aNull) -1 else if (bNull) 1
+        else java.lang.Long.compare(a, b)
+      var lastKeyNull = false
 
       lIt.map { l =>
-        if (l.isNullAt(lKeyOrd) || l.isNullAt(lTsOrd)) {
-          matchedRow(0) = null; matchedRow(1) = null
-        } else {
-          val lk = l.getLong(lKeyOrd)
-          val lts = l.getLong(lTsOrd)
-          // consume rights up to (lk, lts]; rows for earlier keys just pass
-          while (rBuf.hasNext && {
-            val r = rBuf.head
-            r.isNullAt(rKeyOrd) || r.getLong(rKeyOrd) < lk ||
-              (r.getLong(rKeyOrd) == lk && !r.isNullAt(rTsOrd) && r.getLong(rTsOrd) <= lts)
-          }) {
-            val r = rBuf.next()
-            if (!r.isNullAt(rKeyOrd) && r.getLong(rKeyOrd) == lk) {
-              lastKey = lk
-              haveLast = true
-              lastRid = if (r.isNullAt(rIdOrd)) null else copied(r.get(rIdOrd, ridType))
-              lastRpay = if (r.isNullAt(rPayOrd)) null else copied(r.get(rPayOrd, rpayType))
-            }
+        val lkNull = l.isNullAt(lKeyOrd)
+        val lk = if (lkNull) 0L else l.getLong(lKeyOrd)
+        val ltsNull = l.isNullAt(lTsOrd)
+        val lts = if (ltsNull) 0L else l.getLong(lTsOrd)
+        // Consume rights up to (key, ts]; rows for earlier keys just pass.
+        while (rBuf.hasNext && {
+          val r = rBuf.head
+          val ck = cmpNullsFirst(r.isNullAt(rKeyOrd),
+            if (r.isNullAt(rKeyOrd)) 0L else r.getLong(rKeyOrd), lkNull, lk)
+          ck < 0 || (ck == 0 && cmpNullsFirst(r.isNullAt(rTsOrd),
+            if (r.isNullAt(rTsOrd)) 0L else r.getLong(rTsOrd), ltsNull, lts) <= 0)
+        }) {
+          val r = rBuf.next()
+          val rkNull = r.isNullAt(rKeyOrd)
+          val rk = if (rkNull) 0L else r.getLong(rKeyOrd)
+          if (cmpNullsFirst(rkNull, rk, lkNull, lk) == 0) {
+            lastKeyNull = rkNull
+            lastKey = rk
+            haveLast = true
+            // InternalRow.copyValue: deep-copies UTF8String/array/struct
+            // values out of the iterator's reused row buffer — the carry
+            // state must survive rBuf advancing.
+            lastRid = if (r.isNullAt(rIdOrd)) null
+              else InternalRow.copyValue(r.get(rIdOrd, ridType))
+            lastRpay = if (r.isNullAt(rPayOrd)) null
+              else InternalRow.copyValue(r.get(rPayOrd, rpayType))
           }
-          val hit = haveLast && lastKey == lk
-          matchedRow(0) = if (hit) lastRid else null
-          matchedRow(1) = if (hit) lastRpay else null
         }
+        val hit = haveLast && cmpNullsFirst(lastKeyNull, lastKey, lkNull, lk) == 0
+        matchedRow(0) = if (hit) lastRid else null
+        matchedRow(1) = if (hit) lastRpay else null
         toUnsafe(joined(l, matchedRow))
       }
     }

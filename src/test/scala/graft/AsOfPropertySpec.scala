@@ -14,12 +14,13 @@ class AsOfPropertySpec extends AnyFunSuite {
   import spark.implicits._
 
   // (event_id, key, ts, payload) with small key/ts domains to force
-  // collisions, ties, and empty groups
-  private def sideGen(idBase: Long): Gen[List[(Long, Long, Long, Double)]] = for {
+  // collisions, ties, and empty groups; occasional NULL keys/timestamps
+  // exercise the nulls-first group/order parity with the window form
+  private def sideGen(idBase: Long): Gen[List[(Long, Option[Long], Option[Long], Double)]] = for {
     n <- Gen.choose(0, 12)
     rows <- Gen.listOfN(n, for {
-      k <- Gen.choose(1L, 4L)
-      t <- Gen.choose(0L, 10L)
+      k <- Gen.frequency(9 -> Gen.choose(1L, 4L).map(Option(_)), 1 -> Gen.const(None))
+      t <- Gen.frequency(9 -> Gen.choose(0L, 10L).map(Option(_)), 1 -> Gen.const(None))
       v <- Gen.choose(0, 99)
     } yield (k, t, v / 10.0))
   } yield rows.zipWithIndex.map { case ((k, t, v), i) => (idBase + i, k, t, v) }

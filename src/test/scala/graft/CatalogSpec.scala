@@ -108,6 +108,17 @@ class CatalogSpec extends SparkSpec {
     assert(rows(cat.read("t").orderBy("id")).last == Seq(3, "c", null))
   }
 
+  test("streaming batch-id survives intervening writes (replay protection holds)") {
+    val cat = freshCatalog()
+    assert(cat.appendStreamBatch("t", Seq(1, 2).toDF("v"), 5L))
+    // housekeeping between micro-batches must not reset the high-water mark
+    cat.compact("t", 1)
+    assert(!cat.appendStreamBatch("t", Seq(9).toDF("v"), 5L)) // replay → skipped
+    assert(cat.read("t").count() == 2)
+    assert(cat.appendStreamBatch("t", Seq(3).toDF("v"), 6L))  // next batch → lands
+    assert(cat.read("t").count() == 3)
+  }
+
   test("failed write never moves the pointer (COMMIT-equivalent atomicity)") {
     val cat = freshCatalog()
     cat.write("t", Seq(1, 2).toDF("v"))

@@ -23,6 +23,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(hofDf.collect().map(_.getLong(0)).toSeq == got)
   }
 
+  test("dot_long matches HOF null semantics; rewrite fires for containsNull=true") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)), // element null
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](4L, 5L, 6L)),       // length mismatch
+      (Seq[java.lang.Long](2L, 3L, 4L), Seq[java.lang.Long](1L, 1L, 1L))    // clean
+    ).toDF("a", "b")
+    val hof = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dp")
+    val native = df.select(graft.expressions.DotProductLong(col("a"), col("b")).as("dp"))
+    assert(rows(native) == Seq(Seq(null), Seq(null), Seq(9L)))
+    assert(rows(hof) == rows(native))
+    // toDF on boxed Longs yields containsNull = true — the rule must still fire
+    assert(RewriteDotProduct(hof.queryExecution.analyzed).toString.contains("dot_long"))
+  }
+
   test("rule leaves non-matching aggregates alone") {
     val other = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
       .selectExpr("aggregate(zip_with(a, b, (x, y) -> x + y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS s")
