@@ -73,6 +73,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_long(a, b) takes exactly 2 arguments")
         DotProductLong(args(0), args(1))
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[graft.expressions.SimHash].getName, "simhash"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "simhash(tokens[, bits]) takes 1 or 2 arguments")
+        val bits = if (args.length == 2) args(1).eval().asInstanceOf[Number].intValue()
+          else graft.operators.TextDedup.SimHashBits
+        graft.expressions.SimHash(args(0), bits)
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
     // Whole-operator extension (builder-brief preference (c)): the native
     // as-of join's planner strategy — AsOfJoinPlan → AsOfJoinExec.

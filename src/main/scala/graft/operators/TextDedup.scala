@@ -64,6 +64,25 @@ object TextDedup {
     *    array via the codegen'd [[graft.expressions.MinHashSignatures]],
     *    not k interpreted `array_min(transform(...))` re-traversals. */
   private val MinHashPrime = 2147483647L
+  private def aCoeffs(numHashes: Int): Seq[Long] = (0 until numHashes).map(j => 2L * j + 3)
+  private def bCoeffs(numHashes: Int): Seq[Long] = (0 until numHashes).map(j => 101L * j + 7)
+
+  /** GROUP-level MinHash signatures (per source/language/shard) via the
+    * custom mergeable aggregate [[graft.expressions.MinHashAgg]]: the
+    * signature of the UNION of the group's shingle sets, computed with a
+    * fixed-size buffer that merges by element-wise min — corpus-level
+    * similarity/containment estimates with no shingle-set shuffle. */
+  def groupSignatures(docs: DataFrame, groupCol: String,
+      numHashes: Int = 16, textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(groupCol), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("sh", Text.shingles("toks"))
+      .withColumn("hs",
+        expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $MinHashPrime)"))
+    base.groupBy(col(groupCol))
+      .agg(graft.expressions.MinHashAgg(col("hs"),
+          aCoeffs(numHashes), bCoeffs(numHashes), MinHashPrime).as("sig"),
+        count(lit(1)).as("n_docs"))
+  }
 
   /** Persisted (doc_id, sh, hs) frame: shingles plus one 60-bit md5 hash
     * per shingle reduced mod the Mersenne prime. Persisted because every
@@ -87,10 +106,9 @@ object TextDedup {
   private def bandFrame(base: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val rows = numHashes / numBands
-    val as = (0 until numHashes).map(j => 2L * j + 3)
-    val bs = (0 until numHashes).map(j => 101L * j + 7)
     val sigs = base.withColumn("sigs",
-      graft.expressions.MinHashSignatures(col("hs"), as, bs, MinHashPrime))
+      graft.expressions.MinHashSignatures(col("hs"),
+        aCoeffs(numHashes), bCoeffs(numHashes), MinHashPrime))
     val bandKeys = (0 until numBands).map { bn =>
       val parts = (0 until rows).map(r => element_at(col("sigs"), rows * bn + r + 1))
       concat((lit(s"$bn|") +: parts.flatMap(p => Seq(p, lit(":"))).dropRight(1)): _*)

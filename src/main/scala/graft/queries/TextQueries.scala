@@ -317,6 +317,30 @@ object TextQueries {
               WHERE doc_id % 2 = 1 AND md5(text) NOT IN
                 (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""")),
 
+    // Corpus-level MinHash signatures per language via the custom mergeable
+    // TypedImperativeAggregate (MinHashAgg): signature of the UNION of each
+    // group's shingle sets, merged by element-wise min — fixed-size state,
+    // no shingle shuffle. Oracle: min over the per-doc signatures (min
+    // commutes with min).
+    QueryDef("q_x_minhash_corpus",
+      (s, d) => graft.operators.TextDedup.groupSignatures(
+          t(s, d, "documents"), "lang", numHashes)
+        .select(col("lang") +:
+          (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"sig$j")) :+
+          col("n_docs"): _*),
+      Some {
+        val sigExprs = (0 until numHashes).map(j =>
+          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+        val mins = (0 until numHashes).map(j =>
+          s"CAST(min(sig$j) AS BIGINT) AS sig$j").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+            shd AS (SELECT doc_id, lang, ${shingles3Sql("toks")} AS sh FROM tk),
+            hsh AS (SELECT doc_id, lang,
+                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+            sigs AS (SELECT lang, $sigExprs FROM hsh)
+            SELECT lang, $mins, count(*) AS n_docs FROM sigs GROUP BY lang"""
+      }),
+
     // SimHash fingerprints: 60-bit (all the entropy the portable md5-derived
     // hash carries), token-frequency weighted (sign of the per-bit vote).
     QueryDef("q_x_simhash", (s, d) => graft.operators.TextDedup.simhash(t(s, d, "documents")),

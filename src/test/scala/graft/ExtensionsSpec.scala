@@ -59,6 +59,13 @@ class ExtensionsSpec extends SparkSpec {
       val r = s2.sql("SELECT dot_long(array(1L, 2L), array(10L, 20L)) AS d")
         .collect().head.getLong(0)
       assert(r == 50L)
+      // simhash exposed to SQL too, same value as the operator surface
+      val sh = s2.sql("SELECT simhash(split('quick brown fox', ' ')) AS f")
+        .collect().head.getLong(0)
+      val expected = graft.operators.TextDedup
+        .simhash(Seq((1L, "quick brown fox")).toDF("doc_id", "text"))
+        .collect().head.getLong(1)
+      assert(sh == expected)
       // optimizer applies the rewrite inside the extensions session — use a
       // non-local source so constant folding can't pre-evaluate the plan
       val df = s2.range(3)

@@ -91,6 +91,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("MinHashAgg: partition-independent, equals the min of per-doc signatures") {
+    val docs = Seq((1L, "en", "a b c d e f"), (2L, "en", "c d e f g h"),
+      (3L, "fr", "x y z w v u"), (4L, "fr", "p q r s t u")).toDF("doc_id", "lang", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      rows(TextDedup.groupSignatures(df, "lang").orderBy("lang")
+        .select(col("lang"), expr("array_join(transform(sig, x -> CAST(x AS STRING)), '|')")))
+    // mergeable buffer: any partitioning yields the same group signature
+    assert(sigs(docs.repartition(1)) == sigs(docs.repartition(7)))
+    // the group signature is the element-wise min of per-doc signatures
+    // (min over the union = min of mins)
+    def arr(v: Any): Seq[Long] = v.asInstanceOf[collection.Seq[Long]].toSeq
+    val perDoc = rows(TextDedup.groupSignatures(docs, "doc_id").orderBy("doc_id"))
+      .map(r => r.head.asInstanceOf[Long] -> arr(r(1))).toMap
+    val byLang = rows(TextDedup.groupSignatures(docs, "lang").orderBy("lang"))
+      .map(r => r.head.toString -> arr(r(1))).toMap
+    def elemMin(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => math.min(x, y) }
+    assert(byLang("en") == elemMin(perDoc(1L), perDoc(2L)))
+    assert(byLang("fr") == elemMin(perDoc(3L), perDoc(4L)))
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " zz yy"
