@@ -69,19 +69,24 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
 
   /** Version writer: lands the data AND any metadata files in the new
     * version directory BEFORE the pointer flip, so metadata commits
-    * atomically with the rows it describes. Metadata the caller does not
-    * override is CARRIED FORWARD from the current version — otherwise any
-    * intervening write (compact, append, truncate) would silently reset the
-    * streaming batch-id high-water mark and re-open the replay window. */
-  private def writeVersion(name: String, df: DataFrame, meta: Map[String, String]): Unit = {
+    * atomically with the rows it describes. ALLOWLISTED metadata the caller
+    * does not override is CARRIED FORWARD from the current version —
+    * otherwise an intervening write (compact, append) would silently reset
+    * the streaming batch-id high-water mark and re-open the replay window.
+    * The allowlist is explicit (only the catalog's own marker files):
+    * inheriting every `_`-file would choke on Spark's binary parquet
+    * summary files and copy stale file manifests forward. `truncate`
+    * disables inheritance — an emptied table is a full reset, including its
+    * stream high-water mark. */
+  private def writeVersion(name: String, df: DataFrame, meta: Map[String, String],
+      inherit: Boolean = true): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
-    val inherited = currentPath(name).map(Paths.get(_)).toSeq
-      .flatMap(p => listDir(p).filter(f => f.getFileName.toString.startsWith("_") &&
-        Files.isRegularFile(f)))
-      .map(f => f.getFileName.toString -> Files.readString(f))
-      .filterNot { case (n, _) => n.startsWith("_SUCCESS") }
-      .toMap
+    val inherited = if (!inherit) Map.empty[String, String] else
+      currentPath(name).map(Paths.get(_)).toSeq
+        .flatMap(p => InheritedMeta.map(p.resolve).filter(Files.isRegularFile(_)))
+        .map(f => f.getFileName.toString -> Files.readString(f))
+        .toMap
     val next = "v_" + (currentVersion(name).map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
     df.write.mode("overwrite").parquet(dir.resolve(next).toString)
     (inherited ++ meta).foreach { case (file, content) =>
@@ -115,9 +120,14 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     }
   }
   private val BatchIdFile = "_BATCH_ID"
+  /** The catalog-owned marker files carried across versions. */
+  private val InheritedMeta = Seq(BatchIdFile)
 
-  /** TRUNCATE equivalent (validate_data.py:139): next version is empty. */
-  def truncate(name: String): Unit = write(name, read(name).limit(0))
+  /** TRUNCATE equivalent (validate_data.py:139): next version is empty.
+    * Inherited metadata (the streaming batch-id) is dropped — truncating is
+    * a full reset, so a rebuilt stream starts from a clean replay window. */
+  def truncate(name: String): Unit =
+    writeVersion(name, read(name).limit(0), Map.empty, inherit = false)
 
   /** INSERT INTO equivalent (S4, populate_fact.py:117): append rows as a new
     * version (existing ∪ new), preserving the atomic-swap visibility rule.

@@ -79,8 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.nonEmpty && args.length <= 2,
           "simhash(tokens[, bits]) takes 1 or 2 arguments")
-        val bits = if (args.length == 2) args(1).eval().asInstanceOf[Number].intValue()
-          else graft.operators.TextDedup.SimHashBits
+        val bits = if (args.length == 2) {
+          require(args(1).foldable, "simhash: bits must be a literal integer")
+          args(1).eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"simhash: bits must be a non-null integer literal, got $other")
+          }
+        } else graft.operators.TextDedup.SimHashBits
         graft.expressions.SimHash(args(0), bits)
       }))
     e.injectOptimizerRule(_ => RewriteDotProduct)

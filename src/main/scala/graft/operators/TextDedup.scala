@@ -67,6 +67,12 @@ object TextDedup {
   private def aCoeffs(numHashes: Int): Seq[Long] = (0 until numHashes).map(j => 2L * j + 3)
   private def bCoeffs(numHashes: Int): Seq[Long] = (0 until numHashes).map(j => 101L * j + 7)
 
+  /** THE portable shingle-hash expression (60-bit md5 prefix mod the
+    * Mersenne prime), single source of truth for every MinHash path — the
+    * DuckDB oracles mirror this exact formula. */
+  private def shingleHashes: org.apache.spark.sql.Column =
+    expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $MinHashPrime)")
+
   /** GROUP-level MinHash signatures (per source/language/shard) via the
     * custom mergeable aggregate [[graft.expressions.MinHashAgg]]: the
     * signature of the UNION of the group's shingle sets, computed with a
@@ -76,8 +82,7 @@ object TextDedup {
       numHashes: Int = 16, textCol: String = "text"): DataFrame = {
     val base = docs.select(col(groupCol), Text.tokens(col(textCol)).as("toks"))
       .withColumn("sh", Text.shingles("toks"))
-      .withColumn("hs",
-        expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $MinHashPrime)"))
+      .withColumn("hs", shingleHashes)
     base.groupBy(col(groupCol))
       .agg(graft.expressions.MinHashAgg(col("hs"),
           aCoeffs(numHashes), bCoeffs(numHashes), MinHashPrime).as("sig"),
@@ -94,8 +99,7 @@ object TextDedup {
     * verify); MEMORY_AND_DISK keeps the single-job case simple. */
   private def hashedShingles(docs: DataFrame): DataFrame =
     shingled(docs)
-      .withColumn("hs",
-        expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $MinHashPrime)"))
+      .withColumn("hs", shingleHashes)
       .select(col("doc_id"), col("sh"), col("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -78,14 +78,18 @@ object VectorSearch {
 
   /** Adds a sign-bucket column from `numPlanes` hyperplane sign bits.
     * `dim` must match the embedding dimensionality (probe with [[probeDim]]
-    * when unknown); hyperplanes shorter than the vectors would project onto
-    * a prefix of the coordinates and degrade recall silently. */
+    * when unknown). A mismatched dim makes every plane dot product null
+    * (DotProductLong nulls on length mismatch), which propagates to a NULL
+    * bucket — downstream equi-joins then produce zero candidates, a loud
+    * empty result instead of either a silent recall cliff (prefix
+    * projection) or a single-bucket quadratic collapse. */
   def lshBuckets(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val e = prepared(emb)
     val pl = planes(numPlanes, dim)
     val bucket = (0 until numPlanes).map { p =>
-      when(graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq)) >= 0,
-        lit(1L << p)).otherwise(lit(0L))
+      val dp = graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq))
+      when(dp.isNull, lit(null).cast("long"))
+        .when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     e.withColumn("bucket", bucket)
   }
