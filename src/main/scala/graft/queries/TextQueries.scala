@@ -428,6 +428,52 @@ object TextQueries {
                      ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
                      FROM documents)""")),
 
+    // TRAINING-DATA CAPSTONE: the full selection pipeline composed from the
+    // library operators in ONE lazy plan — quality gate (map-side) → exact
+    // dedup keep-list (hash aggregate + join) → deterministic 50% hash
+    // sample (map-side) → sequence packing (per-shard window) → one summary
+    // row. What a real corpus build runs nightly; Catalyst fuses the
+    // map-side stages into the scan.
+    QueryDef("q_x_training_capstone",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quality = graft.operators.QualityFilter.filter(docs)
+        val keep = graft.operators.TextDedup.exact(quality)
+          .select(col("keep_id").as("doc_id"))
+        val deduped = quality.join(keep, Seq("doc_id"))
+        val sampled = graft.operators.Sampling.hashSample(deduped, "doc_id", 50)
+        val packed = graft.operators.Sampling.packSequences(
+          sampled, col("n_tokens"), "doc_id", 2048, 4)
+        packed.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(concat_ws("|", col("shard"), col("seq_id"))).as("n_sequences"),
+          max(col("seq_id")).as("max_seq_id"))
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, text,
+                 len($tokensSql) AS n_tokens, length(text) AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_letters,
+                 len(list_filter($tokensSql, t -> t IN ($stopIn))) AS n_stopwords
+               FROM documents),
+               q AS (SELECT doc_id, text, n_tokens FROM sc
+                     WHERE n_tokens >= 20 AND n_tokens <= 1048576
+                       AND n_letters / CAST(n_chars AS DOUBLE) >= 0.6
+                       AND n_stopwords / CAST(n_tokens AS DOUBLE) >= 0.01),
+               k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM q GROUP BY md5(text)),
+               dd AS (SELECT q.doc_id, q.n_tokens FROM q JOIN k ON q.doc_id = k.doc_id),
+               sm AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                      ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 4 AS shard FROM dd
+                      WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 50),
+               pk AS (SELECT shard, n_tokens,
+                      COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS seq_id
+                      FROM sm)
+               SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                      count(DISTINCT CAST(shard AS VARCHAR) || '|' || CAST(seq_id AS VARCHAR))
+                        AS n_sequences,
+                      CAST(max(seq_id) AS BIGINT) AS max_seq_id
+               FROM pk""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The real decode path (graft.multimodal) is a mapPartitions stub; this
     // gate query proves the binary-column schema/arithmetic round-trips.
