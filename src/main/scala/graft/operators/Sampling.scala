@@ -46,6 +46,25 @@ object Sampling {
       .withColumn("offset", (col("cum_before") % tokenBudget).cast("long"))
   }
 
+  /** Document chunking: split long documents into `maxTokens`-token windows
+    * overlapping by `overlap` tokens (stride = maxTokens − overlap) — the
+    * long-document half of sequence shaping (chunk first, then pack). Pure
+    * map-side flatMap via `explode(sequence(...))`: one output row per
+    * chunk with its token range, no shuffle, deterministic. The final chunk
+    * may be shorter; a document shorter than one window yields one chunk. */
+  def chunkDocuments(docs: DataFrame, tokenCount: Column, idCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    docs.select(col(idCol), tokenCount.cast("long").as("n_tokens"))
+      .withColumn("n_chunks", // pure-integer ceil: exact on both engines
+        greatest(lit(1L), expr(s"(n_tokens - $overlap + $stride - 1) div $stride")))
+      .withColumn("chunk_id", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("end_tok", least(col("start_tok") + maxTokens, col("n_tokens")))
+      .select(col(idCol), col("n_tokens"), col("chunk_id"), col("start_tok"), col("end_tok"))
+  }
+
   /** Top-`k` rows per group by (scoreCol desc, keyCol) — the quota/mixing
     * step of a training-data pipeline (e.g. best N documents per language or
     * per source). One shuffle on the group key; Spark's WindowGroupLimit

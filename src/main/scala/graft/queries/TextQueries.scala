@@ -428,6 +428,21 @@ object TextQueries {
                      ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
                      FROM documents)""")),
 
+    // Document chunking: long docs split into 50-token windows overlapping
+    // by 10 (stride 40) — map-side flatMap (explode over a sequence), one
+    // row per chunk with its token range, no shuffle.
+    QueryDef("q_x_chunk_docs",
+      (s, d) => graft.operators.Sampling.chunkDocuments(
+        t(s, d, "documents"), size(tokens(col("text"))), "doc_id", 50, 10),
+      Some(s"""SELECT doc_id, n_tokens,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+               unnest(list_transform(generate_series(0, n_chunks - 1), c -> c * 40)) AS start_tok,
+               unnest(list_transform(generate_series(0, n_chunks - 1),
+                 c -> least(c * 40 + 50, n_tokens))) AS end_tok
+               FROM (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     greatest(1, (n_tokens - 10 + 39) // 40) AS n_chunks
+                     FROM (SELECT doc_id, len($tokensSql) AS n_tokens FROM documents))""")),
+
     // TRAINING-DATA CAPSTONE: the full selection pipeline composed from the
     // library operators in ONE lazy plan — quality gate (map-side) → exact
     // dedup keep-list (hash aggregate + join) → deterministic 50% hash

@@ -46,6 +46,17 @@ class SamplingSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("chunkDocuments: overlapping windows, short docs get one chunk, ranges cover") {
+    val df = Seq((1L, 5L), (2L, 50L), (3L, 51L), (4L, 130L)).toDF("doc_id", "n")
+    val got = rows(Sampling.chunkDocuments(df, col("n"), "doc_id", 50, 10)
+      .orderBy("doc_id", "chunk_id").select("doc_id", "chunk_id", "start_tok", "end_tok"))
+    assert(got == Seq(
+      Seq(1L, 0L, 0L, 5L),                        // shorter than one window
+      Seq(2L, 0L, 0L, 50L),                       // exactly one window
+      Seq(3L, 0L, 0L, 50L), Seq(3L, 1L, 40L, 51L), // one token spills over
+      Seq(4L, 0L, 0L, 50L), Seq(4L, 1L, 40L, 90L), Seq(4L, 2L, 80L, 130L)))
+  }
+
   test("redactPii: emails replaced before digit runs, digits typed") {
     val got = rows(Seq("mail a1@b2.com or call 555 1234 now").toDF("text")
       .select(graft.functions.Text.redactPii(col("text")))).head.head
