@@ -32,6 +32,26 @@ object EventQueries {
                count(DISTINCT user_id) AS n_users
                FROM events GROUP BY 1, 2""")),
 
+    // SLIDING windows (1h window, 30min slide): each event lands in two
+    // overlapping windows — Spark's Expand operator fans rows per window
+    // before one hash aggregate, the same shape the watermarked streaming
+    // version uses. Oracle: unnest the two candidate window starts.
+    QueryDef("q_x_events_sliding",
+      (s, d) => events(s, d)
+        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("window.start").as("win"), col("event_type"),
+          col("n_events"), col("value_cents")),
+      Some(s"""SELECT win, event_type, count(*) AS n_events,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+               FROM (SELECT event_type, value,
+                     unnest([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                       AS win
+                     FROM events)
+               GROUP BY win, event_type""")),
+
     // Semi-structured extraction: the events `props` column is JSON; pull a
     // typed field out (Spark get_json_object ↔ DuckDB json_extract_string).
     QueryDef("q_x_json_extract",
