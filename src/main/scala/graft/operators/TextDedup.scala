@@ -35,6 +35,22 @@ object TextDedup {
       .withColumn("sh", Text.shingles("toks"))
       .withColumn("pfx", concat_ws(" ", slice(col("toks"), 1, 3)))
 
+  /** Pairwise corpus-overlap ESTIMATES from group signatures: the fraction
+    * of agreeing MinHash components estimates the Jaccard similarity of the
+    * two groups' shingle sets (the defining MinHash property). With
+    * [[groupSignatures]] this compares corpora using k longs per group —
+    * never touching the shingle sets again: the sketch workflow for
+    * "how much does source A overlap source B" across a 100 TB corpus. */
+  def corpusOverlap(docs: DataFrame, groupCol: String, numHashes: Int = 16): DataFrame = {
+    val sigs = groupSignatures(docs, groupCol, numHashes)
+    val a = sigs.select(col(groupCol).as("g1"), col("sig").as("s1"))
+    val b = sigs.select(col(groupCol).as("g2"), col("sig").as("s2"))
+    a.join(b, col("g1") < col("g2"))
+      .withColumn("jaccard_est",
+        expr(s"size(filter(zip_with(s1, s2, (x, y) -> x = y), m -> m)) / CAST($numHashes AS DOUBLE)"))
+      .select(col("g1"), col("g2"), col("jaccard_est"))
+  }
+
   /** Prefix-blocked n-gram Jaccard near-dup pairs (id1 < id2, jac ≥ t).
     * The shingled frame is persisted: it feeds both sides of the blocking
     * self-join, and without it the tokenize→shingle pipeline executes twice

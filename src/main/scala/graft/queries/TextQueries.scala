@@ -341,6 +341,29 @@ object TextQueries {
             SELECT lang, $mins, count(*) AS n_docs FROM sigs GROUP BY lang"""
       }),
 
+    // Corpus overlap from the sketches alone: fraction of agreeing MinHash
+    // components between two language groups estimates their shingle-set
+    // Jaccard — k longs per group, the shingle sets are never compared.
+    QueryDef("q_x_corpus_overlap",
+      (s, d) => graft.operators.TextDedup.corpusOverlap(
+        t(s, d, "documents"), "lang", numHashes),
+      Some {
+        val sigExprs = (0 until numHashes).map(j =>
+          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+        val mins = (0 until numHashes).map(j => s"min(sig$j) AS sig$j").mkString(", ")
+        val agree = (0 until numHashes).map(j =>
+          s"CASE WHEN a.sig$j = b.sig$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH tk AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+            shd AS (SELECT doc_id, lang, ${shingles3Sql("toks")} AS sh FROM tk),
+            hsh AS (SELECT doc_id, lang,
+                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+            sigs AS (SELECT lang, $sigExprs FROM hsh),
+            g AS (SELECT lang, $mins FROM sigs GROUP BY lang)
+            SELECT a.lang AS g1, b.lang AS g2,
+                   ($agree) / CAST($numHashes AS DOUBLE) AS jaccard_est
+            FROM g a JOIN g b ON a.lang < b.lang"""
+      }),
+
     // SimHash fingerprints: 60-bit (all the entropy the portable md5-derived
     // hash carries), token-frequency weighted (sign of the per-bit vote).
     QueryDef("q_x_simhash", (s, d) => graft.operators.TextDedup.simhash(t(s, d, "documents")),
