@@ -42,7 +42,11 @@ object TextDedup {
     * never touching the shingle sets again: the sketch workflow for
     * "how much does source A overlap source B" across a 100 TB corpus. */
   def corpusOverlap(docs: DataFrame, groupCol: String, numHashes: Int = 16): DataFrame = {
+    // persisted: the tiny (one row per group) signature frame feeds both
+    // sides of the pair join — without it the full corpus aggregate runs
+    // twice (see the persist-lifecycle note in the object doc)
     val sigs = groupSignatures(docs, groupCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col(groupCol).as("g1"), col("sig").as("s1"))
     val b = sigs.select(col(groupCol).as("g2"), col("sig").as("s2"))
     a.join(b, col("g1") < col("g2"))
