@@ -1,0 +1,80 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.operators.{QualityFilter, Sampling, TextDedup}
+
+/** The training-data counterpart of [[PipelineRunner]]: one configurable,
+  * catalog-backed corpus build composing the library operators —
+  *
+  *   quality gate → exact dedup → (optional) near-dup removal →
+  *   deterministic sample → sequence packing
+  *
+  * — and committing the selected corpus and its sequence layout as atomic
+  * catalog tables. Every stage is the operator the gate queries verify;
+  * the pipeline only wires them. Deterministic end to end (hash-based
+  * selection, injected thresholds), so a rerun over the same input commits
+  * identical tables.
+  *
+  * Scale shape: stages 1, 4 are map-side; stage 2 is one hash aggregate +
+  * keep-list join; stage 3 is the blocked near-dup join + label
+  * propagation; stage 5 is a per-shard window. Nothing here adds a shuffle
+  * the underlying operators don't already have.
+  */
+final case class TrainingPipelineConfig(
+    quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
+    dedupExact: Boolean = true,
+    nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
+    samplePct: Int = 100,
+    seqTokens: Int = 4096,
+    shards: Int = 64,
+    corpusTable: String = "training_corpus",
+    sequencesTable: String = "training_sequences")
+
+final case class TrainingPipelineSummary(
+    inputDocs: Long, afterQuality: Long, afterDedup: Long, afterSample: Long,
+    totalTokens: Long, sequences: Long)
+
+final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
+
+  def run(docs: DataFrame, cfg: TrainingPipelineConfig = TrainingPipelineConfig()):
+      TrainingPipelineSummary = {
+    val inputDocs = docs.count()
+
+    val quality = QualityFilter.filter(docs, cfg.quality)
+    val afterQuality = quality.count()
+
+    val deduped0 =
+      if (!cfg.dedupExact) quality
+      else quality.join(
+        TextDedup.exact(quality).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val deduped = cfg.nearDupJaccard match {
+      case None => deduped0
+      case Some(t) =>
+        // near-dup clusters over the exact-deduped set; keep each cluster's
+        // canonical minimum, drop the rest
+        val drop = TextDedup.clusters(TextDedup.ngramJaccard(deduped0, t))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        deduped0.join(drop, Seq("doc_id"), "left_anti")
+    }
+    val afterDedup = deduped.count()
+
+    val sampled =
+      if (cfg.samplePct >= 100) deduped
+      else Sampling.hashSample(deduped, "doc_id", cfg.samplePct)
+
+    catalog.write(cfg.corpusTable, sampled)
+    val selected = catalog.read(cfg.corpusTable) // read back: one compute, two consumers
+    val packed = Sampling.packSequences(
+      selected, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
+    catalog.write(cfg.sequencesTable, packed)
+
+    val seqStats = catalog.read(cfg.sequencesTable).agg(
+      count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"),
+      countDistinct(concat_ws("|", col("shard"), col("seq_id"))).as("seqs")).head()
+    TrainingPipelineSummary(inputDocs, afterQuality, afterDedup, seqStats.getLong(0),
+      seqStats.getLong(1), seqStats.getLong(2))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.run.{TrainingPipeline, TrainingPipelineConfig}
+
+/** End-to-end corpus build: quality → dedup → sample → pack, committed as
+  * atomic catalog tables, deterministic across reruns. */
+class TrainingPipelineSpec extends SparkSpec {
+
+  private def docs = graft.queries.Q.t(spark, sf0001, "documents")
+
+  test("corpus build commits consistent tables and a consistent summary") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(samplePct = 50, seqTokens = 1024, shards = 4)
+    val s = new TrainingPipeline(spark, cat).run(docs, cfg)
+
+    assert(s.inputDocs == 500)
+    assert(s.afterQuality <= s.inputDocs && s.afterQuality > 0)
+    assert(s.afterDedup <= s.afterQuality)
+    assert(s.afterSample <= s.afterDedup && s.afterSample > 0)
+    assert(cat.read("training_corpus").count() == s.afterSample)
+    assert(cat.read("training_sequences").count() == s.afterSample)
+    assert(s.totalTokens > 0 && s.sequences > 0 && s.sequences <= s.afterSample)
+    // every sequence stays within the token budget offset-wise
+    assert(cat.read("training_sequences")
+      .filter(col("offset") < 0 || col("offset") >= 1024).count() == 0)
+  }
+
+  test("rerun over the same input commits identical tables (determinism)") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val p = new TrainingPipeline(spark, cat)
+    val cfg = TrainingPipelineConfig(samplePct = 30, seqTokens = 512, shards = 2)
+    val s1 = p.run(docs, cfg)
+    val ids1 = rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
+    val s2 = p.run(docs, cfg)
+    val ids2 = rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
+    assert(s1 == s2)
+    assert(ids1 == ids2)
+  }
+
+  test("near-dup removal drops cluster non-keepers") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => "tok" + i).mkString(" ")
+    val nearDup = (1 to 28).map(i => "tok" + i).mkString(" ") + " tokX tokY"
+    val other = (100 to 130).map(i => "w" + i).mkString(" ")
+    val tiny = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(
+      quality = graft.operators.QualityFilter.Thresholds(
+        minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0),
+      nearDupJaccard = Some(0.5), seqTokens = 64, shards = 1)
+    val s = new TrainingPipeline(spark, cat).run(tiny, cfg)
+    assert(s.afterDedup == 2) // doc 2 is a near-dup of doc 1 → dropped
+    assert(rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
+      .map(_.head) == Seq(1L, 3L))
+  }
+}
