@@ -124,10 +124,19 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   private val InheritedMeta = Seq(BatchIdFile)
 
   /** TRUNCATE equivalent (validate_data.py:139): next version is empty.
-    * Inherited metadata (the streaming batch-id) is dropped — truncating is
-    * a full reset, so a rebuilt stream starts from a clean replay window. */
-  def truncate(name: String): Unit =
-    writeVersion(name, read(name).limit(0), Map.empty, inherit = false)
+    * The streaming batch-id high-water mark is KEPT — a truncate while a
+    * stream is live must not re-open the replay window (a redelivered old
+    * batch would resurrect truncated rows). Rebuilding with a NEW stream
+    * checkpoint (whose batch ids restart at 0) is a deliberate operator
+    * action: call [[resetStreamState]] for that. */
+  def truncate(name: String): Unit = write(name, read(name).limit(0))
+
+  /** Drop the streaming replay marker: the next version carries no
+    * `_BATCH_ID`, so a NEW streaming query (fresh checkpoint, batch ids
+    * from 0) can sink into the table. Only for deliberate rebuilds — with
+    * the OLD stream still running this re-opens the replay window. */
+  def resetStreamState(name: String): Unit =
+    writeVersion(name, read(name), Map.empty, inherit = false)
 
   /** INSERT INTO equivalent (S4, populate_fact.py:117): append rows as a new
     * version (existing ∪ new), preserving the atomic-swap visibility rule.

@@ -82,9 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val bits = if (args.length == 2) {
           require(args(1).foldable, "simhash: bits must be a literal integer")
           args(1).eval() match {
-            case n: Number => n.intValue()
+            case n: java.lang.Byte => n.intValue()
+            case n: java.lang.Short => n.intValue()
+            case n: java.lang.Integer => n.intValue()
+            case n: java.lang.Long => n.intValue()
             case other => throw new IllegalArgumentException(
-              s"simhash: bits must be a non-null integer literal, got $other")
+              s"simhash: bits must be a non-null INTEGRAL literal, got $other")
           }
         } else graft.operators.TextDedup.SimHashBits
         graft.expressions.SimHash(args(0), bits)

@@ -57,6 +57,9 @@ object Sampling {
     require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
     docs.select(col(idCol), tokenCount.cast("long").as("n_tokens"))
+      // a null token count (null text) yields NO chunks — greatest/least
+      // would otherwise skip the null and fabricate a full-size chunk
+      .filter(col("n_tokens").isNotNull)
       .withColumn("n_chunks", // pure-integer ceil: exact on both engines
         greatest(lit(1L), expr(s"(n_tokens - $overlap + $stride - 1) div $stride")))
       .withColumn("chunk_id", explode(expr("sequence(0L, n_chunks - 1)")))

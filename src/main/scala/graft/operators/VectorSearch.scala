@@ -78,20 +78,20 @@ object VectorSearch {
 
   /** Adds a sign-bucket column from `numPlanes` hyperplane sign bits.
     * `dim` must match the embedding dimensionality (probe with [[probeDim]]
-    * when unknown). A mismatched dim makes every plane dot product null
-    * (DotProductLong nulls on length mismatch), which propagates to a NULL
-    * bucket — downstream equi-joins then produce zero candidates, a loud
-    * empty result instead of either a silent recall cliff (prefix
-    * projection) or a single-bucket quadratic collapse. */
+    * when unknown). A mismatched dim FAILS the job with a clear error at
+    * the first row — neither the old silent recall cliff (prefix
+    * projection) nor an empty result a caller could mistake for "no
+    * near-duplicates found". */
   def lshBuckets(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val e = prepared(emb)
     val pl = planes(numPlanes, dim)
-    val bucket = (0 until numPlanes).map { p =>
-      val dp = graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq))
-      when(dp.isNull, lit(null).cast("long"))
-        .when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
+    val bits = (0 until numPlanes).map { p =>
+      when(graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    e.withColumn("bucket", bucket)
+    e.withColumn("bucket",
+      when(size(col("q")) === dim, bits).otherwise(raise_error(format_string(
+        s"lshBuckets: embedding dim %s != configured dim $dim", size(col("q"))))))
   }
 
   /** IVF-style ANN probe: neighbors are ranked ONLY within the query's LSH

@@ -42,39 +42,51 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
       TrainingPipelineSummary = {
     val inputDocs = docs.count()
 
+    // Persisted: each stage frame feeds its count AND the next stage (and
+    // the exact-dedup keep-list join reads quality twice) — without the
+    // persists every summary count re-runs the whole upstream pipeline,
+    // which at corpus scale is a full extra scan per stage. Materialized by
+    // the counts, freed before returning.
     val quality = QualityFilter.filter(docs, cfg.quality)
-    val afterQuality = quality.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val afterQuality = quality.count()
 
-    val deduped0 =
-      if (!cfg.dedupExact) quality
-      else quality.join(
-        TextDedup.exact(quality).select(col("keep_id").as("doc_id")), Seq("doc_id"))
-    val deduped = cfg.nearDupJaccard match {
-      case None => deduped0
-      case Some(t) =>
-        // near-dup clusters over the exact-deduped set; keep each cluster's
-        // canonical minimum, drop the rest
-        val drop = TextDedup.clusters(TextDedup.ngramJaccard(deduped0, t))
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id"))
-        deduped0.join(drop, Seq("doc_id"), "left_anti")
-    }
-    val afterDedup = deduped.count()
+      val deduped0 =
+        if (!cfg.dedupExact) quality
+        else quality.join(
+          TextDedup.exact(quality).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val dedupedPlan = cfg.nearDupJaccard match {
+        case None => deduped0
+        case Some(t) =>
+          // near-dup clusters over the exact-deduped set; keep each cluster's
+          // canonical minimum, drop the rest
+          val drop = TextDedup.clusters(TextDedup.ngramJaccard(deduped0, t))
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id"))
+          deduped0.join(drop, Seq("doc_id"), "left_anti")
+      }
+      val deduped = dedupedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val afterDedup = deduped.count()
 
-    val sampled =
-      if (cfg.samplePct >= 100) deduped
-      else Sampling.hashSample(deduped, "doc_id", cfg.samplePct)
+        val sampled =
+          if (cfg.samplePct >= 100) deduped
+          else Sampling.hashSample(deduped, "doc_id", cfg.samplePct)
 
-    catalog.write(cfg.corpusTable, sampled)
-    val selected = catalog.read(cfg.corpusTable) // read back: one compute, two consumers
-    val packed = Sampling.packSequences(
-      selected, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
-    catalog.write(cfg.sequencesTable, packed)
+        catalog.write(cfg.corpusTable, sampled)
+        val selected = catalog.read(cfg.corpusTable) // read back: one compute, two consumers
+        val packed = Sampling.packSequences(
+          selected, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
+        catalog.write(cfg.sequencesTable, packed)
 
-    val seqStats = catalog.read(cfg.sequencesTable).agg(
-      count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"),
-      countDistinct(concat_ws("|", col("shard"), col("seq_id"))).as("seqs")).head()
-    TrainingPipelineSummary(inputDocs, afterQuality, afterDedup, seqStats.getLong(0),
-      seqStats.getLong(1), seqStats.getLong(2))
+        val seqStats = catalog.read(cfg.sequencesTable).agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tok"), // empty corpus → 0, not null
+          countDistinct(concat_ws("|", col("shard"), col("seq_id"))).as("seqs")).head()
+        TrainingPipelineSummary(inputDocs, afterQuality, afterDedup, seqStats.getLong(0),
+          seqStats.getLong(1), seqStats.getLong(2))
+      } finally deduped.unpersist()
+    } finally quality.unpersist()
   }
 }

@@ -119,6 +119,19 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 3)
   }
 
+  test("truncate keeps replay protection; resetStreamState deliberately clears it") {
+    val cat = freshCatalog()
+    assert(cat.appendStreamBatch("t", Seq(1).toDF("v"), 3L))
+    cat.truncate("t")
+    // a redelivered old batch must NOT resurrect truncated rows
+    assert(!cat.appendStreamBatch("t", Seq(9).toDF("v"), 3L))
+    assert(cat.read("t").count() == 0)
+    // deliberate rebuild with a fresh stream checkpoint: explicit reset
+    cat.resetStreamState("t")
+    assert(cat.appendStreamBatch("t", Seq(9).toDF("v"), 0L))
+    assert(cat.read("t").count() == 1)
+  }
+
   test("failed write never moves the pointer (COMMIT-equivalent atomicity)") {
     val cat = freshCatalog()
     cat.write("t", Seq(1, 2).toDF("v"))

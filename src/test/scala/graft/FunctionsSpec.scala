@@ -56,6 +56,15 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Seq(Seq(1L, 2L)))
   }
 
+  test("lshBuckets fails loudly on embedding dim mismatch") {
+    val emb = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val e = intercept[Throwable](
+      graft.operators.VectorSearch.lshBuckets(emb, 8, dim = 64).collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("lshBuckets"))
+  }
+
   test("incremental dedup: batch joins corpus bands only, exact path left-antis") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
