@@ -50,6 +50,10 @@ object ScaleProbe {
       val d = rep(docs, Seq("doc_id"), k)
       time(s"minhash k=$k")(graft.operators.TextDedup.minhashLsh(d, 0.5).count())
     }
+    for (k <- Seq(1, 4, 8)) {
+      val d = rep(docs, Seq("doc_id"), k)
+      time(s"simhash_nd k=$k")(graft.operators.TextDedup.simhashNearDups(d, 11).count())
+    }
     spark.stop()
   }
 }
