@@ -224,6 +224,40 @@ object ParityQueries {
                  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
                FROM orders""")),
 
+    // RANGE window frame: peer rows (equal order keys) aggregate TOGETHER,
+    // unlike the ROWS frame in q_w3 — the semantic difference shows whenever
+    // the order key has duplicates (same order date here).
+    QueryDef("q_w7_range_frame",
+      (s, d) => t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(cents(col("o_totalprice"))).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents_peers")),
+      Some(s"""SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate RANGE UNBOUNDED PRECEDING) AS BIGINT)
+                 AS running_cents_peers
+               FROM orders""")),
+
+    // Conditional aggregation: per-group counts/sums under predicates in ONE
+    // pass (the FILTER-clause shape — count_if / sum(CASE)).
+    QueryDef("q_a6_conditional_agg",
+      (s, d) => t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+        sum(when(col("o_orderpriority") === "1-URGENT", cents(col("o_totalprice")))
+          .otherwise(lit(0L))).as("urgent_cents"),
+        max(when(col("o_orderpriority") === "1-URGENT", col("o_orderdate")))
+          .as("last_urgent_date")),
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT) AS urgent_cents,
+               max(o_orderdate) FILTER (WHERE o_orderpriority = '1-URGENT')
+                 AS last_urgent_date
+               FROM orders GROUP BY o_orderstatus""")),
+
     // F1-F10 — date-part and date-arithmetic functions, incl. the Redshift DOW
     // numbering trap (SURVEY.md §2.7 F5: Spark dayofweek is 1-based Sunday).
     QueryDef("q_f_date_parts",

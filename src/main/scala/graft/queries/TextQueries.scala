@@ -135,6 +135,30 @@ object TextQueries {
       Some(s"""SELECT CAST(floor(len($tokensSql) / 10) * 10 AS BIGINT) AS bucket,
                count(*) AS n_docs FROM documents GROUP BY 1""")),
 
+    // Array-function surface over token sets: intersect / except / overlap
+    // against a fixed vocabulary (set results sorted+joined to scalars —
+    // both engines order set ops arbitrarily).
+    QueryDef("q_f6_array_ops",
+      (s, d) => {
+        val vocab = array(stopwords.map(lit): _*)
+        t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            array_join(sort_array(array_intersect(array_distinct(col("toks")), vocab)), "|")
+              .as("common_stopwords"),
+            size(array_except(array_distinct(col("toks")), vocab)).cast("long")
+              .as("n_non_stopword_types"),
+            arrays_overlap(col("toks"), vocab).as("has_stopword"))
+      },
+      Some(s"""SELECT doc_id,
+               COALESCE(array_to_string(list_sort(list_intersect(list_distinct($tokensSql),
+                 [$stopIn])), '|'), '') AS common_stopwords,
+               len(list_filter(list_distinct($tokensSql),
+                 t -> NOT list_contains([$stopIn], t))) AS n_non_stopword_types,
+               list_has_any($tokensSql, [$stopIn]) AS has_stopword
+               FROM documents""")),
+
     // Corpus token statistics (BPE-ish accounting rolls up the same way).
     QueryDef("q_x_token_totals",
       (s, d) => t(s, d, "documents")
