@@ -396,6 +396,15 @@ object ParityQueries {
       Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
               INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
 
+    // Bag-semantics set ops: EXCEPT ALL preserves multiplicities (a customer
+    // with 3 'O' orders and 1 'F' order keeps 2 rows) — the semantic edge
+    // DISTINCT-flavored except erases.
+    QueryDef("q_u4_except_all",
+      (s, d) => t(s, d, "orders").filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .exceptAll(t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey"))),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
     // C4 — the date dimension itself (datespopulation.py:16-43) via
     // spark.range, no row-source hack, no single-partition sort.
     QueryDef("q_c4_date_dimension",
