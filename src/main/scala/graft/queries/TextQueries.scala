@@ -465,12 +465,12 @@ object TextQueries {
       (s, d) => graft.operators.Sampling.packSequences(
         t(s, d, "documents"), size(tokens(col("text"))), "doc_id", 4096, 8),
       Some(s"""SELECT doc_id, n_tokens, shard,
-               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
-               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS seq_id,
-               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 4096 AS offset
+               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS seq_id,
+               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 4096 AS BIGINT) AS offset
                FROM (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,
                      ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
                      FROM documents)""")),
