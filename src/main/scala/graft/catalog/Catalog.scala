@@ -18,7 +18,10 @@ import scala.jdk.CollectionConverters._
   * an atomic move — readers either see the old version or the new one, never a
   * torn state. This is the same pointer-swap design production table formats
   * (Delta/Iceberg) use for their commit step, reduced to the single-writer case
-  * the reference has (one Glue workflow run per table).
+  * the reference has (one Glue workflow run per table). Appends are file-level:
+  * the new version holds only the appended files plus a `_MANIFEST` referencing
+  * the files carried forward from the previous version (see [[append]]) — the
+  * same data/metadata split as Iceberg's manifest lists, flattened to one file.
   *
   * Scale note: at 100 TB the version directory is written by all executors in
   * parallel (standard parquet commit protocol); only the pointer flip is
@@ -38,8 +41,8 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
 
   /** Read the current version of a table. Case-insensitive name lookup, matching
     * the reference's lower-cased identifiers (dynamic_upsert.py:92). */
-  def read(name: String): DataFrame = currentPath(name) match {
-    case Some(p) => spark.read.parquet(p)
+  def read(name: String): DataFrame = currentVersion(name) match {
+    case Some(v) => readVersionDir(name, v)
     case None => throw new IllegalArgumentException(s"catalog: no such table '$name'")
   }
 
@@ -52,7 +55,19 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       throw new IllegalArgumentException(
         s"catalog: version $version of '$name' does not exist or was pruned " +
           s"(retained: ${versions(name).mkString(", ")})")
-    spark.read.parquet(dir.toString)
+    readVersionDir(name, s"v_$version")
+  }
+
+  /** A version is either self-contained (plain directory scan) or, after a
+    * file-level append, a `_MANIFEST` of table-dir-relative data files that
+    * may live in OLDER version directories (carried forward, never copied). */
+  private def readVersionDir(name: String, version: String): DataFrame = {
+    val dir = tableDir(name).resolve(version)
+    val mf = dir.resolve(ManifestFile)
+    if (Files.isRegularFile(mf)) {
+      val paths = manifestEntries(mf).map(rel => tableDir(name).resolve(rel).toString)
+      spark.read.parquet(paths: _*)
+    } else spark.read.parquet(dir.toString)
   }
 
   /** Retained version numbers, oldest first. */
@@ -79,7 +94,7 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * disables inheritance — an emptied table is a full reset, including its
     * stream high-water mark. */
   private def writeVersion(name: String, df: DataFrame, meta: Map[String, String],
-      inherit: Boolean = true): Unit = {
+      inherit: Boolean = true, carryFiles: Boolean = false): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
     val inherited = if (!inherit) Map.empty[String, String] else
@@ -87,8 +102,20 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
         .flatMap(p => InheritedMeta.map(p.resolve).filter(Files.isRegularFile(_)))
         .map(f => f.getFileName.toString -> Files.readString(f))
         .toMap
-    val next = "v_" + (currentVersion(name).map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
+    val cur = currentVersion(name)
+    // Resolve the carried-forward file list BEFORE the new write: the files
+    // composing the current version, manifest-aware (chained appends carry
+    // the whole chain forward, no copies).
+    val carried: Seq[String] = if (!carryFiles) Seq.empty else
+      cur.toSeq.flatMap(v => versionDataFiles(name, v))
+    val next = "v_" + (cur.map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
     df.write.mode("overwrite").parquet(dir.resolve(next).toString)
+    if (carryFiles && carried.nonEmpty) {
+      val fresh = localDataFiles(dir.resolve(next)).map(p => s"$next/${p.getFileName}")
+      Files.writeString(dir.resolve(next).resolve(ManifestFile),
+        (carried ++ fresh).mkString("\n"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
     (inherited ++ meta).foreach { case (file, content) =>
       Files.writeString(dir.resolve(next).resolve(file), content,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -98,6 +125,29 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     prune(name, next)
+  }
+
+  private val ManifestFile = "_MANIFEST"
+
+  private def manifestEntries(mf: Path): Seq[String] =
+    Files.readString(mf).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Parquet data files physically inside one version directory. */
+  private def localDataFiles(versionDir: Path): Seq[Path] =
+    listDir(versionDir)
+      .filter(p => Files.isRegularFile(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getFileName.toString)
+
+  /** Table-dir-relative data files composing a version (manifest-aware). */
+  private def versionDataFiles(name: String, version: String): Seq[String] = {
+    val dir = tableDir(name).resolve(version)
+    val mf = dir.resolve(ManifestFile)
+    if (Files.isRegularFile(mf)) manifestEntries(mf)
+    else localDataFiles(dir).map(p => s"$version/${p.getFileName}")
   }
 
   /** Idempotent micro-batch append for Structured Streaming `foreachBatch`
@@ -114,8 +164,10 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       .getOrElse(-1L)
     if (batchId <= last) false
     else {
-      val combined = if (exists(name)) read(name).unionByName(df) else df
-      writeVersion(name, combined, Map(BatchIdFile -> batchId.toString))
+      if (exists(name))
+        writeVersion(name, alignedForAppend(name, df), Map(BatchIdFile -> batchId.toString),
+          carryFiles = true)
+      else writeVersion(name, df, Map(BatchIdFile -> batchId.toString))
       true
     }
   }
@@ -139,14 +191,35 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     writeVersion(name, read(name), Map.empty, inherit = false)
 
   /** INSERT INTO equivalent (S4, populate_fact.py:117): append rows as a new
-    * version (existing ∪ new), preserving the atomic-swap visibility rule.
-    * Scale note: this rewrites the table; at fact scale an appender would
-    * instead add files to the current version directory and commit a new
-    * manifest — same pointer-swap idea, kept simple here because the
-    * reference's unit of work is a full per-run rebuild. */
+    * version, preserving the atomic-swap visibility rule — but FILE-LEVEL:
+    * only the new rows are written; the current version's data files are
+    * carried forward by reference in the new version's `_MANIFEST`, never
+    * copied. An append is therefore O(batch), not O(table) — the difference
+    * between a usable and an unusable streaming/fact sink at 100 TB (a
+    * micro-batch append against a 100 TB fact must not rewrite 100 TB).
+    * [[compact]] collapses an append chain back into one self-contained
+    * version when the file count grows. Appended rows must match the table
+    * schema by column name and type (checked; order is normalized) — mixed
+    * file schemas under one manifest would mis-resolve at scan time. */
   def append(name: String, df: DataFrame): Unit =
     if (!exists(name)) write(name, df)
-    else write(name, read(name).unionByName(df))
+    else writeVersion(name, alignedForAppend(name, df), Map.empty, carryFiles = true)
+
+  /** Column-order/type normalization + loud schema check for file-level
+    * appends (every file under one manifest must agree by-name). */
+  private def alignedForAppend(name: String, df: DataFrame): DataFrame = {
+    val existing = read(name).schema
+    val have = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val want = existing.fields.map(f => f.name.toLowerCase -> f.dataType)
+    val missing = want.collect { case (n, _) if !have.contains(n) => n }
+    val extra = have.keySet -- want.map(_._1).toSet
+    val mistyped = want.collect { case (n, t) if have.get(n).exists(_ != t) => s"$n: ${have(n)} != $t" }
+    require(missing.isEmpty && extra.isEmpty && mistyped.isEmpty,
+      s"catalog: append schema mismatch for '$name' — missing=${missing.mkString(",")} " +
+        s"extra=${extra.mkString(",")} mistyped=${mistyped.mkString("; ")} " +
+        "(use appendEvolve for additive schema changes)")
+    df.select(existing.fields.map(f => df.col(f.name)).toIndexedSeq: _*)
+  }
 
   /** Schema-evolving append: new columns in `df` are added to the table
     * (existing rows read them as null) and columns `df` lacks are
@@ -196,11 +269,20 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   private def listDir(dir: Path): Seq[Path] =
     scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
 
+  /** Drops version directories beyond `keepVersions` — EXCEPT any directory
+    * still referenced by a retained version's `_MANIFEST` (file-level appends
+    * leave current data physically in older directories; deleting those would
+    * corrupt the current version). A referenced directory is reclaimed once
+    * [[compact]] (or any full rewrite) ages the referencing manifests out. */
   private def prune(name: String, current: String): Unit = {
     val versions = listDir(tableDir(name))
       .filter(p => p.getFileName.toString.startsWith("v_"))
       .sortBy(_.getFileName.toString.stripPrefix("v_").toLong)
-    versions.dropRight(keepVersions).filter(_.getFileName.toString != current)
+    val retained = versions.takeRight(keepVersions).map(_.getFileName.toString).toSet + current
+    val referenced = retained.flatMap(v => versionDataFiles(name, v))
+      .map(rel => rel.takeWhile(_ != '/'))
+    versions.filterNot(p => retained(p.getFileName.toString) ||
+        referenced(p.getFileName.toString))
       .foreach(deleteRecursively)
   }
 

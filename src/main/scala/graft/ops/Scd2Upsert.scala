@@ -21,9 +21,10 @@ import graft.model.{Schemas, Scd2Spec}
   * improvement and is never the default.
   *
   * Scale notes:
-  *  - The close-out "UPDATE" is a left-semi join of dim against the distinct
-  *    source keys; Spark plans a broadcast-semi when the staged key set is
-  *    small, so no dim shuffle. No in-place update exists in Spark — the
+  *  - The close-out "UPDATE" is a left join of dim against the distinct
+  *    source keys — broadcast for ordinary dims (no dim shuffle), shuffled
+  *    when `spec.scalableKeys` says the key set is dimension-sized (a
+  *    broadcast there is the OOM). No in-place update exists in Spark — the
   *    caller persists the returned frame via [[graft.catalog.Catalog.write]]'s
   *    atomic version swap, giving the reference's transactional visibility.
   *  - Surrogate keys use a window over the (small) staged increment only, not
@@ -42,11 +43,15 @@ object Scd2Upsert {
     val isCurrent = col(spec.endDateCol) === lit(Schemas.HighDate)
 
     // Close-out rewrite of the reference's UPDATE (dynamic_upsert.py:128-131):
-    // a broadcast left join marks the keys present in the source ("IN
-    // (SELECT ... FROM source)", P7); matched current rows get EndDate =
-    // runDate - 1 day, everyone else passes through unchanged.
+    // a left join marks the keys present in the source ("IN (SELECT ... FROM
+    // source)", P7); matched current rows get EndDate = runDate - 1 day,
+    // everyone else passes through unchanged. The staged key set is broadcast
+    // for ordinary dimensions (no dim shuffle); `spec.scalableKeys` — the
+    // huge-dimension opt-in — drops the hint so Catalyst plans a shuffled
+    // join instead of building/OOMing a dimension-sized broadcast table.
+    val hitKeys = stagedKeys.withColumn("__hit", lit(true))
     val closed = dim
-      .join(broadcast(stagedKeys.withColumn("__hit", lit(true))), Seq(spec.businessKey), "left")
+      .join(if (spec.scalableKeys) hitKeys else broadcast(hitKeys), Seq(spec.businessKey), "left")
       .withColumn(spec.endDateCol,
         when(isCurrent && col("__hit"), date_sub(lit(runDate), 1))
           .otherwise(col(spec.endDateCol)))
@@ -81,8 +86,9 @@ object Scd2Upsert {
     def withHash(df: DataFrame) = df.withColumn("__h", sha2(concat_ws("", hashCols: _*), 256))
     val currentHashes = withHash(dim.filter(col(spec.endDateCol) === lit(Schemas.HighDate)))
       .select(col(spec.businessKey), col("__h"))
+    val curRenamed = currentHashes.withColumnRenamed("__h", "__cur")
     val changed = withHash(source.select(spec.trackedColumns.map(col): _*).distinct())
-      .join(broadcast(currentHashes.withColumnRenamed("__h", "__cur")), Seq(spec.businessKey), "left")
+      .join(if (spec.scalableKeys) curRenamed else broadcast(curRenamed), Seq(spec.businessKey), "left")
       .filter(col("__cur").isNull || col("__cur") =!= col("__h"))
       .drop("__h", "__cur")
     run(changed, dim, spec, runDate)

@@ -146,6 +146,77 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 3)
   }
 
+  test("append is file-level: existing data files are referenced, not rewritten") {
+    val cat = freshCatalog()
+    cat.write("t", spark.range(100).toDF("id").repartition(4)) // v_0: 4 files
+    val v0 = java.nio.file.Paths.get(cat.currentPath("t").get)
+    def parquetFiles(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+      new java.io.File(d.toString).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).map(_.toPath)
+    val before = parquetFiles(v0).map(p => p -> Files.getLastModifiedTime(p))
+    assert(before.size == 4)
+    cat.append("t", Seq(100L, 101L).toDF("id"))
+    // v_0's files survive byte-for-byte in place (no rewrite, no copy) …
+    before.foreach { case (p, mtime) =>
+      assert(Files.exists(p), s"append rewrote/moved $p")
+      assert(Files.getLastModifiedTime(p) == mtime, s"append touched $p")
+    }
+    // … the new version holds ONLY the appended rows' files plus the manifest …
+    val v1 = java.nio.file.Paths.get(cat.currentPath("t").get)
+    assert(v1 != v0)
+    assert(Files.exists(v1.resolve("_MANIFEST")))
+    assert(spark.read.parquet(parquetFiles(v1).map(_.toString): _*).count() == 2,
+      "append must land only the batch, not the table")
+    // … and the composed read sees everything.
+    assert(cat.read("t").count() == 102)
+    assert(rows(cat.read("t").orderBy(desc("id")).limit(2)).flatten == Seq(101L, 100L))
+  }
+
+  test("prune keeps old directories still referenced by the current manifest") {
+    val cat = freshCatalog() // keepVersions = 2
+    cat.write("t", Seq(1L).toDF("id"))   // v_0
+    cat.append("t", Seq(2L).toDF("id"))  // v_1 → refs v_0
+    cat.append("t", Seq(3L).toDF("id"))  // v_2 → refs v_0, v_1; naive prune would drop v_0
+    val dir = new java.io.File(cat.currentPath("t").get).getParentFile
+    assert(dir.listFiles().map(_.getName).contains("v_0"))
+    assert(rows(cat.read("t").orderBy("id")).flatten == Seq(1L, 2L, 3L))
+    // a full rewrite ages the manifests out; referenced dirs are then reclaimed
+    cat.compact("t", 1)                  // v_3, self-contained
+    cat.write("t", Seq(9L).toDF("id"))   // v_4 → retained {v_3, v_4}, refs gone
+    val names = dir.listFiles().map(_.getName).filter(_.startsWith("v_")).sorted
+    assert(names.toSeq == Seq("v_3", "v_4"))
+    assert(rows(cat.read("t")).flatten == Seq(9L))
+  }
+
+  test("append rejects a mismatched schema loudly") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](
+      cat.append("t", Seq(("a", 1L)).toDF("id", "v"))) // swapped types
+    assert(e.getMessage.contains("schema mismatch"))
+    val e2 = intercept[IllegalArgumentException](
+      cat.append("t", Seq(1L).toDF("id"))) // missing column
+    assert(e2.getMessage.contains("missing=v"))
+    // column ORDER alone is fine — normalized to the table's order
+    cat.append("t", Seq(("b", 2L)).toDF("v", "id"))
+    assert(rows(cat.read("t").orderBy("id")) == Seq(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
+  test("streaming micro-batch append is file-level too") {
+    val cat = freshCatalog()
+    assert(cat.appendStreamBatch("t", spark.range(50).toDF("v"), 0L))
+    val v0files = new java.io.File(cat.currentPath("t").get).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath)
+    assert(cat.appendStreamBatch("t", Seq(99L).toDF("v"), 1L))
+    val cur = java.nio.file.Paths.get(cat.currentPath("t").get)
+    assert(Files.exists(cur.resolve("_MANIFEST")), "micro-batch must commit a manifest")
+    v0files.foreach(f => assert(Files.exists(f)))
+    assert(cat.read("t").count() == 51)
+    // replay protection still rides in the new version dir
+    assert(!cat.appendStreamBatch("t", Seq(7L).toDF("v"), 1L))
+    assert(cat.read("t").count() == 51)
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))

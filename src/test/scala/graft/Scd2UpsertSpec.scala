@@ -85,4 +85,30 @@ class Scd2UpsertSpec extends SparkSpec {
     assert(rows(newRows.select("customerid")).flatten.toSet == Set(1, 5))
     assert(dim2.count() == 6) // 4 originals + 2 new versions
   }
+
+  test("scalableKeys routes the close-out join off the broadcast path") {
+    val dim1 = Scd2Upsert.initialLoad(src("customers.csv"), spec, d1)
+    def closeOutPlan(s: graft.model.Scd2Spec) = {
+      // disable auto-broadcast so the ONLY possible BroadcastExchange is the
+      // explicit hint under test (tiny fixtures would otherwise auto-broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try Scd2Upsert.run(src("customers_v2.csv"), dim1, s, d2)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // default spec: staged keys are hint-broadcast (no dim shuffle) …
+    assert(closeOutPlan(spec).contains("BroadcastExchange"))
+    // … scalable spec: no broadcast anywhere — a dimension-sized key set
+    // must shuffle, not be built into an in-memory hash table
+    val scal = closeOutPlan(spec.copy(scalableKeys = true))
+    assert(!scal.contains("BroadcastExchange"),
+      "scalableKeys close-out must not broadcast the staged key set")
+    // and the results are identical either way
+    val a = rows(Scd2Upsert.run(src("customers_v2.csv"), dim1, spec, d2)
+      .orderBy("customerkey", "startdate"))
+    val b = rows(Scd2Upsert.run(src("customers_v2.csv"), dim1,
+        spec.copy(scalableKeys = true), d2)
+      .orderBy("customerkey", "startdate"))
+    assert(a == b)
+  }
 }
