@@ -184,6 +184,49 @@ object TextDedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** The persistable LSH index of a corpus: its (doc_id, band) frame —
+    * exactly the corpus side [[minhashLshIncremental]] recomputes every run.
+    * Build once, store via `Catalog.write("lsh_bands", …)`, and every
+    * subsequent batch joins against the stored index via
+    * [[minhashLshIndexed]] — the recurring-crawl shape where the 100 TB
+    * corpus is never re-tokenized, re-shingled, or re-hashed. The index is
+    * id+band only (two narrow columns, ≈ numBands rows per doc), NOT the
+    * shingle sets: verification re-shingles just the candidate docs.
+    * `numHashes`/`numBands` are baked into the band keys — query with the
+    * SAME values used at build time (mismatched keys simply never collide). */
+  def buildBandIndex(corpus: DataFrame, numHashes: Int = 16, numBands: Int = 8): DataFrame =
+    bandFrame(
+      shingled(corpus).withColumn("hs", shingleHashes).select(col("doc_id"), col("hs")),
+      numHashes, numBands)
+
+  /** Incremental near-dup against a PRE-BUILT band index ([[buildBandIndex]]):
+    * batch bands equi-join the stored index — the corpus side contributes no
+    * tokenize/shingle/hash work at all. Exact-Jaccard verification re-shingles
+    * ONLY the corpus docs that appear in a candidate pair (a semi-join keeps
+    * the corpus scan pruned to candidates; at 100 TB that's the difference
+    * between reading a few collided documents and re-processing the corpus).
+    * Returns (batch_id, corpus_id, jaccard ≥ threshold). */
+  def minhashLshIndexed(corpus: DataFrame, bandIndex: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 16, numBands: Int = 8): DataFrame = {
+    val bBase = hashedShingles(batch)
+    // persisted: the candidate pairs feed BOTH the corpus semi-join and the
+    // verify join — without it the band join + distinct runs twice
+    val cands = bandFrame(bBase, numHashes, numBands)
+      .select(col("doc_id").as("batch_id"), col("band"))
+      .join(bandIndex.select(col("doc_id").as("corpus_id"), col("band")), Seq("band"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candCorpus = corpus.join(
+      cands.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val sh2 = shingled(candCorpus).select(col("doc_id").as("corpus_id"), col("sh").as("sh2"))
+    cands
+      .join(bBase.select(col("doc_id").as("batch_id"), col("sh").as("sh1")), Seq("batch_id"))
+      .join(sh2, Seq("corpus_id"))
+      .withColumn("jaccard", Text.jaccard("sh1", "sh2"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Incremental EXACT dedup: batch documents whose content hash is absent
     * from the corpus (left-anti on md5 — one hash join, no comparisons). */
   def exactIncremental(corpus: DataFrame, batch: DataFrame,

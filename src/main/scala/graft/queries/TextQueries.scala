@@ -39,6 +39,27 @@ object TextQueries {
   private def aj(j: Int): Long = 2L * j + 3
   private def bj(j: Int): Long = 101L * j + 7
 
+  /** Oracle for the batch-vs-corpus incremental dedups (shared by the
+    * recompute-the-corpus and the persisted-index variants — the index must
+    * not change the answer): odd ids are the batch, even ids the corpus. */
+  private lazy val incrementalOracleSql: String = {
+    val sigExprs = (0 until numHashes).map(j =>
+      s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+    val bandList = (0 until numBands).map(bn =>
+      s"'$bn|' || sig${2 * bn} || ':' || sig${2 * bn + 1}").mkString(", ")
+    s"""WITH $shingledSql,
+        hsh AS (SELECT doc_id, sh,
+                list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+        sigs AS (SELECT doc_id, sh, $sigExprs FROM hsh),
+        bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+        cands AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+                  FROM bands bb JOIN bands cb ON bb.band = cb.band
+                  WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0)
+        SELECT batch_id, corpus_id, $jacSql AS jaccard
+        FROM cands JOIN shd a ON a.doc_id = batch_id JOIN shd b ON b.doc_id = corpus_id
+        WHERE $jacSql >= 0.5"""
+  }
+
   /** DuckDB CTEs (`tok`/`h`/`v`/`f`) computing the 60-bit SimHash fingerprint
     * exactly as [[graft.operators.TextDedup.simhash]] does. */
   private val simhashFingerprintSql: String = {
@@ -310,23 +331,27 @@ object TextQueries {
           docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
           0.5, numHashes, numBands)
       },
-      Some {
-        val sigExprs = (0 until numHashes).map(j =>
-          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
-        val bandList = (0 until numBands).map(bn =>
-          s"'$bn|' || sig${2 * bn} || ':' || sig${2 * bn + 1}").mkString(", ")
-        s"""WITH $shingledSql,
-            hsh AS (SELECT doc_id, sh,
-                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
-            sigs AS (SELECT doc_id, sh, $sigExprs FROM hsh),
-            bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
-            cands AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
-                      FROM bands bb JOIN bands cb ON bb.band = cb.band
-                      WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0)
-            SELECT batch_id, corpus_id, $jacSql AS jaccard
-            FROM cands JOIN shd a ON a.doc_id = batch_id JOIN shd b ON b.doc_id = corpus_id
-            WHERE $jacSql >= 0.5"""
-      }),
+      Some(incrementalOracleSql)),
+
+    // Same dedup through the PERSISTED band index: buildBandIndex → catalog
+    // write → read back → batch join. The corpus contributes ZERO tokenize/
+    // shingle/hash work at query time (verification re-shingles only the
+    // candidate docs, behind a semi-join) — the recurring-crawl shape where
+    // the 100 TB corpus index is built once and queried per batch. Shares
+    // the incremental oracle: the stored index must change nothing.
+    QueryDef("q_x_dedup_index",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val cat = new graft.catalog.Catalog(s,
+          java.nio.file.Files.createTempDirectory("graft-lsh-index").toString)
+        cat.write("lsh_bands",
+          graft.operators.TextDedup.buildBandIndex(corpus, numHashes, numBands))
+        graft.operators.TextDedup.minhashLshIndexed(
+          corpus, cat.read("lsh_bands"), docs.filter(col("doc_id") % 2 === 1),
+          0.5, numHashes, numBands)
+      },
+      Some(incrementalOracleSql)),
 
     // Incremental exact dedup: batch documents whose content hash is new to
     // the corpus — one left-anti hash join, the cheapest "is this novel"

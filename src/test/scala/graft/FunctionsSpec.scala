@@ -79,6 +79,38 @@ class FunctionsSpec extends SparkSpec {
     assert(novel == Seq(Seq(22L))) // 21 duplicates corpus content → dropped
   }
 
+  test("persisted band index: same pairs, corpus contributes no signature work") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val corpus = Seq((10L, base), (30L, "something else entirely here")).toDF("doc_id", "text")
+    val batch = Seq((21L, nearDup), (23L, "fresh new content words")).toDF("doc_id", "text")
+    // build once, store in the catalog, query against the stored frame
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-lsh-spec").toString)
+    cat.write("lsh_bands", TextDedup.buildBandIndex(corpus))
+    val indexed = TextDedup.minhashLshIndexed(corpus, cat.read("lsh_bands"), batch, 0.5)
+    // plan shape FIRST (pre-execution, so AQE prints one plan, not
+    // final+initial): the corpus side enters only as (a) the stored band
+    // index scan and (b) the semi-join-pruned verify input — there is no
+    // corpus tokenize/shingle/signature pipeline in the plan at all.
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains(cat.currentPath("lsh_bands").get),
+      "indexed dedup must scan the stored band index")
+    assert(plan.contains("LeftSemi"), "corpus verify side must be semi-join pruned")
+    // signature computations: indexed (batch-only, printed at the persisted
+    // candidate frame's two consumers) must not exceed the incremental path
+    // (batch + corpus)
+    val incPlan = TextDedup.minhashLshIncremental(corpus, batch, 0.5)
+      .queryExecution.executedPlan.toString
+    def sigs(p: String) = "minhash_sigs".r.findAllIn(p).size
+    assert(sigs(plan) > 0 && sigs(plan) <= sigs(incPlan))
+    // values: the obvious near-dup pair, identical to the recompute path
+    assert(rows(indexed.select("batch_id", "corpus_id")) == Seq(Seq(21L, 10L)))
+    assert(rows(indexed.orderBy("batch_id", "corpus_id")) ==
+      rows(TextDedup.minhashLshIncremental(corpus, batch, 0.5)
+        .orderBy("batch_id", "corpus_id")))
+  }
+
   test("SimHash expression matches the explode+vote composition and the portable hash") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep all day"),
       (3L, "the quick brown fox jumps")).toDF("doc_id", "text")
