@@ -61,28 +61,36 @@ object AsOfJoin {
     * [[graft.plans.AsOfJoinExec]]): same semantics and output columns as
     * [[lastAtOrBefore]], executed as a co-partitioned per-partition merge —
     * one streaming pass, O(1) carry state, no union row-padding or window
-    * machinery. Requires LongType key/ts and a session with
+    * machinery. Key/ts may be any int/long-backed atomic type (bigint, int,
+    * date, timestamp, …); the key type must be IDENTICAL on both sides
+    * (hash co-partitioning — see [[graft.plans.AsOfJoinPlan]]). Carries the
+    * right id plus ANY number of right payload columns, all from the same
+    * matched row, as `matched_<col>`. Requires a session with
     * [[graft.extensions.GraftExtensions]] installed (the planner strategy
     * lives there). */
   def native(leftDf: DataFrame, rightDf: DataFrame,
       keyCol: String, tsCol: String,
-      rightId: String, rightPayload: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+      rightId: String, rightPayloads: String*): DataFrame = {
+    require(rightPayloads.nonEmpty, "native as-of join: at least one right payload column")
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
     def tpe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, c: String) =
       p.output.find(_.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(s"as-of join: no column '$c'")).dataType
-    require(tpe(lPlan, keyCol) == LongType && tpe(rPlan, keyCol) == LongType &&
-      tpe(lPlan, tsCol) == LongType && tpe(rPlan, tsCol) == LongType,
-      "native as-of join v1 requires LongType key and ts columns on both sides")
-    val matchedAttrs = Seq(
+    val (lk, rk) = (tpe(lPlan, keyCol), tpe(rPlan, keyCol))
+    require(lk == rk,
+      s"native as-of join: key '$keyCol' must have the SAME type on both sides " +
+        s"(got ${lk.simpleString} vs ${rk.simpleString}) — hash co-partitioning is " +
+        "type-sensitive; cast one side first")
+    (Seq(lk) ++ Seq(lPlan -> tsCol, rPlan -> tsCol).map(pc => tpe(pc._1, pc._2))).foreach(t =>
+      require(graft.plans.AsOfJoinPlan.supportedOrderType(t),
+        s"native as-of join: unsupported key/ts type ${t.simpleString} " +
+          "(int/long-backed atomic types only: bigint, int, date, timestamp, …)"))
+    val matchedAttrs = (rightId +: rightPayloads).map(c =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
-        s"matched_$rightId", tpe(rPlan, rightId), nullable = true)(),
-      org.apache.spark.sql.catalyst.expressions.AttributeReference(
-        s"matched_$rightPayload", tpe(rPlan, rightPayload), nullable = true)())
+        s"matched_$c", tpe(rPlan, c), nullable = true)())
     org.apache.spark.sql.graftbridge.Bridge.ofRows(leftDf.sparkSession,
-      graft.plans.AsOfJoinPlan(lPlan, rPlan, keyCol, tsCol, rightId, rightPayload, matchedAttrs))
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, keyCol, tsCol, rightId, rightPayloads, matchedAttrs))
   }
 
   private def matched(

@@ -167,6 +167,42 @@ object EventQueries {
                      m_rid AS matched_click_id, m_rpay AS matched_click_value
               FROM m WHERE side = 1""")),
 
+    // NATIVE as-of join, widened contract: DATE-typed time axis and
+    // MULTIPLE payload columns (string + bigint) carried from the same
+    // matched row. Each order matches the same customer's
+    // latest at-or-before order (self included; date ties → largest key) —
+    // the SCD2-style "state as of this date" lookup on a date column, run
+    // through the custom physical operator instead of the window form.
+    QueryDef("q_x_asof_native_date",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val leftO = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val rightO = o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"))
+        graft.operators.AsOfJoin.native(
+          leftO, rightO, "o_custkey", "o_orderdate",
+          "o_orderkey", "o_orderstatus", "price_cents")
+      },
+      Some(s"""WITH r AS (SELECT o_custkey AS k, o_orderdate AS d, 0 AS side,
+                     o_orderkey AS rid, o_orderstatus AS rs,
+                     ${centsSql("o_totalprice")} AS rc,
+                     CAST(NULL AS BIGINT) AS l_okey
+                     FROM orders),
+              l AS (SELECT o_custkey, o_orderdate, 1, NULL, NULL, NULL, o_orderkey
+                    FROM orders),
+              uall AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+              m AS (SELECT *,
+                    last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER w AS m_rid,
+                    last_value(CASE WHEN side = 0 THEN rs END IGNORE NULLS) OVER w AS m_rs,
+                    last_value(CASE WHEN side = 0 THEN rc END IGNORE NULLS) OVER w AS m_rc
+                    FROM uall WINDOW w AS (PARTITION BY k ORDER BY d, side, rid
+                                           ROWS UNBOUNDED PRECEDING))
+              SELECT l_okey AS o_orderkey, k AS o_custkey, d AS o_orderdate,
+                     m_rid AS matched_o_orderkey, m_rs AS matched_o_orderstatus,
+                     CAST(m_rc AS BIGINT) AS matched_price_cents
+              FROM m WHERE side = 1""")),
+
     // As-of join with tolerance (the feature-store shape): the latest click
     // counts only if it is at most 30 minutes stale at purchase time —
     // older matches null out exactly as if absent. Same one-shuffle

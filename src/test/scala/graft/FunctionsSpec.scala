@@ -194,6 +194,43 @@ class FunctionsSpec extends SparkSpec {
       Seq(102L, null, null)))
   }
 
+  test("native as-of join: date/int keys, multi-payload, mixed key types rejected") {
+    import java.sql.Date
+    // INT key, DATE time axis, three payloads (string, long, date)
+    val left = Seq((1, Date.valueOf("2024-03-15"), "a"),
+        (1, Date.valueOf("2024-01-05"), "b"),
+        (2, Date.valueOf("2024-02-01"), "c"))
+      .toDF("k", "d", "tag")
+    val right = Seq((1, Date.valueOf("2024-03-15"), 10L, "s10", Date.valueOf("2024-03-01")),
+        (1, Date.valueOf("2024-03-15"), 11L, "s11", Date.valueOf("2024-03-02")),
+        (1, Date.valueOf("2024-01-01"), 12L, "s12", Date.valueOf("2024-01-01")),
+        (3, Date.valueOf("2024-01-01"), 13L, "s13", Date.valueOf("2024-01-01")))
+      .toDF("k", "d", "rid", "status", "eff")
+    val got = rows(graft.operators.AsOfJoin.native(
+        left, right, "k", "d", "rid", "status", "eff")
+      .orderBy("tag").select("tag", "matched_rid", "matched_status", "matched_eff"))
+    assert(got == Seq(
+      // date tie at 2024-03-15 → largest rid (11), all payloads from ITS row
+      Seq("a", 11L, "s11", Date.valueOf("2024-03-02")),
+      Seq("b", 12L, "s12", Date.valueOf("2024-01-01")),
+      Seq("c", null, null, null)))
+    // matches the window composition run per payload
+    val comp = graft.operators.AsOfJoin.lastAtOrBefore(left, right, "k", "d", "rid", "status")
+    assert(rows(comp.orderBy("tag").select("tag", "matched_rid", "matched_status")) ==
+      got.map(_.take(3)))
+    // mixed key widths must be rejected (hash co-partitioning is type-sensitive)
+    val longKeyRight = right.withColumn("k", col("k").cast("long"))
+    val e = intercept[IllegalArgumentException](
+      graft.operators.AsOfJoin.native(left, longKeyRight, "k", "d", "rid", "status"))
+    assert(e.getMessage.contains("SAME type"))
+    // non-orderable key types must be rejected
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.AsOfJoin.native(
+        left.withColumn("k", col("k").cast("string")),
+        right.withColumn("k", col("k").cast("string")), "k", "d", "rid", "status"))
+    assert(e2.getMessage.contains("unsupported"))
+  }
+
   test("clusters: transitive chains collapse to the minimum id") {
     // components: {1,2,3} via 1-2, 2-3; {10,11}; singletons don't appear
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
