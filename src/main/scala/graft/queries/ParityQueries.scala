@@ -495,6 +495,32 @@ object ParityQueries {
     // (populate_fact.py:74-150). The only shuffle is the big-big join.
     QueryDef("q_c3_fact_build", (s, d) => factBuild(s, d), Some(factOracle)),
 
+    // The 100 TB answer for the repeated big-big key join: both fact inputs
+    // land as co-bucketed catalog tables (hash-bucketed + sorted on orderid)
+    // and the IDENTICAL fact build then plans zero hash-partition exchanges
+    // — the shuffle was paid once at write time, not per query. Same oracle
+    // as q_c3_fact_build: bucketing must change the plan, never the rows.
+    QueryDef("q_x_bucketed_fact",
+      (s, d) => {
+        // write once per session, reuse thereafter — the whole point of
+        // bucketing is paying the key shuffle at write time and amortizing
+        // it across every subsequent join (bench rerun 2 measures the
+        // bucketed JOIN, which is what repeated fact builds actually cost)
+        if (!s.catalog.tableExists("graft_orders_bkt")) {
+          val (orders, details) = factInputs(s, d)
+          val cat = new graft.catalog.Catalog(s,
+            java.nio.file.Files.createTempDirectory("graft-buckets").toString)
+          cat.writeBucketed("graft_orders_bkt", orders, "orderid", 8)
+          cat.writeBucketed("graft_details_bkt", details, "orderid", 8)
+        }
+        val dimCust = Scd2Upsert.initialLoad(
+          t(s, d, "customer").withColumnRenamed("c_custkey", "customerid"),
+          custSpec.copy(businessKey = "customerid"), run1)
+        factJoinFrom(s, d,
+          s.table("graft_orders_bkt"), s.table("graft_details_bkt"), dimCust)
+      },
+      Some(factOracle)),
+
     // Headline agg (TPC-H Q1 shape): wide aggregate over the fact table —
     // all measures in exact decimal/integer space, surfaced as doubles.
     QueryDef("q_h1_pricing_summary",
@@ -710,6 +736,13 @@ object ParityQueries {
 
   private def factJoin(s: SparkSession, d: String, dimCustRaw: DataFrame): DataFrame = {
     val (orders, details) = factInputs(s, d)
+    factJoinFrom(s, d, orders, details, dimCustRaw)
+  }
+
+  /** Fact join over INJECTED orders/details frames — lets the bucketed twin
+    * feed co-bucketed catalog tables through the identical build. */
+  private def factJoinFrom(s: SparkSession, d: String, orders: DataFrame,
+      details: DataFrame, dimCustRaw: DataFrame): DataFrame = {
     val dimCust = dimCustRaw.withColumnRenamed("c_custkey", "customerid")
     val (dc, dp, dsup, dates) = dims(s, d, dimCust)
     FactBuilder.build(orders, details, dc, dsup, dp, dates,

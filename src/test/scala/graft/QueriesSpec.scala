@@ -95,4 +95,27 @@ class QueriesSpec extends SparkSpec {
       col("storekey").isNull || col("orderdateid").isNull).count() == 0)
     fact.unpersist()
   }
+
+  test("bucketed fact twin: zero hash-partition exchange, identical rows") {
+    // force the big-big shape: tiny sf0.001 inputs would auto-broadcast and
+    // hide the bucketing question entirely (at 100 TB neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain = SparkEntry.queries("q_c3_fact_build")(spark, sf0001)
+      val bucketed = SparkEntry.queries("q_x_bucketed_fact")(spark, sf0001)
+      // the unbucketed build pays a hash shuffle on orderid for the big-big
+      // orders ⋈ details join … (dim-build distinct() shuffles exist in both
+      // plans — the join key is what bucketing eliminates)
+      assert(plain.queryExecution.executedPlan.toString.contains("hashpartitioning(orderid"))
+      // … the co-bucketed build pays none, and its scans report bucketing
+      val bPlan = bucketed.queryExecution.executedPlan.toString
+      assert(!bPlan.contains("hashpartitioning(orderid"),
+        s"bucketed fact build must not shuffle on the join key:\n$bPlan")
+      assert(bPlan.contains("Bucketed: true"))
+      // same rows either way (multiset equality via sorted collect)
+      val cols = plain.columns.map(col).toIndexedSeq
+      assert(rows(bucketed.orderBy(cols: _*)) == rows(plain.orderBy(cols: _*)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
