@@ -33,4 +33,39 @@ object Skew {
   def heavyHitters(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key)).limit(topN)
+
+  /** Replication cap for [[saltedJoinAuto]]: every salt multiplies the build
+    * side's shuffle volume, so past a point more salts cost more than the
+    * skew they cure. 64 splits a key that is 64× the target — beyond that
+    * the key is better handled by a broadcast of its build rows or an AQE
+    * skew split of the residual. */
+  val MaxAutoSalts = 64
+
+  /** Salt count derived from MEASURED skew, not caller guesswork: the
+    * hottest key's row count divided by the target rows-per-task, so each
+    * hot key splits into tasks of roughly `targetRowsPerTask` rows. One tiny
+    * O(1)-row diagnostic job (same class of driver-side probe as
+    * [[graft.operators.VectorSearch.probeDim]]). Returns 1 (no salting
+    * needed) when no key exceeds the target. */
+  def chooseSalts(skewed: DataFrame, key: String, targetRowsPerTask: Long): Int = {
+    require(targetRowsPerTask > 0)
+    val top = heavyHitters(skewed, key, 1).collect()
+    if (top.isEmpty) 1
+    else {
+      val hottest = top.head.getLong(1)
+      val ideal = (hottest + targetRowsPerTask - 1) / targetRowsPerTask
+      math.min(MaxAutoSalts.toLong, math.max(1L, ideal)).toInt
+    }
+  }
+
+  /** [[saltedJoin]] with the salt count chosen from measured skew
+    * ([[chooseSalts]]): no caller tuning knob to get wrong. Falls back to
+    * the PLAIN join when no key exceeds the target — salting an unskewed
+    * join only replicates the build side for nothing. */
+  def saltedJoinAuto(skewed: DataFrame, build: DataFrame, key: String,
+      targetRowsPerTask: Long = 1000000L): DataFrame = {
+    val salts = chooseSalts(skewed, key, targetRowsPerTask)
+    if (salts == 1) skewed.join(build, Seq(key))
+    else saltedJoin(skewed, build, key, salts)
+  }
 }
