@@ -102,9 +102,37 @@ object VectorSearch {
   def ivfProbeTopK(emb: DataFrame, queryPred: Column, k: Int, numPlanes: Int = 8,
       dim: Int = -1): DataFrame = {
     val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
-    val qs = e.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"), col("bucket"))
-    qs.join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn"), col("bucket")),
+    rankInBucket(e.filter(queryPred), e, k)
+  }
+
+  /** The persistable IVF index of a corpus: (vec_id, bucket, q, nn) — its
+    * quantized vectors clustered by hyperplane-sign bucket, ready for
+    * `Catalog.writeSorted(..., "bucket")` so probed buckets prune to a few
+    * files. Unlike the LSH TEXT band index (ids+bands only), this index
+    * STORES the quantized coordinates: ANN scoring needs them, and k longs
+    * per vector is the index's natural payload — a production IVF file
+    * holds exactly this. Probe with [[ivfProbeTopKIndexed]] using the SAME
+    * `numPlanes`/`dim` (plane signs are baked into the bucket values). */
+  def buildIvfIndex(emb: DataFrame, numPlanes: Int = 8, dim: Int = -1): DataFrame =
+    lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
+      .select(col("vec_id"), col("bucket"), col("q"), col("nn"))
+
+  /** ANN top-k against a PRE-BUILT IVF index ([[buildIvfIndex]]): only the
+    * (small) query set is quantized and bucketed at query time; the corpus
+    * contributes nothing but the stored index scan — the recurring shape
+    * where one 100 TB embedding corpus serves many retrieval batches. */
+  def ivfProbeTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = -1): DataFrame =
+    rankInBucket(
+      lshBuckets(queries, numPlanes, if (dim > 0) dim else probeDim(queries)),
+      index, k)
+
+  /** Bucket-equality candidate join + exact ranked verify, shared by the
+    * inline and indexed probes. `qs`/`cands` carry (vec_id, q, nn, bucket). */
+  private def rankInBucket(qs: DataFrame, cands: DataFrame, k: Int): DataFrame =
+    qs.select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"), col("bucket"))
+      .join(cands.select(
+        col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn"), col("bucket")),
         Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("dp", dot("qv", "cv"))
@@ -113,7 +141,6 @@ object VectorSearch {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
-  }
 
   /** Per-group mean embedding (average pooling) in LONG-ROW form:
     * (group, pos, centroid) — one posexplode + hash aggregate, the

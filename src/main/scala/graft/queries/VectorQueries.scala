@@ -28,6 +28,30 @@ object VectorQueries {
   private val numPlanes = 8
   private val planes: Array[Array[Long]] = graft.operators.VectorSearch.planes(numPlanes, 64)
 
+  /** Per-(session, sfDir) roots for the q_x_ann_index stored IVF index —
+    * write-once-read-many, like a real retrieval index. */
+  private val ivfIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Oracle shared by the inline and stored-index ANN probes (vec_id < 20
+    * queried against the full corpus — the index must change nothing). */
+  private lazy val ivfOracleSql: String = {
+    val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+    val bucketSql = (0 until numPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, $bucketSql AS bucket FROM e),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+              FROM n a JOIN n b ON a.bucket = b.bucket
+              AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
+        SELECT qid, nid, sim, rank FROM (
+          SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM p) WHERE rank <= 3"""
+  }
+
   /** DuckDB-side quantization (int-valued doubles — exact for dot products). */
   private val quantSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS DOUBLE))"
 
@@ -52,22 +76,26 @@ object VectorQueries {
     QueryDef("q_x_ann_ivf",
       (s, d) => graft.operators.VectorSearch.ivfProbeTopK(
         t(s, d, "embeddings"), col("vec_id") < 20, 3, numPlanes, dim = 64),
-      Some {
-        val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
-        val bucketSql = (0 until numPlanes).map { p =>
-          s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
-            n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, $bucketSql AS bucket FROM e),
-            p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-                  list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
-                  FROM n a JOIN n b ON a.bucket = b.bucket
-                  AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
-            SELECT qid, nid, sim, rank FROM (
-              SELECT qid, nid, sim,
-                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-              FROM p) WHERE rank <= 3"""
-      }),
+      Some(ivfOracleSql)),
+
+    // ANN through the PERSISTED IVF index: buildIvfIndex → catalog write →
+    // read back → probe. Only the query rows are quantized/bucketed at
+    // query time; the corpus side is the stored index scan — one embedding
+    // corpus serving many retrieval batches. Same oracle as q_x_ann_ivf:
+    // the stored index must not change a single rank.
+    QueryDef("q_x_ann_index",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cat = new graft.catalog.Catalog(s, ivfIndexRoots.computeIfAbsent(
+          (s, d), _ => java.nio.file.Files.createTempDirectory("graft-ivf-index").toString))
+        if (!cat.exists("ivf_index"))
+          cat.writeSorted("ivf_index",
+            graft.operators.VectorSearch.buildIvfIndex(emb, numPlanes, dim = 64),
+            4, "bucket")
+        graft.operators.VectorSearch.ivfProbeTopKIndexed(
+          cat.read("ivf_index"), emb.filter(col("vec_id") < 20), 3, numPlanes, dim = 64)
+      },
+      Some(ivfOracleSql)),
 
     // Mean pooling: per-group embedding centroid in long-row form — the
     // cluster-prototype aggregate. Integer sums are order-independent, so

@@ -263,4 +263,23 @@ class FunctionsSpec extends SparkSpec {
     val nd = rows(VectorSearch.nearDuplicates(emb, 0.99).select("id1", "id2"))
     assert(nd == Seq(Seq(0L, 1L)))
   }
+
+  test("persisted IVF index: same ranks as the inline probe, corpus from storage") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString)
+    cat.writeSorted("ivf_index", VectorSearch.buildIvfIndex(emb, 4, dim = 16), 2, "bucket")
+    val probed = VectorSearch.ivfProbeTopKIndexed(
+      cat.read("ivf_index"), emb.filter(col("vec_id") < 5), 3, 4, dim = 16)
+    // plan reads the stored index; only the query rows touch the raw embeddings
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains(cat.currentPath("ivf_index").get),
+      "indexed probe must scan the stored IVF index")
+    // identical to the inline probe over the same corpus
+    val inline = VectorSearch.ivfProbeTopK(emb, col("vec_id") < 5, 3, 4, dim = 16)
+    assert(rows(probed.orderBy("qid", "rank")) == rows(inline.orderBy("qid", "rank")))
+    assert(rows(probed).nonEmpty)
+  }
 }
