@@ -41,4 +41,21 @@ object QualityFilter {
 
   def filter(docs: DataFrame, t: Thresholds = Thresholds()): DataFrame =
     verdicts(docs, t).filter(col("keep")).drop("keep")
+
+  /** Repetition score: fraction of DUPLICATED k-token shingles,
+    * `1 − n_distinct / n_total` (0 = no repetition, →1 = one phrase looped)
+    * — the crawl-quality signal that catches boilerplate and keyword
+    * stuffing, which sail through length/alphabetic gates. Integer counts,
+    * one exact double division at the end; map-side like everything here. */
+  def repetitionScored(docs: DataFrame, textCol: String = "text", k: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", Text.tokens(col(textCol)))
+      .withColumn("n_shingles",
+        greatest(size(col("toks")).cast("long") - (k - 1), lit(0L)))
+      .withColumn("n_distinct", size(Text.shingles("toks", k)).cast("long"))
+      .withColumn("repetition",
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("toks")
 }

@@ -68,6 +68,27 @@ object Sampling {
       .select(col(idCol), col("n_tokens"), col("chunk_id"), col("start_tok"), col("end_tok"))
   }
 
+  /** Weighted mixture sampling — the per-source RATE step of a training-data
+    * mix ("keep all of en, half of fr, a tenth of the crawl"). Each group
+    * keeps its `ratesPct`-percent slice of hash buckets; groups absent from
+    * the map keep `defaultPct`. Two properties the naive `sample()` lacks:
+    *  - determinism: selection is a pure function of document identity —
+    *    identical output on any partitioning, rerun, or engine;
+    *  - nested rates: the kept set at 30% is a SUBSET of the kept set at
+    *    50% (both are prefixes of the same bucket order), so adjusting mix
+    *    weights between runs changes the minimum possible set of documents
+    *    — incremental pipelines re-process only the delta.
+    * Map-side only: the filter rides the scan, no shuffle at any scale. */
+  def mixtureSample(df: DataFrame, groupCol: String, ratesPct: Map[String, Int],
+      keyCol: String, defaultPct: Int = 100, buckets: Int = 100): DataFrame = {
+    require((ratesPct.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      "mixtureSample: rates are integer percents in [0, 100]")
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
+      when(col(groupCol) === lit(g), lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), buckets) * 100 < rate * buckets)
+  }
+
   /** Top-`k` rows per group by (scoreCol desc, keyCol) — the quota/mixing
     * step of a training-data pipeline (e.g. best N documents per language or
     * per source). One shuffle on the group key; Spark's WindowGroupLimit

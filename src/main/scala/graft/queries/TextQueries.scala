@@ -459,6 +459,39 @@ object TextQueries {
                FROM documents
                WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""")),
 
+    // Repetition scoring: duplicated-3-gram fraction per document — the
+    // boilerplate/keyword-stuffing signal of a crawl-quality pipeline
+    // (integer shingle counts, one exact double division; map-side).
+    QueryDef("q_x_repetition",
+      (s, d) => graft.operators.QualityFilter.repetitionScored(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"), col("repetition")),
+      Some(s"""SELECT doc_id,
+               CAST(greatest(len($tokensSql) - 2, 0) AS BIGINT) AS n_shingles,
+               CAST(len(${shingles3Sql(tokensSql)}) AS BIGINT) AS n_distinct,
+               CASE WHEN len($tokensSql) - 2 > 0
+                    THEN CAST(1 AS DOUBLE) - CAST(len(${shingles3Sql(tokensSql)}) AS DOUBLE)
+                         / CAST(len($tokensSql) - 2 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS repetition
+               FROM documents""")),
+
+    // Weighted mixture sampling: per-language keep rates (en 80%, fr 50%,
+    // de 25%, rest 10%) over deterministic hash buckets — the mix-weights
+    // step of corpus assembly. Selection is identity-pure (rerun/partition
+    // stable) and rates are nested (30% ⊂ 50%), so weight changes reprocess
+    // only deltas. Map-side filter riding the scan.
+    QueryDef("q_x_mix_weighted",
+      (s, d) => graft.operators.Sampling.mixtureSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang")), "lang",
+          Map("en" -> 80, "fr" -> 50, "de" -> 25), "doc_id", defaultPct = 10)
+        .withColumn("bucket", graft.operators.Sampling.hashBucket(col("doc_id"))),
+      Some(s"""SELECT doc_id, lang,
+               ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+               FROM documents
+               WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 <
+                 (CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 50
+                            WHEN 'de' THEN 25 ELSE 10 END)""")),
+
     // PII scrubbing: emails then digit runs replaced with typed placeholders
     // (map-side regexp over the scan; ASCII classes agree across engines).
     // The gate carries the md5 of the redacted text, not the text itself.

@@ -57,6 +57,39 @@ class SamplingSpec extends SparkSpec {
       Seq(4L, 0L, 0L, 50L), Seq(4L, 1L, 40L, 90L), Seq(4L, 2L, 80L, 130L)))
   }
 
+  test("mixtureSample: per-group rates, nested selections, deterministic") {
+    val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.mixtureSample(docs, "lang", Map("en" -> 60, "fr" -> 20), "doc_id")
+    val byLang = rows(kept.groupBy("lang").count().orderBy("lang"))
+      .map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
+    // hash buckets approximate the rates (500 docs per lang)
+    assert(byLang("en") > 250 && byLang("en") < 350, s"en kept ${byLang("en")}")
+    assert(byLang("fr") > 60 && byLang("fr") < 140, s"fr kept ${byLang("fr")}")
+    // nested: the 20% fr selection is a subset of a 60% fr selection
+    val frWide = Sampling.mixtureSample(docs, "lang", Map("fr" -> 60), "doc_id", defaultPct = 0)
+    val frNarrow = Sampling.mixtureSample(docs, "lang", Map("fr" -> 20), "doc_id", defaultPct = 0)
+    assert(frNarrow.join(frWide, Seq("doc_id"), "left_anti").count() == 0)
+    // deterministic across repartitioning
+    assert(rows(Sampling.mixtureSample(docs.repartition(13), "lang",
+        Map("en" -> 60, "fr" -> 20), "doc_id").orderBy("doc_id")) ==
+      rows(kept.orderBy("doc_id")))
+    // rate 0 and default 0 drop everything not listed
+    assert(Sampling.mixtureSample(docs, "lang", Map("en" -> 0), "doc_id",
+      defaultPct = 0).count() == 0)
+  }
+
+  test("repetitionScored: looped phrases score high, varied text scores 0") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"),     // 10 shingles, 3 distinct
+      (2L, "one two three four five six"), // all distinct → 0.0
+      (3L, "x y")                          // < k tokens → 0 shingles, 0.0
+    ).toDF("doc_id", "text")
+    val got = rows(graft.operators.QualityFilter.repetitionScored(docs)
+      .orderBy("doc_id").select("n_shingles", "n_distinct", "repetition"))
+    assert(got == Seq(Seq(10L, 3L, 0.7), Seq(4L, 4L, 0.0), Seq(0L, 0L, 0.0)))
+  }
+
   test("redactPii: emails replaced before digit runs, digits typed") {
     val got = rows(Seq("mail a1@b2.com or call 555 1234 now").toDF("text")
       .select(graft.functions.Text.redactPii(col("text")))).head.head
