@@ -28,4 +28,40 @@ object Sources {
   /** S3: read a named parquet table from a test-data directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** JSONL (one JSON document per line) with an explicit schema — the
+    * de-facto crawl/training-corpus interchange format. Same schema-on-write
+    * posture as [[csv]]: no inference pass (an inference scan over 100 TB is
+    * a full extra read), PERMISSIVE per-record handling with the raw line
+    * preserved in `_corrupt` — a web-scale corpus always contains malformed
+    * records, and aborting a 100 TB load on line 40 billion helps no one.
+    * Filter `_corrupt IS NOT NULL` into a quarantine sink; line-delimited
+    * JSON is splittable exactly like CSV (one task per split). */
+  def jsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** [[jsonl]] split into (clean rows without `_corrupt`, quarantine lines):
+    * the load-and-validate shape for corpus ingest — clean rows flow on,
+    * the raw offending lines land in an audit sink instead of killing the
+    * run. The quarantine's `raw_line` coalesces over every schema column:
+    * semantically it is always the raw line (the filter guarantees
+    * `_corrupt` non-null), but the wide reference keeps column pruning from
+    * narrowing the scan to the corrupt column alone — a scan Spark
+    * disallows outright (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    * COLUMN; the documented alternative, caching the parse, is not an
+    * option at corpus scale). Two independent column-pruned passes. */
+  def jsonlWithQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{coalesce, col, struct, to_json}
+    val parsed = jsonl(spark, path, schema)
+    val rawLine = coalesce(col("_corrupt"),
+      to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*)))
+    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull).select(rawLine.as("raw_line")))
+  }
 }
