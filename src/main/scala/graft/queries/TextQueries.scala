@@ -459,6 +459,22 @@ object TextQueries {
                FROM documents
                WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""")),
 
+    // Heavy hitters via the mergeable Misra-Gries sketch (TopKSketch, the
+    // engine's second custom TypedImperativeAggregate): fixed-size counter
+    // buffers merge across partitions — no key-cardinality shuffle, the
+    // 100 TB diagnostic for skew/salting decisions. Capacity (32) exceeds
+    // the distinct-lang count, so the sketch is in its EXACT regime here
+    // and oracle-checkable; the approximate regime is property-tested.
+    QueryDef("q_x_heavy_hitters",
+      (s, d) => t(s, d, "documents")
+        .agg(graft.expressions.TopKSketch(col("lang"), 32, 5).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("e.key").as("lang"), col("e.n").as("n_docs")),
+      Some("""SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, lang) AS BIGINT) AS rank,
+              lang, count(*) AS n_docs
+              FROM documents GROUP BY lang ORDER BY 1 LIMIT 5""")),
+
     // Repetition scoring: duplicated-3-gram fraction per document — the
     // boilerplate/keyword-stuffing signal of a crawl-quality pipeline
     // (integer shingle counts, one exact double division; map-side).

@@ -152,6 +152,28 @@ class FunctionsSpec extends SparkSpec {
     assert(byLang("fr") == elemMin(perDoc(3L), perDoc(4L)))
   }
 
+  test("TopKSketch: exact when capacity covers keys; MG bounds hold when it doesn't") {
+    import graft.expressions.TopKSketch
+    // exact regime: capacity 8 > 3 distinct keys → true counts, stable order
+    val small = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("k").repartition(7)
+    val exact = rows(small.agg(TopKSketch(col("k"), 8, 3).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.key", "e.n"))
+    assert(exact == Seq(Seq("a", 50L), Seq("b", 30L), Seq("c", 20L)))
+    // approximate regime: 200 distinct tail keys vs one hot key, capacity 16.
+    // MG guarantees: the hot key survives (true count > N/(capacity+1)) and
+    // its estimate undershoots by at most N/(capacity+1).
+    val n = 2200
+    val hot = Seq.fill(1000)("hot") ++ (0 until 1200).map(i => s"t${i % 200}")
+    val sketched = rows(hot.toDF("k").repartition(13)
+      .agg(TopKSketch(col("k"), 16, 16).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.key", "e.n"))
+      .map(r => r(0).toString -> r(1).asInstanceOf[Long]).toMap
+    assert(sketched.contains("hot"), s"hot key evicted: $sketched")
+    val err = 1000L - sketched("hot")
+    assert(err >= 0 && err <= n / 17, s"estimate error $err exceeds N/(m+1)")
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " zz yy"
