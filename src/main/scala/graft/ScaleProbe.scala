@@ -54,6 +54,16 @@ object ScaleProbe {
       val d = rep(docs, Seq("doc_id"), k)
       time(s"simhash_nd k=$k")(graft.operators.TextDedup.simhashNearDups(d, 11).count())
     }
+    // File-level appends: commit cost must track the BATCH (constant here),
+    // not the table — the flat line that makes a streaming/fact sink viable.
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("scaleprobe-cat").toString)
+    val batch = lineitem.limit(1000).cache()
+    batch.count()
+    for (k <- Seq(1, 4, 8)) {
+      cat.write(s"fact_$k", rep(lineitem, Seq("l_orderkey"), k))
+      time(s"append 1000 rows onto ${k}x table") { cat.append(s"fact_$k", batch); 1000L }
+    }
     spark.stop()
   }
 }

@@ -92,6 +92,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         } else graft.operators.TextDedup.SimHashBits
         graft.expressions.SimHash(args(0), bits)
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(classOf[graft.expressions.TopKSketch].getName, "topk_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "topk_sketch(key, capacity, emitK) takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = {
+          require(e.foldable, s"topk_sketch: $what must be a literal integer")
+          e.eval() match {
+            case n: java.lang.Integer => n.intValue()
+            case n: java.lang.Long => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"topk_sketch: $what must be an INTEGRAL literal, got $other")
+          }
+        }
+        graft.expressions.TopKSketch(args(0),
+          intLit(args(1), "capacity"), intLit(args(2), "emitK")).toAggregateExpression()
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
     // Whole-operator extension (builder-brief preference (c)): the native
     // as-of join's planner strategy — AsOfJoinPlan → AsOfJoinExec.

@@ -66,6 +66,13 @@ class ExtensionsSpec extends SparkSpec {
         .simhash(Seq((1L, "quick brown fox")).toDF("doc_id", "text"))
         .collect().head.getLong(1)
       assert(sh == expected)
+      // the Misra-Gries sketch aggregate is SQL-callable too
+      val hh = s2.sql(
+        """SELECT topk_sketch(k, 8, 2) AS hh FROM
+           (SELECT CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS k
+            FROM range(9))""")
+        .selectExpr("inline(hh)").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(hh.toSeq == Seq(("b", 6L), ("a", 3L)))
       // optimizer applies the rewrite inside the extensions session — use a
       // non-local source so constant folding can't pre-evaluate the plan
       val df = s2.range(3)
