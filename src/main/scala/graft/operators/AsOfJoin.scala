@@ -93,6 +93,25 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan, keyCol, tsCol, rightId, rightPayloads, matchedAttrs))
   }
 
+  /** Tolerance variant on the NATIVE operator — [[lastAtOrBeforeWithin]]
+    * semantics through [[graft.plans.AsOfJoinExec]]: the matched right ts
+    * rides along as one more payload (all payloads come from the same
+    * matched row by construction), and staleness is the same residual
+    * projection the window form uses. Output matches
+    * [[lastAtOrBeforeWithin]] column-for-column. */
+  def nativeWithin(leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, tsCol: String,
+      rightId: String, rightPayload: String,
+      maxStaleness: Long): DataFrame = {
+    val m = native(leftDf, rightDf, keyCol, tsCol, rightId, rightPayload, tsCol)
+    val rts = col(s"matched_$tsCol")
+    val fresh = rts.isNotNull && (col(tsCol) - rts) <= maxStaleness
+    m.withColumn(s"matched_$rightId", when(fresh, col(s"matched_$rightId")))
+      .withColumn(s"matched_$rightPayload", when(fresh, col(s"matched_$rightPayload")))
+      .withColumn("staleness", when(fresh, col(tsCol) - rts).cast("long"))
+      .drop(s"matched_$tsCol")
+  }
+
   private def matched(
       leftDf: DataFrame, rightDf: DataFrame,
       keyCol: String, tsCol: String,

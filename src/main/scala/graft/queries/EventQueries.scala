@@ -208,35 +208,17 @@ object EventQueries {
     // older matches null out exactly as if absent. Same one-shuffle
     // union+window plan; staleness is a residual projection.
     QueryDef("q_x_asof_tolerance",
-      (s, d) => {
-        val ev = events(s, d).select(col("event_id"), col("user_id"),
-          col("event_type"), col("ts_us").as("tus"), col("value"))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("tus"), col("value"))
-        val clicks = ev.filter(col("event_type") === "click")
-        graft.operators.AsOfJoin.lastAtOrBeforeWithin(
-            purchases, clicks, "user_id", "tus", "event_id", "value", 1800000000L)
-          .select(col("event_id"), col("user_id"), col("tus"), col("value"),
-            col("matched_event_id").as("matched_click_id"), col("staleness"))
-      },
-      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value FROM events),
-              r AS (SELECT user_id, tus, 0 AS side, event_id AS rid,
-                    CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS DOUBLE) AS l_value
-                    FROM ev WHERE event_type = 'click'),
-              l AS (SELECT user_id, tus, 1, NULL, event_id, value
-                    FROM ev WHERE event_type = 'purchase'),
-              uall AS (SELECT * FROM r UNION ALL SELECT * FROM l),
-              m AS (SELECT *,
-                    last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER w AS m_rid,
-                    last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER w AS m_rts
-                    FROM uall WINDOW w AS (PARTITION BY user_id ORDER BY tus, side, rid
-                                           ROWS UNBOUNDED PRECEDING))
-              SELECT l_event_id AS event_id, user_id, tus, l_value AS value,
-                     CASE WHEN m_rts IS NOT NULL AND tus - m_rts <= 1800000000
-                          THEN m_rid END AS matched_click_id,
-                     CASE WHEN m_rts IS NOT NULL AND tus - m_rts <= 1800000000
-                          THEN tus - m_rts END AS staleness
-              FROM m WHERE side = 1""")),
+      (s, d) => toleranceQuery(s, d, native = false),
+      Some(toleranceOracleSql)),
+
+    // Tolerance through the NATIVE physical operator (nativeWithin): the
+    // matched right ts rides as one more payload — the same-row guarantee
+    // is structural in the merge — then the identical residual staleness
+    // projection. Same oracle as q_x_asof_tolerance: the physical algorithm
+    // changed, the semantics must not.
+    QueryDef("q_x_asof_tolerance_native",
+      (s, d) => toleranceQuery(s, d, native = true),
+      Some(toleranceOracleSql)),
 
     // Purchase attribution: every (purchase, click) pair where the click is
     // within the hour before the purchase — the BATCH twin of the
@@ -302,4 +284,44 @@ object EventQueries {
                       CAST(sum(vc) AS BIGINT) AS value_cents
                FROM s GROUP BY user_id, session_id"""))
   )
+
+  /** Shared body of the two tolerance gate queries — identical inputs and
+    * output columns; only the physical operator differs. */
+  private def toleranceQuery(s: org.apache.spark.sql.SparkSession, d: String,
+      native: Boolean): org.apache.spark.sql.DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts_us").as("tus"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val joined =
+      if (native) graft.operators.AsOfJoin.nativeWithin(
+        purchases, clicks.select(col("event_id"), col("user_id"), col("tus"), col("value")),
+        "user_id", "tus", "event_id", "value", 1800000000L)
+      else graft.operators.AsOfJoin.lastAtOrBeforeWithin(
+        purchases, clicks, "user_id", "tus", "event_id", "value", 1800000000L)
+    joined.select(col("event_id"), col("user_id"), col("tus"), col("value"),
+      col("matched_event_id").as("matched_click_id"), col("staleness"))
+  }
+
+  /** lazy: referenced from `all`, which initializes first in object order. */
+  private lazy val toleranceOracleSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value FROM events),
+       r AS (SELECT user_id, tus, 0 AS side, event_id AS rid,
+             CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS DOUBLE) AS l_value
+             FROM ev WHERE event_type = 'click'),
+       l AS (SELECT user_id, tus, 1, NULL, event_id, value
+             FROM ev WHERE event_type = 'purchase'),
+       uall AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+       m AS (SELECT *,
+             last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER w AS m_rid,
+             last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER w AS m_rts
+             FROM uall WINDOW w AS (PARTITION BY user_id ORDER BY tus, side, rid
+                                    ROWS UNBOUNDED PRECEDING))
+       SELECT l_event_id AS event_id, user_id, tus, l_value AS value,
+              CASE WHEN m_rts IS NOT NULL AND tus - m_rts <= 1800000000
+                   THEN m_rid END AS matched_click_id,
+              CASE WHEN m_rts IS NOT NULL AND tus - m_rts <= 1800000000
+                   THEN tus - m_rts END AS staleness
+       FROM m WHERE side = 1"""
 }

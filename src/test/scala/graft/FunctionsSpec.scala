@@ -214,6 +214,13 @@ class FunctionsSpec extends SparkSpec {
       Seq(100L, 2L, 0L),     // coincident → staleness 0, kept
       Seq(101L, null, null), // staleness 10 > 5 → treated as no match
       Seq(102L, null, null)))
+    // native tolerance: same columns, same rows as the window form
+    val tolNat = graft.operators.AsOfJoin.nativeWithin(
+      left, right, "user_id", "tus", "event_id", "value", 5L)
+    assert(tolNat.columns.toSeq == graft.operators.AsOfJoin.lastAtOrBeforeWithin(
+      left, right, "user_id", "tus", "event_id", "value", 5L).columns.toSeq)
+    assert(rows(tolNat.orderBy("event_id")
+      .select("event_id", "matched_event_id", "staleness")) == tol)
   }
 
   test("native as-of join: date/int keys, multi-payload, mixed key types rejected") {
