@@ -17,7 +17,7 @@ import Q._
   */
 object EventQueries {
 
-  val all: Seq[QueryDef] = Seq(
+  lazy val all: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour window per event type; measures in exact cents.
     QueryDef("q_x_events_hourly",

@@ -80,7 +80,7 @@ object TextQueries {
         f AS (SELECT doc_id, $fp AS simhash FROM v)"""
   }
 
-  val all: Seq[QueryDef] = Seq(
+  lazy val all: Seq[QueryDef] = Seq(
 
     // Text quality scoring: token/char/letter counts, stopword ratio, and a
     // deterministic composite score — all integer-exact or fixed-order double

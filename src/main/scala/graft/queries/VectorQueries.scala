@@ -55,7 +55,7 @@ object VectorQueries {
   /** DuckDB-side quantization (int-valued doubles — exact for dot products). */
   private val quantSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS DOUBLE))"
 
-  val all: Seq[QueryDef] = Seq(
+  lazy val all: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: queries = vec_id < 50, k = 5, self excluded.
     QueryDef("q_x_embed_topk",
