@@ -8,7 +8,8 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
 /** The training-data counterpart of [[PipelineRunner]]: one configurable,
   * catalog-backed corpus build composing the library operators —
   *
-  *   quality gate → exact dedup → (optional) near-dup removal →
+  *   quality gate (+ optional repetition gate) → exact dedup →
+  *   (optional) near-dup removal → (optional) weighted mixture →
   *   deterministic sample → sequence packing
   *
   * — and committing the selected corpus and its sequence layout as atomic
@@ -17,15 +18,21 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
   * selection, injected thresholds), so a rerun over the same input commits
   * identical tables.
   *
-  * Scale shape: stages 1, 4 are map-side; stage 2 is one hash aggregate +
-  * keep-list join; stage 3 is the blocked near-dup join + label
-  * propagation; stage 5 is a per-shard window. Nothing here adds a shuffle
-  * the underlying operators don't already have.
+  * Scale shape: the quality/repetition gates, mixture, and sample stages
+  * are map-side; exact dedup is one hash aggregate + keep-list join;
+  * near-dup removal is the blocked join + label propagation; packing is a
+  * per-shard window. Nothing here adds a shuffle the underlying operators
+  * don't already have.
   */
+final case class MixtureConfig(
+    groupCol: String, ratesPct: Map[String, Int], defaultPct: Int = 100)
+
 final case class TrainingPipelineConfig(
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
+    maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
+    mix: Option[MixtureConfig] = None,     // per-group keep rates (data mixing)
     samplePct: Int = 100,
     seqTokens: Int = 4096,
     shards: Int = 64,
@@ -47,7 +54,15 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
     // persists every summary count re-runs the whole upstream pipeline,
     // which at corpus scale is a full extra scan per stage. Materialized by
     // the counts, freed before returning.
-    val quality = QualityFilter.filter(docs, cfg.quality)
+    // both gates are map-side; they fold into one persisted stage frame
+    val gated = cfg.maxRepetition match {
+      case None => QualityFilter.filter(docs, cfg.quality)
+      case Some(t) => QualityFilter.repetitionScored(
+          QualityFilter.filter(docs, cfg.quality))
+        .filter(col("repetition") <= t)
+        .drop("n_shingles", "n_distinct", "repetition")
+    }
+    val quality = gated
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val afterQuality = quality.count()
@@ -70,9 +85,14 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
       try {
         val afterDedup = deduped.count()
 
+        val mixed = cfg.mix match {
+          case None => deduped
+          case Some(m) =>
+            Sampling.mixtureSample(deduped, m.groupCol, m.ratesPct, "doc_id", m.defaultPct)
+        }
         val sampled =
-          if (cfg.samplePct >= 100) deduped
-          else Sampling.hashSample(deduped, "doc_id", cfg.samplePct)
+          if (cfg.samplePct >= 100) mixed
+          else Sampling.hashSample(mixed, "doc_id", cfg.samplePct)
 
         catalog.write(cfg.corpusTable, sampled)
         val selected = catalog.read(cfg.corpusTable) // read back: one compute, two consumers

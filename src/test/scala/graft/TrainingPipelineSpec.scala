@@ -56,4 +56,27 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
       .map(_.head) == Seq(1L, 3L))
   }
+
+  test("repetition gate drops boilerplate; mixture applies per-group rates") {
+    import spark.implicits._
+    val varied = (1 to 40).map(i => "tok" + i).mkString(" ")
+    val looped = Seq.fill(14)("buy now cheap").mkString(" ") // high repetition
+    val tiny = Seq((1L, varied, "en"), (2L, looped, "en"), (3L, varied + " more", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    // repetition gate alone: the looped doc goes, the varied ones stay
+    val s = new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+      quality = open, maxRepetition = Some(0.3), seqTokens = 64, shards = 1))
+    assert(rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
+      .map(_.head) == Seq(1L, 3L))
+    assert(s.afterQuality == 2)
+    // mixture: fr rate 0 drops doc 3 deterministically; en rate 100 keeps all en
+    new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+      quality = open, seqTokens = 64, shards = 1,
+      mix = Some(graft.run.MixtureConfig("lang", Map("en" -> 100, "fr" -> 0)))))
+    assert(rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
+      .map(_.head) == Seq(1L, 2L))
+  }
 }
