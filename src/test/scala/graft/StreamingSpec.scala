@@ -163,6 +163,38 @@ class StreamingSpec extends SparkSpec {
     assert(cat.appendStreamBatch("purchases", replay, 1000L))
     assert(cat.read("purchases").count() == n + 5)
   }
+
+  test("map-side corpus operators compose unchanged on a stream") {
+    // quality gate → repetition gate → weighted mixture, applied to a
+    // STREAMING DataFrame exactly as to a batch one — all three are
+    // shuffle-free projections/filters, so the streaming planner accepts
+    // them as-is and the rows match the batch twin.
+    val docsDir = Files.createTempDirectory("graft-docs-stream").toString
+    graft.queries.Q.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").write.mode("overwrite").parquet(docsDir)
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val open = graft.operators.QualityFilter.Thresholds(
+        minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+      val gated = graft.operators.QualityFilter.repetitionScored(
+          graft.operators.QualityFilter.filter(df, open))
+        .filter(col("repetition") <= 0.8)
+      graft.operators.Sampling.mixtureSample(
+          gated, "lang", Map("en" -> 100, "fr" -> 50), "doc_id", defaultPct = 25)
+        .select("doc_id", "lang")
+    }
+    val batchDf = spark.read.parquet(docsDir)
+    val streamed = pipeline(
+      spark.readStream.schema(batchDf.schema).parquet(docsDir))
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("corpus_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("corpus_stream").orderBy("doc_id")) ==
+        rows(pipeline(batchDf).orderBy("doc_id")))
+      assert(spark.table("corpus_stream").count() > 0)
+    } finally q.stop()
+  }
 }
 
 /** Minimal in-memory GroupState for driving the session function. */
