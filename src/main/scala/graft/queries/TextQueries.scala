@@ -459,6 +459,30 @@ object TextQueries {
                FROM documents
                WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""")),
 
+    // Character-class profile: digit/upper/space/punctuation counts and
+    // ratios per document — the charset-sanity signal (mojibake, ASCII-art,
+    // number dumps) next to the alpha-ratio gate. Map-side regexp strips;
+    // identical ASCII classes on both engines; ratios are one exact double
+    // division each.
+    QueryDef("q_x_charclass",
+      (s, d) => t(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
+          length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long").as("n_upper"),
+          length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_spaces"))
+        .withColumn("digit_ratio", col("n_digits") / col("n_chars").cast("double"))
+        .withColumn("upper_ratio", col("n_upper") / col("n_chars").cast("double")),
+      Some("""SELECT doc_id, n_chars, n_digits, n_upper, n_spaces,
+              n_digits / CAST(n_chars AS DOUBLE) AS digit_ratio,
+              n_upper / CAST(n_chars AS DOUBLE) AS upper_ratio
+              FROM (SELECT doc_id,
+                    length(text) AS n_chars,
+                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                    length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces
+                    FROM documents)""")),
+
     // Heavy hitters via the mergeable Misra-Gries sketch (TopKSketch, the
     // engine's second custom TypedImperativeAggregate): fixed-size counter
     // buffers merge across partitions — no key-cardinality shuffle, the
