@@ -68,6 +68,21 @@ object Sampling {
       .select(col(idCol), col("n_tokens"), col("chunk_id"), col("start_tok"), col("end_tok"))
   }
 
+  /** Deterministic corpus shuffle: a dense 1..N training order from the
+    * portable hash of each document id — the epoch-shuffling step of a
+    * pretraining pipeline. Same order on every rerun/partitioning/engine
+    * (hash64 of identity, not RNG), and different seeds give independent
+    * epoch orders. Scale shape: the order is assigned by the DISTRIBUTED
+    * range-sort + zipWithIndex path ([[SurrogateKeys.assignScalable]]) —
+    * no single-partition window at any corpus size. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long = 0L,
+      posCol: String = "shuffle_pos"): DataFrame =
+    graft.ops.SurrogateKeys.assignScalable(
+        df.withColumn("__shuffle_h", Hashing.hash64(concat_ws(":",
+          lit(seed.toString), col(idCol).cast("string")))),
+        posCol, 0L, "__shuffle_h", idCol)
+      .drop("__shuffle_h")
+
   /** Weighted mixture sampling — the per-source RATE step of a training-data
     * mix ("keep all of en, half of fr, a tenth of the crawl"). Each group
     * keeps its `ratesPct`-percent slice of hash buckets; groups absent from

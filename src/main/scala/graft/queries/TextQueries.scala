@@ -459,6 +459,20 @@ object TextQueries {
                FROM documents
                WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""")),
 
+    // Deterministic corpus shuffle: dense 1..N epoch order from the portable
+    // id hash — rerun/partitioning/engine stable, assigned by the
+    // DISTRIBUTED range-sort + zipWithIndex path (no single-partition
+    // window at any corpus size; the oracle's global window is the
+    // semantic, not the algorithm).
+    QueryDef("q_x_shuffle_order",
+      (s, d) => graft.operators.Sampling.shuffleOrder(
+        t(s, d, "documents").select(col("doc_id")), "doc_id"),
+      Some(s"""SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY ${hash64Sql("'0:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+                 AS BIGINT) AS shuffle_pos
+               FROM documents""")),
+
     // Character-class profile: digit/upper/space/punctuation counts and
     // ratios per document — the charset-sanity signal (mojibake, ASCII-art,
     // number dumps) next to the alpha-ratio gate. Map-side regexp strips;

@@ -79,6 +79,21 @@ class SamplingSpec extends SparkSpec {
       defaultPct = 0).count() == 0)
   }
 
+  test("shuffleOrder: dense 1..N, partition-independent, seed changes order") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val pos = rows(Sampling.shuffleOrder(docs, "doc_id").orderBy("shuffle_pos"))
+    assert(pos.map(_(1)) == (1L to 200L), "positions must be dense 1..N")
+    assert(pos.map(_(0).asInstanceOf[Long]).toSet == (1L to 200L).toSet)
+    // hash order, not id order
+    assert(pos.map(_(0)) != (1L to 200L))
+    // identical on a different partitioning
+    assert(rows(Sampling.shuffleOrder(docs.repartition(11), "doc_id")
+      .orderBy("doc_id")) == rows(Sampling.shuffleOrder(docs, "doc_id").orderBy("doc_id")))
+    // a different seed is a different epoch order
+    assert(rows(Sampling.shuffleOrder(docs, "doc_id", seed = 1).orderBy("doc_id")) !=
+      rows(Sampling.shuffleOrder(docs, "doc_id").orderBy("doc_id")))
+  }
+
   test("repetitionScored: looped phrases score high, varied text scores 0") {
     val docs = Seq(
       (1L, "a b c a b c a b c a b c"),     // 10 shingles, 3 distinct
