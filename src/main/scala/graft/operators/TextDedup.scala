@@ -227,6 +227,30 @@ object TextDedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: per EVAL document, the fraction of its
+    * k-token shingles that appear ANYWHERE in the training corpus — the
+    * standard train/test overlap check run before any evaluation is
+    * trusted. One distinct over corpus shingles + one equality join; no
+    * document pairing at all, so cost is linear in total shingle volume.
+    * At 100 TB the corpus shingle set is the big side: materialize it once
+    * per corpus release (it is corpus-content-addressed), or replace the
+    * join with a Bloom filter over corpus shingle hashes when approximate
+    * one-sided error is acceptable (false contamination only — safe:
+    * over-flagging never leaks eval data). Eval docs with fewer than k
+    * tokens have no shingles and are absent from the output (nothing to
+    * contaminate). Returns (eval_id, n_shingles, n_contaminated, rate). */
+  def contamination(corpus: DataFrame, eval: DataFrame): DataFrame = {
+    val corpusShingles = shingled(corpus)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("__hit", lit(true))
+    shingled(eval).select(col("doc_id").as("eval_id"), explode(col("sh")).as("s"))
+      .join(corpusShingles, Seq("s"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated") / col("n_shingles").cast("double"))
+  }
+
   /** Incremental EXACT dedup: batch documents whose content hash is absent
     * from the corpus (left-anti on md5 — one hash join, no comparisons). */
   def exactIncremental(corpus: DataFrame, batch: DataFrame,

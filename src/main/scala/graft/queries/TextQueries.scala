@@ -155,6 +155,20 @@ object TextQueries {
                count(*) AS n_docs
                FROM (SELECT lang, len($tokensSql) AS n FROM documents) GROUP BY lang""")),
 
+    // ...and the sketch variant (the exact/approx pairing, like
+    // q_x_user_distinct/_approx): approx_percentile's mergeable
+    // KLL-style summary is the 100 TB path — fixed state per group
+    // instead of the exact percentile's full sorted buffer. No oracle —
+    // sketch outputs are implementation-defined; QueriesSpec bounds the
+    // rank error against the exact quantiles.
+    QueryDef("q_x_group_quantiles_approx",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"))
+        .agg(expr("approx_percentile(n, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(n, 0.9, 1000)").as("p90_approx")),
+      None),
+
     QueryDef("q_x_length_histogram",
       (s, d) => t(s, d, "documents")
         .select((floor(size(tokens(col("text"))) / 10) * 10).cast("long").as("bucket"))
@@ -458,6 +472,26 @@ object TextQueries {
                ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
                FROM documents
                WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""")),
+
+    // Benchmark decontamination: per eval doc (odd ids), the fraction of
+    // its 3-shingles present anywhere in the training corpus (even ids) —
+    // the train/test overlap check. One corpus-shingle distinct + one
+    // equality join; linear, no document pairing.
+    QueryDef("q_x_contamination",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TextDedup.contamination(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      },
+      Some(s"""WITH $shingledSql,
+               cs AS (SELECT DISTINCT unnest(sh) AS s FROM shd WHERE doc_id % 2 = 0),
+               es AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shd
+                      WHERE doc_id % 2 = 1)
+               SELECT eval_id, count(*) AS n_shingles,
+                      count(cs.s) AS n_contaminated,
+                      count(cs.s) / CAST(count(*) AS DOUBLE) AS contamination
+               FROM es LEFT JOIN cs ON es.s = cs.s
+               GROUP BY eval_id""")),
 
     // Deterministic corpus shuffle: dense 1..N epoch order from the portable
     // id hash — rerun/partitioning/engine stable, assigned by the

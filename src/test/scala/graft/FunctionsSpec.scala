@@ -79,6 +79,22 @@ class FunctionsSpec extends SparkSpec {
     assert(novel == Seq(Seq(22L))) // 21 duplicates corpus content → dropped
   }
 
+  test("contamination: planted overlap measured exactly, novel eval is clean") {
+    val corpus = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" "))).toDF("doc_id", "text")
+    val eval = Seq(
+      (11L, (1 to 10).map(i => s"a$i").mkString(" ")), // fully contained → 1.0
+      (12L, (1 to 10).map(i => s"z$i").mkString(" ")), // novel → 0.0
+      (13L, "a1 a2 a3 z1 z2 z3"),                      // 1 of 4 shingles hit → 0.25
+      (14L, "xy")                                      // < 3 tokens → no shingles, absent
+    ).toDF("doc_id", "text")
+    val got = rows(TextDedup.contamination(corpus, eval)
+      .orderBy("eval_id").select("eval_id", "n_shingles", "n_contaminated", "contamination"))
+    assert(got == Seq(
+      Seq(11L, 8L, 8L, 1.0),
+      Seq(12L, 8L, 0L, 0.0),
+      Seq(13L, 4L, 1L, 0.25)))
+  }
+
   test("persisted band index: same pairs, corpus contributes no signature work") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"

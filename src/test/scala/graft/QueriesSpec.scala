@@ -42,6 +42,24 @@ class QueriesSpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("approx group quantiles close to exact (accuracy-bounded sketch)") {
+    val exact = rows(SparkEntry.queries("q_x_group_quantiles")(spark, sf0001)
+      .select("lang", "p50", "p90").orderBy("lang"))
+    val approx = rows(SparkEntry.queries("q_x_group_quantiles_approx")(spark, sf0001)
+      .select("lang", "p50_approx", "p90_approx").orderBy("lang"))
+    assert(exact.map(_.head) == approx.map(_.head))
+    // with accuracy 1000 over a few hundred rows per group the sketch is
+    // near-exact: allow a small relative slack (exact interpolates, the
+    // sketch returns an actual element)
+    exact.zip(approx).foreach { case (e, a) =>
+      Seq(1, 2).foreach { i =>
+        val (ev, av) = (e(i).toString.toDouble, a(i).toString.toDouble)
+        assert(math.abs(ev - av) <= math.max(2.0, 0.05 * ev),
+          s"lang ${e.head}: exact $ev vs approx $av")
+      }
+    }
+  }
+
   test("approx distinct users within rsd bounds of the exact counts") {
     val exact = rows(SparkEntry.queries("q_x_user_distinct")(spark, sf0001)
       .select("event_type", "n_users")).map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
