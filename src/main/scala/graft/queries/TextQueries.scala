@@ -484,13 +484,15 @@ object TextQueries {
           docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
       },
       Some(s"""WITH $shingledSql,
-               cs AS (SELECT DISTINCT unnest(sh) AS s FROM shd WHERE doc_id % 2 = 0),
-               es AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shd
-                      WHERE doc_id % 2 = 1)
+               cs AS (SELECT DISTINCT ${hash64Sql("s")} AS h FROM
+                      (SELECT unnest(sh) AS s FROM shd WHERE doc_id % 2 = 0)),
+               es AS (SELECT eval_id, ${hash64Sql("s")} AS h FROM
+                      (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shd
+                       WHERE doc_id % 2 = 1))
                SELECT eval_id, count(*) AS n_shingles,
-                      count(cs.s) AS n_contaminated,
-                      count(cs.s) / CAST(count(*) AS DOUBLE) AS contamination
-               FROM es LEFT JOIN cs ON es.s = cs.s
+                      count(cs.h) AS n_contaminated,
+                      count(cs.h) / CAST(count(*) AS DOUBLE) AS contamination
+               FROM es LEFT JOIN cs ON es.h = cs.h
                GROUP BY eval_id""")),
 
     // Deterministic corpus shuffle: dense 1..N epoch order from the portable
