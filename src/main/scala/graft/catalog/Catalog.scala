@@ -102,6 +102,7 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
         .flatMap(p => InheritedMeta.map(p.resolve).filter(Files.isRegularFile(_)))
         .map(f => f.getFileName.toString -> Files.readString(f))
         .toMap
+    schemaCache.put(name.toLowerCase, df.schema)
     val cur = currentVersion(name)
     // Resolve the carried-forward file list BEFORE the new write: the files
     // composing the current version, manifest-aware (chained appends carry
@@ -205,10 +206,22 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     if (!exists(name)) write(name, df)
     else writeVersion(name, alignedForAppend(name, df), Map.empty, carryFiles = true)
 
+  /** Table schemas resolved once per Catalog instance: without this, every
+    * streaming micro-batch append re-resolves the whole manifest file list
+    * just to read `.schema` — O(chain length) driver work per commit,
+    * undercutting the O(batch) append claim. Safe under the catalog's
+    * single-writer design: schema changes go through THIS instance's
+    * write/appendEvolve, which refresh the entry. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def tableSchema(name: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(name.toLowerCase, _ => read(name).schema)
+
   /** Column-order/type normalization + loud schema check for file-level
     * appends (every file under one manifest must agree by-name). */
   private def alignedForAppend(name: String, df: DataFrame): DataFrame = {
-    val existing = read(name).schema
+    val existing = tableSchema(name)
     val have = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val want = existing.fields.map(f => f.name.toLowerCase -> f.dataType)
     val missing = want.collect { case (n, _) if !have.contains(n) => n }

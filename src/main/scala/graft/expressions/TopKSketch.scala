@@ -60,16 +60,17 @@ case class TopKSketch(
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val key = v.asInstanceOf[UTF8String].toString
-      buf.get(key) match {
-        case Some(c) => buf.update(key, c + 1)
-        case None if buf.size < capacity => buf.update(key, 1L)
-        case None => // classic MG: an unmatched arrival decrements everyone
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.foreach { case (k, c) => if (c == 1L) dead += k else buf.update(k, c - 1) }
-          dead.foreach(buf.remove)
-      }
+    // null is a key like any other (a null-heavy FK is the canonical hot
+    // key this diagnostic exists to find — and the exact GROUP BY it
+    // replaces keeps the NULL group); mutable.HashMap accepts null keys.
+    val key = if (v == null) null else v.asInstanceOf[UTF8String].toString
+    buf.get(key) match {
+      case Some(c) => buf.update(key, c + 1)
+      case None if buf.size < capacity => buf.update(key, 1L)
+      case None => // classic MG: an unmatched arrival decrements everyone
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.foreach { case (k, c) => if (c == 1L) dead += k else buf.update(k, c - 1) }
+        dead.foreach(buf.remove)
     }
     buf
   }
@@ -90,22 +91,31 @@ case class TopKSketch(
   }
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    // order: count desc, then key asc with null first (Spark's ASC
+    // default; engines differ on null placement — a gate query over
+    // null-keyed data would need an explicit NULLS clause in its oracle)
     val top = buf.toArray.sortWith { case ((k1, c1), (k2, c2)) =>
-      if (c1 != c2) c1 > c2 else k1 < k2
+      if (c1 != c2) c1 > c2
+      else if (k1 == null) k2 != null
+      else k2 != null && k1 < k2
     }.take(emitK)
     new GenericArrayData(top.map { case (k, c) =>
-      new GenericInternalRow(Array[Any](UTF8String.fromString(k), c))
+      new GenericInternalRow(Array[Any](
+        if (k == null) null else UTF8String.fromString(k), c))
     })
   }
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val entries = buf.toArray
-    val keyBytes = entries.map(_._1.getBytes(StandardCharsets.UTF_8))
-    val bb = ByteBuffer.allocate(4 + keyBytes.map(_.length + 12).sum)
+    val keyBytes = entries.map { case (k, _) =>
+      if (k == null) null else k.getBytes(StandardCharsets.UTF_8)
+    }
+    val bb = ByteBuffer.allocate(
+      4 + keyBytes.map(kb => (if (kb == null) 0 else kb.length) + 12).sum)
     bb.putInt(entries.length)
     entries.indices.foreach { i =>
-      bb.putInt(keyBytes(i).length)
-      bb.put(keyBytes(i))
+      if (keyBytes(i) == null) bb.putInt(-1) // null-key marker
+      else { bb.putInt(keyBytes(i).length); bb.put(keyBytes(i)) }
       bb.putLong(entries(i)._2)
     }
     bb.array()
@@ -115,9 +125,13 @@ case class TopKSketch(
     val n = bb.getInt()
     val buf = mutable.HashMap.empty[String, Long]
     (0 until n).foreach { _ =>
-      val kb = new Array[Byte](bb.getInt())
-      bb.get(kb)
-      buf.update(new String(kb, StandardCharsets.UTF_8), bb.getLong())
+      val len = bb.getInt()
+      val key = if (len < 0) null else {
+        val kb = new Array[Byte](len)
+        bb.get(kb)
+        new String(kb, StandardCharsets.UTF_8)
+      }
+      buf.update(key, bb.getLong())
     }
     buf
   }

@@ -81,14 +81,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "simhash(tokens[, bits]) takes 1 or 2 arguments")
         val bits = if (args.length == 2) {
           require(args(1).foldable, "simhash: bits must be a literal integer")
-          args(1).eval() match {
-            case n: java.lang.Byte => n.intValue()
-            case n: java.lang.Short => n.intValue()
-            case n: java.lang.Integer => n.intValue()
-            case n: java.lang.Long => n.intValue()
+          val v: Long = args(1).eval() match {
+            case n: java.lang.Byte => n.longValue()
+            case n: java.lang.Short => n.longValue()
+            case n: java.lang.Integer => n.longValue()
+            case n: java.lang.Long => n.longValue()
             case other => throw new IllegalArgumentException(
               s"simhash: bits must be a non-null INTEGRAL literal, got $other")
           }
+          require(v >= 1 && v <= 60, s"simhash: bits out of range [1, 60]: $v")
+          v.toInt
         } else graft.operators.TextDedup.SimHashBits
         graft.expressions.SimHash(args(0), bits)
       }))
@@ -100,12 +102,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "topk_sketch(key, capacity, emitK) takes exactly 3 arguments")
         def intLit(e: Expression, what: String): Int = {
           require(e.foldable, s"topk_sketch: $what must be a literal integer")
-          e.eval() match {
-            case n: java.lang.Integer => n.intValue()
-            case n: java.lang.Long => n.intValue()
+          val v: Long = e.eval() match {
+            case n: java.lang.Integer => n.longValue()
+            case n: java.lang.Long => n.longValue()
             case other => throw new IllegalArgumentException(
               s"topk_sketch: $what must be an INTEGRAL literal, got $other")
           }
+          require(v >= 1 && v <= Int.MaxValue,
+            s"topk_sketch: $what out of range: $v") // no silent Long→Int wrap
+          v.toInt
         }
         graft.expressions.TopKSketch(args(0),
           intLit(args(1), "capacity"), intLit(args(2), "emitK")).toAggregateExpression()

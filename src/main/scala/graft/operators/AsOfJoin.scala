@@ -103,6 +103,17 @@ object AsOfJoin {
       keyCol: String, tsCol: String,
       rightId: String, rightPayload: String,
       maxStaleness: Long): DataFrame = {
+    // the staleness subtraction below is plain integral arithmetic; a
+    // date/timestamp ts would resolve to an interval type and fail against
+    // the Long bound — require integral here (cast date/timestamp ts to
+    // epoch units first; maxStaleness is in those units)
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
+    val tsType = leftDf.schema.fields
+      .find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType)
+    require(tsType.exists(t => Seq(LongType, IntegerType, ShortType, ByteType).contains(t)),
+      s"nativeWithin: ts '$tsCol' must be an integral type (got " +
+        s"${tsType.map(_.simpleString).getOrElse("missing")}) — cast a date/timestamp " +
+        "ts to epoch days/micros so maxStaleness has explicit units")
     val m = native(leftDf, rightDf, keyCol, tsCol, rightId, rightPayload, tsCol)
     val rts = col(s"matched_$tsCol")
     val fresh = rts.isNotNull && (col(tsCol) - rts) <= maxStaleness

@@ -131,8 +131,9 @@ final case class AsOfJoinExec(
     val rIdOrd = right.output.indexWhere(_.name.equalsIgnoreCase(rightId))
     val rPayOrds = rightPayloads.map(p =>
       right.output.indexWhere(_.name.equalsIgnoreCase(p))).toArray
-    // promoted-long readers per column (sides may carry different widths,
-    // e.g. an int left key against a bigint right key)
+    // promoted-long readers per column (the TS widths may differ per side,
+    // e.g. an int left ts against a bigint right ts; the KEY type is
+    // builder-checked identical — mixed key widths would mis-co-partition)
     val lKeyRead = AsOfJoinPlan.longReader(left.output(lKeyOrd).dataType)
     val lTsRead = AsOfJoinPlan.longReader(left.output(lTsOrd).dataType)
     val rKeyRead = AsOfJoinPlan.longReader(right.output(rKeyOrd).dataType)

@@ -502,22 +502,26 @@ object ParityQueries {
     // as q_c3_fact_build: bucketing must change the plan, never the rows.
     QueryDef("q_x_bucketed_fact",
       (s, d) => {
-        // write once per session, reuse thereafter — the whole point of
-        // bucketing is paying the key shuffle at write time and amortizing
-        // it across every subsequent join (bench rerun 2 measures the
-        // bucketed JOIN, which is what repeated fact builds actually cost)
-        if (!s.catalog.tableExists("graft_orders_bkt")) {
+        // write once per (session, sfDir), reuse thereafter — the whole
+        // point of bucketing is paying the key shuffle at write time and
+        // amortizing it across every subsequent join (bench rerun 2
+        // measures the bucketed JOIN, which is what repeated fact builds
+        // actually cost). The sfDir rides in the table names: a plain
+        // per-session guard would silently serve one scale factor's tables
+        // to another in a session touching both.
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        val (oTbl, dTbl) = (s"graft_orders_bkt_$tag", s"graft_details_bkt_$tag")
+        if (!s.catalog.tableExists(oTbl)) {
           val (orders, details) = factInputs(s, d)
           val cat = new graft.catalog.Catalog(s,
             java.nio.file.Files.createTempDirectory("graft-buckets").toString)
-          cat.writeBucketed("graft_orders_bkt", orders, "orderid", 8)
-          cat.writeBucketed("graft_details_bkt", details, "orderid", 8)
+          cat.writeBucketed(oTbl, orders, "orderid", 8)
+          cat.writeBucketed(dTbl, details, "orderid", 8)
         }
         val dimCust = Scd2Upsert.initialLoad(
           t(s, d, "customer").withColumnRenamed("c_custkey", "customerid"),
           custSpec.copy(businessKey = "customerid"), run1)
-        factJoinFrom(s, d,
-          s.table("graft_orders_bkt"), s.table("graft_details_bkt"), dimCust)
+        factJoinFrom(s, d, s.table(oTbl), s.table(dTbl), dimCust)
       },
       Some(factOracle)),
 

@@ -86,6 +86,7 @@ object VectorQueries {
     QueryDef("q_x_ann_index",
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        ivfIndexRoots.keySet.removeIf(_._1.sparkContext.isStopped)
         val cat = new graft.catalog.Catalog(s, ivfIndexRoots.computeIfAbsent(
           (s, d), _ => java.nio.file.Files.createTempDirectory("graft-ivf-index").toString))
         if (!cat.exists("ivf_index"))

@@ -176,6 +176,13 @@ class FunctionsSpec extends SparkSpec {
     val exact = rows(small.agg(TopKSketch(col("k"), 8, 3).as("hh"))
       .select(explode(col("hh")).as("e")).select("e.key", "e.n"))
     assert(exact == Seq(Seq("a", 50L), Seq("b", 30L), Seq("c", 20L)))
+    // null is a key like any other — a null-heavy FK is the canonical hot
+    // key this diagnostic exists to find (matches the exact GROUP BY)
+    val withNulls = (Seq.fill(60)(null: String) ++ Seq.fill(10)("x"))
+      .toDF("k").repartition(5)
+    val nullTop = rows(withNulls.agg(TopKSketch(col("k"), 4, 2).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.key", "e.n"))
+    assert(nullTop == Seq(Seq(null, 60L), Seq("x", 10L)))
     // approximate regime: 200 distinct tail keys vs one hot key, capacity 16.
     // MG guarantees: the hot key survives (true count > N/(capacity+1)) and
     // its estimate undershoots by at most N/(capacity+1).
@@ -230,6 +237,14 @@ class FunctionsSpec extends SparkSpec {
       Seq(100L, 2L, 0L),     // coincident → staleness 0, kept
       Seq(101L, null, null), // staleness 10 > 5 → treated as no match
       Seq(102L, null, null)))
+    // non-integral ts rejected with units guidance (date minus long is an
+    // interval, not a staleness)
+    val eDate = intercept[IllegalArgumentException](
+      graft.operators.AsOfJoin.nativeWithin(
+        left.withColumn("tus", expr("date_add(date'2024-01-01', cast(tus as int))")),
+        right.withColumn("tus", expr("date_add(date'2024-01-01', cast(tus as int))")),
+        "user_id", "tus", "event_id", "value", 5L))
+    assert(eDate.getMessage.contains("integral"))
     // native tolerance: same columns, same rows as the window form
     val tolNat = graft.operators.AsOfJoin.nativeWithin(
       left, right, "user_id", "tus", "event_id", "value", 5L)
