@@ -45,23 +45,29 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
-  /** [[jsonl]] split into (clean rows without `_corrupt`, quarantine lines):
-    * the load-and-validate shape for corpus ingest — clean rows flow on,
-    * the raw offending lines land in an audit sink instead of killing the
-    * run. The quarantine's `raw_line` coalesces over every schema column:
-    * semantically it is always the raw line (the filter guarantees
-    * `_corrupt` non-null), but the wide reference keeps column pruning from
-    * narrowing the scan to the corrupt column alone — a scan Spark
-    * disallows outright (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
-    * COLUMN; the documented alternative, caching the parse, is not an
-    * option at corpus scale). Two independent column-pruned passes. */
+  /** [[jsonl]] split into (clean rows, quarantine lines): the
+    * load-and-validate shape for corpus ingest — clean rows flow on, the
+    * raw offending lines land in an audit sink instead of killing the run.
+    *
+    * Implementation: a TEXT scan + `from_json`, not the json source. The
+    * json source forbids any query whose pruned references reduce to the
+    * internal corrupt column alone (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    * CORRUPT_RECORD_COLUMN) — and `quarantine.count()` is exactly that
+    * query; the documented workaround (cache the parse) is not an option
+    * at corpus scale. Parsing line-by-line from text has no such
+    * restriction, costs the same one pass per consumer, splits identically,
+    * and hands back the raw line verbatim for the audit sink. */
   def jsonlWithQuarantine(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{coalesce, col, struct, to_json}
-    val parsed = jsonl(spark, path, schema)
-    val rawLine = coalesce(col("_corrupt"),
-      to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*)))
-    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
-      parsed.filter(col("_corrupt").isNotNull).select(rawLine.as("raw_line")))
+    import org.apache.spark.sql.functions.{col, from_json}
+    val ext = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path).select(
+      col("value"),
+      from_json(col("value"), ext, Map(
+        "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+    (parsed.filter(col("r._corrupt").isNull)
+        .select(schema.fieldNames.map(n => col(s"r.$n")).toIndexedSeq: _*),
+      parsed.filter(col("r._corrupt").isNotNull)
+        .select(col("value").as("raw_line")))
   }
 }
