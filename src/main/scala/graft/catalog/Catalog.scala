@@ -27,6 +27,11 @@ import scala.jdk.CollectionConverters._
   * parallel (standard parquet commit protocol); only the pointer flip is
   * driver-side and O(1). Old versions are pruned, keeping `keepVersions`.
   */
+/** One retained catalog version, as reported by [[Catalog.history]]. */
+final case class CatalogVersionInfo(
+    version: Long, isCurrent: Boolean, nFiles: Int, nCarried: Int,
+    streamBatchId: Option[Long])
+
 final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2) {
   private def tableDir(name: String): Path = Paths.get(rootDir, name.toLowerCase)
   private def pointerFile(name: String): Path = tableDir(name).resolve("_CURRENT")
@@ -68,6 +73,21 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       val paths = manifestEntries(mf).map(rel => tableDir(name).resolve(rel).toString)
       spark.read.parquet(paths: _*)
     } else spark.read.parquet(dir.toString)
+  }
+
+  /** Audit surface: one row per retained version — (version, current?,
+    * data-file count, carried-from-earlier-version count, stream batch id).
+    * The operational "what is this table made of" view: a long manifest
+    * chain with many carried files is the signal to [[compact]]. */
+  def history(name: String): Seq[CatalogVersionInfo] = {
+    val cur = currentVersion(name)
+    versions(name).map { v =>
+      val files = versionDataFiles(name, s"v_$v")
+      val carried = files.count(!_.startsWith(s"v_$v/"))
+      val batchId = Some(tableDir(name).resolve(s"v_$v").resolve(BatchIdFile))
+        .filter(Files.isRegularFile(_)).map(Files.readString(_).trim.toLong)
+      CatalogVersionInfo(v, cur.contains(s"v_$v"), files.size, carried, batchId)
+    }
   }
 
   /** Retained version numbers, oldest first. */

@@ -29,6 +29,26 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[csv]] with per-record quarantine instead of COPY's abort-on-error:
+    * same text-scan + `from_csv` construction as [[jsonlWithQuarantine]]
+    * (and for the same reason — the csv source shares the json source's
+    * corrupt-column scan restriction). The header line is skipped by
+    * filtering out the exact header text, matching IGNOREHEADER 1. */
+  def csvWithQuarantine(spark: SparkSession, path: String, spec: TableSpec):
+      (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_csv, lit}
+    val ext = spec.schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    val header = spec.schema.fieldNames.mkString(",")
+    val parsed = spark.read.text(path)
+      .filter(col("value") =!= lit(header))
+      .select(col("value"), from_csv(col("value"), ext, Map(
+        "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+    (parsed.filter(col("r._corrupt").isNull)
+        .select(spec.schema.fieldNames.map(n => col(s"r.$n")).toIndexedSeq: _*),
+      parsed.filter(col("r._corrupt").isNotNull)
+        .select(col("value").as("raw_line")))
+  }
+
   /** JSONL (one JSON document per line) with an explicit schema — the
     * de-facto crawl/training-corpus interchange format. Same schema-on-write
     * posture as [[csv]]: no inference pass (an inference scan over 100 TB is

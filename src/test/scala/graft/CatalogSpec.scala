@@ -217,6 +217,22 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 51)
   }
 
+  test("history reports per-version file composition and stream batch ids") {
+    val cat = freshCatalog()
+    cat.write("t", spark.range(10).toDF("id").repartition(2)) // v_0: 2 files
+    cat.append("t", Seq(10L).toDF("id"))                      // v_1: manifest
+    val h = cat.history("t")
+    assert(h.map(_.version) == Seq(0L, 1L))
+    assert(h.map(_.isCurrent) == Seq(false, true))
+    assert(h.head.nFiles == 2 && h.head.nCarried == 0)
+    val v1 = h.last
+    assert(v1.nFiles == 3 && v1.nCarried == 2, v1) // 2 carried + 1 new
+    assert(h.forall(_.streamBatchId.isEmpty))
+    // stream batch id surfaces
+    assert(cat.appendStreamBatch("t", Seq(11L).toDF("id"), 7L))
+    assert(cat.history("t").last.streamBatchId.contains(7L))
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))

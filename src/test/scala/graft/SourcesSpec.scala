@@ -45,6 +45,22 @@ class SourcesSpec extends SparkSpec {
     assert(bad.exists(_.contains(""""text": }""")))
   }
 
+  test("csv quarantine: bad-typed rows preserved raw, header skipped") {
+    val spec = graft.model.TableSpec("probe", Seq(
+      graft.model.ColumnSpec("id", org.apache.spark.sql.types.LongType),
+      graft.model.ColumnSpec("name", StringType)))
+    val f = Files.createTempFile("graft-csv", ".csv")
+    Files.writeString(f, Seq(
+      "id,name",
+      "1,alice",
+      "oops,bob",     // non-numeric id → quarantine
+      "2,carol").mkString("\n"))
+    val (clean, quarantine) = Sources.csvWithQuarantine(spark, f.toString, spec)
+    assert(rows(clean.orderBy("id")) == Seq(Seq(1L, "alice"), Seq(2L, "carol")))
+    assert(rows(quarantine.select("raw_line")).flatten == Seq("oops,bob"))
+    assert(quarantine.count() == 1) // the count that broke the source-based form
+  }
+
   test("jsonl reads gzip transparently (non-splittable — document, don't hide)") {
     val lines = Seq("""{"doc_id": 1, "text": "zipped"}""")
     val f = Files.createTempFile("graft-jsonl", ".jsonl.gz")
