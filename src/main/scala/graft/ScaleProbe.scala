@@ -54,6 +54,14 @@ object ScaleProbe {
       val d = rep(docs, Seq("doc_id"), k)
       time(s"simhash_nd k=$k")(graft.operators.TextDedup.simhashNearDups(d, 11).count())
     }
+    // Decontamination: fixed eval set against a growing corpus — cost is
+    // the corpus-linear shingle distinct, never eval × corpus pairing.
+    val evalSet = docs.limit(100)
+    for (k <- Seq(1, 4, 8)) {
+      val c = rep(docs, Seq("doc_id"), k)
+      time(s"contamination k=$k")(
+        graft.operators.TextDedup.contamination(c, evalSet).count())
+    }
     // File-level appends: commit cost must track the BATCH (constant here),
     // not the table — the flat line that makes a streaming/fact sink viable.
     val cat = new graft.catalog.Catalog(spark,
