@@ -2,7 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every gate query at
-  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and report per-query seconds.
+  *
+  * Reporting channel (hardened in round 4 — BENCH_r01..r03 all captured as
+  * `parsed: null` because the old single giant JSON line was truncated by
+  * the driver's byte-limited output capture):
+  *   1. a SHORT summary line `{"metric":"total",...}` (no per-query map,
+  *      ~200 bytes) is printed on both sides of the legacy full-map line —
+  *      and it is the very LAST line, so a tail-limited capture window
+  *      always ends with one complete parseable copy;
+  *   2. each query prints its own one-line `{"bench_query":...}` record as
+  *      it finishes (streamed, so a mid-run kill still leaves data);
+  *   3. the full machine-readable result (totals + per-query map + canary
+  *      series) is written to BENCH_LOCAL.json (override via
+  *      SPARK_GRAFT_BENCH_OUT) and committed per round as BENCH_LOCAL_r{N}.
+  *
+  * Host-degradation canary: q_s3_scan_projection (a trivial 2-column scan
+  * whose cost cannot legitimately change) is re-timed every ~20 queries.
+  * If any canary sample drifts >5× from the baseline, `host_degraded` is
+  * set true in the summary — a contended host window (the r03 artifact
+  * showed 20–66× spikes on physically-cheap queries; a quiet-host rerun of
+  * the same binary did all 103 in 37.7 s) must be distinguishable from a
+  * plan regression inside the artifact itself.
   *
   * Config mirrors the 100 TB posture scaled to one node: AQE on (runtime
   * shuffle coalescing + skew-join splitting), shuffle partitions = cores
@@ -14,6 +35,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .withExtensions(new graft.extensions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -31,7 +53,7 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.locality.wait", "0")
-      // 37 queries × several codegen stages exceed the 100-entry default —
+      // 100+ queries × several codegen stages exceed the 100-entry default —
       // cache thrash forces janino recompiles on every rerun (measured: 6×
       // slowdowns on the HOF-heavy vector/minhash queries).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -39,17 +61,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val canaryName = "q_s3_scan_projection"
+    val canaryFn = SparkEntry.queries(canaryName)
+    timeOnce(canaryFn) // absorb the canary's own first-run planning cost
+    val canaryBase = math.max(Seq(timeOnce(canaryFn), timeOnce(canaryFn)).min, 0.01)
+    val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, canaryBase))
+
     // Best-of-2: the second run reuses compiled codegen + OS page cache, so
     // it measures the plan, not JIT/janino/GC noise. Variance guard: when
     // the two runs disagree by >3× (a transient GC/IO stall hit one of
     // them — observed in driver environments), a third run breaks the tie
     // so one stall can't publish as the query's cost.
-    val results = SparkEntry.allQueries.map { q =>
-      def run(): Double = {
-        val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+    val results = SparkEntry.allQueries.zipWithIndex.map { case (q, i) =>
+      def run(): Double = timeOnce(q.fn)
       val times = Seq(run(), run())
       val all = if (times.max > 3 * times.min && times.max > 0.5) times :+ run() else times
       // Each run persists its own intermediate frames (shingles,
@@ -59,12 +90,32 @@ object Bench {
       // are dead weight; session-catalog tables, on-disk indexes, and
       // analyzed-plan caches are untouched.
       spark.catalog.clearCache()
-      q.name -> all.min
+      val sec = all.min
+      println(f"""{"bench_query":"${q.name}","sec":$sec%.4f}""")
+      if ((i + 1) % 20 == 0) canarySamples += ((i + 1, timeOnce(canaryFn)))
+      q.name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    canarySamples += ((results.size, timeOnce(canaryFn)))
+
+    val maxDrift = canarySamples.map(_._2).max / canaryBase
+    val hostDegraded = maxDrift > 5.0
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+      f""""host_degraded":$hostDegraded,"canary_base_sec":$canaryBase%.4f,"canary_max_drift":$maxDrift%.2f,""" +
+      s""""detail":"$outPath"}"""
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    val canaries = canarySamples.map { case (i, s) => f"""[$i,$s%.4f]""" }.mkString("[", ",", "]")
+    val full = s"""{"summary":$summary,"queries":$qs,"canary_samples":$canaries}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // Summary first AND last (around the full map) so any single contiguous
+    // capture window — head-limited or tail-limited — holds a complete copy.
+    println(summary)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }
