@@ -682,7 +682,70 @@ object ParityQueries {
         val dimC2 = Scd2Upsert.run(src, Scd2Upsert.initialLoad(src, custSpec, run1), custSpec, run2)
         factJoin(s, d, dimC2)
       },
-      Some(factAfterRerunOracle))
+      Some(factAfterRerunOracle)),
+
+    // S1 end-to-end — the reference's ONE ingest format (COPY ... FORMAT AS
+    // CSV IGNOREHEADER 1, validate_data.py:138-146) driven through the real
+    // CSV reader against a file materialized from the parquet truth: the
+    // oracle reads the parquet directly, so any write→read round-trip
+    // corruption (quoting, decimals, dates, header handling) fails the hash.
+    QueryDef("q_s1_csv_load",
+      (s, d) => graft.io.Sources
+        .csv(s, s"${CsvFixtures.root(s, d)}/customers", graft.model.Schemas.customers)
+        .select(col("customerid").cast("long").as("customerid"),
+          col("firstname"), col("lastname"), col("email"), col("address"),
+          col("city"), col("state"), col("zipcode")),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS customerid, c_name AS firstname,
+              c_mktsegment AS lastname, c_name || '@example.com' AS email,
+              c_mktsegment AS address, c_mktsegment AS city,
+              substr(c_name, 10, 2) AS state, substr(c_name, 10, 9) AS zipcode
+              FROM customer""")),
+
+    // C5 end-to-end — the whole workflow dispatch (PipelineRunner.run) made
+    // oracle-visible, not just spec-visible: five CSV loads (validate ×5),
+    // three SCD2 dimension upserts, the generated date dimension, and the
+    // fact build, audited as one row of cardinalities + exact fact revenue.
+    // The pipeline runs ONCE per (session, sfDir) — SCD2 re-versions on
+    // rerun, so repeated invocations must audit the single-run state.
+    QueryDef("q_c5_pipeline_run",
+      (s, d) => {
+        val cat = CsvFixtures.pipelineCatalog(s, d)
+        def n(tbl: String, as: String) = cat.read(tbl).agg(count(lit(1)).as(as))
+        n("customers", "customers_rows")
+          .crossJoin(n("products", "products_rows"))
+          .crossJoin(n("stores", "stores_rows"))
+          .crossJoin(n("orders", "orders_rows"))
+          .crossJoin(n("orderdetails", "orderdetails_rows"))
+          .crossJoin(n("dim_customers", "dim_customers_rows"))
+          .crossJoin(n("dim_products", "dim_products_rows"))
+          .crossJoin(n("dim_stores", "dim_stores_rows"))
+          .crossJoin(n("dim_dates", "dim_dates_rows"))
+          .crossJoin(cat.read("fact_orders").agg(
+            count(lit(1)).as("fact_rows"),
+            sum(cents(col("totalprice"))).as("rev_cents")))
+      },
+      // Mirrors the CsvFixtures mappings: dims are initial loads over
+      // distinct-keyed sources (row counts = source counts), every fact row
+      // resolves (storeid ∈ 0..24 = nation keys; orderdate inside the 731-day
+      // dimension window; customer/product keys complete), so fact_rows =
+      // the PK-deduped lineitem pairs and revenue is exact decimal cents.
+      Some("""WITH od AS (SELECT l_orderkey, l_partkey,
+                            CAST(min(l_quantity) AS INT) AS quantity,
+                            CAST(CAST(l_partkey % 100000 AS DOUBLE)/100 AS DECIMAL(8,2)) AS unitprice
+                          FROM lineitem GROUP BY l_orderkey, l_partkey)
+              SELECT
+                (SELECT count(*) FROM customer) AS customers_rows,
+                (SELECT count(*) FROM part) AS products_rows,
+                (SELECT count(*) FROM nation) AS stores_rows,
+                (SELECT count(*) FROM orders) AS orders_rows,
+                (SELECT count(*) FROM od) AS orderdetails_rows,
+                (SELECT count(*) FROM customer) AS dim_customers_rows,
+                (SELECT count(*) FROM part) AS dim_products_rows,
+                (SELECT count(*) FROM nation) AS dim_stores_rows,
+                CAST(731 AS BIGINT) AS dim_dates_rows,
+                (SELECT count(*) FROM od) AS fact_rows,
+                (SELECT CAST(sum(CAST(round(CAST(CAST(unitprice * quantity AS DECIMAL(8,2)) AS DOUBLE) * 100, 0) AS BIGINT)) AS BIGINT)
+                 FROM od) AS rev_cents"""))
   ) :+ pipelineAudit
 
   /** C5 capstone: one audit row over the whole pipeline — source rows, dim
