@@ -55,20 +55,69 @@ object TextDedup {
       .select(col("g1"), col("g2"), col("jaccard_est"))
   }
 
+  /** Prefix buckets above this size stop self-joining and divert to the
+    * banded-MinHash path: a self-join inside one bucket is bucket²/2 pairs,
+    * and real corpora HAVE pathological prefixes ("terms of service for…"
+    * boilerplate) whose buckets would otherwise produce quadratic pair
+    * volume with no cap. 1024² /2 ≈ 0.5M verifies per worst-case bucket is
+    * the bounded price; everything larger pays O(docs × bands) instead. */
+  val DefaultMaxPrefixBucket = 1024
+
   /** Prefix-blocked n-gram Jaccard near-dup pairs (id1 < id2, jac ≥ t).
     * The shingled frame is persisted: it feeds both sides of the blocking
     * self-join, and without it the tokenize→shingle pipeline executes twice
     * over the corpus (and four more times when [[clusters]] composes on
-    * top). */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val s = shingled(docs).select(col("doc_id"), col("sh"), col("pfx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = s.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
-    val b = s.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx"))
-    a.join(b, Seq("pfx")).filter(col("id1") < col("id2"))
+    * top).
+    *
+    * Buckets larger than `maxBucket` divert through banded MinHash
+    * ([[bandFrame]]): candidate volume inside an oversized bucket becomes
+    * O(docs × bands) band-key collisions instead of bucket² pairs.
+    * Verification stays exact-Jaccard on both paths; only candidate RECALL
+    * inside a diverted bucket becomes the probabilistic LSH recall (a
+    * boilerplate-prefix bucket is exactly where prefix blocking carries no
+    * signal anyway — sharing "terms of service for" is not evidence of
+    * near-duplication). */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxPrefixBucket,
+      numHashes: Int = 16, numBands: Int = 8): DataFrame =
+    ngramCandidates(docs, maxBucket, numHashes, numBands)
       .withColumn("jaccard", Text.jaccard("sh1", "sh2"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Candidate pairs (id1 < id2, with both shingle sets) feeding
+    * [[ngramJaccard]]'s exact verify — public so the bucket-cap guarantee
+    * is testable: pair volume from an oversized bucket must be band-collision
+    * bound, not bucket². Small prefix buckets self-join; docs in oversized
+    * buckets form candidates via MinHash band keys instead (band collisions
+    * may also pair docs across two oversized buckets — extra recall, never
+    * less exactness, since every candidate still passes exact Jaccard). */
+  def ngramCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxPrefixBucket,
+      numHashes: Int = 16, numBands: Int = 8): DataFrame = {
+    val s = shingled(docs).select(col("doc_id"), col("sh"), col("pfx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket census over the persisted frame: one cheap aggregate whose
+    // result is prefix-cardinality sized; broadcast to both branch filters.
+    val big = broadcast(s.groupBy(col("pfx")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("pfx")))
+    val small = s.join(big, Seq("pfx"), "left_anti")
+    val prefixPairs = small
+      .select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
+      .join(small.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx")), Seq("pfx"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+    val diverted = s.join(big, Seq("pfx"), "left_semi")
+      .withColumn("hs", shingleHashes)
+      .select(col("doc_id"), col("sh"), col("hs"))
+    val bands = bandFrame(diverted.select(col("doc_id"), col("hs")), numHashes, numBands)
+    val bandPairs = bands.select(col("doc_id").as("id1"), col("band"))
+      .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+      .join(diverted.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(diverted.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+    prefixPairs.unionByName(bandPairs)
   }
 
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verify.

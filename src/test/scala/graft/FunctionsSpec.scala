@@ -56,6 +56,33 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Seq(Seq(1L, 2L)))
   }
 
+  test("ngram prefix buckets above the cap divert to banded MinHash") {
+    // 100 mutually-dissimilar docs behind one boilerplate 3-token prefix
+    // (the pathological bucket), plus a planted near-dup pair in the SAME
+    // bucket — the cap must bound pair volume without losing the dup.
+    val boiler = "terms of service"
+    val docs = (1 to 100).map(i =>
+      (i.toLong, s"$boiler ${(1 to 20).map(k => s"u${i}_$k").mkString(" ")}")) ++
+      Seq((201L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+        (202L, s"$boiler alpha beta gamma delta epsilon zeta eta iota"))
+    val df = docs.toDF("doc_id", "text")
+    // Uncapped: the single bucket self-joins into bucket²/2 candidates.
+    val uncapped = TextDedup.ngramCandidates(df, maxBucket = 10000).count()
+    assert(uncapped == 102L * 101 / 2)
+    // Capped: candidates are band collisions, nowhere near quadratic.
+    val capped = TextDedup.ngramCandidates(df, maxBucket = 10).count()
+    assert(capped < uncapped / 10, s"capped=$capped uncapped=$uncapped")
+    // The planted near-dup survives the diversion (J = 0.8 ≥ 0.5).
+    val pairs = rows(TextDedup.ngramJaccard(df, 0.5, maxBucket = 10)
+      .select("id1", "id2"))
+    assert(pairs.contains(Seq(201L, 202L)))
+    // Sanity: small buckets still flow through the exact prefix path.
+    val small = Seq((1L, "one two three four five"), (2L, "one two three four six"))
+      .toDF("doc_id", "text")
+    assert(rows(TextDedup.ngramJaccard(small, 0.4).select("id1", "id2")) ==
+      Seq(Seq(1L, 2L)))
+  }
+
   test("lshBuckets fails loudly on embedding dim mismatch") {
     val emb = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
     val e = intercept[Throwable](
