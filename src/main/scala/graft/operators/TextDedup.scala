@@ -312,6 +312,51 @@ object TextDedup {
         col("n_contaminated") / col("n_shingles").cast("double"))
   }
 
+  /** [[contamination]] with the corpus side collapsed to a BLOOM FILTER —
+    * the approximate one-sided-error form for when the corpus shingle set
+    * is too large to distinct+join per eval run. Error is strictly
+    * one-sided: a Bloom filter has NO false negatives, so real train/test
+    * overlap can never be under-reported; false positives (rate `fpp`)
+    * only over-flag — the safe direction for decontamination.
+    *
+    * Scale shape vs the exact form: the corpus contributes ONE pass with a
+    * map-side partial Bloom filter per partition, merged to a single
+    * fixed-size sketch (`numBits/8` bytes ≈ 5 MB at the defaults) — no
+    * corpus-shingle distinct, no corpus-side shuffle of shingle hashes at
+    * all. The merged filter makes one fixed-size hop through the driver and
+    * rides to the eval side as a literal (the same movement Spark's own
+    * runtime join filters perform; BloomFilterMightContain requires a
+    * constant/scalar-subquery filter operand). Build once per corpus
+    * release and reuse across eval suites — the filter, like the corpus, is
+    * content-addressed.
+    *
+    * `expectedItems` sizes the filter for the DISTINCT corpus shingle
+    * count; numBits is the textbook optimum -n·ln(fpp)/ln²2, so fpp holds
+    * at n = expectedItems and degrades gracefully past it. Spark caps both
+    * via spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits};
+    * raise those confs along with the parameters for 100 TB corpora. */
+  def contaminationBloom(corpus: DataFrame, eval: DataFrame,
+      expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val numBits = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomAgg = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(col("h")), Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+    val bf = shingled(corpus).select(explode(shingleHashes60).as("h"))
+      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val hit = Bridge.column(BloomFilterMightContain(
+      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(col("h"))))
+    shingled(eval)
+      .select(col("doc_id").as("eval_id"), explode(shingleHashes60).as("h"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(when(hit, 1)).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated") / col("n_shingles").cast("double"))
+  }
+
   /** Incremental EXACT dedup: batch documents whose content hash is absent
     * from the corpus (left-anti on md5 — one hash join, no comparisons). */
   def exactIncremental(corpus: DataFrame, batch: DataFrame,

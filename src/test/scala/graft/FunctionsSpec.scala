@@ -122,6 +122,32 @@ class FunctionsSpec extends SparkSpec {
       Seq(13L, 4L, 1L, 0.25)))
   }
 
+  test("bloom contamination: no false negatives vs exact, no join in the plan") {
+    val corpus = (1L to 50L).map(i =>
+      (i, (1 to 30).map(k => s"c${i}_$k").mkString(" "))).toDF("doc_id", "text")
+    val eval = Seq(
+      (11L, (1 to 10).map(k => s"c1_$k").mkString(" ")),  // contained in doc 1
+      (12L, (1 to 10).map(k => s"z$k").mkString(" ")),    // novel
+      (13L, "c2_1 c2_2 c2_3 z1 z2 z3")                    // partial overlap
+    ).toDF("doc_id", "text")
+    val exact = rows(TextDedup.contamination(corpus, eval).orderBy("eval_id")
+      .select("eval_id", "n_shingles", "n_contaminated"))
+    val bloomDf = TextDedup.contaminationBloom(corpus, eval)
+    val bloom = rows(bloomDf.orderBy("eval_id")
+      .select("eval_id", "n_shingles", "n_contaminated"))
+    assert(bloom.map(r => (r(0), r(1))) == exact.map(r => (r(0), r(1))))
+    // One-sided error: every truly contaminated shingle must be flagged.
+    exact.zip(bloom).foreach { case (e, b) =>
+      assert(b(2).asInstanceOf[Long] >= e(2).asInstanceOf[Long],
+        s"false negative for eval_id=${e(0)}")
+    }
+    // The corpus side reached the eval plan as a fixed-size literal filter:
+    // no join anywhere (the exact form joins the distinct shingle set).
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("persisted band index: same pairs, corpus contributes no signature work") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
