@@ -41,6 +41,10 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   private def currentVersion(name: String): Option[String] =
     if (exists(name)) Some(Files.readString(pointerFile(name)).trim) else None
 
+  /** The committed version number, for [[write(name:String,df:org\.apache\.spark\.sql\.DataFrame,expectedVersion:Long)* CAS writes]]. */
+  def currentVersionNumber(name: String): Option[Long] =
+    currentVersion(name).map(_.stripPrefix("v_").toLong)
+
   def currentPath(name: String): Option[String] =
     currentVersion(name).map(v => tableDir(name).resolve(v).toString)
 
@@ -99,8 +103,22 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
 
   /** Write `df` as the next version of `name` and atomically flip `_CURRENT`.
     * Equivalent observable semantics to the reference's COMMIT: concurrent
-    * readers see the previous version until the pointer move completes. */
+    * readers see the previous version until the pointer move completes.
+    *
+    * Concurrent WRITERS cannot silently lose each other's commit: the new
+    * version directory is claimed with an atomic create before any data
+    * lands, so of two writers that observed the same base version exactly
+    * one proceeds and the other fails loudly (the reference gets the same
+    * guarantee from Redshift transactions, dynamic_upsert.py:108,151). */
   def write(name: String, df: DataFrame): Unit = writeVersion(name, df, Map.empty)
+
+  /** Compare-and-swap [[write]] for read-modify-write flows: fails unless
+    * the table is STILL at `expectedVersion` (the version the caller read
+    * its inputs from) when the commit starts. Pass -1 for "table must not
+    * exist yet". On failure nothing is written and `_CURRENT` is untouched —
+    * re-read, re-derive, retry. */
+  def write(name: String, df: DataFrame, expectedVersion: Long): Unit =
+    writeVersion(name, df, Map.empty, expected = Some(expectedVersion))
 
   /** Version writer: lands the data AND any metadata files in the new
     * version directory BEFORE the pointer flip, so metadata commits
@@ -114,7 +132,8 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * disables inheritance — an emptied table is a full reset, including its
     * stream high-water mark. */
   private def writeVersion(name: String, df: DataFrame, meta: Map[String, String],
-      inherit: Boolean = true, carryFiles: Boolean = false): Unit = {
+      inherit: Boolean = true, carryFiles: Boolean = false,
+      expected: Option[Long] = None): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
     val inherited = if (!inherit) Map.empty[String, String] else
@@ -124,13 +143,35 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
         .toMap
     schemaCache.put(name.toLowerCase, df.schema)
     val cur = currentVersion(name)
+    val base = cur.map(_.stripPrefix("v_").toLong)
+    expected.foreach { want =>
+      if (base != Some(want).filter(_ >= 0))
+        throw new java.util.ConcurrentModificationException(
+          s"catalog: CAS write to '$name' expected version $want but found " +
+            s"${base.getOrElse("<absent>")} — another writer committed first; " +
+            "re-read and retry")
+    }
     // Resolve the carried-forward file list BEFORE the new write: the files
     // composing the current version, manifest-aware (chained appends carry
     // the whole chain forward, no copies).
     val carried: Seq[String] = if (!carryFiles) Seq.empty else
       cur.toSeq.flatMap(v => versionDataFiles(name, v))
-    val next = "v_" + (cur.map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
-    df.write.mode("overwrite").parquet(dir.resolve(next).toString)
+    // Next version = past every directory ever claimed (not just base+1):
+    // a crashed writer's orphaned claim must not block the table forever.
+    val next = "v_" + ((base.toSeq ++ versions(name)).maxOption.map(_ + 1).getOrElse(0L))
+    // The CLAIM is the commit-side CAS: atomic directory create means two
+    // writers racing from the same observed state cannot both land in (and
+    // one silently clobber) the same version directory — the loser fails
+    // here, before any data is written.
+    try Files.createDirectory(dir.resolve(next)) catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"catalog: version $next of '$name' was claimed by a concurrent " +
+            "writer — re-read and retry")
+    }
+    // `append` into the just-claimed empty directory: `overwrite` would
+    // DELETE the claim first, re-opening the race window it exists to close.
+    df.write.mode("append").parquet(dir.resolve(next).toString)
     if (carryFiles && carried.nonEmpty) {
       val fresh = localDataFiles(dir.resolve(next)).map(p => s"$next/${p.getFileName}")
       Files.writeString(dir.resolve(next).resolve(ManifestFile),
@@ -141,6 +182,17 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       Files.writeString(dir.resolve(next).resolve(file), content,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
+    // Pointer-regression guard: if another writer committed while this
+    // write's (possibly long) Spark job ran, flipping now would silently
+    // un-commit their version. Re-verify the observed base right before the
+    // flip — the claim above serializes same-base writers; this catches a
+    // writer whose base went stale mid-write.
+    val nowCur = currentVersion(name)
+    if (nowCur != cur)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog: '$name' advanced from ${cur.getOrElse("<absent>")} to " +
+          s"${nowCur.getOrElse("<absent>")} while this write ran — commit " +
+          "aborted; re-read and retry")
     val tmp = dir.resolve(s"_CURRENT.tmp.$next")
     Files.writeString(tmp, next, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,

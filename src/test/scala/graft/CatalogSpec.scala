@@ -36,6 +36,69 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").schema.fieldNames.toSeq == Seq("id"))
   }
 
+  test("CAS write: a stale-base writer fails loudly instead of clobbering") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1).toDF("id"))
+    val base = cat.currentVersionNumber("t").get      // writer A reads at v0
+    cat.write("t", Seq(2).toDF("id"))                  // writer B commits v1
+    val e = intercept[java.util.ConcurrentModificationException](
+      cat.write("t", Seq(99).toDF("id"), expectedVersion = base))
+    assert(e.getMessage.contains("expected version 0"))
+    assert(rows(cat.read("t")).flatten == Seq(2))      // B's commit survives
+    // expectedVersion = -1 means "must not exist yet": create-once semantics.
+    cat.write("fresh", Seq(7).toDF("id"), expectedVersion = -1L)
+    intercept[java.util.ConcurrentModificationException](
+      cat.write("fresh", Seq(8).toDF("id"), expectedVersion = -1L))
+  }
+
+  test("a claimed-but-unflipped version is skipped, never clobbered") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1).toDF("id"))
+    // Another writer has CLAIMED v_1 (directory created, commit in flight
+    // or crashed): the next writer must go PAST it — writing into the
+    // claimed directory would clobber the in-flight commit, and failing
+    // forever would let one crash brick the table.
+    val claimed = java.nio.file.Paths.get(cat.currentPath("t").get)
+      .getParent.resolve("v_1")
+    Files.createDirectory(claimed)
+    cat.write("t", Seq(3).toDF("id"))
+    assert(rows(cat.read("t")).flatten == Seq(3))
+    assert(cat.currentVersionNumber("t").contains(2L))
+    assert(Files.isDirectory(claimed)) // the foreign claim was not touched
+  }
+
+  test("a writer whose base went stale mid-job aborts instead of un-committing") {
+    import org.apache.spark.sql.functions.udf
+    val cat = freshCatalog()
+    cat.write("t", Seq(1).toDF("id"))
+    val gate = Files.createTempDirectory("graft-cas").resolve("b-committed")
+    val waitForGate = udf { (x: Int) =>
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!Files.exists(gate) && System.nanoTime() < deadline) Thread.sleep(20)
+      x
+    }
+    // Writer A: claims its version, then its Spark job blocks on the gate.
+    val slowDf = Seq(10).toDF("id").select(waitForGate(col("id")).as("id"))
+    var aFailure: Option[Throwable] = None
+    val a = new Thread(() =>
+      try cat.write("t", slowDf)
+      catch { case t: Throwable => aFailure = Some(t) })
+    a.start()
+    // Writer B commits while A's job is still running, then opens the gate.
+    val bDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cat.currentVersionNumber("t").contains(0L) &&
+      System.nanoTime() < bDeadline) {
+      try cat.write("t", Seq(2).toDF("id"))
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    Files.createFile(gate)
+    a.join(60000)
+    // A must abort loudly — flipping would have silently un-committed B.
+    assert(aFailure.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"writer A outcome: $aFailure")
+    assert(rows(cat.read("t")).flatten == Seq(2))
+  }
+
   test("old versions are pruned beyond keepVersions") {
     val cat = freshCatalog()
     (1 to 5).foreach(i => cat.write("t", Seq(i).toDF("id")))
