@@ -68,13 +68,14 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   }
 
   /** A version is either self-contained (plain directory scan) or, after a
-    * file-level append, a `_MANIFEST` of table-dir-relative data files that
-    * may live in OLDER version directories (carried forward, never copied). */
+    * file-level append, a `_MANIFEST` whose chain resolves to table-dir-
+    * relative data files that may live in OLDER version directories
+    * (carried forward by pointer, never copied). */
   private def readVersionDir(name: String, version: String): DataFrame = {
     val dir = tableDir(name).resolve(version)
-    val mf = dir.resolve(ManifestFile)
-    if (Files.isRegularFile(mf)) {
-      val paths = manifestEntries(mf).map(rel => tableDir(name).resolve(rel).toString)
+    if (Files.isRegularFile(dir.resolve(ManifestFile))) {
+      val paths = versionDataFiles(name, version)
+        .map(rel => tableDir(name).resolve(rel).toString)
       spark.read.parquet(paths: _*)
     } else spark.read.parquet(dir.toString)
   }
@@ -151,11 +152,11 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
             s"${base.getOrElse("<absent>")} — another writer committed first; " +
             "re-read and retry")
     }
-    // Resolve the carried-forward file list BEFORE the new write: the files
-    // composing the current version, manifest-aware (chained appends carry
-    // the whole chain forward, no copies).
-    val carried: Seq[String] = if (!carryFiles) Seq.empty else
-      cur.toSeq.flatMap(v => versionDataFiles(name, v))
+    // File-level appends carry the previous version BY REFERENCE (one
+    // "@prev" pointer line), not as a re-listed file inventory: commit
+    // metadata is O(batch) like the data write — a chain of N appends costs
+    // O(N) cumulative manifest lines, not O(N²). The chain is resolved at
+    // READ time ([[versionDataFiles]]); [[compact]] collapses it.
     // Next version = past every directory ever claimed (not just base+1):
     // a crashed writer's orphaned claim must not block the table forever.
     val next = "v_" + ((base.toSeq ++ versions(name)).maxOption.map(_ + 1).getOrElse(0L))
@@ -172,10 +173,10 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     // `append` into the just-claimed empty directory: `overwrite` would
     // DELETE the claim first, re-opening the race window it exists to close.
     df.write.mode("append").parquet(dir.resolve(next).toString)
-    if (carryFiles && carried.nonEmpty) {
+    if (carryFiles && cur.isDefined) {
       val fresh = localDataFiles(dir.resolve(next)).map(p => s"$next/${p.getFileName}")
       Files.writeString(dir.resolve(next).resolve(ManifestFile),
-        (carried ++ fresh).mkString("\n"),
+        (s"$PrevMarker${cur.get}" +: fresh).mkString("\n"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
     (inherited ++ meta).foreach { case (file, content) =>
@@ -201,6 +202,10 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   }
 
   private val ManifestFile = "_MANIFEST"
+  /** Manifest line referencing the previous version's files by pointer —
+    * Iceberg's manifest-list indirection flattened to one line. Older
+    * manifests that inline the full carried file list still resolve. */
+  private val PrevMarker = "@prev "
 
   private def manifestEntries(mf: Path): Seq[String] =
     Files.readString(mf).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
@@ -215,12 +220,29 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       }
       .sortBy(_.getFileName.toString)
 
-  /** Table-dir-relative data files composing a version (manifest-aware). */
+  /** Table-dir-relative data files composing a version: the manifest chain
+    * (each link one `@prev` pointer + its fresh files) resolved oldest-
+    * first. Recursion depth = append-chain length, bounded in practice by
+    * [[compact]]; an empty read is a read-time resolution, not a scan. */
   private def versionDataFiles(name: String, version: String): Seq[String] = {
     val dir = tableDir(name).resolve(version)
     val mf = dir.resolve(ManifestFile)
-    if (Files.isRegularFile(mf)) manifestEntries(mf)
-    else localDataFiles(dir).map(p => s"$version/${p.getFileName}")
+    if (Files.isRegularFile(mf)) {
+      val (prevs, files) = manifestEntries(mf).partition(_.startsWith(PrevMarker))
+      prevs.flatMap(p => versionDataFiles(name, p.stripPrefix(PrevMarker).trim)) ++ files
+    } else localDataFiles(dir).map(p => s"$version/${p.getFileName}")
+  }
+
+  /** Version DIRECTORIES a version's manifest chain passes through — these
+    * must survive pruning even when a link contributes zero data files
+    * (e.g. an append after a truncate): the link's `_MANIFEST` itself is
+    * load-bearing for resolution. */
+  private def chainDirs(name: String, version: String): Set[String] = {
+    val mf = tableDir(name).resolve(version).resolve(ManifestFile)
+    if (!Files.isRegularFile(mf)) Set(version)
+    else manifestEntries(mf).filter(_.startsWith(PrevMarker))
+      .map(_.stripPrefix(PrevMarker).trim)
+      .foldLeft(Set(version))((acc, p) => acc ++ chainDirs(name, p))
   }
 
   /** Idempotent micro-batch append for Structured Streaming `foreachBatch`
@@ -266,8 +288,9 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   /** INSERT INTO equivalent (S4, populate_fact.py:117): append rows as a new
     * version, preserving the atomic-swap visibility rule — but FILE-LEVEL:
     * only the new rows are written; the current version's data files are
-    * carried forward by reference in the new version's `_MANIFEST`, never
-    * copied. An append is therefore O(batch), not O(table) — the difference
+    * carried forward by a one-line `@prev` pointer in the new version's
+    * `_MANIFEST`, never copied OR re-listed. An append is therefore
+    * O(batch) in data AND commit metadata, not O(table) — the difference
     * between a usable and an unusable streaming/fact sink at 100 TB (a
     * micro-batch append against a 100 TB fact must not rewrite 100 TB).
     * [[compact]] collapses an append chain back into one self-contained
@@ -364,8 +387,8 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       .filter(p => p.getFileName.toString.startsWith("v_"))
       .sortBy(_.getFileName.toString.stripPrefix("v_").toLong)
     val retained = versions.takeRight(keepVersions).map(_.getFileName.toString).toSet + current
-    val referenced = retained.flatMap(v => versionDataFiles(name, v))
-      .map(rel => rel.takeWhile(_ != '/'))
+    val referenced = retained.flatMap(v =>
+      versionDataFiles(name, v).map(_.takeWhile(_ != '/')) ++ chainDirs(name, v))
     versions.filterNot(p => retained(p.getFileName.toString) ||
         referenced(p.getFileName.toString))
       .foreach(deleteRecursively)

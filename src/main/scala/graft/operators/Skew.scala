@@ -29,10 +29,26 @@ object Skew {
   private def spark_hash(cols: Column*): Column = abs(hash(cols: _*))
 
   /** Top-N heavy-hitter keys with counts — the diagnostic used to decide
-    * whether a join needs salting and with how many salts. */
-  def heavyHitters(df: DataFrame, key: String, topN: Int = 20): DataFrame =
-    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    * whether a join needs salting and with how many salts. This is a full
+    * groupBy+count over `df` (the shuffle is map-side combined to #keys,
+    * but the SCAN is the whole frame): pass `sampleMod > 1` to estimate
+    * from a deterministic 1-in-sampleMod row sample instead — per-key
+    * counts scale linearly, so reported counts are sampled × sampleMod and
+    * the argmax of a genuinely hot key is stable. The sample is keyed on a
+    * full-row hash (rand() would break retry/replay determinism); fully
+    * identical duplicate rows therefore sample together, which can lump a
+    * hot key of REPEATED rows into 0 or sampleMod× — acceptable for a
+    * salting heuristic, not for an exact census. */
+  def heavyHitters(df: DataFrame, key: String, topN: Int = 20,
+      sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1)
+    val base = if (sampleMod == 1) df
+      else df.filter(pmod(spark_hash(df.columns.toIndexedSeq.map(col): _*),
+        lit(sampleMod)) === 0)
+    base.groupBy(col(key))
+      .agg((count(lit(1)) * sampleMod).as("n"))
       .orderBy(col("n").desc, col(key)).limit(topN)
+  }
 
   /** Replication cap for [[saltedJoinAuto]]: every salt multiplies the build
     * side's shuffle volume, so past a point more salts cost more than the
@@ -43,13 +59,17 @@ object Skew {
 
   /** Salt count derived from MEASURED skew, not caller guesswork: the
     * hottest key's row count divided by the target rows-per-task, so each
-    * hot key splits into tasks of roughly `targetRowsPerTask` rows. One tiny
-    * O(1)-row diagnostic job (same class of driver-side probe as
-    * [[graft.operators.VectorSearch.probeDim]]). Returns 1 (no salting
-    * needed) when no key exceeds the target. */
-  def chooseSalts(skewed: DataFrame, key: String, targetRowsPerTask: Long): Int = {
+    * hot key splits into tasks of roughly `targetRowsPerTask` rows. Only
+    * the RESULT is O(1) rows — the measurement itself scans the frame
+    * (see [[heavyHitters]]); at 100 TB either pass `sampleMod` so the
+    * estimate aggregates a 1-in-sampleMod slice, measure once on a cached/
+    * pre-aggregated frame, or skip the probe and call [[saltedJoin]] with
+    * an explicit salt count. Returns 1 (no salting needed) when no key
+    * exceeds the target. */
+  def chooseSalts(skewed: DataFrame, key: String, targetRowsPerTask: Long,
+      sampleMod: Int = 1): Int = {
     require(targetRowsPerTask > 0)
-    val top = heavyHitters(skewed, key, 1).collect()
+    val top = heavyHitters(skewed, key, 1, sampleMod).collect()
     if (top.isEmpty) 1
     else {
       val hottest = top.head.getLong(1)
@@ -61,10 +81,13 @@ object Skew {
   /** [[saltedJoin]] with the salt count chosen from measured skew
     * ([[chooseSalts]]): no caller tuning knob to get wrong. Falls back to
     * the PLAIN join when no key exceeds the target — salting an unskewed
-    * join only replicates the build side for nothing. */
+    * join only replicates the build side for nothing. Cost honesty: this
+    * reads the probe side twice (once to measure, once to join); amortize
+    * by probing a sample (`sampleMod`), persisting the input, or measuring
+    * once per table release rather than per join. */
   def saltedJoinAuto(skewed: DataFrame, build: DataFrame, key: String,
-      targetRowsPerTask: Long = 1000000L): DataFrame = {
-    val salts = chooseSalts(skewed, key, targetRowsPerTask)
+      targetRowsPerTask: Long = 1000000L, sampleMod: Int = 1): DataFrame = {
+    val salts = chooseSalts(skewed, key, targetRowsPerTask, sampleMod)
     if (salts == 1) skewed.join(build, Seq(key))
     else saltedJoin(skewed, build, key, salts)
   }

@@ -11,9 +11,9 @@ import graft.operators.{QualityFilter, TextDedup}
   * was built for, run per batch against a persistent corpus:
   *
   *   JSONL parse (+ quarantine sink) → quality + repetition gates →
-  *   exact-incremental dedup (batch vs corpus content hashes) →
-  *   near-dup check against the STORED LSH band index →
-  *   file-level corpus append + band-index append
+  *   within-batch exact collapse → exact-incremental dedup (batch vs
+  *   corpus content hashes) → near-dup check WITHIN the batch and against
+  *   the STORED LSH band index → file-level corpus append + index append
   *
   * Per-batch cost is O(batch): the corpus contributes one content-hash
   * column scan (exact dedup), one stored-index scan (near-dup bands), and
@@ -63,31 +63,48 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
     try {
       val afterGates = gated.count()
 
+      // Within-batch exact collapse runs on EVERY path (a crawl batch
+      // routinely contains the same page fetched twice): keep the smallest
+      // doc_id per content hash. Without this, two identical docs in one
+      // batch would both pass the vs-corpus checks and both land.
+      val batchKeep = TextDedup.exact(gated).select(col("keep_id").as("doc_id"))
+      val batchUnique = gated.join(batchKeep, Seq("doc_id"))
+
       if (!catalog.exists(cfg.corpusTable)) {
-        // first batch bootstraps the corpus: dedup within the batch only
-        val keep = TextDedup.exact(gated).select(col("keep_id").as("doc_id"))
-        val fresh = gated.join(keep, Seq("doc_id"))
-        catalog.write(cfg.corpusTable, fresh)
-        catalog.write(cfg.bandIndexTable,
-          TextDedup.buildBandIndex(fresh, cfg.numHashes, cfg.numBands))
-        val appended = catalog.read(cfg.corpusTable).count()
-        return CrawlIngestSummary(batchLines, quarantined, afterGates,
-          exactDups = afterGates - appended, nearDups = 0, appended, appended)
+        // first batch bootstraps the corpus: within-batch dedup only
+        val fresh = batchUnique.join(withinBatchNearDups(batchUnique),
+            Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          catalog.write(cfg.corpusTable, fresh)
+          catalog.write(cfg.bandIndexTable,
+            TextDedup.buildBandIndex(fresh, cfg.numHashes, cfg.numBands))
+          val appended = catalog.read(cfg.corpusTable).count()
+          val nUnique = batchUnique.count()
+          return CrawlIngestSummary(batchLines, quarantined, afterGates,
+            exactDups = afterGates - nUnique, nearDups = nUnique - appended,
+            appended, appended)
+        } finally fresh.unpersist()
       }
 
       val corpus = catalog.read(cfg.corpusTable)
       // novel content only: one left-anti hash join against corpus md5s
-      val novel = gated.join(
-          TextDedup.exactIncremental(corpus, gated).select("doc_id"), Seq("doc_id"))
+      val novel = batchUnique.join(
+          TextDedup.exactIncremental(corpus, batchUnique).select("doc_id"), Seq("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val nNovel = novel.count()
 
-        // near-dups against the STORED band index — zero corpus re-hashing
+        // near-dups against the STORED band index — zero corpus re-hashing —
+        // UNIONED with near-dups WITHIN the batch itself (batch self-LSH is
+        // O(batch); without it two near-dup novel docs both pass the corpus
+        // check and both land)
         val nearDupIds = TextDedup.minhashLshIndexed(
             corpus, catalog.read(cfg.bandIndexTable), novel,
             cfg.nearDupJaccard, cfg.numHashes, cfg.numBands)
-          .select(col("batch_id").as("doc_id")).distinct()
+          .select(col("batch_id").as("doc_id"))
+          .unionByName(withinBatchNearDups(novel))
+          .distinct()
         val fresh = novel.join(nearDupIds, Seq("doc_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -105,4 +122,12 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
       } finally novel.unpersist()
     } finally gated.unpersist()
   }
+
+  /** doc_ids to DROP for near-duplication within one batch: the larger id
+    * of every near-dup pair (greedy keep-smallest — for a dup clique the
+    * minimum survives; chains may over-drop, the conservative direction
+    * for a training corpus). */
+  private def withinBatchNearDups(batch: DataFrame): DataFrame =
+    TextDedup.minhashLsh(batch, cfg.nearDupJaccard, cfg.numHashes, cfg.numBands)
+      .select(col("id2").as("doc_id")).distinct()
 }

@@ -61,12 +61,26 @@ class CrawlIngestSpec extends SparkSpec {
     val s3 = ingest.ingest(jsonlFile(Seq(doc(20, nearE))), schema)
     assert(s3.nearDups == 1 && s3.appended == 0 && s3.corpusDocs == 3, s3)
 
-    // the corpus survived three ingests with manifest appends, not rewrites:
+    // batch 4: two identical novel docs + two near-dups OF EACH OTHER (all
+    // novel vs the corpus) — within-batch dedup must collapse both pairs,
+    // keeping the smallest doc_id of each.
+    val textF = (1 to 32).map(i => s"fox$i").mkString(" ")
+    val nearF = (1 to 30).map(i => s"fox$i").mkString(" ") + " tail1 tail2"
+    val textG = (1 to 32).map(i => s"golf$i").mkString(" ")
+    val s4 = ingest.ingest(jsonlFile(Seq(
+      doc(30, textG), doc(31, textG),   // identical twins within the batch
+      doc(32, textF), doc(33, nearF)    // near-dups of each other
+    )), schema)
+    assert(s4.exactDups == 1, s4)
+    assert(s4.nearDups == 1, s4)
+    assert(s4.appended == 2 && s4.corpusDocs == 5, s4)
+
+    // the corpus survived four ingests with manifest appends, not rewrites:
     // the current version carries a manifest referencing earlier files
     val ver = java.nio.file.Paths.get(cat.currentPath("crawl_corpus").get)
     assert(Files.exists(ver.resolve("_MANIFEST")),
       "corpus appends must be file-level (manifest), not rewrites")
     assert(rows(cat.read("crawl_corpus").select("doc_id").orderBy("doc_id"))
-      .map(_.head) == Seq(1L, 2L, 12L))
+      .map(_.head) == Seq(1L, 2L, 12L, 30L, 32L))
   }
 }
