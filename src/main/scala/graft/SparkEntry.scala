@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
-    ParityQueries.all ++ TextQueries.all ++ VectorQueries.all ++ EventQueries.all
+    ParityQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      EventQueries.all ++ RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -104,6 +104,28 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets) * 100 < rate * buckets)
   }
 
+  /** Deterministic train/validation/test split: each row lands in exactly one
+    * split by its identity-hash bucket — `[0, trainPct)` → train,
+    * `[trainPct, trainPct+valPct)` → val, the rest → test. Because buckets
+    * come from the portable identity hash (not RNG), the split is identical
+    * on every rerun, partitioning, and engine, and it is STRATUM-UNIFORM
+    * without a shuffle: within any subpopulation (language, source, ...) the
+    * hash is uniform, so each stratum splits at the same rates — no
+    * per-stratum pass needed. Nested like [[mixtureSample]]: growing
+    * trainPct only MOVES rows from test/val into train, it never reshuffles
+    * existing train membership — incremental re-splits touch only the
+    * boundary slice. Map-side only; rides the scan at any scale. */
+  def stratifiedSplit(df: DataFrame, keyCol: String, trainPct: Int, valPct: Int,
+      buckets: Int = 100): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "stratifiedSplit: need trainPct, valPct >= 0 and trainPct + valPct <= 100")
+    val b = hashBucket(col(keyCol), buckets)
+    df.withColumn("split",
+      when(b * 100 < trainPct * buckets, "train")
+        .when(b * 100 < (trainPct + valPct) * buckets, "val")
+        .otherwise("test"))
+  }
+
   /** Top-`k` rows per group by (scoreCol desc, keyCol) — the quota/mixing
     * step of a training-data pipeline (e.g. best N documents per language or
     * per source). One shuffle on the group key; Spark's WindowGroupLimit

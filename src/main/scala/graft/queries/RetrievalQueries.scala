@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-4 surface: range joins, inverted-index text retrieval, stratified
+  * splits, and Z-order clustering — each as an oracle-gated query over the
+  * driver tables (see the operator scaladocs for the 100 TB shapes).
+  */
+object RetrievalQueries {
+
+  /** DuckDB twin of [[graft.operators.ZOrder.zValue]]'s bit-spreading
+    * network (decimal literals of the Morton masks; pure `| & <<` BIGINT
+    * arithmetic — identical on both engines). */
+  private def spreadSql(e: String): String = {
+    val rounds = Seq(
+      (16, 281470681808895L),      // 0x0000FFFF0000FFFF
+      (8, 71777214294589695L),     // 0x00FF00FF00FF00FF
+      (4, 1085102592571150095L),   // 0x0F0F0F0F0F0F0F0F
+      (2, 3689348814741910323L),   // 0x3333333333333333
+      (1, 6148914691236517205L))   // 0x5555555555555555
+    rounds.foldLeft(s"CAST($e AS BIGINT)") { case (acc, (sh, mask)) =>
+      s"((($acc) | (($acc) << $sh)) & $mask)"
+    }
+  }
+
+  private val searchTerms = Seq("vector", "merge", "window", "spark")
+  private val searchTermsSql = searchTerms.map(t => s"'$t'").mkString(", ")
+
+  lazy val all: Seq[QueryDef] = Seq(
+
+    // Point-in-interval range join as a bucketed equi-join: each supplier
+    // claims the price band [40·acctbal, 40·acctbal + 25000]; count orders
+    // whose total price falls inside. The oracle writes the bare BETWEEN
+    // join (DuckDB plans an IEJoin); the engine must produce the identical
+    // aggregate from the bucket-blocked plan — no NestedLoopJoin at any
+    // scale. Width = the band span, so each interval explodes to ≤ 2 buckets.
+    QueryDef("q_x_range_join",
+      (s, d) => {
+        val intervals = t(s, d, "supplier").select(col("s_suppkey"),
+          (col("s_acctbal") * 40).as("lo"),
+          (col("s_acctbal") * 40 + 25000).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(
+            t(s, d, "orders").select(col("o_totalprice")), "o_totalprice",
+            intervals, "lo", "hi", bucketWidth = 25000.0)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_cents"))
+      },
+      Some(s"""SELECT s_suppkey, count(*) AS n_orders,
+               CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents
+               FROM supplier JOIN orders
+                 ON o_totalprice >= s_acctbal*40 AND o_totalprice <= s_acctbal*40 + 25000
+               GROUP BY 1""")),
+
+    // Interval-overlap join, first-shared-bucket dedup: customer balance
+    // windows vs supplier balance windows (span 500, width 500) — how many
+    // customers sit within ±500 of each supplier's balance.
+    QueryDef("q_x_interval_overlap",
+      (s, d) => {
+        val cust = t(s, d, "customer").select(col("c_custkey"),
+          (col("c_acctbal") - 500).as("c_lo"), (col("c_acctbal") + 500).as("c_hi"))
+        val supp = t(s, d, "supplier").select(col("s_suppkey"),
+          col("s_acctbal").as("s_lo"), (col("s_acctbal") + 500).as("s_hi"))
+        graft.operators.RangeJoin.intervalOverlap(
+            cust, "c_lo", "c_hi", supp, "s_lo", "s_hi", bucketWidth = 500.0)
+          .groupBy("s_suppkey").agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_customers
+              FROM (SELECT c_custkey, c_acctbal - 500 AS c_lo, c_acctbal + 500 AS c_hi
+                    FROM customer) c
+              JOIN (SELECT s_suppkey, s_acctbal AS s_lo, s_acctbal + 500 AS s_hi
+                    FROM supplier) s
+                ON c.c_lo <= s.s_hi AND s.s_lo <= c.c_hi
+              GROUP BY 1""")),
+
+    // Inverted-index search, integer-exact scoring: top-10 documents for a
+    // 4-term query by sum(tf · (10^6 div df)) — rare terms dominate. The
+    // engine path touches only the query terms' postings; the oracle
+    // recomputes the whole index inline.
+    QueryDef("q_x_text_search",
+      (s, d) => graft.operators.TextIndex.searchWeighted(
+        graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
+        searchTerms, k = 10),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+               p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                     WHERE term <> '' GROUP BY 1, 2),
+               dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+               m AS (SELECT doc_id, count(*) AS n_terms,
+                            sum(tf * (1000000 // df)) AS score
+                     FROM p JOIN dfs USING (term)
+                     WHERE term IN ($searchTermsSql) GROUP BY 1)
+               SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+                      CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+               FROM (SELECT m.*, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                     FROM m)
+               WHERE rank <= 10""")),
+
+    // Okapi BM25 over the same index — the ranking-quality form. No DuckDB
+    // oracle BY DESIGN: idf needs ln(), and libm ln implementations (and the
+    // per-doc float summation order) differ across engines in the last ulp,
+    // which the hash compare cannot tolerate. Exactness is spec-verified
+    // in-JVM against an independent recomputation (TextIndexSpec); the gate
+    // records the rows-only check, like the two approx sketches.
+    QueryDef("q_x_bm25",
+      (s, d) => graft.operators.TextIndex.searchBM25(
+        graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
+        searchTerms, k = 10),
+      None),
+
+    // Stratified train/val/test split: 80/10/10 by identity hash, counted
+    // per (lang, split) — the oracle re-derives the same split from the
+    // portable hash, proving the split is engine-reproducible, and the
+    // per-language counts exhibit the stratum uniformity the operator
+    // promises (no per-stratum pass needed).
+    QueryDef("q_x_split_stratified",
+      (s, d) => graft.operators.Sampling.stratifiedSplit(
+          t(s, d, "documents"), "doc_id", trainPct = 80, valPct = 10)
+        .groupBy("lang", "split").agg(count(lit(1)).as("n")),
+      Some(s"""SELECT lang, split, count(*) AS n
+               FROM (SELECT lang,
+                       CASE WHEN h < 80 THEN 'train'
+                            WHEN h < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                     FROM (SELECT lang,
+                             ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h
+                           FROM documents))
+               GROUP BY 1, 2""")),
+
+    // Z-order clustering: the Morton code of (custkey, order epoch-day) per
+    // order — the sort key a 2-D-queried 100 TB fact table would be written
+    // in. The oracle replays the identical bit-spreading network in SQL, so
+    // the clustering layout itself is proven engine-exact; the file-pruning
+    // payoff is measured in ZOrderSpec.
+    QueryDef("q_x_zorder",
+      (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        graft.operators.ZOrder.zValue(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))).as("zval")),
+      Some {
+        val day = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+        s"""SELECT o_orderkey,
+            (${spreadSql("o_custkey")} | (${spreadSql(day)} << 1)) AS zval
+            FROM orders"""
+      })
+  )
+}

@@ -105,6 +105,36 @@ class SamplingSpec extends SparkSpec {
     assert(got == Seq(Seq(10L, 3L, 0.7), Seq(4L, 4L, 0.0), Seq(0L, 0L, 0.0)))
   }
 
+  test("stratifiedSplit: exhaustive partition, nested under rate growth, stratum-uniform") {
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("string").as("grp"))
+    val split = Sampling.stratifiedSplit(docs, "doc_id", 80, 10)
+    // every row lands in exactly one split
+    assert(split.count() == 5000)
+    assert(rows(split.groupBy("split").count()).map(_.head).toSet ==
+      Set("train", "val", "test"))
+    // deterministic: identical membership after a reshuffle
+    assert(rows(split.orderBy("doc_id").select("doc_id", "split")) ==
+      rows(Sampling.stratifiedSplit(docs.repartition(13), "doc_id", 80, 10)
+        .orderBy("doc_id").select("doc_id", "split")))
+    // nested: train@60 ⊂ train@80; val@80 starts where train@80 ends, so a
+    // doc moving out of test can only move into val/train, never the reverse
+    val t60 = rows(Sampling.stratifiedSplit(docs, "doc_id", 60, 10)
+      .filter(col("split") === "train").select("doc_id")).map(_.head).toSet
+    val t80 = rows(split.filter(col("split") === "train").select("doc_id"))
+      .map(_.head).toSet
+    assert(t60.subsetOf(t80))
+    // stratum-uniform without a per-group pass: each of the 7 groups splits
+    // near 80/10/10 (hash uniformity; wide tolerance, zero flake)
+    val perGrp = rows(split.groupBy("grp", "split").count())
+      .map(r => (r(0), r(1)) -> r(2).asInstanceOf[Long]).toMap
+    for (g <- 0 until 7) {
+      val n = perGrp.collect { case ((gg, _), c) if gg == g.toString => c }.sum
+      val tr = perGrp.getOrElse((g.toString, "train"), 0L).toDouble / n
+      assert(tr > 0.70 && tr < 0.90, s"group $g train share $tr")
+    }
+  }
+
   test("redactPii: emails replaced before digit runs, digits typed") {
     val got = rows(Seq("mail a1@b2.com or call 555 1234 now").toDF("text")
       .select(graft.functions.Text.redactPii(col("text")))).head.head

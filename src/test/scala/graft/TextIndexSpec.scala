@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextIndex
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark merge sort merge"),
+    (2L, "vector vector vector window"),
+    (3L, "the quick spark window window"),
+    (4L, "unrelated words only here"),
+    (5L, "spark spark spark spark")
+  ).toDF("doc_id", "text")
+
+  private def naiveIndex: Map[(String, Long), Long] =
+    Seq((1L, "spark merge sort merge"), (2L, "vector vector vector window"),
+      (3L, "the quick spark window window"), (4L, "unrelated words only here"),
+      (5L, "spark spark spark spark"))
+      .flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).map(w => (w, id)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("postings = exact (term, doc, tf) triples") {
+    val got = TextIndex.postings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == naiveIndex)
+  }
+
+  test("searchWeighted scores are the exact integer formula, ranked with doc_id tie-break") {
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val dfm = naiveIndex.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    val q = Seq("spark", "vector", "vector") // dup term must count once
+    val expected = naiveIndex.toSeq
+      .collect { case ((t, d), tf) if q.contains(t) => d -> tf * (1000000L / dfm(t)) }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    val got = TextIndex.searchWeighted(post, q, k = 10)
+      .select($"doc_id", $"score", $"rank").as[(Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == expected)
+    // rank: by score desc then doc_id; spark(df=3) weight 333333
+    val ranked = got.sortBy(_._3).map(_._1).toSeq
+    assert(ranked == expected.toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1))
+  }
+
+  test("searchBM25 equals an independent in-JVM Okapi recomputation exactly") {
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val got = TextIndex.searchBM25(post, Seq("spark", "window"), k = 10)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+
+    val idx = naiveIndex
+    val dfm = idx.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    val dl = idx.toSeq.groupBy(_._1._2).map { case (d, xs) => d -> xs.map(_._2).sum }
+    val n = dl.size; val avgdl = dl.values.sum.toDouble / n
+    val (k1, b) = (1.2, 0.75)
+    // mirrors the operator's expression tree association exactly — IEEE
+    // arithmetic is association-sensitive, so the recompute must parenthesize
+    // the way the Column expression does
+    def contrib(t: String, d: Long): Double = {
+      val tf = idx((t, d)).toDouble
+      val idf = math.log(1.0 + (n.toDouble - dfm(t).toDouble + 0.5) / (dfm(t).toDouble + 0.5))
+      val tfNorm = (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + (b * dl(d).toDouble) / avgdl))
+      idf * tfNorm
+    }
+    // same add order as the Spark agg's input is not guaranteed, so compare
+    // per-term contributions summed both ways — with two terms the sum has
+    // one order; exact equality is well-defined
+    val expected = dl.keys.toSeq
+      .map(d => d -> Seq("spark", "window").filter(t => idx.contains((t, d)))
+        .map(t => contrib(t, d)).sum)
+      .filter(_._2 > 0).toMap
+    assert(got.keySet == expected.keySet)
+    for ((d, s) <- expected) assert(got(d) == s, s"doc $d")
+  }
+
+  test("search touches only the query terms' postings, not the corpus scan") {
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val plan = TextIndex.searchWeighted(post, Seq("spark"), k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("spark"), plan) // the term filter survived into the plan
+  }
+}
