@@ -27,6 +27,29 @@ object RetrievalQueries {
   private val searchTerms = Seq("vector", "merge", "window", "spark")
   private val searchTermsSql = searchTerms.map(t => s"'$t'").mkString(", ")
 
+  /** Shared by the inline, stored-index, and incrementally-built-index
+    * search gates: the retrieval result must be identical no matter how the
+    * index was materialized. */
+  private val searchOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+        p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY 1, 2),
+        dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        m AS (SELECT doc_id, count(*) AS n_terms,
+                     sum(tf * (1000000 // df)) AS score
+              FROM p JOIN dfs USING (term)
+              WHERE term IN ($searchTermsSql) GROUP BY 1)
+        SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+               CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT m.*, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM m)
+        WHERE rank <= 10"""
+
+  /** Per-(session, sfDir) roots for the stored postings indexes —
+    * write-once-read-many, like the IVF / LSH band indexes. */
+  private val textIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Point-in-interval range join as a bucketed equi-join: each supplier
@@ -82,19 +105,49 @@ object RetrievalQueries {
       (s, d) => graft.operators.TextIndex.searchWeighted(
         graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
         searchTerms, k = 10),
-      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
-               p AS (SELECT term, doc_id, count(*) AS tf FROM tok
-                     WHERE term <> '' GROUP BY 1, 2),
-               dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
-               m AS (SELECT doc_id, count(*) AS n_terms,
-                            sum(tf * (1000000 // df)) AS score
-                     FROM p JOIN dfs USING (term)
-                     WHERE term IN ($searchTermsSql) GROUP BY 1)
-               SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
-                      CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
-               FROM (SELECT m.*, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-                     FROM m)
-               WHERE rank <= 10""")),
+      Some(searchOracleSql)),
+
+    // Search through the PERSISTED index: postings written once via
+    // Catalog.writeSorted(..., "term") — term-range file layout, so a term
+    // lookup prunes to a few parquet files by min/max stats (the batch
+    // analogue of a posting-list seek) — then the same top-10 query reads
+    // the stored table. Same oracle: the stored index must not change one
+    // rank.
+    QueryDef("q_x_text_search_indexed",
+      (s, d) => {
+        textIndexRoots.keySet.removeIf(_._1.sparkContext.isStopped)
+        val cat = new graft.catalog.Catalog(s, textIndexRoots.computeIfAbsent(
+          (s, d), _ => java.nio.file.Files.createTempDirectory("graft-text-index").toString))
+        if (!cat.exists("postings"))
+          cat.writeSorted("postings",
+            graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
+            8, "term")
+        graft.operators.TextIndex.searchWeighted(cat.read("postings"), searchTerms, k = 10)
+      },
+      Some(searchOracleSql)),
+
+    // INCREMENTAL index maintenance: bootstrap the postings table from half
+    // the corpus, append the other half's postings as a file-level O(batch)
+    // catalog append (doc-disjoint batches → (term, doc) rows are disjoint,
+    // so postings compose by union) — then search the chained table. Same
+    // oracle again: an index grown batch-by-batch retrieves exactly what a
+    // from-scratch build does, which is what lets a recurring crawl keep
+    // ONE living index instead of re-tokenizing the corpus per batch.
+    QueryDef("q_x_text_index_incremental",
+      (s, d) => {
+        textIndexRoots.keySet.removeIf(_._1.sparkContext.isStopped)
+        val cat = new graft.catalog.Catalog(s, textIndexRoots.computeIfAbsent(
+          (s, d + "#incr"), _ => java.nio.file.Files.createTempDirectory("graft-text-incr").toString))
+        if (!cat.exists("postings")) {
+          val docs = t(s, d, "documents")
+          cat.write("postings", graft.operators.TextIndex.postings(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+          cat.append("postings", graft.operators.TextIndex.postings(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+        }
+        graft.operators.TextIndex.searchWeighted(cat.read("postings"), searchTerms, k = 10)
+      },
+      Some(searchOracleSql)),
 
     // Okapi BM25 over the same index — the ranking-quality form. No DuckDB
     // oracle BY DESIGN: idf needs ln(), and libm ln implementations (and the
