@@ -53,9 +53,15 @@ object TextIndex {
     * Output: doc_id, n_terms (distinct query terms matched), score, rank. */
   def searchWeighted(post: DataFrame, queryTerms: Seq[String], k: Int,
       weightScale: Long = 1000000L): DataFrame = {
-    val dfs = docFrequencies(post)
     val terms = queryTerms.distinct
-    post.filter(col("term").isin(terms: _*))
+    // document frequency of a term = row count of its own postings, so the
+    // QUERY terms' dfs come from the already-filtered slice — the corpus
+    // postings are scanned once, not once for tf and again for df (and on a
+    // term-sorted stored index both derivations prune to the same files)
+    val matched = post.filter(col("term").isin(terms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    matched
       .join(dfs, "term") // k-term build side: broadcast hash join territory
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
@@ -73,18 +79,23 @@ object TextIndex {
     * WindowGroupLimit caps every partition at k rows before the merge. */
   def searchBM25(post: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // lens is needed twice (the (N, avgdl) stats probe and the per-doc
+    // normalizer join); persisting it means the full postings lineage is
+    // walked exactly ONCE per search — same persist policy as TextDedup
     val lens = docLengths(post)
-    // one O(1)-row stats probe for (N, avgdl) — a single action, so the
-    // postings lineage is walked once for both constants
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val n = stats.getLong(0)
     val avgdl = stats.getDouble(1)
-    val dfs = docFrequencies(post)
     val terms = queryTerms.distinct
+    // query-term dfs from the filtered slice (see searchWeighted)
+    val matched = post.filter(col("term").isin(terms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
-    post.filter(col("term").isin(terms: _*))
+    matched
       .join(dfs, "term")
       .join(lens, "doc_id")
       .groupBy("doc_id")
