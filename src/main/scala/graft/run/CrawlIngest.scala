@@ -13,7 +13,8 @@ import graft.operators.{QualityFilter, TextDedup}
   *   JSONL parse (+ quarantine sink) → quality + repetition gates →
   *   within-batch exact collapse → exact-incremental dedup (batch vs
   *   corpus content hashes) → near-dup check WITHIN the batch and against
-  *   the STORED LSH band index → file-level corpus append + index append
+  *   the STORED LSH band index → file-level corpus append + band-index
+  *   append + retrieval-postings append
   *
   * Per-batch cost is O(batch): the corpus contributes one content-hash
   * column scan (exact dedup), one stored-index scan (near-dup bands), and
@@ -34,7 +35,12 @@ final case class CrawlIngestConfig(
     numBands: Int = 8,
     corpusTable: String = "crawl_corpus",
     bandIndexTable: String = "crawl_lsh_bands",
-    quarantineTable: String = "crawl_quarantine")
+    quarantineTable: String = "crawl_quarantine",
+    // when set, the crawl also maintains a LIVING retrieval index: each
+    // batch appends the accepted docs' postings (O(batch), doc-disjoint
+    // batches compose by union — see q_x_text_index_incremental), so the
+    // corpus is searchable at every point without ever re-tokenizing it
+    postingsTable: Option[String] = Some("crawl_postings"))
 
 final case class CrawlIngestSummary(
     batchLines: Long, quarantined: Long, afterGates: Long,
@@ -79,6 +85,7 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
           catalog.write(cfg.corpusTable, fresh)
           catalog.write(cfg.bandIndexTable,
             TextDedup.buildBandIndex(fresh, cfg.numHashes, cfg.numBands))
+          appendPostings(fresh)
           val appended = catalog.read(cfg.corpusTable).count()
           val nUnique = batchUnique.count()
           return CrawlIngestSummary(batchLines, quarantined, afterGates,
@@ -110,10 +117,12 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
         try {
           val appended = fresh.count()
 
-          // two O(batch) manifest appends: the rows and their index bands
+          // O(batch) manifest appends: the rows, their index bands, and
+          // (when configured) their postings
           catalog.append(cfg.corpusTable, fresh)
           catalog.append(cfg.bandIndexTable,
             TextDedup.buildBandIndex(fresh, cfg.numHashes, cfg.numBands))
+          appendPostings(fresh)
 
           CrawlIngestSummary(batchLines, quarantined, afterGates,
             exactDups = afterGates - nNovel, nearDups = nNovel - appended,
@@ -122,6 +131,16 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
       } finally novel.unpersist()
     } finally gated.unpersist()
   }
+
+  /** Append the accepted batch's postings to the living retrieval index
+    * (no-op when the batch accepted nothing — an empty append would still
+    * pay a commit). */
+  private def appendPostings(fresh: DataFrame): Unit =
+    cfg.postingsTable.foreach { table =>
+      val p = graft.operators.TextIndex.postings(fresh, "doc_id", "text")
+      if (catalog.exists(table)) { if (!p.isEmpty) catalog.append(table, p) }
+      else catalog.write(table, p)
+    }
 
   /** doc_ids to DROP for near-duplication within one batch: the larger id
     * of every near-dup pair (greedy keep-smallest — for a dup clique the

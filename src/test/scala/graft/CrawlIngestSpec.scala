@@ -82,5 +82,19 @@ class CrawlIngestSpec extends SparkSpec {
       "corpus appends must be file-level (manifest), not rewrites")
     assert(rows(cat.read("crawl_corpus").select("doc_id").orderBy("doc_id"))
       .map(_.head) == Seq(1L, 2L, 12L, 30L, 32L))
+
+    // the living postings index, grown batch-by-batch, is row-identical to a
+    // from-scratch tokenization of the final corpus — the crawl never
+    // re-tokenized anything, yet retrieval sees the whole corpus
+    val stored = rows(cat.read("crawl_postings")
+      .orderBy("term", "doc_id").select("term", "doc_id", "tf"))
+    val scratch = rows(graft.operators.TextIndex
+      .postings(cat.read("crawl_corpus"), "doc_id", "text")
+      .orderBy("term", "doc_id").select("term", "doc_id", "tf"))
+    assert(stored == scratch)
+    val hits = rows(graft.operators.TextIndex.searchWeighted(
+        cat.read("crawl_postings"), Seq("alpha3", "golf7"), k = 5)
+      .select("doc_id", "rank").orderBy("rank"))
+    assert(hits.map(_.head) == Seq(1L, 30L)) // one doc per term, rank by score
   }
 }
