@@ -72,6 +72,37 @@ object ScaleProbe {
       cat.write(s"fact_$k", rep(lineitem, Seq("l_orderkey"), k))
       time(s"append 1000 rows onto ${k}x table") { cat.append(s"fact_$k", batch); 1000L }
     }
+    // Range join: growing point side against a fixed interval table — the
+    // lookup shape. Matches grow linearly with the points; work is bucket-
+    // local equi-join probes, never a nested loop over intervals.
+    val supplier = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val bands = supplier.select(col("s_suppkey"),
+      (col("s_acctbal") * 40).as("lo"), (col("s_acctbal") * 40 + 25000).as("hi"))
+    for (k <- Seq(1, 4, 8)) {
+      val pts = rep(orders, Seq("o_orderkey"), k).select(col("o_totalprice"))
+      time(s"range_join k=$k")(graft.operators.RangeJoin
+        .pointInInterval(pts, "o_totalprice", bands, "lo", "hi", 25000.0).count())
+    }
+    // Retrieval: the same 4-term search against a k×-grown corpus, once
+    // through the STORED term-sorted postings index (built untimed — the
+    // write-once path) and once rebuilding postings inline. The inline form
+    // re-tokenizes the whole corpus per search; the indexed form reads only
+    // the query terms' pruned posting files + matched rows.
+    val terms = Seq("vector", "merge", "window", "spark")
+    // absorb the search path's one-time codegen/planning warm-up so the k=1
+    // sample measures the plan, not first-run compilation
+    cat.writeSorted("postings_warm",
+      graft.operators.TextIndex.postings(docs.limit(50), "doc_id", "text"), 2, "term")
+    graft.operators.TextIndex.searchWeighted(cat.read("postings_warm"), terms, 10).count()
+    for (k <- Seq(1, 4, 8)) {
+      val d = rep(docs, Seq("doc_id"), k)
+      cat.writeSorted(s"postings_$k",
+        graft.operators.TextIndex.postings(d, "doc_id", "text"), 8, "term")
+      time(s"search_indexed k=$k")(graft.operators.TextIndex
+        .searchWeighted(cat.read(s"postings_$k"), terms, 10).count())
+      time(s"search_inline k=$k")(graft.operators.TextIndex
+        .searchWeighted(graft.operators.TextIndex.postings(d, "doc_id", "text"), terms, 10).count())
+    }
     spark.stop()
   }
 }

@@ -10,7 +10,8 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
   *
   *   quality gate (+ optional repetition gate) → exact dedup →
   *   (optional) near-dup removal → (optional) weighted mixture →
-  *   deterministic sample → sequence packing
+  *   deterministic sample → (optional) train/val/test stamp →
+  *   sequence packing (train slice only when split)
   *
   * — and committing the selected corpus and its sequence layout as atomic
   * catalog tables. Every stage is the operator the gate queries verify;
@@ -27,12 +28,19 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
 final case class MixtureConfig(
     groupCol: String, ratesPct: Map[String, Int], defaultPct: Int = 100)
 
+/** Opt-in holdout stage: stamp each selected doc train/val/test
+  * ([[Sampling.stratifiedSplit]] — deterministic, nested, stratum-uniform)
+  * and pack ONLY the train slice into sequences (holdout docs must never
+  * land in training sequences). */
+final case class SplitConfig(trainPct: Int = 90, valPct: Int = 5)
+
 final case class TrainingPipelineConfig(
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
     maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
     mix: Option[MixtureConfig] = None,     // per-group keep rates (data mixing)
+    split: Option[SplitConfig] = None,     // train/val/test stamp + train-only packing
     samplePct: Int = 100,
     seqTokens: Int = 4096,
     shards: Int = 64,
@@ -94,17 +102,28 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
           if (cfg.samplePct >= 100) mixed
           else Sampling.hashSample(mixed, "doc_id", cfg.samplePct)
 
-        catalog.write(cfg.corpusTable, sampled)
+        val stamped = cfg.split match {
+          case None => sampled
+          case Some(sc) => Sampling.stratifiedSplit(sampled, "doc_id", sc.trainPct, sc.valPct)
+        }
+        catalog.write(cfg.corpusTable, stamped)
         val selected = catalog.read(cfg.corpusTable) // read back: one compute, two consumers
+        val packInput =
+          if (cfg.split.isDefined) selected.filter(col("split") === "train") else selected
         val packed = Sampling.packSequences(
-          selected, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
+          packInput, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
         catalog.write(cfg.sequencesTable, packed)
 
         val seqStats = catalog.read(cfg.sequencesTable).agg(
           count(lit(1)).as("n"),
           coalesce(sum(col("n_tokens")), lit(0L)).as("tok"), // empty corpus → 0, not null
           countDistinct(concat_ws("|", col("shard"), col("seq_id"))).as("seqs")).head()
-        TrainingPipelineSummary(inputDocs, afterQuality, afterDedup, seqStats.getLong(0),
+        // without a split the packed table covers the whole selection, so
+        // its row count IS afterSample; with one, the corpus must be counted
+        // itself (tokens/sequences still describe the packed train slice)
+        val afterSample =
+          if (cfg.split.isEmpty) seqStats.getLong(0) else selected.count()
+        TrainingPipelineSummary(inputDocs, afterQuality, afterDedup, afterSample,
           seqStats.getLong(1), seqStats.getLong(2))
       } finally deduped.unpersist()
     } finally quality.unpersist()

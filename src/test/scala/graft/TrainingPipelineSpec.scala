@@ -79,4 +79,26 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
       .map(_.head) == Seq(1L, 2L))
   }
+
+  test("split stage stamps holdouts and packs ONLY the train slice") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val s = new TrainingPipeline(spark, cat).run(docs, TrainingPipelineConfig(
+      seqTokens = 1024, shards = 4, split = Some(graft.run.SplitConfig(70, 15))))
+    val corpus = cat.read("training_corpus")
+    assert(rows(corpus.select("split").distinct()).map(_.head).toSet ==
+      Set("train", "val", "test"))
+    val trainIds = rows(corpus.filter(col("split") === "train").select("doc_id"))
+      .map(_.head).toSet
+    val seqIds = rows(cat.read("training_sequences").select("doc_id"))
+      .map(_.head).toSet
+    assert(seqIds == trainIds, "holdout docs must never land in training sequences")
+    assert(s.afterSample == corpus.count()) // summary counts the full corpus
+    // split stamp is a pure function of doc identity: re-deriving it from
+    // the committed corpus reproduces the committed column
+    val committed = rows(corpus.orderBy("doc_id").select("doc_id", "split"))
+    val rederived = rows(graft.operators.Sampling.stratifiedSplit(
+        corpus.drop("split"), "doc_id", 70, 15)
+      .orderBy("doc_id").select("doc_id", "split"))
+    assert(committed == rederived)
+  }
 }
