@@ -108,9 +108,11 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     *
     * Concurrent WRITERS cannot silently lose each other's commit: the new
     * version directory is claimed with an atomic create before any data
-    * lands, so of two writers that observed the same base version exactly
-    * one proceeds and the other fails loudly (the reference gets the same
-    * guarantee from Redshift transactions, dynamic_upsert.py:108,151). */
+    * lands (same-base writers collide there, before writing), and the
+    * verify+flip runs under a per-table commit lock so a writer whose base
+    * went stale during its Spark job aborts loudly instead of flipping the
+    * pointer over the newer commit (the reference gets the same guarantee
+    * from Redshift transactions, dynamic_upsert.py:108,151). */
   def write(name: String, df: DataFrame): Unit = writeVersion(name, df, Map.empty)
 
   /** Compare-and-swap [[write]] for read-modify-write flows: fails unless
@@ -183,22 +185,57 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       Files.writeString(dir.resolve(next).resolve(file), content,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
-    // Pointer-regression guard: if another writer committed while this
-    // write's (possibly long) Spark job ran, flipping now would silently
-    // un-commit their version. Re-verify the observed base right before the
-    // flip — the claim above serializes same-base writers; this catches a
-    // writer whose base went stale mid-write.
-    val nowCur = currentVersion(name)
-    if (nowCur != cur)
-      throw new java.util.ConcurrentModificationException(
-        s"catalog: '$name' advanced from ${cur.getOrElse("<absent>")} to " +
-          s"${nowCur.getOrElse("<absent>")} while this write ran — commit " +
-          "aborted; re-read and retry")
-    val tmp = dir.resolve(s"_CURRENT.tmp.$next")
-    Files.writeString(tmp, next, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // Pointer-regression guard, INSIDE the commit lock: if another writer
+    // committed while this write's (possibly long) Spark job ran, flipping
+    // now would silently un-commit their version. The directory claim alone
+    // cannot serialize two writers that computed DIFFERENT next versions
+    // (B lists after A's claim → claims next+1 → both guards pass on the
+    // old pointer → both flip, last one un-commits the other). The lock
+    // makes verify+flip one critical section — and it is held only for
+    // those two filesystem ops, never for the data write.
+    withCommitLock(name) {
+      val nowCur = currentVersion(name)
+      if (nowCur != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"catalog: '$name' advanced from ${cur.getOrElse("<absent>")} to " +
+            s"${nowCur.getOrElse("<absent>")} while this write ran — commit " +
+            "aborted; re-read and retry")
+      val tmp = dir.resolve(s"_CURRENT.tmp.$next")
+      Files.writeString(tmp, next, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     prune(name, next)
+  }
+
+  /** Per-table commit lock: an atomically-created marker file guarding the
+    * verify+flip critical section (milliseconds — the Spark job runs
+    * OUTSIDE it). A holder that died mid-commit leaves a stale lock; locks
+    * older than [[StaleLockMs]] are broken, and acquisition gives up loudly
+    * after [[LockWaitMs]] rather than spinning forever. */
+  private val StaleLockMs = 60000L
+  private val LockWaitMs = 10000L
+  private def withCommitLock[T](name: String)(body: => T): T = {
+    val lock = tableDir(name).resolve("_COMMIT_LOCK")
+    val deadline = System.currentTimeMillis + LockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.io.IOException => 0L } // holder just released
+          if (age > StaleLockMs) { try Files.deleteIfExists(lock) catch {
+            case _: java.io.IOException => () } } // racing breakers: one wins
+          else if (System.currentTimeMillis > deadline)
+            throw new java.util.ConcurrentModificationException(
+              s"catalog: commit lock on '$name' held for over ${LockWaitMs} ms " +
+                "— a concurrent commit is stuck or the host is pathologically " +
+                "slow; not flipping blind")
+          else Thread.sleep(20)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   private val ManifestFile = "_MANIFEST"

@@ -43,13 +43,15 @@ object Sources {
     * same restriction as the json source; see [[jsonlWithQuarantine]]), so
     * they come from a raw TEXT scan + `from_csv` twin of the parse. The
     * text scan has no per-file header concept, so header lines are dropped
-    * BY VALUE there — case-insensitively and whitespace-trimmed. One
-    * documented edge: a MALFORMED line whose trimmed text equals the header
-    * is treated as a header, not quarantined (a well-formed one is already
-    * handled correctly by the clean side). */
+    * BY VALUE there — compared TOKEN-WISE (split on ',', each field
+    * trimmed + lowercased), so "id, name" and "ID,Name" both count as the
+    * header instead of surfacing as one phantom corrupt row per file. One
+    * documented edge: a MALFORMED line whose normalized tokens equal the
+    * header's is treated as a header, not quarantined (a well-formed one is
+    * already handled correctly by the clean side). */
   def csvWithQuarantine(spark: SparkSession, path: String, spec: TableSpec):
       (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{col, from_csv, lit, lower, trim}
+    import org.apache.spark.sql.functions.{col, from_csv, lower, split, transform, trim, typedLit}
     val ext = spec.schema.add("_corrupt", org.apache.spark.sql.types.StringType)
     val clean = spark.read
       .schema(ext)
@@ -60,9 +62,9 @@ object Sources {
       .csv(path)
       .filter(col("_corrupt").isNull)
       .select(spec.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val headerLower = spec.schema.fieldNames.mkString(",").toLowerCase
+    val headerTokens = typedLit(spec.schema.fieldNames.map(_.trim.toLowerCase).toSeq)
     val quarantine = spark.read.text(path)
-      .filter(lower(trim(col("value"))) =!= lit(headerLower))
+      .filter(!(transform(split(col("value"), ","), t => lower(trim(t))) === headerTokens))
       .select(col("value"), from_csv(col("value"), ext, Map(
         "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
       .filter(col("r._corrupt").isNotNull)

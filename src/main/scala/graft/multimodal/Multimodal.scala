@@ -74,6 +74,11 @@ object Multimodal {
     * 8-bit grayscale PNG is lossless, so encode→decode round-trips byte
     * values exactly — the property the q_x_png_roundtrip gate checks. */
   object PngCodec {
+    // ImageIO's default stream cache is DISK-backed: every encode/decode of
+    // an in-memory byte array would create+delete a temp file — per row,
+    // inside mapPartitions, under parallel tasks. Keep it on the heap.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def isPng(b: Array[Byte]): Boolean =
       b != null && b.length >= 8 && (b(0) & 0xff) == 0x89 &&
         b(1) == 'P' && b(2) == 'N' && b(3) == 'G'

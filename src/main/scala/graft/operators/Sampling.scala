@@ -114,12 +114,18 @@ object Sampling {
     * per-stratum pass needed. Nested like [[mixtureSample]]: growing
     * trainPct only MOVES rows from test/val into train, it never reshuffles
     * existing train membership — incremental re-splits touch only the
-    * boundary slice. Map-side only; rides the scan at any scale. */
+    * boundary slice. Map-side only; rides the scan at any scale.
+    *
+    * The hash domain is SALTED ("|split") so the split is independent of
+    * [[hashSample]]/[[mixtureSample]] selections on the same key: those
+    * stages keep bucket-prefix slices of the UNSALTED hash, and an
+    * unsalted split would stamp a 50%-sampled corpus 100% train (every
+    * survivor has bucket < 50 < trainPct) — no holdouts, silently. */
   def stratifiedSplit(df: DataFrame, keyCol: String, trainPct: Int, valPct: Int,
       buckets: Int = 100): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "stratifiedSplit: need trainPct, valPct >= 0 and trainPct + valPct <= 100")
-    val b = hashBucket(col(keyCol), buckets)
+    val b = Hashing.hash64(concat(col(keyCol).cast("string"), lit("|split"))) % buckets
     df.withColumn("split",
       when(b * 100 < trainPct * buckets, "train")
         .when(b * 100 < (trainPct + valPct) * buckets, "val")

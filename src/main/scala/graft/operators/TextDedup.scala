@@ -287,6 +287,60 @@ object TextDedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** The crawl-batch near-dup kernel: ONE tokenize→shingle→signature
+    * derivation of the batch feeds all three consumers a recurring ingest
+    * needs — (a) the vs-stored-index candidate join, (b) the within-batch
+    * self-join, and (c) the batch's own (doc_id, band) rows for the index
+    * append. [[graft.run.CrawlIngest]] previously composed
+    * [[minhashLshIndexed]] + [[minhashLsh]] + [[buildBandIndex]], which
+    * re-ran the per-doc pipeline (the dominant batch cost) 2-3× per ingest.
+    *
+    * Returns (dropIds, batchBands): `dropIds` is one `doc_id` column —
+    * batch docs near-dup of the corpus, plus the LARGER id of every
+    * within-batch near-dup pair (greedy keep-smallest); `batchBands` is the
+    * full batch band frame — filter it to the accepted ids for the index
+    * append (bands are per-doc, so the filter equals rebuilding the index
+    * on the accepted slice). Pass `corpusAndIndex = None` on bootstrap
+    * (no corpus to check). */
+  def crawlNearDups(corpusAndIndex: Option[(DataFrame, DataFrame)], batch: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 16, numBands: Int = 8):
+      (DataFrame, DataFrame) = {
+    val bBase = hashedShingles(batch)
+    // persisted: the band frame feeds the self-join (twice), the index
+    // candidate join, and the caller's index append
+    val bands = bandFrame(bBase, numHashes, numBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selfCands = bands.select(col("doc_id").as("id1"), col("band"))
+      .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val selfDrops = selfCands
+      .join(bBase.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(bBase.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard", Text.jaccard("sh1", "sh2"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id2").as("doc_id"))
+    val drops = corpusAndIndex match {
+      case None => selfDrops
+      case Some((corpus, bandIndex)) =>
+        val cands = bands.select(col("doc_id").as("batch_id"), col("band"))
+          .join(bandIndex.select(col("doc_id").as("corpus_id"), col("band")), Seq("band"))
+          .select(col("batch_id"), col("corpus_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val candCorpus = corpus.join(
+          cands.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        val corpusDrops = cands
+          .join(bBase.select(col("doc_id").as("batch_id"), col("sh").as("sh1")), Seq("batch_id"))
+          .join(shingled(candCorpus).select(col("doc_id").as("corpus_id"), col("sh").as("sh2")),
+            Seq("corpus_id"))
+          .withColumn("jaccard", Text.jaccard("sh1", "sh2"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("batch_id").as("doc_id"))
+        corpusDrops.unionByName(selfDrops)
+    }
+    (drops.distinct(), bands)
+  }
+
   /** Benchmark decontamination: per EVAL document, the fraction of its
     * k-token shingles that appear ANYWHERE in the training corpus — the
     * standard train/test overlap check run before any evaluation is

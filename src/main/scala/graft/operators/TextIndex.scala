@@ -85,6 +85,13 @@ object TextIndex {
     val lens = docLengths(post)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    // empty corpus (e.g. a postings table bootstrapped before any doc
+    // arrived): avg(dl) is null — return zero hits with the right schema
+    // instead of an NPE, matching searchWeighted's graceful degradation
+    if (stats.isNullAt(1))
+      return post.select(col("doc_id")).limit(0)
+        .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
+        .withColumn("rank", lit(0L))
     val n = stats.getLong(0)
     val avgdl = stats.getDouble(1)
     val terms = queryTerms.distinct

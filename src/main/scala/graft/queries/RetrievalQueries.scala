@@ -176,7 +176,7 @@ object RetrievalQueries {
                             WHEN h < 90 THEN 'val'
                             ELSE 'test' END AS split
                      FROM (SELECT lang,
-                             ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h
+                             ${hash64Sql("(CAST(doc_id AS VARCHAR) || '|split')")} % 100 AS h
                            FROM documents))
                GROUP BY 1, 2""")),
 

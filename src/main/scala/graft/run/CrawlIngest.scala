@@ -19,7 +19,9 @@ import graft.operators.{QualityFilter, TextDedup}
   * Per-batch cost is O(batch): the corpus contributes one content-hash
   * column scan (exact dedup), one stored-index scan (near-dup bands), and
   * two manifest appends — it is never re-read in full, re-tokenized, or
-  * rewritten. The band index stays current by appending the NEW documents'
+  * rewritten. The batch itself is tokenized/shingled/hashed ONCE
+  * ([[TextDedup.crawlNearDups]]): the self-check, the vs-index check, and
+  * the index-append rows all come from the same derivation. The band index stays current by appending the NEW documents'
   * bands each run, so the next batch's near-dup check sees everything
   * ingested so far.
   *
@@ -77,14 +79,19 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
       val batchUnique = gated.join(batchKeep, Seq("doc_id"))
 
       if (!catalog.exists(cfg.corpusTable)) {
-        // first batch bootstraps the corpus: within-batch dedup only
-        val fresh = batchUnique.join(withinBatchNearDups(batchUnique),
-            Seq("doc_id"), "left_anti")
+        // first batch bootstraps the corpus: within-batch dedup only. The
+        // crawl kernel shingles/hashes the batch ONCE for the self-check
+        // AND the index rows (greedy keep-smallest within the batch:
+        // cliques keep their minimum; chains may over-drop — the
+        // conservative direction for a training corpus).
+        val (dropIds, bands) = TextDedup.crawlNearDups(None, batchUnique,
+          cfg.nearDupJaccard, cfg.numHashes, cfg.numBands)
+        val fresh = batchUnique.join(dropIds, Seq("doc_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           catalog.write(cfg.corpusTable, fresh)
           catalog.write(cfg.bandIndexTable,
-            TextDedup.buildBandIndex(fresh, cfg.numHashes, cfg.numBands))
+            bands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"))
           appendPostings(fresh)
           val appended = catalog.read(cfg.corpusTable).count()
           val nUnique = batchUnique.count()
@@ -102,17 +109,14 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
       try {
         val nNovel = novel.count()
 
-        // near-dups against the STORED band index — zero corpus re-hashing —
-        // UNIONED with near-dups WITHIN the batch itself (batch self-LSH is
-        // O(batch); without it two near-dup novel docs both pass the corpus
-        // check and both land)
-        val nearDupIds = TextDedup.minhashLshIndexed(
-            corpus, catalog.read(cfg.bandIndexTable), novel,
-            cfg.nearDupJaccard, cfg.numHashes, cfg.numBands)
-          .select(col("batch_id").as("doc_id"))
-          .unionByName(withinBatchNearDups(novel))
-          .distinct()
-        val fresh = novel.join(nearDupIds, Seq("doc_id"), "left_anti")
+        // near-dups against the STORED band index (zero corpus re-hashing)
+        // and WITHIN the batch itself, from ONE shared shingle/band
+        // derivation of the batch — the kernel also hands back the batch
+        // band rows, so the index append below re-tokenizes nothing
+        val (dropIds, bands) = TextDedup.crawlNearDups(
+          Some((corpus, catalog.read(cfg.bandIndexTable))), novel,
+          cfg.nearDupJaccard, cfg.numHashes, cfg.numBands)
+        val fresh = novel.join(dropIds, Seq("doc_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val appended = fresh.count()
@@ -121,7 +125,7 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
           // (when configured) their postings
           catalog.append(cfg.corpusTable, fresh)
           catalog.append(cfg.bandIndexTable,
-            TextDedup.buildBandIndex(fresh, cfg.numHashes, cfg.numBands))
+            bands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"))
           appendPostings(fresh)
 
           CrawlIngestSummary(batchLines, quarantined, afterGates,
@@ -141,12 +145,4 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
       if (catalog.exists(table)) { if (!p.isEmpty) catalog.append(table, p) }
       else catalog.write(table, p)
     }
-
-  /** doc_ids to DROP for near-duplication within one batch: the larger id
-    * of every near-dup pair (greedy keep-smallest — for a dup clique the
-    * minimum survives; chains may over-drop, the conservative direction
-    * for a training corpus). */
-  private def withinBatchNearDups(batch: DataFrame): DataFrame =
-    TextDedup.minhashLsh(batch, cfg.nearDupJaccard, cfg.numHashes, cfg.numBands)
-      .select(col("id2").as("doc_id")).distinct()
 }

@@ -99,6 +99,20 @@ class CatalogSpec extends SparkSpec {
     assert(rows(cat.read("t")).flatten == Seq(2))
   }
 
+  test("a stale commit lock (dead holder) is broken; a live commit removes its lock") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1).toDF("id"))
+    val lock = java.nio.file.Paths.get(cat.currentPath("t").get)
+      .getParent.resolve("_COMMIT_LOCK")
+    // simulate a holder that died mid-commit two minutes ago
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 120000))
+    cat.write("t", Seq(2).toDF("id")) // must break the stale lock, not hang
+    assert(rows(cat.read("t")).flatten == Seq(2))
+    assert(!Files.exists(lock), "commit must release the lock it held")
+  }
+
   test("old versions are pruned beyond keepVersions") {
     val cat = freshCatalog()
     (1 to 5).foreach(i => cat.write("t", Seq(i).toDF("id")))

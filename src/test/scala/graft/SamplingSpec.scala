@@ -133,6 +133,17 @@ class SamplingSpec extends SparkSpec {
       val tr = perGrp.getOrElse((g.toString, "train"), 0L).toDouble / n
       assert(tr > 0.70 && tr < 0.90, s"group $g train share $tr")
     }
+    // independence from the sampling stages: a 50%-hash-sampled corpus must
+    // still split ~80/10/10 (with an UNSALTED split hash every survivor of
+    // hashSample(50) has bucket < 50 < trainPct and val/test come out EMPTY)
+    val sampledSplit = Sampling.stratifiedSplit(
+      Sampling.hashSample(docs, "doc_id", 50), "doc_id", 80, 10)
+    val shares = rows(sampledSplit.groupBy("split").count())
+      .map(r => r.head -> r(1).asInstanceOf[Long]).toMap
+    val total = shares.values.sum.toDouble
+    assert(shares.keySet == Set("train", "val", "test"),
+      s"holdouts vanished after sampling: $shares")
+    assert(shares("train") / total > 0.70 && shares("train") / total < 0.90, shares)
   }
 
   test("redactPii: emails replaced before digit runs, digits typed") {

@@ -82,6 +82,13 @@ class SourcesSpec extends SparkSpec {
     val (c2, q2) = Sources.csvWithQuarantine(spark, f2.toString, strings)
     assert(rows(c2.orderBy("id")) == Seq(Seq("id", "name"), Seq("x", "y")))
     assert(q2.count() == 0)
+    // A header with internal spacing ("id, name") must not surface as a
+    // phantom corrupt row on the quarantine side (token-wise compare)
+    val f3 = Files.createTempFile("graft-csv", ".csv")
+    Files.writeString(f3, Seq("id, NAME", "1,alice").mkString("\n"))
+    val (c3, q3) = Sources.csvWithQuarantine(spark, f3.toString, typed)
+    assert(rows(c3) == Seq(Seq(1L, "alice")))
+    assert(q3.count() == 0, "spaced header must not be quarantined")
   }
 
   test("jsonl reads gzip transparently (non-splittable — document, don't hide)") {

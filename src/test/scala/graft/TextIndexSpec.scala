@@ -72,6 +72,13 @@ class TextIndexSpec extends SparkSpec {
     for ((d, s) <- expected) assert(got(d) == s, s"doc $d")
   }
 
+  test("both searches degrade to zero rows on an empty corpus (no NPE)") {
+    val empty = TextIndex.postings(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(TextIndex.searchWeighted(empty, Seq("spark"), k = 3).count() == 0)
+    assert(TextIndex.searchBM25(empty, Seq("spark"), k = 3).count() == 0)
+  }
+
   test("search touches only the query terms' postings, not the corpus scan") {
     val post = TextIndex.postings(docs, "doc_id", "text")
     val plan = TextIndex.searchWeighted(post, Seq("spark"), k = 3)
