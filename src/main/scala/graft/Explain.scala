@@ -11,7 +11,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else Seq(
-      "q_c3_fact_build", "q_j2_star_agg", "q_s3_scan_projection", "q_j3_join_residual")
+      "q_c3_fact_build", "q_j2_star_agg", "q_s3_scan_projection", "q_j3_join_residual",
+      "q_x_range_join", "q_x_text_search")
     val spark = SparkSession.builder()
       .withExtensions(new graft.extensions.GraftExtensions).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

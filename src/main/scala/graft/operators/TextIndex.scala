@@ -46,6 +46,26 @@ object TextIndex {
   def docLengths(post: DataFrame): DataFrame =
     post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
 
+  /** Feature hashing (the "hashing trick"): a fixed-`dim` sparse term-count
+    * vector per document in LONG FORM (doc_id, pos, cnt) with
+    * `pos = hash64(term) % dim` — no vocabulary to build or broadcast,
+    * exact integers, engine-portable. Long form IS the scale
+    * representation: it is word-count-shaped (explode + one hash agg) and
+    * feeds the vector aggregates directly (a per-group centroid of hashed
+    * features is one more GROUP BY over it, exactly like
+    * [[VectorSearch.groupCentroids]]'s long rows). Densify at the edge
+    * only if a consumer needs arrays. */
+  def hashFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 256): DataFrame = {
+    require(dim > 0, "hashFeatures: dim must be positive")
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"),
+        (graft.functions.Hashing.hash64(col("term")) % dim).as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Top-`k` documents for `queryTerms` by descending integer score
     * `sum(tf * (weightScale div df))` — tf-weighted overlap where rare terms
     * dominate (df-linear damping; an exact-integer stand-in for idf).

@@ -161,6 +161,16 @@ object RetrievalQueries {
         searchTerms, k = 10),
       None),
 
+    // Feature hashing: fixed-256-dim sparse term-count vectors in long form
+    // — the no-vocabulary text→vector bridge. Exact integer counts on a
+    // portable hash, so the whole vector set is hash-equal across engines.
+    QueryDef("q_x_hash_features",
+      (s, d) => graft.operators.TextIndex.hashFeatures(
+        t(s, d, "documents"), "doc_id", "text", dim = 256),
+      Some(s"""SELECT doc_id, ${hash64Sql("term")} % 256 AS pos, count(*) AS cnt
+               FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+               WHERE term <> '' GROUP BY 1, 2""")),
+
     // Stratified train/val/test split: 80/10/10 by identity hash, counted
     // per (lang, split) — the oracle re-derives the same split from the
     // portable hash, proving the split is engine-reproducible, and the

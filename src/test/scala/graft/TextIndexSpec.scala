@@ -72,6 +72,20 @@ class TextIndexSpec extends SparkSpec {
     for ((d, s) <- expected) assert(got(d) == s, s"doc $d")
   }
 
+  test("hashFeatures: positions bounded by dim, counts sum to token count, deterministic") {
+    val feats = TextIndex.hashFeatures(docs, "doc_id", "text", dim = 16)
+    assert(feats.filter($"pos" < 0 || $"pos" >= 16).count() == 0)
+    // per-doc count mass equals the doc's token count (hashing only re-bins)
+    val mass = feats.groupBy("doc_id").agg(sum($"cnt").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val tokCounts = Map(1L -> 4L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 4L)
+    assert(mass == tokCounts)
+    // identical on a reshuffled input: pure function of content
+    assert(feats.orderBy("doc_id", "pos").collect().toSeq ==
+      TextIndex.hashFeatures(docs.repartition(7), "doc_id", "text", dim = 16)
+        .orderBy("doc_id", "pos").collect().toSeq)
+  }
+
   test("both searches degrade to zero rows on an empty corpus (no NPE)") {
     val empty = TextIndex.postings(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
