@@ -190,6 +190,28 @@ object RetrievalQueries {
                            FROM documents))
                GROUP BY 1, 2""")),
 
+    // Gap-fill resampling: every user's event stream projected onto a daily
+    // grid with the latest event forward-filled — grid explode + the NATIVE
+    // as-of join, oracled against DuckDB's own ASOF JOIN (no (user, ts)
+    // ties in the data, probed — both engines' as-of semantics coincide).
+    QueryDef("q_x_gapfill",
+      (s, d) => graft.operators.Resample.gapFillForward(
+          Q.events(s, d).select(col("user_id"), col("ts_us"), col("event_id"), col("value")),
+          "user_id", "ts_us", "event_id", "value", step = 86400000000L)
+        .select(col("user_id"), col("ts_us"),
+          col("matched_event_id"), col("matched_value")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+                         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              b AS (SELECT user_id,
+                           (min(ts_us) + 86400000000 - 1) // 86400000000 AS k0,
+                           max(ts_us) // 86400000000 AS k1
+                    FROM e GROUP BY 1),
+              g AS (SELECT user_id, unnest(generate_series(k0, k1)) * 86400000000 AS ts_us
+                    FROM b WHERE k0 <= k1)
+              SELECT g.user_id, g.ts_us,
+                     e.event_id AS matched_event_id, e.value AS matched_value
+              FROM g ASOF JOIN e ON g.user_id = e.user_id AND e.ts_us <= g.ts_us""")),
+
     // Z-order clustering: the Morton code of (custkey, order epoch-day) per
     // order — the sort key a 2-D-queried 100 TB fact table would be written
     // in. The oracle replays the identical bit-spreading network in SQL, so
