@@ -72,7 +72,33 @@ object TextIndex {
     * Duplicate query terms are counted once. Ties break by doc_id ascending.
     * Output: doc_id, n_terms (distinct query terms matched), score, rank. */
   def searchWeighted(post: DataFrame, queryTerms: Seq[String], k: Int,
-      weightScale: Long = 1000000L): DataFrame = {
+      weightScale: Long = 1000000L): DataFrame =
+    weightedScores(post, queryTerms, weightScale)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+
+  /** [[searchWeighted]] ranked WITHIN each document group (language,
+    * source, ...): the quota-mixing form of retrieval — "best k hits per
+    * language", not k global hits that one dominant group monopolizes.
+    * `groups` maps doc_id → `groupCol`; docs without a group row drop out
+    * (inner join). One group-key window after the same single-pass scoring;
+    * WindowGroupLimit keeps every partition at k rows pre-merge. */
+  def searchWeightedPerGroup(post: DataFrame, groups: DataFrame, groupCol: String,
+      queryTerms: Seq[String], kPerGroup: Int,
+      weightScale: Long = 1000000L): DataFrame =
+    weightedScores(post, queryTerms, weightScale)
+      .join(groups, "doc_id")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= kPerGroup)
+
+  /** (doc_id, n_terms, score) for the query — shared by the global and
+    * per-group rankers. */
+  private def weightedScores(post: DataFrame, queryTerms: Seq[String],
+      weightScale: Long): DataFrame = {
     val terms = queryTerms.distinct
     // document frequency of a term = row count of its own postings, so the
     // QUERY terms' dfs come from the already-filtered slice — the corpus
@@ -86,10 +112,6 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("tf") * expr(s"$weightScale div df")).as("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= k)
   }
 
   /** Okapi BM25 top-`k`: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),

@@ -149,6 +149,30 @@ object RetrievalQueries {
       },
       Some(searchOracleSql)),
 
+    // Per-group retrieval: the same scoring ranked WITHIN each language —
+    // top-3 hits per lang, so no dominant group monopolizes the result set
+    // (the quota-mixing form of search).
+    QueryDef("q_x_search_per_lang",
+      (s, d) => graft.operators.TextIndex.searchWeightedPerGroup(
+        graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
+        t(s, d, "documents").select(col("doc_id"), col("lang")), "lang",
+        searchTerms, kPerGroup = 3),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+               p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                     WHERE term <> '' GROUP BY 1, 2),
+               dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+               m AS (SELECT doc_id, count(*) AS n_terms,
+                            sum(tf * (1000000 // df)) AS score
+                     FROM p JOIN dfs USING (term)
+                     WHERE term IN ($searchTermsSql) GROUP BY 1)
+               SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+                      CAST(score AS BIGINT) AS score, lang, CAST(rank AS BIGINT) AS rank
+               FROM (SELECT m.*, d.lang,
+                            row_number() OVER (PARTITION BY d.lang
+                              ORDER BY score DESC, doc_id) AS rank
+                     FROM m JOIN documents d USING (doc_id))
+               WHERE rank <= 3""")),
+
     // Okapi BM25 over the same index — the ranking-quality form. No DuckDB
     // oracle BY DESIGN: idf needs ln(), and libm ln implementations (and the
     // per-doc float summation order) differ across engines in the last ulp,

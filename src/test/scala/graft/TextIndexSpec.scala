@@ -72,6 +72,18 @@ class TextIndexSpec extends SparkSpec {
     for ((d, s) <- expected) assert(got(d) == s, s"doc $d")
   }
 
+  test("searchWeightedPerGroup: independent top-k inside each group") {
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val groups = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "a"))
+      .toDF("doc_id", "grp")
+    val got = TextIndex.searchWeightedPerGroup(post, groups, "grp",
+        Seq("spark", "vector"), kPerGroup = 1)
+      .select($"grp", $"doc_id", $"rank").as[(String, Long, Long)].collect().toSet
+    // group a: doc 2 wins (vector tf=3 × weight 10^6/df=1 = 3,000,000 beats
+    // doc 5's spark tf=4 × 333,333); group b: doc 3 is its only hit
+    assert(got == Set(("a", 2L, 1L), ("b", 3L, 1L)))
+  }
+
   test("hashFeatures: positions bounded by dim, counts sum to token count, deterministic") {
     val feats = TextIndex.hashFeatures(docs, "doc_id", "text", dim = 16)
     assert(feats.filter($"pos" < 0 || $"pos" >= 16).count() == 0)
