@@ -21,6 +21,18 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** 60-bit hashes of every w-token sliding window of a tokens-array column
+    * (ALL positions, duplicates kept — each occurrence of a repeated span
+    * must count). Empty when fewer than w tokens. The fixed-width hashed
+    * span is the scalable stand-in for suffix-array substring dedup: span
+    * multiplicity is computable by one hash aggregate instead of a
+    * corpus-wide suffix sort. */
+  def spanHashes(toksCol: String, w: Int): Column =
+    when(size(col(toksCol)) >= w, expr(
+      s"transform(sequence(0, size($toksCol) - $w), i -> " +
+        s"CAST(conv(substring(md5(concat_ws(' ', slice($toksCol, i + 1, $w))), 1, 15), 16, 10) AS BIGINT))"))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Count of tokens drawn from a fixed vocabulary (stopword scoring). */
   def vocabHits(toksCol: String, vocab: Seq[String]): Column = {
     val inList = vocab.map(w => s"'${w.replace("'", "''")}'").mkString(", ")

@@ -29,6 +29,59 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Default duplicated-span window: 8 tokens — long enough that a shared
+    * span is evidence of copying rather than idiom, short enough that
+    * boilerplate fragments embedded in otherwise-distinct documents are
+    * still caught (document-level near-dup misses exactly those). */
+  val DefaultSpanWidth = 8
+
+  /** One row per w-token sliding-window occurrence: (doc_id, span_hash).
+    * The hashed fixed-width span is the distributable approximation of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): a repeated ≥w-token substring is
+    * repeated at every w-token window inside it, so window-hash multiplicity
+    * ≥ 2 detects it without any corpus-wide suffix sort. Row volume is
+    * Σ(doc tokens) — the corpus token count — produced map-side. */
+  def spanOccurrences(docs: DataFrame, width: Int = DefaultSpanWidth,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(Text.spanHashes("toks", width)).as("span_hash"))
+
+  /** Spans that occur 2+ times corpus-wide (the cross-document copy /
+    * boilerplate inventory): one hash aggregate over the span stream — at
+    * 100 TB this is word-count-shaped, shuffling (span_hash, partial counts)
+    * only, with map-side combine collapsing within-partition repeats. */
+  def duplicatedSpans(docs: DataFrame, width: Int = DefaultSpanWidth,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanOccurrences(docs, width, idCol, textCol)
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= 2)
+
+  /** Per-document duplicated-span profile: of the doc's w-token windows, how
+    * many also occur elsewhere in the corpus (another doc or another position
+    * — both are copies by the substring-dedup definition). `dup_fraction` is
+    * the doc-level filter signal ("mostly-duplicated documents"); docs
+    * shorter than w keep a row with n_spans = 0 and NULL fraction.
+    *
+    * Shape: ONE shuffle on span_hash (window count — no self-join and no
+    * second scan of the span stream), then one hash agg on doc_id. */
+  def spanDupStats(docs: DataFrame, width: Int = DefaultSpanWidth,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counted = spanOccurrences(docs, width, idCol, textCol)
+      .withColumn("total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))))
+    val perDoc = counted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("total") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          col("n_dup_spans") / col("n_spans").cast("double")).as("dup_fraction"))
+  }
+
   /** id + toks + distinct 3-shingles + 3-token-prefix blocking key. */
   def shingled(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))

@@ -290,6 +290,42 @@ object TextQueries {
       Some("""SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
               count(*) AS n_copies FROM documents GROUP BY md5(text)""")),
 
+    // Substring-level dedup (hashed fixed-width spans standing in for a
+    // suffix array): every 8-token window hashed map-side, one hash agg —
+    // spans occurring 2+ times corpus-wide are the copy/boilerplate
+    // inventory. Word-count-shaped at 100 TB.
+    QueryDef("q_x_dup_spans",
+      (s, d) => graft.operators.TextDedup.duplicatedSpans(t(s, d, "documents")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+               sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                        THEN list_transform(generate_series(1, len(toks) - 7),
+                             i -> ${hash64Sql("array_to_string(toks[i:i+7], ' ')")})
+                        ELSE [] END) AS span_hash FROM tk)
+               SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+                      count(*) AS n_occurrences
+               FROM sp GROUP BY span_hash HAVING count(*) >= 2""")),
+
+    // Per-document duplicated-span fraction: the "mostly duplicated text"
+    // filter signal. One window count over span_hash + one doc-level agg;
+    // docs shorter than the window keep n_spans = 0 / NULL fraction.
+    QueryDef("q_x_span_fraction",
+      (s, d) => graft.operators.TextDedup.spanDupStats(t(s, d, "documents")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+               sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                        THEN list_transform(generate_series(1, len(toks) - 7),
+                             i -> ${hash64Sql("array_to_string(toks[i:i+7], ' ')")})
+                        ELSE [] END) AS span_hash FROM tk),
+               c AS (SELECT doc_id, count(*) OVER (PARTITION BY span_hash) AS total FROM sp),
+               agg AS (SELECT doc_id, count(*) AS n_spans,
+                       CAST(sum(CASE WHEN total >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+                       FROM c GROUP BY doc_id)
+               SELECT d.doc_id,
+                      coalesce(n_spans, 0) AS n_spans,
+                      coalesce(n_dup_spans, 0) AS n_dup_spans,
+                      CASE WHEN n_spans > 0
+                           THEN n_dup_spans / CAST(n_spans AS DOUBLE) END AS dup_fraction
+               FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")),
+
     // N-gram Jaccard near-dup: prefix-blocked candidate pairs + exact
     // 3-shingle Jaccard ≥ 0.5. Blocking keeps pair formation linear-ish.
     QueryDef("q_x_dedup_ngram",

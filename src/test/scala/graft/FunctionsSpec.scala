@@ -47,6 +47,43 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, 2L), Seq(3L, 1L)))
   }
 
+  test("duplicated spans: cross-doc copies and within-doc repeats both count") {
+    // doc 1 and 2 share an 8-token run; doc 3 repeats its own 8-token run;
+    // doc 4 is unrelated; doc 5 is shorter than the window.
+    val shared = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $shared v1 v2"),
+      (2L, s"w1 $shared"),
+      (3L, s"$shared $shared"), // windows inside the doubled run also repeat
+      (4L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (5L, "too short")).toDF("doc_id", "text")
+    val dup = TextDedup.duplicatedSpans(docs)
+    // the shared window's hash must be among the duplicated spans, seen in 3 docs
+    val sharedHash = Hashing.hash64Local(shared)
+    val row = rows(dup.filter(col("span_hash") === sharedHash)
+      .select("n_docs", "n_occurrences")).head
+    assert(row == Seq(3L, 4L)) // docs 1,2,3 — doc 3 contains it twice
+    // no span from the unrelated doc is flagged
+    val doc4Spans = rows(TextDedup.spanOccurrences(docs).filter(col("doc_id") === 4L)
+      .select("span_hash")).flatten.toSet
+    assert(rows(dup).map(_.head).toSet.intersect(doc4Spans).isEmpty)
+  }
+
+  test("spanDupStats: per-doc fraction; short docs keep a zero row") {
+    val shared = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),                                  // 1 span, duplicated
+      (2L, s"$shared x1 x2"),                        // 3 spans, 1 duplicated
+      (3L, (1 to 9).map(i => s"q$i").mkString(" ")), // 2 spans, none duplicated
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = rows(TextDedup.spanDupStats(docs).orderBy("doc_id"))
+    assert(got == Seq(
+      Seq(1L, 1L, 1L, 1.0),
+      Seq(2L, 3L, 1L, 1.0 / 3),
+      Seq(3L, 2L, 0L, 0.0),
+      Seq(4L, 0L, 0L, null)))
+  }
+
   test("minhash LSH finds an obvious near-dup and skips unrelated docs") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
