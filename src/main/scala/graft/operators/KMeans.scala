@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.DotProductLong
+import graft.functions.Hashing
+
+/** Distributed k-means (Lloyd's) over an embedding column — the clustering
+  * step of an embedding pipeline (semantic bucketing, diversity sampling,
+  * IVF coarse quantizers).
+  *
+  * Built for the 100 TB corpus / tiny model shape:
+  *  - centroids live on the DRIVER as quantized-integer literals (k × dim
+  *    longs — the same "broadcast the small side" move as
+  *    [[VectorSearch.lshBuckets]]'s hyperplanes), so each assignment pass is
+  *    a pure MAP over the corpus scan: zero joins, zero shuffles;
+  *  - each update is ONE hash aggregate of (cluster, pos) partial sums with
+  *    map-side combine, followed by an O(k·dim)-row driver collect — the
+  *    only data crossing the wire per iteration is k·dim (sum, count) cells
+  *    per map task;
+  *  - all arithmetic is exact: coordinates quantized to round(x·10⁴) longs
+  *    ([[VectorSearch.quantize]]), scores are integer 2·q·c − c·c (argmax of
+  *    that is argmin of squared distance — the rank never touches floats),
+  *    and new centroids re-round onto the integer grid each iteration, so a
+  *    rerun — or another engine replaying the same recipe — reproduces the
+  *    identical model bit-for-bit.
+  *
+  * Determinism contract (what the q_x_kmeans oracle replays in SQL): seeds
+  * are the k vectors ranked by (md5-hash of vec_id, vec_id); assignment
+  * ties break to the smallest cluster id; empty clusters drop out; means
+  * round half-up onto the quantization grid (sum and count are exact in
+  * doubles far below 2^53, and IEEE division is correctly rounded, so both
+  * engines compute the identical double before `floor(x + 0.5)`).
+  */
+object KMeans {
+
+  /** Quantized centroids keyed by cluster id (ids are stable across
+    * iterations; ids of emptied clusters disappear). */
+  final case class Model(centroids: Seq[(Int, Array[Long])]) {
+    require(centroids.nonEmpty, "k-means model has no centroids")
+  }
+
+  /** Deterministic seeds: the k vectors ranked by (hash64(vec_id), vec_id).
+    * Hash-ranking is order-independent (no zipWithIndex over an arbitrary
+    * scan order) and spreads seeds pseudo-randomly; the job is a top-k sort
+    * (TakeOrdered), never a global sort. */
+  def seeds(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): Model = {
+    val picked = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("h", Hashing.hash64(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("q")).collect()
+    require(picked.length >= 1, "k-means: empty input frame")
+    Model(picked.toSeq.zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Long](0).toArray
+    })
+  }
+
+  /** Cluster id (long) of each row under `model`, as a single map-side
+    * expression: one integer literal-dot score per centroid, folded into an
+    * argmax that ties to the smallest cluster id. */
+  private def clusterExpr(model: Model): Column = {
+    val scored = model.centroids.map { case (cid, c) =>
+      val cc = c.map(x => x * x).sum
+      (DotProductLong(col("q"), typedlit(c.toSeq)) * 2 - lit(cc), lit(cid.toLong))
+    }
+    // reduce keeps the LEFT operand on ties and cids ascend left-to-right,
+    // so >= implements "ties to the smallest cid"
+    scored.reduceLeft[(Column, Column)] { case ((s1, i1), (s2, i2)) =>
+      (when(s1 >= s2, s1).otherwise(s2), when(s1 >= s2, i1).otherwise(i2))
+    }._2
+  }
+
+  /** One Lloyd update: assign under `model`, recompute per-cluster means on
+    * the quantization grid. The aggregate ships k·dim cells per map task;
+    * the collect is k·dim rows. Emptied clusters drop out of the model. */
+  private def update(prepared: DataFrame, model: Model): Model = {
+    val cells = prepared
+      .withColumn("cluster", clusterExpr(model))
+      .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("val", floor(col("s").cast("double") / col("n") + 0.5).cast("long"))
+      .select(col("cluster"), col("pos"), col("val"))
+      .collect()
+    Model(cells.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+      cid.toInt -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+    })
+  }
+
+  /** Fit a k-means model: hash-ranked seeds + `iters` Lloyd rounds. The
+    * prepared (id, q) frame is persisted across the iteration actions and
+    * released before returning — the model itself carries no lineage. */
+  def fit(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): Model = {
+    val prepared = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to iters).foldLeft(seeds(emb, k, idCol, embCol)) { (m, _) =>
+        update(prepared, m)
+      }
+    } finally prepared.unpersist()
+  }
+
+  /** (vec_id, cluster) for every row — a pure map over the corpus scan
+    * (centroid literals baked into the plan; nothing is joined, shuffled,
+    * or collected), so scoring a 100 TB corpus is scan-bound. */
+  def assign(emb: DataFrame, model: Model, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .select(col("vec_id"), clusterExpr(model).as("cluster"))
+
+  /** fit + assign in one call (the q_x_kmeans gate surface). */
+  def fitAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assign(emb, fit(emb, k, iters, idCol, embCol), idCol, embCol)
+}

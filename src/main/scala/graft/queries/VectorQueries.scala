@@ -55,6 +55,38 @@ object VectorQueries {
   /** DuckDB-side quantization (int-valued doubles — exact for dot products). */
   private val quantSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS DOUBLE))"
 
+  /** Unrolled 2-iteration Lloyd replay of [[graft.operators.KMeans]] (same
+    * seeds, same integer argmax with ties to the smallest cid, same
+    * round-half-up grid means — every intermediate is an integer-valued
+    * double well under 2^53, so both engines rank and round identically). */
+  private lazy val kmeansOracleSql: String = {
+    val k = 8
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, q, cid FROM (
+            SELECT e.vec_id, e.q, s.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY 2 * list_dot_product(e.q, s.q) - list_dot_product(s.q, s.q) DESC,
+                         s.cid) AS rn
+            FROM e CROSS JOIN $cents s) WHERE rn = 1)"""
+    def centCte(name: String, assigned: String) =
+      s"""$name AS (SELECT cid, list(val ORDER BY pos) AS q FROM (
+            SELECT cid, pos, floor(sum(v) / count(*) + 0.5) AS val FROM (
+              SELECT cid, unnest(generate_series(0, len(q) - 1)) AS pos, unnest(q) AS v
+              FROM $assigned)
+            GROUP BY cid, pos) GROUP BY cid)"""
+    s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings WHERE embedding IS NOT NULL),
+        seeds AS (SELECT cid, q FROM (
+          SELECT row_number() OVER (
+            ORDER BY ${hash64Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS cid, q
+          FROM e) WHERE cid < $k),
+        ${assignCte("a1", "seeds")},
+        ${centCte("c1", "a1")},
+        ${assignCte("a2", "c1")},
+        ${centCte("c2", "a2")},
+        ${assignCte("a3", "c2")}
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a3"""
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: queries = vec_id < 50, k = 5, self excluded.
@@ -111,6 +143,15 @@ object VectorQueries {
                      unnest(q) AS val
                      FROM (SELECT vec_id, $quantSql AS q FROM embeddings))
                GROUP BY 1, 2""")),
+
+    // Distributed k-means (Lloyd's): centroids live on the driver as
+    // integer literals, so every assignment pass is a pure map over the
+    // corpus scan (zero joins/shuffles) and each update is one hash agg +
+    // a k·dim-row collect — the MLlib shape, declaratively. Fully
+    // deterministic (quantized grid, hash-ranked seeds), hence oracle-exact.
+    QueryDef("q_x_kmeans",
+      (s, d) => graft.operators.KMeans.fitAssign(t(s, d, "embeddings"), k = 8, iters = 2),
+      Some(kmeansOracleSql)),
 
     // LSH-bucketed embedding near-dup: 8 random-hyperplane sign bits → 256
     // buckets; exact cosine verify within buckets. Threshold 0.3 because the

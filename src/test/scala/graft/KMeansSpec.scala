@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeans
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two obvious blobs in 4-d: around (+1,+1,+1,+1) and (-1,-1,-1,-1). */
+  private def blobs = (0 until 10).map { i =>
+    val sign = if (i % 2 == 0) 1.0f else -1.0f
+    val jitter = 0.01f * i
+    (i.toLong, Seq(sign + jitter, sign, sign - jitter, sign))
+  }.toDF("vec_id", "embedding")
+
+  test("k-means separates two obvious blobs") {
+    val got = rows(KMeans.fitAssign(blobs, k = 2, iters = 3)
+      .withColumn("parity", col("vec_id") % 2)
+      .groupBy("parity").agg(countDistinct("cluster").as("n_clusters"))
+      .orderBy("parity"))
+    // each parity blob maps to exactly one cluster...
+    assert(got == Seq(Seq(0L, 1L), Seq(1L, 1L)))
+    // ...and the two blobs land in different clusters
+    assert(KMeans.fitAssign(blobs, k = 2, iters = 3)
+      .select("cluster").distinct().count() == 2)
+  }
+
+  test("fit is deterministic: two fits produce the identical model") {
+    val m1 = KMeans.fit(blobs, k = 3, iters = 2)
+    val m2 = KMeans.fit(blobs, k = 3, iters = 2)
+    assert(m1.centroids.map { case (c, a) => (c, a.toSeq) } ==
+      m2.centroids.map { case (c, a) => (c, a.toSeq) })
+  }
+
+  test("emptied clusters drop out of the model; assignment stays total") {
+    // 3 seeds over data with only 2 distinct points: one seed's cluster
+    // must empty after the first update
+    val dup = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)),
+      (4L, Seq(-1.0f, -1.0f)), (5L, Seq(-1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val m = KMeans.fit(dup, k = 3, iters = 2)
+    assert(m.centroids.size == 2)
+    assert(KMeans.assign(dup, m).count() == 5)
+  }
+
+  test("assignment is a pure map: no exchange in the physical plan") {
+    val m = KMeans.fit(blobs, k = 2, iters = 1)
+    val plan = KMeans.assign(blobs, m).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("null embeddings are excluded, not crashed on") {
+    val withNull = blobs.union(Seq((99L, null: Seq[Float])).toDF("vec_id", "embedding"))
+    assert(KMeans.fitAssign(withNull, k = 2, iters = 2).count() == 10)
+  }
+}
