@@ -129,6 +129,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming first-seen doc dedup matches batch exact dedup across micro-batches") {
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft-docdedup").toString
+    def append(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    // batch 1 carries a WITHIN-batch duplicate (1,3 share content)
+    append(Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")))
+    val stream = spark.readStream.schema("doc_id bigint, text string")
+      .parquet(dir).as[DocStream.Doc]
+    val q = DocStream.firstSeen(stream)
+      .writeStream.outputMode("append").format("memory").queryName("docdedup").start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("docdedup").select("doc_id").orderBy("doc_id"))
+        .flatten == Seq(1L, 2L))
+      // batch 2: a CROSS-batch re-crawl (4 = "beta") plus novel content
+      append(Seq((4L, "beta"), (5L, "gamma")))
+      q.processAllAvailable()
+      val kept = spark.table("docdedup")
+      assert(rows(kept.select("doc_id").orderBy("doc_id")).flatten == Seq(1L, 2L, 5L))
+      // keepers agree with the batch twin over the full corpus (ids arrive
+      // in increasing order here, so first-seen == global-min keeper)
+      val batchKeepers = rows(graft.operators.TextDedup.exact(
+        spark.read.parquet(dir)).select("keep_id").orderBy("keep_id")).flatten
+      assert(rows(kept.select("doc_id").orderBy("doc_id")).flatten == batchKeepers)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import EventStream._
     val events = Seq(
