@@ -58,4 +58,20 @@ object QualityFilter {
           lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
           .otherwise(lit(0.0)))
       .drop("toks")
+
+  /** Corpus-LM quality surrogate without a language model (the CCNet idea —
+    * score documents by how typical their n-grams are — with corpus counts
+    * standing in for LM probabilities, so no libm/perplexity floats ever
+    * enter the result): `coverage` = fraction of the doc's bigram
+    * occurrences seen `minCount`+ times corpus-wide. Low coverage flags
+    * gibberish/OCR noise/wrong-tokenization docs whose token PAIRS are rare
+    * even when each token is common (the unigram stopword gate misses
+    * those). Shape: one span_hash shuffle + one doc agg
+    * ([[TextDedup.spanDupStats]] at width 2). */
+  def bigramCoverage(docs: DataFrame, minCount: Long = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TextDedup.spanDupStats(docs, width = 2, minCount = minCount,
+        idCol = idCol, textCol = textCol)
+      .select(col("doc_id"), col("n_spans").as("n_bigrams"),
+        col("n_dup_spans").as("n_common"), col("dup_fraction").as("coverage"))
 }

@@ -59,21 +59,24 @@ object TextDedup {
       .filter(col("n_occurrences") >= 2)
 
   /** Per-document duplicated-span profile: of the doc's w-token windows, how
-    * many also occur elsewhere in the corpus (another doc or another position
-    * — both are copies by the substring-dedup definition). `dup_fraction` is
+    * many occur `minCount`+ times corpus-wide (at 2, "also occurs elsewhere —
+    * another doc or another position, both copies by the substring-dedup
+    * definition"; higher thresholds grade spans by commonness instead, see
+    * [[graft.operators.QualityFilter.bigramCoverage]]). `dup_fraction` is
     * the doc-level filter signal ("mostly-duplicated documents"); docs
     * shorter than w keep a row with n_spans = 0 and NULL fraction.
     *
     * Shape: ONE shuffle on span_hash (window count — no self-join and no
     * second scan of the span stream), then one hash agg on doc_id. */
   def spanDupStats(docs: DataFrame, width: Int = DefaultSpanWidth,
+      minCount: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val counted = spanOccurrences(docs, width, idCol, textCol)
       .withColumn("total", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))))
     val perDoc = counted.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("total") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(col("total") >= minCount, 1L).otherwise(0L)).as("n_dup_spans"))
     docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

@@ -326,6 +326,28 @@ object TextQueries {
                            THEN n_dup_spans / CAST(n_spans AS DOUBLE) END AS dup_fraction
                FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")),
 
+    // Corpus-LM quality surrogate: fraction of each doc's bigrams seen 3+
+    // times corpus-wide (corpus counts standing in for LM probabilities —
+    // no floats beyond one final division). Same word-count shape as the
+    // span inventory, at width 2.
+    QueryDef("q_x_bigram_coverage",
+      (s, d) => graft.operators.QualityFilter.bigramCoverage(t(s, d, "documents")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+               sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                        THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> ${hash64Sql("array_to_string(toks[i:i+1], ' ')")})
+                        ELSE [] END) AS bg FROM tk),
+               c AS (SELECT doc_id, count(*) OVER (PARTITION BY bg) AS total FROM sp),
+               agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                       CAST(sum(CASE WHEN total >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+                       FROM c GROUP BY doc_id)
+               SELECT d.doc_id,
+                      coalesce(n_bigrams, 0) AS n_bigrams,
+                      coalesce(n_common, 0) AS n_common,
+                      CASE WHEN n_bigrams > 0
+                           THEN n_common / CAST(n_bigrams AS DOUBLE) END AS coverage
+               FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")),
+
     // N-gram Jaccard near-dup: prefix-blocked candidate pairs + exact
     // 3-shingle Jaccard ≥ 0.5. Blocking keeps pair formation linear-ish.
     QueryDef("q_x_dedup_ngram",

@@ -84,6 +84,22 @@ class FunctionsSpec extends SparkSpec {
       Seq(4L, 0L, 0L, null)))
   }
 
+  test("bigramCoverage: common-bigram fraction against corpus counts") {
+    // "a b" occurs 3x corpus-wide (docs 1,1,2), everything else is rare
+    val docs = Seq(
+      (1L, "a b c a b"),   // bigrams: a-b, b-c, c-a, a-b → 2/4 common
+      (2L, "a b"),         // 1/1 common
+      (3L, "x y z"),       // 0/2 common
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = rows(graft.operators.QualityFilter.bigramCoverage(docs, minCount = 3)
+      .orderBy("doc_id"))
+    assert(got == Seq(
+      Seq(1L, 4L, 2L, 0.5),
+      Seq(2L, 1L, 1L, 1.0),
+      Seq(3L, 2L, 0L, 0.0),
+      Seq(4L, 0L, 0L, null)))
+  }
+
   test("minhash LSH finds an obvious near-dup and skips unrelated docs") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
