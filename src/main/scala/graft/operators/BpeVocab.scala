@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-vocabulary induction over the corpus: byte-pair-encoding merge
+  * learning (Sennrich et al. 2016), as a corpus-scale iterative pipeline —
+  * the "train the tokenizer" step of a training-data run.
+  *
+  * Scale shape (the reason BPE fits Spark at 100 TB): the corpus collapses
+  * to its WORD VOCABULARY first (one word-count aggregate — the only
+  * corpus-sized job). Every learning iteration then runs on the vocab frame
+  * (≪ corpus): one pair-count hash agg + a 1-ROW collect (the argmax
+  * merge), and the merge applies as a pure map. Lineage stays flat: the
+  * vocab frame is re-persisted per step and the previous incarnation
+  * dropped, k-means-style.
+  *
+  * Determinism: symbol sequences are SEP-joined strings (U+0001 — never a
+  * corpus character), merges apply via leftmost-non-overlapping string
+  * `replace` (the same algorithm in Spark and DuckDB, so the q_x_bpe gate
+  * replays learning in SQL), and argmax ties break lexicographically on
+  * (left, right). Counts weight by word frequency, the standard formulation.
+  */
+object BpeVocab {
+
+  /** Symbol separator inside a word's encoding (U+0001: absent from text). */
+  val Sep = "\u0001"
+
+  final case class Merge(step: Int, left: String, right: String, weight: Long) {
+    def pair: String = left + Sep + right
+    def merged: String = left + right
+  }
+
+  /** (word, freq) — the one corpus-sized aggregate. */
+  def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(graft.functions.Text.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol state: each word as its SEP-joined character sequence
+    * (char-based `substring`, portable to the oracle's replay). */
+  def initSymbols(vocab: DataFrame): DataFrame =
+    vocab.select(
+      expr(s"array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '$Sep')")
+        .as("sym"),
+      col("freq"))
+
+  /** Frequency-weighted counts of adjacent symbol pairs. */
+  def pairCounts(syms: DataFrame): DataFrame =
+    syms
+      .withColumn("s", split(col("sym"), Sep))
+      .filter(size(col("s")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS left, s[i + 1] AS right))"))
+        .as("p"), col("freq"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("freq")).as("weight"))
+
+  /** The next merge: highest weight, ties to the lexicographically smallest
+    * (left, right). One 1-row collect. */
+  private def topPair(syms: DataFrame, step: Int): Option[Merge] =
+    pairCounts(syms).orderBy(col("weight").desc, col("left"), col("right"))
+      .limit(1).collect().headOption
+      .map(r => Merge(step, r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** One merge applied to a symbol column: leftmost-non-overlapping literal
+    * replace of `left SEP right` with the fused symbol. */
+  private def applyMerge(sym: org.apache.spark.sql.Column, m: Merge) =
+    call_function("replace", sym, lit(m.pair), lit(m.merged))
+
+  /** Learn `steps` merges. Each iteration: one vocab-sized agg + a 1-row
+    * collect; the updated vocab is re-persisted and the previous handle
+    * released so lineage and cache stay O(1) across steps. Stops early when
+    * no pair is left to merge. */
+  def learn(docs: DataFrame, steps: Int, textCol: String = "text"): Seq[Merge] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var syms = initSymbols(wordVocab(docs, textCol)).persist(lvl)
+    val merges = Seq.newBuilder[Merge]
+    var step = 0
+    var done = false
+    while (step < steps && !done) {
+      topPair(syms, step + 1) match {
+        case Some(m) =>
+          merges += m
+          val next = syms.select(applyMerge(col("sym"), m).as("sym"), col("freq")).persist(lvl)
+          next.count() // materialize before dropping the parent from cache
+          syms.unpersist()
+          syms = next
+        case None => done = true
+      }
+      step += 1
+    }
+    syms.unpersist()
+    merges.result()
+  }
+
+  /** The learned merge table as a frame (the q_x_bpe_merges gate surface). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.step.toLong, m.left, m.right, m.weight))
+      .toDF("step", "left", "right", "weight")
+  }
+
+  /** Encode documents with a learned merge list: per doc, the BPE symbol
+    * count after all merges — a pure map (merge literals baked into the
+    * plan), the tokenizer-throughput shape for corpus-wide token budgeting. */
+  def encodedLength(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.Text.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("sym", expr(
+        s"array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '$Sep')"))
+    val encoded = merges.foldLeft(words)((df, m) =>
+      df.withColumn("sym", applyMerge(col("sym"), m)))
+    encoded
+      .select(col("doc_id"), (size(split(col("sym"), Sep))).cast("long").as("n"))
+      .groupBy(col("doc_id")).agg(sum(col("n")).as("n_bpe_symbols"))
+  }
+}

@@ -80,6 +80,31 @@ object TextQueries {
         f AS (SELECT doc_id, $fp AS simhash FROM v)"""
   }
 
+  /** DuckDB replay of [[graft.operators.BpeVocab.learn]] (3 merge steps,
+    * unrolled): word vocab → chr(1)-joined char symbols, then per step a
+    * pair-count (parallel unnest of the shifted symbol slices), the argmax
+    * merge (ties lexicographic — binary UTF-8 order in both engines), and a
+    * leftmost-non-overlapping `replace`, exactly the operator's algorithm. */
+  private lazy val bpeCtes: String = {
+    def pairCte(p: String, v: String) =
+      s"""$p AS (SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS weight FROM (
+            SELECT unnest(s[1:len(s)-1]) AS lft, unnest(s[2:len(s)]) AS rgt, freq
+            FROM (SELECT string_split(sym, chr(1)) AS s, freq FROM $v) WHERE len(s) >= 2)
+          GROUP BY 1, 2)"""
+    def mCte(m: String, p: String) =
+      s"$m AS (SELECT lft, rgt, weight FROM $p ORDER BY weight DESC, lft, rgt LIMIT 1)"
+    def vCte(vn: String, v: String, m: String) =
+      s"""$vn AS (SELECT replace(sym, (SELECT lft || chr(1) || rgt FROM $m),
+            (SELECT lft || rgt FROM $m)) AS sym, freq FROM $v)"""
+    s"""w AS (SELECT unnest($tokensSql) AS word FROM documents),
+        v0 AS (SELECT array_to_string(list_transform(generate_series(1, length(word)),
+                 i -> word[i]), chr(1)) AS sym, count(*) AS freq
+               FROM w WHERE length(word) > 0 GROUP BY 1),
+        ${pairCte("p1", "v0")}, ${mCte("m1", "p1")}, ${vCte("v1", "v0", "m1")},
+        ${pairCte("p2", "v1")}, ${mCte("m2", "p2")}, ${vCte("v2", "v1", "m2")},
+        ${pairCte("p3", "v2")}, ${mCte("m3", "p3")}"""
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Text quality scoring: token/char/letter counts, stopword ratio, and a
@@ -272,6 +297,36 @@ object TextQueries {
                len($tokensSql) AS n_ws_tokens,
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS n_bpe_tokens
                FROM documents""")),
+
+    // Tokenizer training: the first 3 BPE merges learned over the corpus —
+    // the corpus collapses to its word vocab (one corpus-sized agg); each
+    // step is a vocab-sized pair count + a 1-row argmax collect.
+    QueryDef("q_x_bpe_merges",
+      (s, d) => graft.operators.BpeVocab.mergesDf(s,
+        graft.operators.BpeVocab.learn(t(s, d, "documents"), 3)),
+      Some(s"""WITH $bpeCtes
+               SELECT CAST(1 AS BIGINT) AS step, lft AS "left", rgt AS "right", weight FROM m1
+               UNION ALL SELECT 2, lft, rgt, weight FROM m2
+               UNION ALL SELECT 3, lft, rgt, weight FROM m3""")),
+
+    // Tokenizer throughput: per-doc symbol count after the 3 learned merges
+    // — encoding is a pure map (merge literals baked into the plan), the
+    // corpus-wide token-budgeting shape.
+    QueryDef("q_x_bpe_encode",
+      (s, d) => graft.operators.BpeVocab.encodedLength(t(s, d, "documents"),
+        graft.operators.BpeVocab.learn(t(s, d, "documents"), 3)),
+      Some(s"""WITH $bpeCtes,
+               dw AS (SELECT doc_id, array_to_string(list_transform(
+                        generate_series(1, length(word)), i -> word[i]), chr(1)) AS sym
+                      FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+                      WHERE length(word) > 0),
+               enc AS (SELECT doc_id, replace(replace(replace(sym,
+                 (SELECT lft || chr(1) || rgt FROM m1), (SELECT lft || rgt FROM m1)),
+                 (SELECT lft || chr(1) || rgt FROM m2), (SELECT lft || rgt FROM m2)),
+                 (SELECT lft || chr(1) || rgt FROM m3), (SELECT lft || rgt FROM m3)) AS sym
+                 FROM dw)
+               SELECT doc_id, CAST(sum(len(string_split(sym, chr(1)))) AS BIGINT) AS n_bpe_symbols
+               FROM enc GROUP BY doc_id""")),
 
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BpeVocab
+
+class BpeVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learn: classic low/lower corpus merges the dominant pair first") {
+    // "lo" appears in every word occurrence (5+2+2=9 weighted), so the
+    // first merge must fuse l+o; the second extends it ("lo"+"w", 9).
+    val docs = Seq((1L, "low low low low low lower lower lowest lowest"))
+      .toDF("doc_id", "text")
+    val merges = BpeVocab.learn(docs, 2)
+    assert(merges.map(m => (m.step, m.left, m.right, m.weight)) ==
+      Seq((1, "l", "o", 9L), (2, "lo", "w", 9L)))
+  }
+
+  test("merge application is leftmost-non-overlapping (aaa → (aa)a)") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = BpeVocab.learn(docs, 1)
+    assert(merges.head.left == "a" && merges.head.right == "a")
+    // weight counts BOTH adjacent pairs inside 'aaa' (2 per word, 2 words)
+    assert(merges.head.weight == 4L)
+    // after the merge each 'aaa' is (aa)(a) → 2 symbols per word, 4 total
+    val enc = rows(BpeVocab.encodedLength(docs, merges))
+    assert(enc == Seq(Seq(1L, 4L)))
+  }
+
+  test("ties break lexicographically on (left, right)") {
+    // "ab" and "cd" both occur twice; (a,b) < (c,d)
+    val docs = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    val m = BpeVocab.learn(docs, 1).head
+    assert((m.left, m.right) == ("a", "b"))
+  }
+
+  test("learn stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // all 1-char words
+    assert(BpeVocab.learn(docs, 5).isEmpty)
+  }
+
+  test("encodedLength without merges is the character count per doc") {
+    val docs = Seq((1L, "ab cde"), (2L, "x")).toDF("doc_id", "text")
+    assert(rows(BpeVocab.encodedLength(docs, Nil).orderBy("doc_id")) ==
+      Seq(Seq(1L, 5L), Seq(2L, 1L)))
+  }
+
+  test("learn is deterministic across runs") {
+    val docs = graft.queries.Q.t(spark, sf0001, "documents")
+    assert(BpeVocab.learn(docs, 3) == BpeVocab.learn(docs, 3))
+  }
+}
