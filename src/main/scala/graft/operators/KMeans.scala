@@ -43,11 +43,15 @@ object KMeans {
   /** Deterministic seeds: the k vectors ranked by (hash64(vec_id), vec_id).
     * Hash-ranking is order-independent (no zipWithIndex over an arbitrary
     * scan order) and spreads seeds pseudo-randomly; the job is a top-k sort
-    * (TakeOrdered), never a global sort. */
+    * (TakeOrdered) over the already-prepared (vec_id, q) frame, never a
+    * global sort or a second source scan. */
   def seeds(emb: DataFrame, k: Int, idCol: String = "vec_id",
-      embCol: String = "embedding"): Model = {
-    val picked = emb.filter(col(embCol).isNotNull)
-      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      embCol: String = "embedding"): Model =
+    seedsPrepared(emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q")), k)
+
+  private def seedsPrepared(prepared: DataFrame, k: Int): Model = {
+    val picked = prepared
       .withColumn("h", Hashing.hash64(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
       .limit(k)
@@ -99,7 +103,7 @@ object KMeans {
       .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      (1 to iters).foldLeft(seeds(emb, k, idCol, embCol)) { (m, _) =>
+      (1 to iters).foldLeft(seedsPrepared(prepared, k)) { (m, _) =>
         update(prepared, m)
       }
     } finally prepared.unpersist()
@@ -118,4 +122,21 @@ object KMeans {
   def fitAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     assign(emb, fit(emb, k, iters, idCol, embCol), idCol, embCol)
+
+  /** IVF ANN with the fitted model as the coarse quantizer — the production
+    * IVF shape (inverted-file-flat): every corpus row buckets to its nearest
+    * centroid MAP-SIDE, and a probe ranks candidates only inside the query's
+    * cluster. Complements [[VectorSearch.ivfProbeTopK]]'s hyperplane-sign
+    * buckets: learned centroids adapt to the data distribution, so list
+    * sizes stay balanced where random hyperplanes would not. Persist the
+    * bucketed frame sorted by `bucket` (as q_x_ann_index does) to file-prune
+    * probes at corpus scale. */
+  def ivfProbeTopK(emb: DataFrame, model: Model, queryPred: org.apache.spark.sql.Column,
+      kNeighbors: Int, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("nn", VectorSearch.dot("q", "q"))
+      .withColumn("bucket", clusterExpr(model))
+    VectorSearch.rankInBucket(e.filter(queryPred), e, kNeighbors)
+  }
 }

@@ -128,8 +128,10 @@ object VectorSearch {
       index, k)
 
   /** Bucket-equality candidate join + exact ranked verify, shared by the
-    * inline and indexed probes. `qs`/`cands` carry (vec_id, q, nn, bucket). */
-  private def rankInBucket(qs: DataFrame, cands: DataFrame, k: Int): DataFrame =
+    * inline and indexed probes (and by [[KMeans.ivfProbeTopK]], which uses
+    * learned centroids as the coarse quantizer instead of hyperplane
+    * signs). `qs`/`cands` carry (vec_id, q, nn, bucket). */
+  private[operators] def rankInBucket(qs: DataFrame, cands: DataFrame, k: Int): DataFrame =
     qs.select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn"), col("bucket"))
       .join(cands.select(
         col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn"), col("bucket")),

@@ -33,6 +33,18 @@ object VectorQueries {
   private val ivfIndexRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Per-(session, sfDir) fitted k-means model — trained once, probed many,
+    * like a production coarse quantizer (the first gate touching it pays
+    * the fit; q_x_kmeans and q_x_ann_kmeans share it). */
+  private val kmeansModels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.KMeans.Model]()
+
+  private def kmeansModel(s: SparkSession, d: String): graft.operators.KMeans.Model = {
+    kmeansModels.keySet.removeIf(_._1.sparkContext.isStopped)
+    kmeansModels.computeIfAbsent((s, d),
+      _ => graft.operators.KMeans.fit(t(s, d, "embeddings"), k = 8, iters = 2))
+  }
+
   /** Oracle shared by the inline and stored-index ANN probes (vec_id < 20
     * queried against the full corpus — the index must change nothing). */
   private lazy val ivfOracleSql: String = {
@@ -59,7 +71,7 @@ object VectorQueries {
     * seeds, same integer argmax with ties to the smallest cid, same
     * round-half-up grid means — every intermediate is an integer-valued
     * double well under 2^53, so both engines rank and round identically). */
-  private lazy val kmeansOracleSql: String = {
+  private lazy val kmeansCtes: String = {
     val k = 8
     def assignCte(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, q, cid FROM (
@@ -74,7 +86,7 @@ object VectorQueries {
               SELECT cid, unnest(generate_series(0, len(q) - 1)) AS pos, unnest(q) AS v
               FROM $assigned)
             GROUP BY cid, pos) GROUP BY cid)"""
-    s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings WHERE embedding IS NOT NULL),
+    s"""e AS (SELECT vec_id, $quantSql AS q FROM embeddings WHERE embedding IS NOT NULL),
         seeds AS (SELECT cid, q FROM (
           SELECT row_number() OVER (
             ORDER BY ${hash64Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS cid, q
@@ -83,9 +95,12 @@ object VectorQueries {
         ${centCte("c1", "a1")},
         ${assignCte("a2", "c1")},
         ${centCte("c2", "a2")},
-        ${assignCte("a3", "c2")}
-        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a3"""
+        ${assignCte("a3", "c2")}"""
   }
+
+  private lazy val kmeansOracleSql: String =
+    s"""WITH $kmeansCtes
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a3"""
 
   lazy val all: Seq[QueryDef] = Seq(
 
@@ -150,8 +165,26 @@ object VectorQueries {
     // a k·dim-row collect — the MLlib shape, declaratively. Fully
     // deterministic (quantized grid, hash-ranked seeds), hence oracle-exact.
     QueryDef("q_x_kmeans",
-      (s, d) => graft.operators.KMeans.fitAssign(t(s, d, "embeddings"), k = 8, iters = 2),
+      (s, d) => graft.operators.KMeans.assign(t(s, d, "embeddings"), kmeansModel(s, d)),
       Some(kmeansOracleSql)),
+
+    // IVF ANN with the k-means model as coarse quantizer (the production
+    // IVF-Flat shape): corpus rows bucket to their nearest centroid
+    // map-side; probes rank only inside the query's cluster. The oracle
+    // replays the full fit, then the in-cluster ranking.
+    QueryDef("q_x_ann_kmeans",
+      (s, d) => graft.operators.KMeans.ivfProbeTopK(
+        t(s, d, "embeddings"), kmeansModel(s, d), col("vec_id") < 20, 3),
+      Some(s"""WITH $kmeansCtes,
+               n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, cid FROM a3),
+               p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                     FROM n a JOIN n b ON a.cid = b.cid
+                     AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
+               SELECT qid, nid, sim, rank FROM (
+                 SELECT qid, nid, sim,
+                        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                 FROM p) WHERE rank <= 3""")),
 
     // LSH-bucketed embedding near-dup: 8 random-hyperplane sign bits → 256
     // buckets; exact cosine verify within buckets. Threshold 0.3 because the

@@ -49,6 +49,15 @@ class KMeansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("kmeans IVF probe ranks only within the query's cluster") {
+    val m = KMeans.fit(blobs, k = 2, iters = 3)
+    val got = KMeans.ivfProbeTopK(blobs, m, col("vec_id") === 0, 3)
+    val nids = rows(got.select("nid")).flatten.map(_.asInstanceOf[Long])
+    // vec 0 is in the even-parity blob; every candidate comes from it
+    assert(nids.nonEmpty && nids.forall(_ % 2 == 0))
+    assert(rows(got.select("rank")).flatten == (1L to nids.size).toSeq)
+  }
+
   test("null embeddings are excluded, not crashed on") {
     val withNull = blobs.union(Seq((99L, null: Seq[Float])).toDF("vec_id", "embedding"))
     assert(KMeans.fitAssign(withNull, k = 2, iters = 2).count() == 10)
