@@ -62,6 +62,29 @@ object ScaleProbe {
       time(s"contamination k=$k")(
         graft.operators.TextDedup.contamination(c, evalSet).count())
     }
+    // Substring dedup: span hashes are map-side; the inventory is one
+    // word-count-shaped agg — linear in corpus tokens, no pairwise term.
+    for (k <- Seq(1, 4, 8)) {
+      val d = rep(docs, Seq("doc_id"), k)
+      time(s"dup_spans k=$k")(graft.operators.TextDedup.duplicatedSpans(d).count())
+    }
+    // k-means: fit is iters × (corpus map + k·dim-cell agg); assignment is
+    // a pure map against centroid literals — both linear in the corpus.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for (k <- Seq(1, 4, 8)) {
+      val e = rep(emb, Seq("vec_id"), k)
+      time(s"kmeans_fit_assign k=$k") {
+        val m = graft.operators.KMeans.fit(e, 8, 2)
+        graft.operators.KMeans.assign(e, m).count()
+      }
+    }
+    // BPE: the corpus collapses to its word vocab and replicated docs add
+    // NO new words — learn cost must stay near-FLAT as the corpus grows 8×
+    // (only the initial word count is corpus-sized).
+    for (k <- Seq(1, 4, 8)) {
+      val d = rep(docs, Seq("doc_id"), k)
+      time(s"bpe_learn k=$k")(graft.operators.BpeVocab.learn(d, 3).size.toLong)
+    }
     // File-level appends: commit cost must track the BATCH (constant here),
     // not the table — the flat line that makes a streaming/fact sink viable.
     val cat = new graft.catalog.Catalog(spark,

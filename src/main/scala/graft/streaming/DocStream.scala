@@ -26,10 +26,21 @@ object DocStream {
   final case class Kept(doc_id: Long, content_hash: String)
 
   /** Executor-side md5 hex — same value as `md5(text)` in SQL, so keepers
-    * line up with the batch [[graft.operators.TextDedup.exact]] output. */
-  private[graft] def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    * line up with the batch [[graft.operators.TextDedup.exact]] output.
+    * MessageDigest is not thread-safe and `getInstance` is not free —
+    * thread-local instance, reused per row (same pattern as the SimHash
+    * expression's hasher). */
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def md5Hex(s: String): String = {
+    val bytes = md.get().digest(s.getBytes("UTF-8")) // digest() resets the instance
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
 
   /** Emit each distinct content exactly once (the smallest doc_id of its
     * first micro-batch); duplicates — within a batch or across batches —
