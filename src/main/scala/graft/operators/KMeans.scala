@@ -139,4 +139,28 @@ object KMeans {
       .withColumn("bucket", clusterExpr(model))
     VectorSearch.rankInBucket(e.filter(queryPred), e, kNeighbors)
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): embedding near-dup PAIRS
+    * blocked by k-means cluster — candidates form only within a cluster
+    * (the defining trick: a cluster-equality join bounds pair volume by
+    * Σ cluster², and learned clusters put semantic copies together far more
+    * reliably than random hyperplanes), then exact integer-cosine verify.
+    * Same verify arithmetic as [[VectorSearch.nearDuplicates]]; only the
+    * blocking key differs. */
+  def semanticNearDups(emb: DataFrame, model: Model, threshold: Double = 0.8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("nn", VectorSearch.dot("q", "q"))
+      .withColumn("cluster", clusterExpr(model))
+    val a = e.select(col("vec_id").as("id1"), col("q").as("q1"),
+      col("nn").as("n1"), col("cluster"))
+    val b = e.select(col("vec_id").as("id2"), col("q").as("q2"),
+      col("nn").as("n2"), col("cluster"))
+    a.join(b, Seq("cluster")).filter(col("id1") < col("id2"))
+      .withColumn("dp", VectorSearch.dot("q1", "q2"))
+      .withColumn("sim", VectorSearch.cosine("dp", "n1", "n2"))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
 }

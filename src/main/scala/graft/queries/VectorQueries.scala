@@ -186,6 +186,21 @@ object VectorQueries {
                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
                  FROM p) WHERE rank <= 3""")),
 
+    // Semantic dedup (SemDeDup): near-dup pairs blocked by k-means CLUSTER
+    // instead of hyperplane bucket — learned clusters put semantic copies
+    // together, so candidate volume is Σ cluster² with better recall per
+    // candidate. Threshold 0.3 as in q_x_dedup_embed (random synthetic
+    // embeddings; a real corpus uses ≥0.9).
+    QueryDef("q_x_dedup_semantic",
+      (s, d) => graft.operators.KMeans.semanticNearDups(
+        t(s, d, "embeddings"), kmeansModel(s, d), 0.3),
+      Some(s"""WITH $kmeansCtes,
+               n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, cid FROM a3)
+               SELECT a.vec_id AS id1, b.vec_id AS id2,
+                      list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+               FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+               WHERE list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) >= 0.3""")),
+
     // LSH-bucketed embedding near-dup: 8 random-hyperplane sign bits → 256
     // buckets; exact cosine verify within buckets. Threshold 0.3 because the
     // synthetic embeddings are random (max pairwise cosine ≈ 0.5 — probed);

@@ -58,6 +58,15 @@ class KMeansSpec extends SparkSpec {
     assert(rows(got.select("rank")).flatten == (1L to nids.size).toSeq)
   }
 
+  test("semanticNearDups: pairs form only inside a cluster (same blob)") {
+    val m = KMeans.fit(blobs, k = 2, iters = 3)
+    val pairs = rows(KMeans.semanticNearDups(blobs, m, 0.9).select("id1", "id2"))
+    assert(pairs.nonEmpty)
+    // cross-blob cosine is ≈ −1, so every pair must share blob parity
+    assert(pairs.forall(p =>
+      (p(0).asInstanceOf[Long] - p(1).asInstanceOf[Long]) % 2 == 0))
+  }
+
   test("null embeddings are excluded, not crashed on") {
     val withNull = blobs.union(Seq((99L, null: Seq[Float])).toDF("vec_id", "embedding"))
     assert(KMeans.fitAssign(withNull, k = 2, iters = 2).count() == 10)
