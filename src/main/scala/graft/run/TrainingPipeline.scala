@@ -8,10 +8,12 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
 /** The training-data counterpart of [[PipelineRunner]]: one configurable,
   * catalog-backed corpus build composing the library operators —
   *
-  *   quality gate (+ optional repetition gate) → exact dedup →
-  *   (optional) near-dup removal → (optional) weighted mixture →
-  *   deterministic sample → (optional) train/val/test stamp →
-  *   sequence packing (train slice only when split)
+  *   quality gate (+ optional repetition gate) →
+  *   (optional) substring-dup gate → (optional) bigram-coverage gate →
+  *   exact dedup → (optional) near-dup removal →
+  *   (optional) weighted mixture → deterministic sample →
+  *   (optional) train/val/test stamp → sequence packing (train slice only
+  *   when split)
   *
   * — and committing the selected corpus and its sequence layout as atomic
   * catalog tables. Every stage is the operator the gate queries verify;
@@ -37,6 +39,10 @@ final case class SplitConfig(trainPct: Int = 90, valPct: Int = 5)
 final case class TrainingPipelineConfig(
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
     maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
+    // corpus-statistic gates (each adds one span_hash shuffle over the
+    // map-gated corpus; docs too short to score pass through):
+    maxSpanDupFraction: Option[Double] = None, // e.g. Some(0.5): drop mostly-duplicated docs
+    minBigramCoverage: Option[Double] = None,  // e.g. Some(0.2): drop rare-bigram gibberish
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
     mix: Option[MixtureConfig] = None,     // per-group keep rates (data mixing)
@@ -63,12 +69,33 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
     // which at corpus scale is a full extra scan per stage. Materialized by
     // the counts, freed before returning.
     // both gates are map-side; they fold into one persisted stage frame
-    val gated = cfg.maxRepetition match {
+    val mapGated = cfg.maxRepetition match {
       case None => QualityFilter.filter(docs, cfg.quality)
       case Some(t) => QualityFilter.repetitionScored(
           QualityFilter.filter(docs, cfg.quality))
         .filter(col("repetition") <= t)
         .drop("n_shingles", "n_distinct", "repetition")
+    }
+    // the corpus-statistic gates read their input TWICE (stats pass + join
+    // side) — persist the map-gated frame while they apply so the scan +
+    // map gates don't re-run per consumer
+    val statGates = cfg.maxSpanDupFraction.isDefined || cfg.minBigramCoverage.isDefined
+    val preGate = if (statGates)
+      Some(mapGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else None
+    val spanGated = cfg.maxSpanDupFraction match {
+      case None => mapGated
+      case Some(t) => mapGated.join(
+        TextDedup.spanDupStats(mapGated)
+          .filter(coalesce(col("dup_fraction"), lit(0.0)) <= t) // short docs pass
+          .select(col("doc_id")), Seq("doc_id"))
+    }
+    val gated = cfg.minBigramCoverage match {
+      case None => spanGated
+      case Some(t) => spanGated.join(
+        QualityFilter.bigramCoverage(spanGated)
+          .filter(coalesce(col("coverage"), lit(1.0)) >= t) // short docs pass
+          .select(col("doc_id")), Seq("doc_id"))
     }
     val quality = gated
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -126,6 +153,9 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
         TrainingPipelineSummary(inputDocs, afterQuality, afterDedup, afterSample,
           seqStats.getLong(1), seqStats.getLong(2))
       } finally deduped.unpersist()
-    } finally quality.unpersist()
+    } finally {
+      quality.unpersist()
+      preGate.foreach(_.unpersist())
+    }
   }
 }

@@ -57,6 +57,39 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(_.head) == Seq(1L, 3L))
   }
 
+  test("corpus-statistic gates: span-dup and bigram-coverage exclusions") {
+    import spark.implicits._
+    val copied = (1 to 12).map(i => "c" + i).mkString(" ")
+    val tiny = Seq(
+      (1L, s"the a of and in to $copied"),         // carries the copied run
+      (2L, s"the a of and in to x1 $copied"),      // near-copy: same 12-token run
+      (3L, "the a of and in to " + (1 to 12).map(i => "u" + i).mkString(" ")), // unique
+      (4L, "zq1 zq2 zq3 zq4 zq5 zq6 the a of and in to") // rare bigrams up front
+    ).toDF("doc_id", "text")
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    // span gate alone: docs 1,2 are mostly-duplicated (the shared 12-token
+    // run dominates their windows), 3,4 are not
+    val s1 = new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+      quality = open, maxSpanDupFraction = Some(0.4), seqTokens = 64, shards = 1,
+      corpusTable = "span_gated", sequencesTable = "span_seqs"))
+    val kept1 = rows(cat.read("span_gated").select("doc_id").orderBy("doc_id")).map(_.head)
+    assert(kept1 == Seq(3L, 4L), s"span gate kept $kept1")
+    assert(s1.afterQuality == 2)
+    // coverage gate: docs 1-3 are all common bigrams (coverage 1.0); doc 4
+    // is 3/4 rare bigrams (0.25) → dropped. Exact dedup then collapses the
+    // identical keepers to doc 1.
+    val covDocs = Seq(
+      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "w1 w2 w3 w4"),
+      (4L, "w1 w2 r1 r2 r3")).toDF("doc_id", "text")
+    val s2 = new TrainingPipeline(spark, cat).run(covDocs, TrainingPipelineConfig(
+      quality = open, minBigramCoverage = Some(0.5), seqTokens = 64, shards = 1,
+      corpusTable = "cov_gated", sequencesTable = "cov_seqs"))
+    assert(s2.afterQuality == 3)
+    assert(rows(cat.read("cov_gated").select("doc_id")).map(_.head) == Seq(1L))
+  }
+
   test("repetition gate drops boilerplate; mixture applies per-group rates") {
     import spark.implicits._
     val varied = (1 to 40).map(i => "tok" + i).mkString(" ")
