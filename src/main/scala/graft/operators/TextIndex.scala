@@ -114,6 +114,37 @@ object TextIndex {
         sum(col("tf") * expr(s"$weightScale div df")).as("score"))
   }
 
+  /** Hybrid retrieval (the RAG shape): lexical RECALL via [[searchWeighted]]
+    * (top `recallK` docs for the query terms), then exact embedding-cosine
+    * RE-RANK against a driver-side query vector — top `k` by similarity.
+    *
+    * Scale shape: the recall stage touches only the query terms' postings;
+    * the (≤ recallK-row) candidate list then BROADCASTS against the
+    * embedding table, so the corpus contributes one semi-joined probe —
+    * never a full-corpus similarity pass. Arithmetic is the engine's
+    * integer-quantized cosine ([[VectorSearch]]), so ranks are
+    * deterministic and cross-engine exact (gate q_x_search_hybrid). */
+  def searchHybrid(post: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVec: Seq[Float], recallK: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      weightScale: Long = 1000000L): DataFrame = {
+    val qq = queryVec.map(x => math.round(x.toDouble * VectorSearch.Scale)).toArray
+    val qn = qq.map(x => x * x).sum
+    val cands = searchWeighted(post, queryTerms, recallK, weightScale)
+      .select(col("doc_id"), col("score"))
+    val e = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("doc_id"), VectorSearch.quantize(embCol).as("cv"))
+    broadcast(cands).join(e, Seq("doc_id"))
+      .withColumn("cn", VectorSearch.dot("cv", "cv"))
+      .withColumn("dp", graft.expressions.DotProductLong(col("cv"), typedlit(qq.toSeq)))
+      .withColumn("sim", expr(s"CAST(dp AS DOUBLE) / sqrt(CAST(cn AS DOUBLE) * CAST($qn AS DOUBLE))"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("score"), col("sim"), col("rank"))
+  }
+
   /** Okapi BM25 top-`k`: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
     * tfNorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). One filtered
     * postings scan + two broadcast-sized joins (term stats, doc lengths) +

@@ -126,6 +126,43 @@ object RetrievalQueries {
       },
       Some(searchOracleSql)),
 
+    // Hybrid retrieval (the RAG shape): lexical recall (top-50 by the
+    // integer-weighted term score) re-ranked by exact embedding cosine
+    // against a query vector (vec_id 0's embedding) — top-5 by similarity.
+    // The candidate list broadcasts against the embedding table; the corpus
+    // never sees a full similarity pass.
+    QueryDef("q_x_search_hybrid",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        graft.operators.TextIndex.searchHybrid(
+          graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
+          emb, searchTerms, qv, recallK = 50, k = 5)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+               p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                     WHERE term <> '' GROUP BY 1, 2),
+               dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+               m AS (SELECT doc_id, sum(tf * (1000000 // df)) AS score
+                     FROM p JOIN dfs USING (term)
+                     WHERE term IN ($searchTermsSql) GROUP BY 1),
+               r AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM (
+                       SELECT m.*, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                       FROM m) WHERE rnk <= 50),
+               e AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS DOUBLE)) AS q
+                     FROM embeddings WHERE embedding IS NOT NULL),
+               qv AS (SELECT q FROM e WHERE vec_id = 0),
+               scored AS (SELECT r.doc_id, r.score,
+                          list_dot_product(e.q, (SELECT q FROM qv)) /
+                          sqrt(list_dot_product(e.q, e.q) *
+                               (SELECT list_dot_product(q, q) FROM qv)) AS sim
+                          FROM r JOIN e ON e.vec_id = r.doc_id)
+               SELECT doc_id, score, sim, CAST(rank AS BIGINT) AS rank FROM (
+                 SELECT scored.*, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+                 FROM scored) WHERE rank <= 5""")),
+
     // INCREMENTAL index maintenance: bootstrap the postings table from half
     // the corpus, append the other half's postings as a file-level O(batch)
     // catalog append (doc-disjoint batches → (term, doc) rows are disjoint,

@@ -84,6 +84,23 @@ class TextIndexSpec extends SparkSpec {
     assert(got == Set(("a", 2L, 1L), ("b", 3L, 1L)))
   }
 
+  test("searchHybrid: lexical recall then cosine re-rank beats lexical order") {
+    val docs = Seq(
+      (1L, "apple banana apple"), // stronger lexical match (tf 2)...
+      (2L, "apple cherry"),       // ...but doc 2's embedding matches the query
+      (3L, "unrelated words")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = rows(TextIndex.searchHybrid(
+        TextIndex.postings(docs, "doc_id", "text"), emb,
+        Seq("apple"), Seq(0.9f, 0.1f), recallK = 10, k = 5)
+      .select("doc_id", "rank"))
+    // doc 3 never enters (no lexical match); doc 2 re-ranks above doc 1
+    assert(got == Seq(Seq(2L, 1L), Seq(1L, 2L)))
+  }
+
   test("hashFeatures: positions bounded by dim, counts sum to token count, deterministic") {
     val feats = TextIndex.hashFeatures(docs, "doc_id", "text", dim = 16)
     assert(feats.filter($"pos" < 0 || $"pos" >= 16).count() == 0)
