@@ -15,6 +15,12 @@ object Hashing {
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** [[hash64]] as a Spark-SQL fragment, for use inside HOF lambda strings
+    * where Column composition can't reach (e.g. Text.spanHashes). Keep in
+    * lockstep with [[hash64]]; the DuckDB twin is `Q.hash64Sql`. */
+  def hash64Expr(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
   def hash64Seeded(seed: Int, c: Column): Column =
     hash64(concat(lit(s"$seed:"), c))
 

@@ -30,7 +30,7 @@ object Text {
   def spanHashes(toksCol: String, w: Int): Column =
     when(size(col(toksCol)) >= w, expr(
       s"transform(sequence(0, size($toksCol) - $w), i -> " +
-        s"CAST(conv(substring(md5(concat_ws(' ', slice($toksCol, i + 1, $w))), 1, 15), 16, 10) AS BIGINT))"))
+        Hashing.hash64Expr(s"concat_ws(' ', slice($toksCol, i + 1, $w))") + ")"))
       .otherwise(array().cast("array<bigint>"))
 
   /** Count of tokens drawn from a fixed vocabulary (stopword scoring). */

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * vocab frame is re-persisted per step and the previous incarnation
   * dropped, k-means-style.
   *
-  * Determinism: symbol sequences are SEP-joined strings (U+0001 — never a
-  * corpus character), merges apply via leftmost-non-overlapping string
-  * `replace` (the same algorithm in Spark and DuckDB, so the q_x_bpe gate
-  * replays learning in SQL), and argmax ties break lexicographically on
-  * (left, right). Counts weight by word frequency, the standard formulation.
+  * Determinism: symbol sequences are SEP-joined strings (U+0001; words
+  * containing it are DROPPED at vocab build — see [[wordVocab]]), merges
+  * apply via a greedy left-to-right fold (the reference BPE step — same
+  * fold in Spark's `aggregate` HOF and DuckDB's `list_reduce`, so the
+  * q_x_bpe gates replay learning in SQL), and argmax ties break
+  * lexicographically on (left, right). Counts weight by word frequency,
+  * the standard formulation.
   */
 object BpeVocab {
 
@@ -31,10 +33,13 @@ object BpeVocab {
     def merged: String = left + right
   }
 
-  /** (word, freq) — the one corpus-sized aggregate. */
+  /** (word, freq) — the one corpus-sized aggregate. Words containing the
+    * separator itself (U+0001 DOES occur in raw crawl bytes) are dropped
+    * here: letting one through would silently corrupt the symbol encoding
+    * of every merge that touches it. */
   def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(graft.functions.Text.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0 && !col("word").contains(Sep))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Initial symbol state: each word as its SEP-joined character sequence
@@ -63,10 +68,25 @@ object BpeVocab {
       .limit(1).collect().headOption
       .map(r => Merge(step, r.getString(0), r.getString(1), r.getLong(2)))
 
-  /** One merge applied to a symbol column: leftmost-non-overlapping literal
-    * replace of `left SEP right` with the fused symbol. */
-  private def applyMerge(sym: org.apache.spark.sql.Column, m: Merge) =
-    call_function("replace", sym, lit(m.pair), lit(m.merged))
+  /** One merge applied to a symbol column: a greedy left-to-right FOLD over
+    * the symbol sequence — append each symbol, fusing it with the
+    * accumulator's LAST symbol when that last symbol is exactly `left` and
+    * the incoming one is `right`. This is the reference BPE step. A flat
+    * string `replace` of `left SEP right` cannot express it: unanchored it
+    * fuses across symbol boundaries (`[th, i]` corrupted by an (h, i)
+    * merge), anchored it misses every other occurrence in repeated chains
+    * (`[a,a,a,a]`); the fold handles both (spec-pinned), and DuckDB replays
+    * it verbatim via `list_reduce` (q_x_bpe_* oracles). */
+  private def applyMerge(sym: org.apache.spark.sql.Column, m: Merge) = {
+    val s = split(sym, Sep)
+    aggregate(
+      slice(s, lit(2), size(s) - 1),
+      element_at(s, 1),
+      (acc, x) => when(
+        (acc === lit(m.left) || endswith(acc, lit(Sep + m.left))) && x === lit(m.right),
+        concat(acc.substr(lit(1), length(acc) - lit(m.left.length)), lit(m.merged)))
+        .otherwise(concat(acc, lit(Sep), x)))
+  }
 
   /** Learn `steps` merges. Each iteration: one vocab-sized agg + a 1-row
     * collect; the updated vocab is re-persisted and the previous handle
@@ -108,7 +128,7 @@ object BpeVocab {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(graft.functions.Text.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0 && !col("word").contains(Sep))
       .withColumn("sym", expr(
         s"array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '$Sep')"))
     val encoded = merges.foldLeft(words)((df, m) =>

@@ -128,7 +128,11 @@ object TextIndex {
       queryVec: Seq[Float], recallK: Int, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
       weightScale: Long = 1000000L): DataFrame = {
-    val qq = queryVec.map(x => math.round(x.toDouble * VectorSearch.Scale)).toArray
+    // HALF_UP = half away from zero — the same rounding as the engine's
+    // round() and the oracle's (math.round rounds half toward +inf and
+    // would quantize negative .5 components differently from the corpus side)
+    val qq = queryVec.map(x => BigDecimal(x.toDouble * VectorSearch.Scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
     val qn = qq.map(x => x * x).sum
     val cands = searchWeighted(post, queryTerms, recallK, weightScale)
       .select(col("doc_id"), col("score"))

@@ -83,8 +83,17 @@ object TextQueries {
   /** DuckDB replay of [[graft.operators.BpeVocab.learn]] (3 merge steps,
     * unrolled): word vocab → chr(1)-joined char symbols, then per step a
     * pair-count (parallel unnest of the shifted symbol slices), the argmax
-    * merge (ties lexicographic — binary UTF-8 order in both engines), and a
-    * leftmost-non-overlapping `replace`, exactly the operator's algorithm. */
+    * merge (ties lexicographic — binary UTF-8 order in both engines), and
+    * the greedy left-to-right merge FOLD via `list_reduce` — the identical
+    * algorithm to the operator's `aggregate` HOF (a flat string replace
+    * would fuse across symbol boundaries / skip repeated chains). */
+  private def bpeFoldSql(symExpr: String): String =
+    s"""list_reduce(string_split($symExpr, chr(1)),
+          (acc, x) -> CASE WHEN (acc = lft OR right(acc, length(lft) + 1) = chr(1) || lft)
+                            AND x = rgt
+                      THEN substring(acc, 1, length(acc) - length(lft)) || lft || rgt
+                      ELSE acc || chr(1) || x END)"""
+
   private lazy val bpeCtes: String = {
     def pairCte(p: String, v: String) =
       s"""$p AS (SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS weight FROM (
@@ -94,15 +103,26 @@ object TextQueries {
     def mCte(m: String, p: String) =
       s"$m AS (SELECT lft, rgt, weight FROM $p ORDER BY weight DESC, lft, rgt LIMIT 1)"
     def vCte(vn: String, v: String, m: String) =
-      s"""$vn AS (SELECT replace(sym, (SELECT lft || chr(1) || rgt FROM $m),
-            (SELECT lft || rgt FROM $m)) AS sym, freq FROM $v)"""
+      s"$vn AS (SELECT ${bpeFoldSql("sym")} AS sym, freq FROM $v CROSS JOIN $m)"
     s"""w AS (SELECT unnest($tokensSql) AS word FROM documents),
         v0 AS (SELECT array_to_string(list_transform(generate_series(1, length(word)),
                  i -> word[i]), chr(1)) AS sym, count(*) AS freq
-               FROM w WHERE length(word) > 0 GROUP BY 1),
+               FROM w WHERE length(word) > 0 AND NOT contains(word, chr(1)) GROUP BY 1),
         ${pairCte("p1", "v0")}, ${mCte("m1", "p1")}, ${vCte("v1", "v0", "m1")},
         ${pairCte("p2", "v1")}, ${mCte("m2", "p2")}, ${vCte("v2", "v1", "m2")},
         ${pairCte("p3", "v2")}, ${mCte("m3", "p3")}"""
+  }
+
+  /** Per-(session, sfDir) learned BPE merges — train-once-probe-many, same
+    * pattern as VectorQueries' kmeansModels: q_x_bpe_merges and
+    * q_x_bpe_encode share one fit instead of re-learning per invocation. */
+  private val bpeMerges = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[graft.operators.BpeVocab.Merge]]()
+
+  private def learnedMerges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    bpeMerges.keySet.removeIf(_._1.sparkContext.isStopped)
+    bpeMerges.computeIfAbsent((s, d),
+      _ => graft.operators.BpeVocab.learn(t(s, d, "documents"), 3))
   }
 
   lazy val all: Seq[QueryDef] = Seq(
@@ -302,8 +322,7 @@ object TextQueries {
     // the corpus collapses to its word vocab (one corpus-sized agg); each
     // step is a vocab-sized pair count + a 1-row argmax collect.
     QueryDef("q_x_bpe_merges",
-      (s, d) => graft.operators.BpeVocab.mergesDf(s,
-        graft.operators.BpeVocab.learn(t(s, d, "documents"), 3)),
+      (s, d) => graft.operators.BpeVocab.mergesDf(s, learnedMerges(s, d)),
       Some(s"""WITH $bpeCtes
                SELECT CAST(1 AS BIGINT) AS step, lft AS "left", rgt AS "right", weight FROM m1
                UNION ALL SELECT 2, lft, rgt, weight FROM m2
@@ -313,20 +332,18 @@ object TextQueries {
     // — encoding is a pure map (merge literals baked into the plan), the
     // corpus-wide token-budgeting shape.
     QueryDef("q_x_bpe_encode",
-      (s, d) => graft.operators.BpeVocab.encodedLength(t(s, d, "documents"),
-        graft.operators.BpeVocab.learn(t(s, d, "documents"), 3)),
+      (s, d) => graft.operators.BpeVocab.encodedLength(
+        t(s, d, "documents"), learnedMerges(s, d)),
       Some(s"""WITH $bpeCtes,
                dw AS (SELECT doc_id, array_to_string(list_transform(
                         generate_series(1, length(word)), i -> word[i]), chr(1)) AS sym
                       FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
-                      WHERE length(word) > 0),
-               enc AS (SELECT doc_id, replace(replace(replace(sym,
-                 (SELECT lft || chr(1) || rgt FROM m1), (SELECT lft || rgt FROM m1)),
-                 (SELECT lft || chr(1) || rgt FROM m2), (SELECT lft || rgt FROM m2)),
-                 (SELECT lft || chr(1) || rgt FROM m3), (SELECT lft || rgt FROM m3)) AS sym
-                 FROM dw)
+                      WHERE length(word) > 0 AND NOT contains(word, chr(1))),
+               enc1 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM dw CROSS JOIN m1),
+               enc2 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc1 CROSS JOIN m2),
+               enc3 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc2 CROSS JOIN m3)
                SELECT doc_id, CAST(sum(len(string_split(sym, chr(1)))) AS BIGINT) AS n_bpe_symbols
-               FROM enc GROUP BY doc_id""")),
+               FROM enc3 GROUP BY doc_id""")),
 
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in

@@ -8,12 +8,17 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
 /** The training-data counterpart of [[PipelineRunner]]: one configurable,
   * catalog-backed corpus build composing the library operators —
   *
-  *   quality gate (+ optional repetition gate) →
+  *   quality gate (+ optional repetition gate) → exact dedup →
   *   (optional) substring-dup gate → (optional) bigram-coverage gate →
-  *   exact dedup → (optional) near-dup removal →
+  *   (optional) near-dup removal →
   *   (optional) weighted mixture → deterministic sample →
   *   (optional) train/val/test stamp → sequence packing (train slice only
   *   when split)
+  *
+  * The corpus-statistic gates sit AFTER exact dedup on purpose: computed
+  * before it, every copy of an exact-duplicate doc would score as fully
+  * duplicated and all copies would drop — annihilating the content instead
+  * of keeping one.
   *
   * — and committing the selected corpus and its sequence layout as atomic
   * catalog tables. Every stage is the operator the gate queries verify;
@@ -39,8 +44,9 @@ final case class SplitConfig(trainPct: Int = 90, valPct: Int = 5)
 final case class TrainingPipelineConfig(
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
     maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
-    // corpus-statistic gates (each adds one span_hash shuffle over the
-    // map-gated corpus; docs too short to score pass through):
+    // corpus-statistic gates, applied AFTER exact dedup (each adds one
+    // span_hash shuffle over the deduped corpus; docs too short to score
+    // pass through):
     maxSpanDupFraction: Option[Double] = None, // e.g. Some(0.5): drop mostly-duplicated docs
     minBigramCoverage: Option[Double] = None,  // e.g. Some(0.2): drop rare-bigram gibberish
     dedupExact: Boolean = true,
@@ -76,29 +82,12 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
         .filter(col("repetition") <= t)
         .drop("n_shingles", "n_distinct", "repetition")
     }
-    // the corpus-statistic gates read their input TWICE (stats pass + join
-    // side) — persist the map-gated frame while they apply so the scan +
-    // map gates don't re-run per consumer
-    val statGates = cfg.maxSpanDupFraction.isDefined || cfg.minBigramCoverage.isDefined
-    val preGate = if (statGates)
-      Some(mapGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    else None
-    val spanGated = cfg.maxSpanDupFraction match {
-      case None => mapGated
-      case Some(t) => mapGated.join(
-        TextDedup.spanDupStats(mapGated)
-          .filter(coalesce(col("dup_fraction"), lit(0.0)) <= t) // short docs pass
-          .select(col("doc_id")), Seq("doc_id"))
-    }
-    val gated = cfg.minBigramCoverage match {
-      case None => spanGated
-      case Some(t) => spanGated.join(
-        QualityFilter.bigramCoverage(spanGated)
-          .filter(coalesce(col("coverage"), lit(1.0)) >= t) // short docs pass
-          .select(col("doc_id")), Seq("doc_id"))
-    }
-    val quality = gated
+    val quality = mapGated
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus-statistic gates read their input TWICE each (stats pass +
+    // join side); persisted handles released in the outer finally
+    val statGates = cfg.maxSpanDupFraction.isDefined || cfg.minBigramCoverage.isDefined
+    val statPersists = scala.collection.mutable.ListBuffer[DataFrame]()
     try {
       val afterQuality = quality.count()
 
@@ -106,15 +95,48 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
         if (!cfg.dedupExact) quality
         else quality.join(
           TextDedup.exact(quality).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      // The corpus-statistic gates run on the EXACT-DEDUPED corpus: before
+      // dedup, every copy of an exact-duplicate doc scores dup_fraction 1.0
+      // and ALL copies drop — the content would vanish from the corpus
+      // instead of keeping one canonical copy. (Near-dup SETS above the
+      // span threshold still drop wholesale — that is the gate's contract;
+      // use nearDupJaccard when keep-one retention is wanted.)
+      val statBase = if (!statGates) deduped0 else {
+        val p = deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        statPersists += p
+        p
+      }
+      val spanGated = cfg.maxSpanDupFraction match {
+        case None => statBase
+        case Some(t) => statBase.join(
+          TextDedup.spanDupStats(statBase)
+            .filter(coalesce(col("dup_fraction"), lit(0.0)) <= t) // short docs pass
+            .select(col("doc_id")), Seq("doc_id"))
+      }
+      // both gates on → the span-gated frame also feeds two consumers
+      val covBase = if (cfg.maxSpanDupFraction.isEmpty || cfg.minBigramCoverage.isEmpty)
+        spanGated
+      else {
+        val p = spanGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        statPersists += p
+        p
+      }
+      val statGated = cfg.minBigramCoverage match {
+        case None => covBase
+        case Some(t) => covBase.join(
+          QualityFilter.bigramCoverage(covBase)
+            .filter(coalesce(col("coverage"), lit(1.0)) >= t) // short docs pass
+            .select(col("doc_id")), Seq("doc_id"))
+      }
       val dedupedPlan = cfg.nearDupJaccard match {
-        case None => deduped0
+        case None => statGated
         case Some(t) =>
           // near-dup clusters over the exact-deduped set; keep each cluster's
           // canonical minimum, drop the rest
-          val drop = TextDedup.clusters(TextDedup.ngramJaccard(deduped0, t))
+          val drop = TextDedup.clusters(TextDedup.ngramJaccard(statGated, t))
             .filter(col("doc_id") =!= col("cluster_id"))
             .select(col("doc_id"))
-          deduped0.join(drop, Seq("doc_id"), "left_anti")
+          statGated.join(drop, Seq("doc_id"), "left_anti")
       }
       val deduped = dedupedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -155,7 +177,7 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
       } finally deduped.unpersist()
     } finally {
       quality.unpersist()
-      preGate.foreach(_.unpersist())
+      statPersists.foreach(_.unpersist())
     }
   }
 }

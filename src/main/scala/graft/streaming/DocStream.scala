@@ -13,16 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * identity does not expire, unlike event re-delivery
   * ([[EventStream.dedupByEventId]] bounds its state by watermark instead).
   * State is hash-partitioned across executors by the state store, so at
-  * corpus scale the memory bound per executor is (distinct docs ×
-  * ~24 bytes) / executors (use the RocksDB state store provider when that
-  * outgrows the heap). A doc re-crawled in ANY later micro-batch is dropped
+  * corpus scale the memory bound per executor is (distinct docs × one
+  * key + 1-byte marker) / executors (use the RocksDB state store provider
+  * when that outgrows the heap). A doc re-crawled in ANY later micro-batch is dropped
   * map-side after one state lookup — no join against the corpus, no
   * re-shingling, O(batch) per batch.
   */
 object DocStream {
 
   final case class Doc(doc_id: Long, text: String)
-  final case class Seen(keep_id: Long, n_copies: Long)
+  /** Presence marker only: the keeper was already emitted when the state
+    * was created, so carrying ids/counts here would be dead payload on a
+    * store that holds one entry per distinct doc FOREVER — at corpus scale
+    * every byte of this record is multiplied by billions of keys. */
+  final case class Seen(seen: Boolean)
   final case class Kept(doc_id: Long, content_hash: String)
 
   /** Executor-side md5 hex — same value as `md5(text)` in SQL, so keepers
@@ -35,16 +39,23 @@ object DocStream {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private[graft] def md5Hex(s: String): String = {
     val bytes = md.get().digest(s.getBytes("UTF-8")) // digest() resets the instance
-    val sb = new StringBuilder(bytes.length * 2)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Emit each distinct content exactly once (the smallest doc_id of its
     * first micro-batch); duplicates — within a batch or across batches —
-    * update the copy count in state and emit nothing. */
+    * emit nothing. */
   def firstSeen(docs: Dataset[Doc]): Dataset[Kept] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(d => md5Hex(d.text))
@@ -53,16 +64,12 @@ object DocStream {
 
   private[graft] def firstSeenFn(hash: String, docs: Iterator[Doc],
       state: GroupState[Seen]): Iterator[Kept] = {
-    var n = 0L
-    var minId = Long.MaxValue
-    docs.foreach { d => n += 1; if (d.doc_id < minId) minId = d.doc_id }
-    state.getOption match {
-      case Some(s) =>
-        state.update(s.copy(n_copies = s.n_copies + n))
-        Iterator.empty
-      case None =>
-        state.update(Seen(minId, n))
-        Iterator.single(Kept(minId, hash))
+    if (state.exists) Iterator.empty
+    else {
+      var minId = Long.MaxValue
+      docs.foreach(d => if (d.doc_id < minId) minId = d.doc_id)
+      state.update(Seen(true))
+      Iterator.single(Kept(minId, hash))
     }
   }
 }

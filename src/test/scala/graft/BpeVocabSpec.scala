@@ -27,6 +27,30 @@ class BpeVocabSpec extends SparkSpec {
     assert(enc == Seq(Seq(1L, 4L)))
   }
 
+  test("merges never fuse across symbol boundaries (th|i survives an (h,i) merge)") {
+    // corpus where (t,h) merges first, then (h,i): the word 'thi' is
+    // [th, i] after merge 1 and must STAY two symbols — a flat string
+    // replace of "h SEP i" would corrupt it to one symbol 'thi'
+    val docs = Seq((1L, "th th th hi hi thi")).toDF("doc_id", "text")
+    val merges = BpeVocab.learn(docs, 2)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("t", "h"), ("h", "i")))
+    // thi = [th, i] (2 symbols), th = [th] (1), hi = [hi] (1)
+    assert(rows(BpeVocab.encodedLength(docs, merges)) == Seq(Seq(1L, 3L + 2L + 2L)))
+  }
+
+  test("repeated chains merge greedily left-to-right (aaaa → aa aa)") {
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = BpeVocab.learn(docs, 1)
+    // each 'aaaa' → [aa][aa]: 2 symbols per word
+    assert(rows(BpeVocab.encodedLength(docs, merges)) == Seq(Seq(1L, 4L)))
+  }
+
+  test("words containing the separator are dropped, not corrupted") {
+    val docs = Seq((1L, "ok ok ok bad" + BpeVocab.Sep + "word")).toDF("doc_id", "text")
+    val vocab = rows(BpeVocab.wordVocab(docs).select("word")).flatten
+    assert(vocab == Seq("ok"))
+  }
+
   test("ties break lexicographically on (left, right)") {
     // "ab" and "cd" both occur twice; (a,b) < (c,d)
     val docs = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")

@@ -64,30 +64,42 @@ class TrainingPipelineSpec extends SparkSpec {
       (1L, s"the a of and in to $copied"),         // carries the copied run
       (2L, s"the a of and in to x1 $copied"),      // near-copy: same 12-token run
       (3L, "the a of and in to " + (1 to 12).map(i => "u" + i).mkString(" ")), // unique
-      (4L, "zq1 zq2 zq3 zq4 zq5 zq6 the a of and in to") // rare bigrams up front
+      (4L, "zq1 zq2 zq3 zq4 zq5 zq6 the a of and in to"), // rare bigrams up front
+      (5L, s"the a of and in to $copied")          // EXACT copy of doc 1
     ).toDF("doc_id", "text")
     val open = graft.operators.QualityFilter.Thresholds(
       minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
     val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
-    // span gate alone: docs 1,2 are mostly-duplicated (the shared 12-token
-    // run dominates their windows), 3,4 are not
+    // span gate: exact dedup first collapses 5 into 1; of the KEEPERS,
+    // docs 1,2 still share the 12-token run (near-dups, both above the
+    // threshold → both drop, the gate's contract), 3,4 pass. The exact
+    // copy must NOT cause doc 1's content to count against itself twice.
     val s1 = new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
       quality = open, maxSpanDupFraction = Some(0.4), seqTokens = 64, shards = 1,
       corpusTable = "span_gated", sequencesTable = "span_seqs"))
     val kept1 = rows(cat.read("span_gated").select("doc_id").orderBy("doc_id")).map(_.head)
     assert(kept1 == Seq(3L, 4L), s"span gate kept $kept1")
-    assert(s1.afterQuality == 2)
-    // coverage gate: docs 1-3 are all common bigrams (coverage 1.0); doc 4
-    // is 3/4 rare bigrams (0.25) → dropped. Exact dedup then collapses the
-    // identical keepers to doc 1.
+    assert(s1.afterQuality == 5) // map-side gates only
+    // exact-copy survival: with ONLY exact copies in play, the span gate
+    // must keep the canonical copy (pre-dedup stats would annihilate it)
+    val copies = Seq((1L, copied), (2L, copied)).toDF("doc_id", "text")
+    val s1b = new TrainingPipeline(spark, cat).run(copies, TrainingPipelineConfig(
+      quality = open, maxSpanDupFraction = Some(0.4), seqTokens = 64, shards = 1,
+      corpusTable = "copy_gated", sequencesTable = "copy_seqs"))
+    assert(rows(cat.read("copy_gated").select("doc_id")).map(_.head) == Seq(1L))
+    assert(s1b.afterDedup == 1)
+    // coverage gate (runs on the deduped corpus): "w1 w2" appears in all 4
+    // distinct docs (count 4 ≥ 3 → common); docs 1-3 score 1/2, doc 4
+    // scores 1/4 → dropped at 0.5
     val covDocs = Seq(
-      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "w1 w2 w3 w4"),
+      (1L, "w1 w2 w3"), (2L, "w1 w2 w4"), (3L, "w0 w1 w2"),
       (4L, "w1 w2 r1 r2 r3")).toDF("doc_id", "text")
     val s2 = new TrainingPipeline(spark, cat).run(covDocs, TrainingPipelineConfig(
       quality = open, minBigramCoverage = Some(0.5), seqTokens = 64, shards = 1,
       corpusTable = "cov_gated", sequencesTable = "cov_seqs"))
-    assert(s2.afterQuality == 3)
-    assert(rows(cat.read("cov_gated").select("doc_id")).map(_.head) == Seq(1L))
+    assert(s2.afterQuality == 4)
+    assert(rows(cat.read("cov_gated").select("doc_id").orderBy("doc_id")).map(_.head)
+      == Seq(1L, 2L, 3L))
   }
 
   test("repetition gate drops boilerplate; mixture applies per-group rates") {
