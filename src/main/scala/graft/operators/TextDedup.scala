@@ -47,15 +47,36 @@ object TextDedup {
     docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(Text.spanHashes("toks", width)).as("span_hash"))
 
+  /** Per-span statistics of a document set: (span_hash, n_docs,
+    * n_occurrences) — one hash aggregate over the span stream. These
+    * partials are exactly MERGEABLE across doc-disjoint document sets (a
+    * doc contributes all its spans to exactly one set, so both counts add),
+    * which is what lets a recurring crawl keep a living span inventory:
+    * append each batch's partial, merge at read time
+    * ([[duplicatedSpansFromStats]]; maintained by `run.CrawlIngest`). */
+  def spanStats(docs: DataFrame, width: Int = DefaultSpanWidth,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanOccurrences(docs, width, idCol, textCol)
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+
   /** Spans that occur 2+ times corpus-wide (the cross-document copy /
     * boilerplate inventory): one hash aggregate over the span stream — at
     * 100 TB this is word-count-shaped, shuffling (span_hash, partial counts)
     * only, with map-side combine collapsing within-partition repeats. */
   def duplicatedSpans(docs: DataFrame, width: Int = DefaultSpanWidth,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    spanOccurrences(docs, width, idCol, textCol)
-      .groupBy(col("span_hash"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+    spanStats(docs, width, idCol, textCol)
+      .filter(col("n_occurrences") >= 2)
+
+  /** [[duplicatedSpans]] answered from a STORED inventory of per-batch
+    * [[spanStats]] partials instead of re-tokenizing the corpus: merge by
+    * sum (exact for doc-disjoint batches), then the same ≥2 filter. The
+    * aggregate is inventory-sized, not corpus-sized — the recurring-crawl
+    * shape, like the stored postings/band indexes. */
+  def duplicatedSpansFromStats(stats: DataFrame): DataFrame =
+    stats.groupBy(col("span_hash"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occurrences")).as("n_occurrences"))
       .filter(col("n_occurrences") >= 2)
 
   /** Per-document duplicated-span profile: of the doc's w-token windows, how

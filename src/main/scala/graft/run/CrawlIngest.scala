@@ -42,7 +42,12 @@ final case class CrawlIngestConfig(
     // batch appends the accepted docs' postings (O(batch), doc-disjoint
     // batches compose by union — see q_x_text_index_incremental), so the
     // corpus is searchable at every point without ever re-tokenizing it
-    postingsTable: Option[String] = Some("crawl_postings"))
+    postingsTable: Option[String] = Some("crawl_postings"),
+    // when set, a LIVING substring-dedup inventory too: per-batch span-stat
+    // partials (exactly mergeable — batches are doc-disjoint) appended
+    // O(batch); TextDedup.duplicatedSpansFromStats answers corpus-wide
+    // duplicated-span queries from the store without re-tokenizing
+    spanStatsTable: Option[String] = Some("crawl_span_stats"))
 
 final case class CrawlIngestSummary(
     batchLines: Long, quarantined: Long, afterGates: Long,
@@ -139,10 +144,16 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
   /** Append the accepted batch's postings to the living retrieval index
     * (no-op when the batch accepted nothing — an empty append would still
     * pay a commit). */
-  private def appendPostings(fresh: DataFrame): Unit =
+  private def appendPostings(fresh: DataFrame): Unit = {
     cfg.postingsTable.foreach { table =>
       val p = graft.operators.TextIndex.postings(fresh, "doc_id", "text")
       if (catalog.exists(table)) { if (!p.isEmpty) catalog.append(table, p) }
       else catalog.write(table, p)
     }
+    cfg.spanStatsTable.foreach { table =>
+      val s = TextDedup.spanStats(fresh)
+      if (catalog.exists(table)) { if (!s.isEmpty) catalog.append(table, s) }
+      else catalog.write(table, s)
+    }
+  }
 }

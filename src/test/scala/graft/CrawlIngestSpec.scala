@@ -96,5 +96,16 @@ class CrawlIngestSpec extends SparkSpec {
         cat.read("crawl_postings"), Seq("alpha3", "golf7"), k = 5)
       .select("doc_id", "rank").orderBy("rank"))
     assert(hits.map(_.head) == Seq(1L, 30L)) // one doc per term, rank by score
+
+    // the living span inventory: batch-appended partials merged at read
+    // time answer the corpus-wide duplicated-span query exactly as a full
+    // re-tokenization would (doc-disjoint batches → counts add)
+    val fromStats = rows(graft.operators.TextDedup
+      .duplicatedSpansFromStats(cat.read("crawl_span_stats"))
+      .orderBy("span_hash"))
+    val fromCorpus = rows(graft.operators.TextDedup
+      .duplicatedSpans(cat.read("crawl_corpus"))
+      .orderBy("span_hash"))
+    assert(fromStats == fromCorpus)
   }
 }
