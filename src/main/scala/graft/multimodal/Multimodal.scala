@@ -66,13 +66,15 @@ object Multimodal {
     }
   }
 
-  /** REAL pixel codec for PNG — the one entropy-coded image format the JDK
-    * decodes without external libraries (javax.imageio ships a PNG plugin).
-    * This narrows the [[StubDecoder]] boundary: PNG payloads get a true
-    * decode (dimensions AND pixels); only formats the container genuinely
-    * cannot decode (JPEG partially, MP3/H.264 not at all) stay stubbed.
+  /** REAL pixel codec for PNG and JPEG — the entropy-coded image formats
+    * the JDK decodes without external libraries (javax.imageio ships PNG
+    * and JPEG plugins). This narrows the [[StubDecoder]] boundary: PNG and
+    * JPEG payloads get a true decode (dimensions AND pixels); only formats
+    * the container genuinely cannot decode (MP3/H.264) stay stubbed.
     * 8-bit grayscale PNG is lossless, so encode→decode round-trips byte
-    * values exactly — the property the q_x_png_roundtrip gate checks. */
+    * values exactly — the property the q_x_png_roundtrip gate checks (JPEG
+    * is lossy by design, so its real decode is spec-verified against
+    * tolerance rather than oracle-gated). */
   object PngCodec {
     // ImageIO's default stream cache is DISK-backed: every encode/decode of
     // an in-memory byte array would create+delete a temp file — per row,
@@ -82,6 +84,26 @@ object Multimodal {
     def isPng(b: Array[Byte]): Boolean =
       b != null && b.length >= 8 && (b(0) & 0xff) == 0x89 &&
         b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+    def isJpeg(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+    /** Grayscale JPEG encode (lossy — for specs exercising the real JPEG
+      * decode path; quality is the writer default). */
+    def encodeGrayJpeg(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+      val h = math.max(1, (bytes.length + width - 1) / width)
+      val img = new java.awt.image.BufferedImage(
+        width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < bytes.length) {
+        raster.setSample(i % width, i / width, 0, bytes(i) & 0xff)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
 
     /** Pack raw bytes as rows of an 8-bit grayscale PNG (zero-padded to the
       * last row) — the deterministic "image of this payload" used by tests
@@ -150,11 +172,34 @@ object Multimodal {
     private def be32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
+    /** JPEG dimensions from the first SOFn marker (plain byte arithmetic —
+      * segments are FF <marker> <len BE16> <payload>; SOF carries
+      * precision(1) height(2) width(2)). DHT/JPG/DAC share the 0xC0 nibble
+      * but are not frame headers. */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+      }
+      None
+    }
+
     def probe(b: Array[Byte]): MediaMeta = {
       if (b == null) MediaMeta("unknown", None, None, None, None)
       else if (b.length >= 24 && PngCodec.isPng(b))
         // signature(8) + IHDR len/type(8), then width/height big-endian
         MediaMeta("png", Some(be32(b, 16)), Some(be32(b, 20)), None, None)
+      else if (PngCodec.isJpeg(b)) {
+        val dims = jpegDims(b)
+        MediaMeta("jpeg", dims.map(_._1), dims.map(_._2), None, None)
+      }
       else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
         MediaMeta("bmp", Some(le32(b, 18)), Some(le32(b, 22)), None, None)
       else if (b.length >= 44 && b.startsWith("RIFF".getBytes) &&
@@ -213,10 +258,10 @@ object Multimodal {
     media.select("media_id", "kind", "payload").mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
-        // PNG payloads get REAL pixel features (JDK decode); everything
-        // else falls back to the declared stub.
+        // PNG and JPEG payloads get REAL pixel features (JDK decode);
+        // everything else falls back to the declared stub.
         val feats =
-          if (PngCodec.isPng(bytes))
+          if (PngCodec.isPng(bytes) || PngCodec.isJpeg(bytes))
             PngCodec.decode(bytes).map(PngCodec.features(_, featureDim))
               .getOrElse(StubDecoder.features(bytes))
           else StubDecoder.features(bytes)

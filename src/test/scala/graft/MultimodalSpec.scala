@@ -67,15 +67,20 @@ class MultimodalSpec extends SparkSpec {
       "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(byteRate) ++
       le16(2) ++ le16(16) ++ "data".getBytes ++ le32(byteRate) ++ new Array[Byte](byteRate)
     val ppm = "P6\n12 34\n255\n".getBytes ++ new Array[Byte](12 * 34 * 3)
+    // truncated JPEG: recognized by signature, no SOF frame → null dims
     val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ new Array[Byte](32)
-    val df = Seq((1L, bmp), (2L, wav), (3L, ppm), (4L, jpegish)).toDF("media_id", "payload")
+    // an MP3 sync header — a codec the JDK genuinely lacks → unknown
+    val mp3ish = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte) ++ new Array[Byte](32)
+    val df = Seq((1L, bmp), (2L, wav), (3L, ppm), (4L, jpegish), (5L, mp3ish))
+      .toDF("media_id", "payload")
     val got = rows(Multimodal.probeMetadata(df).orderBy("media_id")
       .select("media_id", "format", "width", "height", "sample_rate", "duration_ms"))
     assert(got == Seq(
       Seq(1L, "bmp", 640, 480, null, null),
       Seq(2L, "wav", null, null, 8000, 1000),  // 16000 data bytes at 16 kB/s = 1 s
       Seq(3L, "ppm", 12, 34, null, null),
-      Seq(4L, "unknown", null, null, null, null)))
+      Seq(4L, "jpeg", null, null, null, null),
+      Seq(5L, "unknown", null, null, null, null)))
   }
 
   test("PNG codec: known image round-trips pixels exactly through the JDK") {
@@ -102,6 +107,29 @@ class MultimodalSpec extends SparkSpec {
       .head(3).asInstanceOf[collection.Seq[Float]]
     val direct = PngCodec.features(img, Multimodal.featureDim).toSeq
     assert(feats == direct)
+  }
+
+  test("JPEG: real JDK decode — SOF header probe, tolerance round-trip, routed features") {
+    import Multimodal.PngCodec
+    val bytes = Array.tabulate[Byte](96)(i => (i * 2).toByte)
+    val jpg = PngCodec.encodeGrayJpeg(bytes, width = 8)
+    assert(PngCodec.isJpeg(jpg) && !PngCodec.isPng(jpg))
+    // header probe finds the SOF frame dimensions by byte arithmetic
+    val meta = Multimodal.HeaderProbe.probe(jpg)
+    assert(meta.format == "jpeg" && meta.width.contains(8) && meta.height.contains(12))
+    // lossy but REAL: decoded pixels approximate the originals
+    val img = PngCodec.decode(jpg).get
+    assert(img.getWidth == 8 && img.getHeight == 12)
+    val px = PngCodec.grayPixels(img)
+    val maxErr = px.toSeq.zip(bytes.map(_ & 0xff)).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 24, s"JPEG round-trip drifted by $maxErr")
+    // extractFeatures routes JPEG through the real decoder, not the stub
+    import spark.implicits._
+    val media = Seq((1L, "image", jpg)).toDF("media_id", "kind", "payload")
+    val feats = rows(Multimodal.extractFeatures(media))
+      .head(3).asInstanceOf[collection.Seq[Float]]
+    assert(feats == PngCodec.features(img, Multimodal.featureDim).toSeq)
+    assert(feats != Multimodal.StubDecoder.features(jpg).toSeq)
   }
 
   test("pngRoundTrip: decoded dims and nonzero pixels match the byte math") {
