@@ -121,20 +121,43 @@ object BpeVocab {
       .toDF("step", "left", "right", "weight")
   }
 
-  /** Encode documents with a learned merge list: per doc, the BPE symbol
-    * count after all merges — a pure map (merge literals baked into the
-    * plan), the tokenizer-throughput shape for corpus-wide token budgeting. */
-  def encodedLength(docs: DataFrame, merges: Seq[Merge],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Per-word encoded symbol column over the doc word stream — the shared
+    * front half of [[encodedLength]] and [[encodeIdHistogram]]. */
+  private def encodedWords(docs: DataFrame, merges: Seq[Merge],
+      idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(graft.functions.Text.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(Sep))
       .withColumn("sym", expr(
         s"array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '$Sep')"))
-    val encoded = merges.foldLeft(words)((df, m) =>
-      df.withColumn("sym", applyMerge(col("sym"), m)))
-    encoded
+    merges.foldLeft(words)((df, m) => df.withColumn("sym", applyMerge(col("sym"), m)))
+  }
+
+  /** Token-id view of the encoded corpus: (doc_id, id, n) — each document's
+    * bag of BPE token ids, with the ENGINE-PORTABLE id definition "dense
+    * rank of the symbol in the sorted distinct symbol inventory of the
+    * encoded corpus" (no hidden tokenizer state; the q_x_bpe_ids oracle
+    * re-derives the identical ids). Shape: one symbol explode + a
+    * broadcast-sized vocab join + one hash agg; the vocab ranking window
+    * runs on the (tiny) distinct-symbol frame only. */
+  def encodeIdHistogram(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sy = encodedWords(docs, merges, idCol, textCol)
+      .select(col("doc_id"), explode(split(col("sym"), Sep)).as("symbol"))
+    val vocab = sy.select(col("symbol")).distinct()
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("symbol"))).cast("long"))
+    sy.join(broadcast(vocab), Seq("symbol"))
+      .groupBy(col("doc_id"), col("id"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Encode documents with a learned merge list: per doc, the BPE symbol
+    * count after all merges — a pure map (merge literals baked into the
+    * plan), the tokenizer-throughput shape for corpus-wide token budgeting. */
+  def encodedLength(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    encodedWords(docs, merges, idCol, textCol)
       .select(col("doc_id"), (size(split(col("sym"), Sep))).cast("long").as("n"))
       .groupBy(col("doc_id")).agg(sum(col("n")).as("n_bpe_symbols"))
-  }
 }

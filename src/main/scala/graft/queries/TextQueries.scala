@@ -345,6 +345,26 @@ object TextQueries {
                SELECT doc_id, CAST(sum(len(string_split(sym, chr(1)))) AS BIGINT) AS n_bpe_symbols
                FROM enc3 GROUP BY doc_id""")),
 
+    // Tokenizer output: each doc's bag of BPE token IDS under the learned
+    // merges — ids are dense ranks over the encoded corpus's sorted symbol
+    // inventory, a fully data-derived (hence cross-engine) vocabulary.
+    QueryDef("q_x_bpe_ids",
+      (s, d) => graft.operators.BpeVocab.encodeIdHistogram(
+        t(s, d, "documents"), learnedMerges(s, d)),
+      Some(s"""WITH $bpeCtes,
+               dw AS (SELECT doc_id, array_to_string(list_transform(
+                        generate_series(1, length(word)), i -> word[i]), chr(1)) AS sym
+                      FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+                      WHERE length(word) > 0 AND NOT contains(word, chr(1))),
+               enc1 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM dw CROSS JOIN m1),
+               enc2 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc1 CROSS JOIN m2),
+               enc3 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc2 CROSS JOIN m3),
+               sy AS (SELECT doc_id, unnest(string_split(sym, chr(1))) AS symbol FROM enc3),
+               vocab AS (SELECT symbol, row_number() OVER (ORDER BY symbol) AS id
+                         FROM (SELECT DISTINCT symbol FROM sy))
+               SELECT doc_id, CAST(id AS BIGINT) AS id, count(*) AS n
+               FROM sy JOIN vocab USING (symbol) GROUP BY 1, 2""")),
+
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in
     // graft.functions.TextFunctions with ScalaTest coverage).

@@ -63,6 +63,16 @@ class BpeVocabSpec extends SparkSpec {
     assert(BpeVocab.learn(docs, 5).isEmpty)
   }
 
+  test("encodeIdHistogram: dense sorted-symbol ids, per-doc counts") {
+    val docs = Seq((1L, "ab ab b"), (2L, "b")).toDF("doc_id", "text")
+    val merges = BpeVocab.learn(docs, 1) // merges (a,b) — weight 2
+    assert((merges.head.left, merges.head.right) == ("a", "b"))
+    // encoded symbols: doc1 = [ab][ab][b], doc2 = [b]; sorted inventory:
+    // "ab" → 1, "b" → 2
+    val got = rows(BpeVocab.encodeIdHistogram(docs, merges).orderBy("doc_id", "id"))
+    assert(got == Seq(Seq(1L, 1L, 2L), Seq(1L, 2L, 1L), Seq(2L, 2L, 1L)))
+  }
+
   test("encodedLength without merges is the character count per doc") {
     val docs = Seq((1L, "ab cde"), (2L, "x")).toDF("doc_id", "text")
     assert(rows(BpeVocab.encodedLength(docs, Nil).orderBy("doc_id")) ==

@@ -69,6 +69,13 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(dup).map(_.head).toSet.intersect(doc4Spans).isEmpty)
   }
 
+  test("span inventory plan: map-side hashing, no join anywhere") {
+    val docs = Seq((1L, (1 to 20).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val plan = TextDedup.duplicatedSpans(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"span inventory must not join:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("spanDupStats: per-doc fraction; short docs keep a zero row") {
     val shared = (1 to 8).map(i => s"c$i").mkString(" ")
     val docs = Seq(

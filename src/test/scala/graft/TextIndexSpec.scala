@@ -101,6 +101,16 @@ class TextIndexSpec extends SparkSpec {
     assert(got == Seq(Seq(2L, 1L), Seq(1L, 2L)))
   }
 
+  test("searchHybrid plan: the candidate list broadcasts (no corpus-wide similarity shuffle)") {
+    val docs = Seq((1L, "apple pie"), (2L, "apple tart")).toDF("doc_id", "text")
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val plan = TextIndex.searchHybrid(
+        TextIndex.postings(docs, "doc_id", "text"), emb,
+        Seq("apple"), Seq(1.0f, 0.0f), recallK = 10, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"re-rank join must broadcast:\n$plan")
+  }
+
   test("hashFeatures: positions bounded by dim, counts sum to token count, deterministic") {
     val feats = TextIndex.hashFeatures(docs, "doc_id", "text", dim = 16)
     assert(feats.filter($"pos" < 0 || $"pos" >= 16).count() == 0)
