@@ -52,6 +52,29 @@ object EventQueries {
                      FROM events)
                GROUP BY win, event_type""")),
 
+    // Metric anomaly detection: 3-sigma outliers over each type's hourly
+    // count series, evaluated in EXACT integer arithmetic — the k-sigma
+    // inequality multiplied through by n²(n−1) so no float mean/stddev
+    // enters and both engines flag identically (pipeline-health shape:
+    // flag the crawl hour whose volume broke trend).
+    QueryDef("q_x_anomaly",
+      (s, d) => graft.operators.Anomaly.sigmaOutliers(
+        events(s, d)
+          .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events")),
+        Seq("event_type"), "n_events", k = 3),
+      Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+                     count(*) AS n_events FROM events GROUP BY 1, 2),
+              st AS (SELECT event_type, count(*) AS n, sum(n_events) AS s FROM h GROUP BY 1),
+              d AS (SELECT h.*, st.n, (st.n * h.n_events - st.s) AS dev
+                    FROM h JOIN st USING (event_type)),
+              ss AS (SELECT event_type, sum(CAST(dev AS HUGEINT) * dev) AS ssd
+                     FROM d GROUP BY 1)
+              SELECT d.win, d.event_type, d.n_events,
+                     CAST(dev AS HUGEINT) * dev * (n - 1) > 9 * ss.ssd AS is_anomaly
+              FROM d JOIN ss USING (event_type)""")),
+
     // Semi-structured extraction: the events `props` column is JSON; pull a
     // typed field out (Spark get_json_object ↔ DuckDB json_extract_string).
     QueryDef("q_x_json_extract",

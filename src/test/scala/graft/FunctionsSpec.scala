@@ -69,6 +69,20 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(dup).map(_.head).toSet.intersect(doc4Spans).isEmpty)
   }
 
+  test("sigmaOutliers: integer-exact 3-sigma flags, per-key independence") {
+    // key A: 10 near-constant points + one spike; key B: constant (σ = 0)
+    val a = (1 to 10).map(i => ("A", i.toLong, 100L + (i % 2))) :+ (("A", 11L, 500L))
+    val b = (1 to 5).map(i => ("B", i.toLong, 7L))
+    val df = (a ++ b).toDF("k", "t", "v")
+    val got = rows(graft.operators.Anomaly.sigmaOutliers(df, Seq("k"), "v")
+      .filter(col("is_anomaly")).select("k", "t"))
+    assert(got == Seq(Seq("A", 11L))) // only the spike; σ=0 key flags nothing
+    // single-point groups never flag (n−1 = 0 ⇒ inequality is 0 > 0)
+    val single = Seq(("C", 1L, 42L)).toDF("k", "t", "v")
+    assert(rows(graft.operators.Anomaly.sigmaOutliers(single, Seq("k"), "v")
+      .select("is_anomaly")).flatten == Seq(false))
+  }
+
   test("span inventory plan: map-side hashing, no join anywhere") {
     val docs = Seq((1L, (1 to 20).map("t" + _).mkString(" "))).toDF("doc_id", "text")
     val plan = TextDedup.duplicatedSpans(docs).queryExecution.executedPlan.toString
