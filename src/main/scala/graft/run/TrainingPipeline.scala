@@ -54,6 +54,10 @@ final case class TrainingPipelineConfig(
     mix: Option[MixtureConfig] = None,     // per-group keep rates (data mixing)
     split: Option[SplitConfig] = None,     // train/val/test stamp + train-only packing
     samplePct: Int = 100,
+    // when set, learn this many BPE merges ON the packed slice and budget
+    // sequences in real tokenizer units (n_bpe_symbols) instead of
+    // whitespace tokens — training budgets are BPE tokens
+    packByBpe: Option[Int] = None,
     seqTokens: Int = 4096,
     shards: Int = 64,
     corpusTable: String = "training_corpus",
@@ -159,8 +163,16 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
         val selected = catalog.read(cfg.corpusTable) // read back: one compute, two consumers
         val packInput =
           if (cfg.split.isDefined) selected.filter(col("split") === "train") else selected
-        val packed = Sampling.packSequences(
-          packInput, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
+        val packed = cfg.packByBpe match {
+          case None => Sampling.packSequences(
+            packInput, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
+          case Some(steps) =>
+            val merges = graft.operators.BpeVocab.learn(packInput, steps)
+            Sampling.packSequences(
+              packInput.join(
+                graft.operators.BpeVocab.encodedLength(packInput, merges), Seq("doc_id")),
+              col("n_bpe_symbols"), "doc_id", cfg.seqTokens, cfg.shards)
+        }
         catalog.write(cfg.sequencesTable, packed)
 
         val seqStats = catalog.read(cfg.sequencesTable).agg(

@@ -102,6 +102,29 @@ class TrainingPipelineSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("packByBpe budgets sequences in learned-tokenizer units") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "aaaa aaaa aaaa"), (2L, "aaaa bb"), (3L, "cc dd ee")).toDF("doc_id", "text")
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val s = new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+      quality = open, packByBpe = Some(1), seqTokens = 8, shards = 1))
+    // merge 1 fuses (a,a): each 'aaaa' → [aa][aa] = 2 symbols
+    // doc1 = 6, doc2 = 2+2 = 4, doc3 = 2+2+2 = 6 BPE symbols
+    val merges = graft.operators.BpeVocab.learn(tiny, 1)
+    val expect = rows(graft.operators.BpeVocab.encodedLength(tiny, merges)
+      .orderBy("doc_id")).map(r => r(0) -> r(1)).toMap
+    val seqs = rows(cat.read("training_sequences")
+      .select("doc_id", "n_tokens").orderBy("doc_id"))
+    assert(seqs.map(r => r(0) -> r(1)).toMap == expect)
+    assert(s.totalTokens == expect.values.map(_.asInstanceOf[Long]).sum)
+    // budget respected: every offset inside [0, seqTokens)
+    assert(cat.read("training_sequences")
+      .filter(col("offset") < 0 || col("offset") >= 8).count() == 0)
+  }
+
   test("repetition gate drops boilerplate; mixture applies per-group rates") {
     import spark.implicits._
     val varied = (1 to 40).map(i => "tok" + i).mkString(" ")
