@@ -69,6 +69,40 @@ object TextDedup {
     spanStats(docs, width, idCol, textCol)
       .filter(col("n_occurrences") >= 2)
 
+  /** Duplicated-span REMOVAL (the full Lee-et-al substring-dedup
+    * operation, in its conservative whole-occurrence form): every token
+    * covered by a w-token window that occurs `minCount`+ times corpus-wide
+    * is dropped from the document, and the scrubbed text re-assembled.
+    * Complements [[spanDupStats]] (which only scores): this is the
+    * transform a cleaning pipeline actually applies.
+    *
+    * Shape: one span_hash window count (as spanDupStats), one per-doc
+    * collect of flagged START POSITIONS (array sized by the doc's flagged
+    * spans, order-irrelevant — only membership is tested), one join back
+    * to the corpus, then a pure map: token i survives iff no flagged start
+    * p has p ≤ i ≤ p+w−1 (HOF filter+exists — codegen-friendly, no UDF). */
+  def scrubDuplicatedSpans(docs: DataFrame, width: Int = DefaultSpanWidth,
+      minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        posexplode(Text.spanHashes("toks", width)).as(Seq("pos", "span_hash")))
+    val flaggedPos = occ
+      .withColumn("total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))))
+      .filter(col("total") >= minCount)
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("fpos"))
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .join(flaggedPos, Seq("doc_id"), "left")
+      .withColumn("fpos", coalesce(col("fpos"), array().cast("array<int>")))
+      .withColumn("kept", expr(
+        s"filter(toks, (t, i) -> NOT exists(fpos, p -> i >= p AND i <= p + ${width - 1}))"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("text_scrubbed"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_tokens_kept"))
+  }
+
   /** [[duplicatedSpans]] answered from a STORED inventory of per-batch
     * [[spanStats]] partials instead of re-tokenizing the corpus: merge by
     * sum (exact for doc-disjoint batches), then the same ≥2 filter. The

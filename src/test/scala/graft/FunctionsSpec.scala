@@ -83,6 +83,21 @@ class FunctionsSpec extends SparkSpec {
       .select("is_anomaly")).flatten == Seq(false))
   }
 
+  test("scrubDuplicatedSpans: covered tokens removed, clean docs untouched") {
+    val shared = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $shared u3"), // one flagged window at pos 2 → drops c1..c8
+      (2L, s"$shared"),          // the whole doc is the shared window → empty
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9"), // unique → untouched
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = rows(graft.operators.TextDedup.scrubDuplicatedSpans(docs).orderBy("doc_id"))
+    assert(got == Seq(
+      Seq(1L, "u1 u2 u3", 11L, 3L),
+      Seq(2L, "", 8L, 0L),
+      Seq(3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9", 9L, 9L),
+      Seq(4L, "tiny", 1L, 1L)))
+  }
+
   test("span inventory plan: map-side hashing, no join anywhere") {
     val docs = Seq((1L, (1 to 20).map("t" + _).mkString(" "))).toDF("doc_id", "text")
     val plan = TextDedup.duplicatedSpans(docs).queryExecution.executedPlan.toString
