@@ -90,7 +90,13 @@ object Multimodal {
 
     /** Grayscale JPEG encode (lossy — for specs exercising the real JPEG
       * decode path; quality is the writer default). */
-    def encodeGrayJpeg(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+    def encodeGrayJpeg(bytes: Array[Byte], width: Int = 64): Array[Byte] =
+      encodeGrayAs(bytes, width, "jpg")
+
+    /** Pack raw bytes as rows of an 8-bit grayscale image (zero-padded to
+      * the last row) and encode in `format` — shared by the PNG (lossless,
+      * gate-backed) and JPEG (lossy, spec-backed) encoders. */
+    private def encodeGrayAs(bytes: Array[Byte], width: Int, format: String): Array[Byte] = {
       val h = math.max(1, (bytes.length + width - 1) / width)
       val img = new java.awt.image.BufferedImage(
         width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -101,27 +107,14 @@ object Multimodal {
         i += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
+      javax.imageio.ImageIO.write(img, format, bos)
       bos.toByteArray
     }
 
-    /** Pack raw bytes as rows of an 8-bit grayscale PNG (zero-padded to the
-      * last row) — the deterministic "image of this payload" used by tests
-      * and the round-trip gate. */
-    def encodeGray(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
-      val h = math.max(1, (bytes.length + width - 1) / width)
-      val img = new java.awt.image.BufferedImage(
-        width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var i = 0
-      while (i < bytes.length) {
-        raster.setSample(i % width, i / width, 0, bytes(i) & 0xff)
-        i += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    /** Deterministic "image of this payload" used by tests and the
+      * round-trip gate (PNG: lossless). */
+    def encodeGray(bytes: Array[Byte], width: Int = 64): Array[Byte] =
+      encodeGrayAs(bytes, width, "png")
 
     /** Full decode (not a header sniff). None when the payload is not a
       * decodable image. */
@@ -178,7 +171,7 @@ object Multimodal {
       * but are not frame headers. */
     private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
       var i = 2
-      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+      while (i + 8 < b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

@@ -29,7 +29,10 @@ object Anomaly {
     val dec: Column => Column = _.cast("decimal(38,0)")
     series
       .withColumn("_n", count(lit(1)).over(w))
-      .withColumn("_dev", col("_n") * col(valueCol) - sum(col(valueCol)).over(w))
+      // promote BEFORE the n·c multiply: in Long it would wrap silently on
+      // extreme series (while the oracle's BIGINT raises), breaking the
+      // bit-reproducibility contract
+      .withColumn("_dev", dec(col("_n")) * col(valueCol) - sum(col(valueCol)).over(w))
       .withColumn("_ssd", sum(dec(col("_dev")) * col("_dev")).over(w))
       .withColumn("is_anomaly",
         dec(col("_dev")) * col("_dev") * (col("_n") - 1) > lit(k * k) * col("_ssd"))

@@ -142,8 +142,13 @@ object BpeVocab {
     * runs on the (tiny) distinct-symbol frame only. */
   def encodeIdHistogram(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persisted: the encoded symbol stream (tokenize + one fold per merge
+    // over every word — the dominant cost) feeds BOTH the distinct-vocab
+    // branch and the join's left side; without the persist the corpus
+    // encode runs twice (see the persist-lifecycle note on TextDedup)
     val sy = encodedWords(docs, merges, idCol, textCol)
       .select(col("doc_id"), explode(split(col("sym"), Sep)).as("symbol"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = sy.select(col("symbol")).distinct()
       .withColumn("id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("symbol"))).cast("long"))

@@ -67,7 +67,7 @@ object EventQueries {
       Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
                      count(*) AS n_events FROM events GROUP BY 1, 2),
               st AS (SELECT event_type, count(*) AS n, sum(n_events) AS s FROM h GROUP BY 1),
-              d AS (SELECT h.*, st.n, (st.n * h.n_events - st.s) AS dev
+              d AS (SELECT h.*, st.n, (CAST(st.n AS HUGEINT) * h.n_events - st.s) AS dev
                     FROM h JOIN st USING (event_type)),
               ss AS (SELECT event_type, sum(CAST(dev AS HUGEINT) * dev) AS ssd
                      FROM d GROUP BY 1)

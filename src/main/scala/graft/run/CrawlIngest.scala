@@ -97,7 +97,7 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
           catalog.write(cfg.corpusTable, fresh)
           catalog.write(cfg.bandIndexTable,
             bands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"))
-          appendPostings(fresh)
+          appendDerivedIndexes(fresh)
           val appended = catalog.read(cfg.corpusTable).count()
           val nUnique = batchUnique.count()
           return CrawlIngestSummary(batchLines, quarantined, afterGates,
@@ -131,7 +131,7 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
           catalog.append(cfg.corpusTable, fresh)
           catalog.append(cfg.bandIndexTable,
             bands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"))
-          appendPostings(fresh)
+          appendDerivedIndexes(fresh)
 
           CrawlIngestSummary(batchLines, quarantined, afterGates,
             exactDups = afterGates - nNovel, nearDups = nNovel - appended,
@@ -141,10 +141,11 @@ final class CrawlIngest(spark: SparkSession, catalog: Catalog,
     } finally gated.unpersist()
   }
 
-  /** Append the accepted batch's postings to the living retrieval index
-    * (no-op when the batch accepted nothing — an empty append would still
+  /** Append the accepted batch's derived index rows — retrieval postings
+    * and span-stat partials, each behind its own config switch (no-op per
+    * table when the batch accepted nothing — an empty append would still
     * pay a commit). */
-  private def appendPostings(fresh: DataFrame): Unit = {
+  private def appendDerivedIndexes(fresh: DataFrame): Unit = {
     cfg.postingsTable.foreach { table =>
       val p = graft.operators.TextIndex.postings(fresh, "doc_id", "text")
       if (catalog.exists(table)) { if (!p.isEmpty) catalog.append(table, p) }

@@ -168,10 +168,15 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
             packInput, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
           case Some(steps) =>
             val merges = graft.operators.BpeVocab.learn(packInput, steps)
+            // LEFT join: a doc whose every word the BPE vocab dropped
+            // (empty / separator-tainted tokens) still packs — with 0
+            // budgeted tokens — instead of silently vanishing from the
+            // sequences while stamped 'train' in the corpus
             Sampling.packSequences(
               packInput.join(
-                graft.operators.BpeVocab.encodedLength(packInput, merges), Seq("doc_id")),
-              col("n_bpe_symbols"), "doc_id", cfg.seqTokens, cfg.shards)
+                graft.operators.BpeVocab.encodedLength(packInput, merges),
+                Seq("doc_id"), "left"),
+              coalesce(col("n_bpe_symbols"), lit(0L)), "doc_id", cfg.seqTokens, cfg.shards)
         }
         catalog.write(cfg.sequencesTable, packed)
 
