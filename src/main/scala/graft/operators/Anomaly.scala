@@ -26,7 +26,6 @@ object Anomaly {
   def sigmaOutliers(series: DataFrame, keyCols: Seq[String], valueCol: String,
       k: Int = 3): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-    val dec: Column => Column = _.cast("decimal(38,0)")
     series
       .withColumn("_n", count(lit(1)).over(w))
       // promote BEFORE the n·c multiply: in Long it would wrap silently on
@@ -38,4 +37,42 @@ object Anomaly {
         dec(col("_dev")) * col("_dev") * (col("_n") - 1) > lit(k * k) * col("_ssd"))
       .drop("_n", "_dev", "_ssd")
   }
+
+  private val dec: Column => Column = _.cast("decimal(38,0)")
+
+  /** Per-key raw-moment statistics (n, s, sq) of a training series — the
+    * MERGEABLE form of the k-sigma state: two batches' stats add
+    * column-wise (Σ(n·cᵢ−s)² expands to n²·sq − n·s², so the sum of
+    * squared deviations never needs to be stored), which is what lets a
+    * recurring pipeline append per-batch stats O(batch) and a stream score
+    * against a broadcast snapshot. */
+  def stats(series: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    series.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("s"),
+        sum(dec(col(valueCol)) * col(valueCol)).as("sq"))
+
+  /** Merge stats frames from disjoint batches of the same series. */
+  def mergeStats(statFrames: DataFrame*): DataFrame =
+    statFrames.reduce(_ unionByName _)
+      .groupBy(statFrames.head.columns.filterNot(Set("n", "s", "sq")).map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("sq")).as("sq"))
+
+  /** Score NEW points against a fitted [[stats]] table — the
+    * train-on-history / score-live shape: the stats side is key-cardinality
+    * sized (broadcastable), so scoring is map-side and composes with a
+    * stream (stream-static join). Same exact-integer inequality with the
+    * deviation sum expanded to raw moments:
+    * (n·c − s)²·(n−1) > k²·(n²·sq − n·s²). Points with no stats row (or a
+    * 1-point history) report NULL. */
+  def flagAgainstStats(points: DataFrame, statsDf: DataFrame, keyCols: Seq[String],
+      valueCol: String, k: Int = 3): DataFrame =
+    points.join(broadcast(statsDf), keyCols, "left")
+      .withColumn("_dev", dec(col("n")) * col(valueCol) - col("s"))
+      .withColumn("is_anomaly",
+        when(col("n") >= 2,
+          dec(col("_dev")) * col("_dev") * (col("n") - 1) >
+            lit(k * k) * (dec(col("n")) * col("n") * col("sq") -
+              dec(col("n")) * col("s") * col("s"))))
+      .drop("n", "s", "sq", "_dev")
 }

@@ -75,6 +75,36 @@ object EventQueries {
                      CAST(dev AS HUGEINT) * dev * (n - 1) > 9 * ss.ssd AS is_anomaly
               FROM d JOIN ss USING (event_type)""")),
 
+    // Anomaly scoring against STORED stats — the production shape: fit
+    // mergeable (n, s, sq) moments on history (AM hours), score new points
+    // (PM hours) map-side against the broadcast snapshot. Same integer
+    // inequality with the deviation sum expanded to raw moments.
+    QueryDef("q_x_anomaly_scored",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val train = hourly.filter(hour(col("win")) < 12)
+        graft.operators.Anomaly.flagAgainstStats(
+          hourly.filter(hour(col("win")) >= 12),
+          graft.operators.Anomaly.stats(train, Seq("event_type"), "n_events"),
+          Seq("event_type"), "n_events", k = 3)
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+                     count(*) AS n_events FROM events GROUP BY 1, 2),
+              tr AS (SELECT event_type, count(*) AS n, sum(n_events) AS s,
+                     sum(CAST(n_events AS HUGEINT) * n_events) AS sq
+                     FROM h WHERE hour(win) < 12 GROUP BY 1)
+              SELECT p.win, p.event_type, p.n_events,
+                     CASE WHEN n >= 2 THEN
+                       (CAST(n AS HUGEINT) * p.n_events - s)
+                         * (CAST(n AS HUGEINT) * p.n_events - s) * (n - 1)
+                       > 9 * (CAST(n AS HUGEINT) * n * sq - CAST(n AS HUGEINT) * s * s)
+                     END AS is_anomaly
+              FROM (SELECT * FROM h WHERE hour(win) >= 12) p
+              LEFT JOIN tr USING (event_type)""")),
+
     // Semi-structured extraction: the events `props` column is JSON; pull a
     // typed field out (Spark get_json_object ↔ DuckDB json_extract_string).
     QueryDef("q_x_json_extract",

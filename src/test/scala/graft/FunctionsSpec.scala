@@ -98,6 +98,31 @@ class FunctionsSpec extends SparkSpec {
       Seq(4L, "tiny", 1L, 1L)))
   }
 
+  test("anomaly stats merge exactly; scoring a series against its own stats ≡ sigmaOutliers") {
+    import graft.operators.Anomaly
+    val series = ((1 to 10).map(i => ("A", i.toLong, 100L + (i % 3))) :+ (("A", 11L, 400L)))
+      .++((1 to 6).map(i => ("B", i.toLong, 50L + i)))
+      .toDF("k", "t", "v")
+    // mergeable moments: per-half stats merged == whole-series stats
+    val whole = rows(Anomaly.stats(series, Seq("k"), "v").orderBy("k"))
+    val merged = rows(Anomaly.mergeStats(
+      Anomaly.stats(series.filter(col("t") <= 5), Seq("k"), "v"),
+      Anomaly.stats(series.filter(col("t") > 5), Seq("k"), "v")).orderBy("k"))
+    assert(merged == whole)
+    // train == score set ⇒ identical flags to the windowed form
+    val viaStats = rows(Anomaly.flagAgainstStats(series,
+      Anomaly.stats(series, Seq("k"), "v"), Seq("k"), "v").orderBy("k", "t")
+      .select("k", "t", "is_anomaly"))
+    val viaWindow = rows(Anomaly.sigmaOutliers(series, Seq("k"), "v").orderBy("k", "t")
+      .select("k", "t", "is_anomaly"))
+    assert(viaStats == viaWindow)
+    // a key with no stats row reports NULL, not false
+    val scored = rows(Anomaly.flagAgainstStats(
+      Seq(("Z", 1L, 9L)).toDF("k", "t", "v"),
+      Anomaly.stats(series, Seq("k"), "v"), Seq("k"), "v"))
+    assert(scored.head.last == null)
+  }
+
   test("span inventory plan: map-side hashing, no join anywhere") {
     val docs = Seq((1L, (1 to 20).map("t" + _).mkString(" "))).toDF("doc_id", "text")
     val plan = TextDedup.duplicatedSpans(docs).queryExecution.executedPlan.toString

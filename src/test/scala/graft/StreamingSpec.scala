@@ -157,6 +157,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly scoring: live points flagged against broadcast batch stats") {
+    import graft.operators.Anomaly
+    val dir = Files.createTempDirectory("graft-anomaly-stream").toString
+    // history: tight series around 100 per key; live batch carries a spike
+    val history = ((1 to 20).map(i => ("clicks", i.toLong, 100L + (i % 2))))
+      .toDF("k", "t", "v")
+    val stats = Anomaly.stats(history, Seq("k"), "v")
+    Seq(("clicks", 21L, 101L), ("clicks", 22L, 500L))
+      .toDF("k", "t", "v").coalesce(1).write.mode("append").parquet(dir)
+    val live = spark.readStream.schema("k string, t bigint, v bigint").parquet(dir)
+    val q = Anomaly.flagAgainstStats(live, stats, Seq("k"), "v")
+      .writeStream.outputMode("append").format("memory").queryName("anomaly_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = rows(spark.table("anomaly_stream")
+        .select("t", "is_anomaly").orderBy("t"))
+      assert(got == Seq(Seq(21L, false), Seq(22L, true)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import EventStream._
     val events = Seq(
