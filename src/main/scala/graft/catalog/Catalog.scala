@@ -136,7 +136,17 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * stream high-water mark. */
   private def writeVersion(name: String, df: DataFrame, meta: Map[String, String],
       inherit: Boolean = true, carryFiles: Boolean = false,
-      expected: Option[Long] = None): Unit = {
+      expected: Option[Long] = None, partitionCols: Seq[String] = Nil): Unit = {
+    // A file-level append's flat manifest cannot reference files nested in
+    // partition directories — carrying a partitioned version by pointer
+    // would resolve to ZERO files and silently drop the table's data.
+    if (carryFiles)
+      currentPath(name).map(Paths.get(_)).filter(isPartitionedVersion).foreach { _ =>
+        throw new IllegalStateException(
+          s"catalog: '$name' is partition-laid-out — file-level append is not " +
+            "supported on partitioned versions; rewrite with write()/" +
+            "writePartitioned() or append partition-wise")
+      }
     val dir = tableDir(name)
     Files.createDirectories(dir)
     val inherited = if (!inherit) Map.empty[String, String] else
@@ -174,7 +184,9 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     }
     // `append` into the just-claimed empty directory: `overwrite` would
     // DELETE the claim first, re-opening the race window it exists to close.
-    df.write.mode("append").parquet(dir.resolve(next).toString)
+    val writer = if (partitionCols.isEmpty) df.write
+      else df.write.partitionBy(partitionCols: _*)
+    writer.mode("append").parquet(dir.resolve(next).toString)
     if (carryFiles && cur.isDefined) {
       val fresh = localDataFiles(dir.resolve(next)).map(p => s"$next/${p.getFileName}")
       Files.writeString(dir.resolve(next).resolve(ManifestFile),
@@ -384,6 +396,21 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * (footer reads + task scheduling per file). */
   def compact(name: String, numFiles: Int): Unit =
     write(name, read(name).coalesce(numFiles))
+
+  /** Hive-style partition-directory layout: rows land under `col=value/`
+    * subdirectories, so a filter on a partition column prunes whole
+    * directories at FILE-LISTING time — before any I/O, the coarsest and
+    * cheapest scan reducer at 100 TB (date / source / language
+    * partitioning). Same atomic version swap; readers see partition
+    * columns via Spark's directory discovery. Partitioned versions are
+    * self-contained: file-level [[append]] refuses them (a flat manifest
+    * cannot reference nested files) — rewrite, or append partition-wise. */
+  def writePartitioned(name: String, df: DataFrame, cols: String*): Unit =
+    writeVersion(name, df, Map.empty, partitionCols = cols)
+
+  private def isPartitionedVersion(versionDir: Path): Boolean =
+    Files.isDirectory(versionDir) && listDir(versionDir)
+      .exists(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
 
   /** Range-layout write: range-partition then sort within partitions on
     * `cols`, so every parquet file (and row group) covers a tight, disjoint

@@ -45,6 +45,10 @@ object TextQueries {
   private val bandIndexRoots =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
 
+  /** Per-(session, sfDir) roots for the q_x_partitioned_scan layout. */
+  private val partitionedRoots =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
   /** Oracle for the batch-vs-corpus incremental dedups (shared by the
     * recompute-the-corpus and the persisted-index variants — the index must
     * not change the answer): odd ids are the batch, even ids the corpus. */
@@ -364,6 +368,24 @@ object TextQueries {
                          FROM (SELECT DISTINCT symbol FROM sy))
                SELECT doc_id, CAST(id AS BIGINT) AS id, count(*) AS n
                FROM sy JOIN vocab USING (symbol) GROUP BY 1, 2""")),
+
+    // Partition-directory layout: the corpus stored hive-style by language
+    // (Catalog.writePartitioned), queried with a partition filter — whole
+    // lang= directories prune at file-listing time, before any I/O. The
+    // oracle scans the flat table; results must be identical.
+    QueryDef("q_x_partitioned_scan",
+      (s, d) => {
+        partitionedRoots.keySet.removeIf(_._1.sparkContext.isStopped)
+        val cat = new graft.catalog.Catalog(s, partitionedRoots.computeIfAbsent(
+          (s, d), _ => java.nio.file.Files.createTempDirectory("graft-part").toString))
+        if (!cat.exists("docs_by_lang"))
+          cat.writePartitioned("docs_by_lang", t(s, d, "documents"), "lang")
+        cat.read("docs_by_lang").filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM documents WHERE lang = 'en' GROUP BY 1""")),
 
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in

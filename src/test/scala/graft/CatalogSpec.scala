@@ -310,6 +310,32 @@ class CatalogSpec extends SparkSpec {
     assert(cat.history("t").last.streamBatchId.contains(7L))
   }
 
+  test("writePartitioned: directory pruning on the partition filter, appends refused") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "en", 30L), (4L, "de", 40L))
+      .toDF("doc_id", "lang", "n")
+    cat.writePartitioned("docs", df, "lang")
+    // full read round-trips all rows with the partition column restored
+    assert(rows(cat.read("docs").select("doc_id", "lang").orderBy("doc_id")) ==
+      Seq(Seq(1L, "en"), Seq(2L, "fr"), Seq(3L, "en"), Seq(4L, "de")))
+    // the filter lands as a PARTITION filter on the scan (directory-level
+    // pruning at listing time), not a post-scan data filter
+    val filtered = cat.read("docs").filter(col("lang") === "en")
+    assert(filtered.count() == 2)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*lang.*"),
+      s"expected a partition filter on lang:\n$scan")
+    // file-level append cannot compose with nested partition dirs: loud no
+    val e = intercept[IllegalStateException] {
+      cat.append("docs", Seq((5L, "en", 50L)).toDF("doc_id", "lang", "n"))
+    }
+    assert(e.getMessage.contains("partition"))
+    // a plain rewrite still works and flattens the layout
+    cat.write("docs", cat.read("docs"))
+    assert(cat.read("docs").count() == 4)
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))
