@@ -397,6 +397,28 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   def compact(name: String, numFiles: Int): Unit =
     write(name, read(name).coalesce(numFiles))
 
+  /** Roll the table back to a retained earlier version — the bad-deploy /
+    * bad-batch undo. Implemented as a pointer flip to the old version
+    * directory (data is never copied or deleted; the rolled-back-from
+    * version stays retained and auditable in [[history]]), executed under
+    * the same commit lock as [[write]] so it cannot race a concurrent
+    * writer's verify+flip. */
+  def rollback(name: String, version: Long): Unit = {
+    val target = s"v_$version"
+    if (!Files.isDirectory(tableDir(name).resolve(target)))
+      throw new IllegalArgumentException(
+        s"catalog: cannot roll '$name' back to version $version — not retained " +
+          s"(available: ${versions(name).mkString(", ")})")
+    withCommitLock(name) {
+      val tmp = tableDir(name).resolve(s"_CURRENT.tmp.rollback.$version")
+      Files.writeString(tmp, target,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    schemaCache.remove(name.toLowerCase): Unit
+  }
+
   /** Hive-style partition-directory layout: rows land under `col=value/`
     * subdirectories, so a filter on a partition column prunes whole
     * directories at FILE-LISTING time — before any I/O, the coarsest and

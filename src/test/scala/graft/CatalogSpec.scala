@@ -336,6 +336,25 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("docs").count() == 4)
   }
 
+  test("rollback flips the pointer to a retained version; nothing is deleted") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1, 2, 3).toDF("id"))
+    val v0 = cat.currentVersionNumber("t").get
+    cat.write("t", Seq(9).toDF("id")) // the "bad batch"
+    assert(cat.read("t").count() == 1)
+    cat.rollback("t", v0)
+    assert(rows(cat.read("t").orderBy("id")).flatten == Seq(1, 2, 3))
+    // the rolled-back-from version stays retained and auditable
+    assert(cat.versions("t").size == 2)
+    assert(cat.readVersion("t", v0 + 1).count() == 1)
+    // the next write claims a FRESH version past the rolled-back-from one
+    cat.write("t", Seq(7, 8).toDF("id"))
+    assert(cat.currentVersionNumber("t").get > v0 + 1)
+    assert(cat.read("t").count() == 2)
+    // rolling back to a never-existing version fails loudly
+    intercept[IllegalArgumentException](cat.rollback("t", 99L))
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))
