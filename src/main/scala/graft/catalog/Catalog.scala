@@ -212,12 +212,24 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
           s"catalog: '$name' advanced from ${cur.getOrElse("<absent>")} to " +
             s"${nowCur.getOrElse("<absent>")} while this write ran — commit " +
             "aborted; re-read and retry")
-      val tmp = dir.resolve(s"_CURRENT.tmp.$next")
-      Files.writeString(tmp, next, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      flipPointer(name, next)
+      // prune INSIDE the lock, against the LIVE pointer: run outside it, a
+      // concurrent rollback could flip to an old version between this flip
+      // and the prune, and the prune would delete the directory _CURRENT
+      // now points at — permanent data loss
+      prune(name)
     }
-    prune(name, next)
+  }
+
+  /** The commit-critical pointer flip (write-tmp + ATOMIC_MOVE) — one
+    * implementation shared by [[write]] and [[rollback]]. Callers hold the
+    * commit lock. */
+  private def flipPointer(name: String, version: String): Unit = {
+    val tmp = tableDir(name).resolve(s"_CURRENT.tmp.$version")
+    Files.writeString(tmp, version,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Per-table commit lock: an atomically-created marker file guarding the
@@ -259,15 +271,19 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   private def manifestEntries(mf: Path): Seq[String] =
     Files.readString(mf).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
 
-  /** Parquet data files physically inside one version directory. */
-  private def localDataFiles(versionDir: Path): Seq[Path] =
-    listDir(versionDir)
-      .filter(p => Files.isRegularFile(p))
+  /** Parquet data files physically inside one version directory —
+    * RECURSIVE, so hive-partitioned versions (files nested under
+    * `col=value/` dirs) report their true composition in [[history]]. */
+  private def localDataFiles(versionDir: Path): Seq[Path] = {
+    def walk(d: Path): Seq[Path] =
+      listDir(d).flatMap(p => if (Files.isDirectory(p)) walk(p) else Seq(p))
+    walk(versionDir)
       .filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
-      .sortBy(_.getFileName.toString)
+      .sortBy(_.toString)
+  }
 
   /** Table-dir-relative data files composing a version: the manifest chain
     * (each link one `@prev` pointer + its fresh files) resolved oldest-
@@ -279,7 +295,7 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     if (Files.isRegularFile(mf)) {
       val (prevs, files) = manifestEntries(mf).partition(_.startsWith(PrevMarker))
       prevs.flatMap(p => versionDataFiles(name, p.stripPrefix(PrevMarker).trim)) ++ files
-    } else localDataFiles(dir).map(p => s"$version/${p.getFileName}")
+    } else localDataFiles(dir).map(p => s"$version/${dir.relativize(p)}")
   }
 
   /** Version DIRECTORIES a version's manifest chain passes through — these
@@ -403,19 +419,18 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * version stays retained and auditable in [[history]]), executed under
     * the same commit lock as [[write]] so it cannot race a concurrent
     * writer's verify+flip. */
-  def rollback(name: String, version: Long): Unit = {
+  def rollback(name: String, version: Long): Unit = withCommitLock(name) {
     val target = s"v_$version"
-    if (!Files.isDirectory(tableDir(name).resolve(target)))
+    // BOTH checks inside the lock: outside it a concurrent writer's prune
+    // could delete the target between check and flip. A claimed-but-never-
+    // committed directory (crashed writer) has no data files and no
+    // manifest — flipping onto it would break every read.
+    if (!Files.isDirectory(tableDir(name).resolve(target)) ||
+        versionDataFiles(name, target).isEmpty)
       throw new IllegalArgumentException(
         s"catalog: cannot roll '$name' back to version $version — not retained " +
-          s"(available: ${versions(name).mkString(", ")})")
-    withCommitLock(name) {
-      val tmp = tableDir(name).resolve(s"_CURRENT.tmp.rollback.$version")
-      Files.writeString(tmp, target,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+          s"or never committed (retained: ${versions(name).mkString(", ")})")
+    flipPointer(name, target)
     schemaCache.remove(name.toLowerCase): Unit
   }
 
@@ -468,7 +483,11 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * leave current data physically in older directories; deleting those would
     * corrupt the current version). A referenced directory is reclaimed once
     * [[compact]] (or any full rewrite) ages the referencing manifests out. */
-  private def prune(name: String, current: String): Unit = {
+  private def prune(name: String): Unit = {
+    // derive the pivot from the LIVE pointer (under the caller's commit
+    // lock): pruning against a version captured before the lock could
+    // delete the directory a concurrent rollback just flipped to
+    val current = currentVersion(name).getOrElse(return)
     val versions = listDir(tableDir(name))
       .filter(p => p.getFileName.toString.startsWith("v_"))
       .sortBy(_.getFileName.toString.stripPrefix("v_").toLong)

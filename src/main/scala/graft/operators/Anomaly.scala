@@ -63,8 +63,12 @@ object Anomaly {
     * sized (broadcastable), so scoring is map-side and composes with a
     * stream (stream-static join). Same exact-integer inequality with the
     * deviation sum expanded to raw moments:
-    * (n·c − s)²·(n−1) > k²·(n²·sq − n·s²). Points with no stats row (or a
-    * 1-point history) report NULL. */
+    * (n·c − s)²·(n−1) > k²·n·(n·sq − s²). Points with no stats row (or a
+    * 1-point history) report NULL. The right side groups as n·(n·sq − s²)
+    * — the big mean-dominated terms cancel INSIDE the parentheses, so the
+    * largest intermediate is n·sq (≈ n²·mean²), one factor of n smaller
+    * than the cancellation-free n²·sq form, keeping decimal(38,0) exact
+    * for the same series the windowed [[sigmaOutliers]] handles. */
   def flagAgainstStats(points: DataFrame, statsDf: DataFrame, keyCols: Seq[String],
       valueCol: String, k: Int = 3): DataFrame =
     points.join(broadcast(statsDf), keyCols, "left")
@@ -72,7 +76,7 @@ object Anomaly {
       .withColumn("is_anomaly",
         when(col("n") >= 2,
           dec(col("_dev")) * col("_dev") * (col("n") - 1) >
-            lit(k * k) * (dec(col("n")) * col("n") * col("sq") -
-              dec(col("n")) * col("s") * col("s"))))
+            lit(k * k) * dec(col("n")) *
+              (dec(col("n")) * col("sq") - dec(col("s")) * col("s"))))
       .drop("n", "s", "sq", "_dev")
 }

@@ -51,6 +51,17 @@ object Q {
       .withColumn("ts_us", expr("ts div 1000"))
   }
 
+  /** Per-(session, sfDir) temp directory for stored-index / stored-layout
+    * gates (write-once-read-many, like a real index); stopped-session
+    * entries evicted on access — one implementation for every such cache
+    * instead of a hand-rolled copy per query family. */
+  def tempRoot(cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String],
+      s: SparkSession, d: String, prefix: String): String = {
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
+    cache.computeIfAbsent((s, d),
+      _ => java.nio.file.Files.createTempDirectory(prefix).toString)
+  }
+
   /** Exact integer cents from a 2-decimal double (BASELINE probe: prices are
     * 2-decimal within 1e-9, so round-then-cast is tie-free and identical in
     * both engines; note DuckDB CAST(double AS BIGINT) rounds while Spark

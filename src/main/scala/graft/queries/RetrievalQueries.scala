@@ -115,9 +115,8 @@ object RetrievalQueries {
     // rank.
     QueryDef("q_x_text_search_indexed",
       (s, d) => {
-        textIndexRoots.keySet.removeIf(_._1.sparkContext.isStopped)
-        val cat = new graft.catalog.Catalog(s, textIndexRoots.computeIfAbsent(
-          (s, d), _ => java.nio.file.Files.createTempDirectory("graft-text-index").toString))
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(textIndexRoots, s, d, "graft-text-index"))
         if (!cat.exists("postings"))
           cat.writeSorted("postings",
             graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
@@ -172,9 +171,8 @@ object RetrievalQueries {
     // ONE living index instead of re-tokenizing the corpus per batch.
     QueryDef("q_x_text_index_incremental",
       (s, d) => {
-        textIndexRoots.keySet.removeIf(_._1.sparkContext.isStopped)
-        val cat = new graft.catalog.Catalog(s, textIndexRoots.computeIfAbsent(
-          (s, d + "#incr"), _ => java.nio.file.Files.createTempDirectory("graft-text-incr").toString))
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(textIndexRoots, s, d + "#incr", "graft-text-incr"))
         if (!cat.exists("postings")) {
           val docs = t(s, d, "documents")
           cat.write("postings", graft.operators.TextIndex.postings(

@@ -375,9 +375,8 @@ object TextQueries {
     // oracle scans the flat table; results must be identical.
     QueryDef("q_x_partitioned_scan",
       (s, d) => {
-        partitionedRoots.keySet.removeIf(_._1.sparkContext.isStopped)
-        val cat = new graft.catalog.Catalog(s, partitionedRoots.computeIfAbsent(
-          (s, d), _ => java.nio.file.Files.createTempDirectory("graft-part").toString))
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(partitionedRoots, s, d, "graft-part"))
         if (!cat.exists("docs_by_lang"))
           cat.writePartitioned("docs_by_lang", t(s, d, "documents"), "lang")
         cat.read("docs_by_lang").filter(col("lang") === "en")
@@ -567,9 +566,8 @@ object TextQueries {
         // an index is built ONCE and queried per batch — build/write on the
         // first call per (session, sf), read-only thereafter (bench rerun 2
         // measures the query-an-index shape, which is the operator's point)
-        bandIndexRoots.keySet.removeIf(_._1.sparkContext.isStopped)
-        val cat = new graft.catalog.Catalog(s, bandIndexRoots.computeIfAbsent(
-          (s, d), _ => java.nio.file.Files.createTempDirectory("graft-lsh-index").toString))
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(bandIndexRoots, s, d, "graft-lsh-index"))
         if (!cat.exists("lsh_bands"))
           cat.write("lsh_bands",
             graft.operators.TextDedup.buildBandIndex(corpus, numHashes, numBands))

@@ -133,9 +133,8 @@ object VectorQueries {
     QueryDef("q_x_ann_index",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        ivfIndexRoots.keySet.removeIf(_._1.sparkContext.isStopped)
-        val cat = new graft.catalog.Catalog(s, ivfIndexRoots.computeIfAbsent(
-          (s, d), _ => java.nio.file.Files.createTempDirectory("graft-ivf-index").toString))
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(ivfIndexRoots, s, d, "graft-ivf-index"))
         if (!cat.exists("ivf_index"))
           cat.writeSorted("ivf_index",
             graft.operators.VectorSearch.buildIvfIndex(emb, numPlanes, dim = 64),
