@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Anomaly, TextDedup}
+
+/** Property equivalence for the span-scrub and k-sigma operators against
+  * direct in-JVM references — tiny alphabets force heavy span collisions,
+  * overlapping flagged windows, and exact statistical ties. */
+class SpanAnomalyPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- scrubDuplicatedSpans vs naive reference ----
+
+  private val W = 3
+  private def refScrub(docs: List[(Long, String)]): Map[Long, (String, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    // corpus-wide multiset of width-W windows
+    val all = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < W) Seq.empty
+      else (0 to ts.length - W).map(p => (id, p, ts.slice(p, p + W).mkString(" ")))
+    }
+    val counts = all.groupBy(_._3).view.mapValues(_.size).toMap
+    docs.map { case (id, _) =>
+      val ts = toks(id)
+      val flagged = (0 to ts.length - W).filter(p =>
+        ts.length >= W && counts(ts.slice(p, p + W).mkString(" ")) >= 2)
+      val kept = ts.indices.filterNot(i => flagged.exists(p => i >= p && i <= p + W - 1))
+        .map(ts)
+      id -> (kept.mkString(" "), ts.length.toLong, kept.length.toLong)
+    }.toMap
+  }
+
+  private val docGen: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+      .map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+
+  test("scrubDuplicatedSpans ≡ naive reference for arbitrary corpora (w=3)") {
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = refScrub(docs)
+      val got = TextDedup.scrubDuplicatedSpans(docs.toDF("doc_id", "text"), width = W)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- sigmaOutliers vs exact BigInt reference ----
+
+  private val seriesGen: Gen[List[(String, Long)]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf("A", "B"), Gen.choose(-50L, 50L))))
+
+  private def refFlags(series: List[(String, Long)]): Seq[(String, Int, Boolean)] =
+    series.zipWithIndex.groupBy(_._1._1).toSeq.flatMap { case (k, pts) =>
+      val vs = pts.map(_._1._2).map(BigInt(_))
+      val n = BigInt(vs.size)
+      val s = vs.sum
+      val ssd = vs.map(v => (n * v - s).pow(2)).sum
+      pts.map { case ((_, v), idx) =>
+        (k, idx, (n * v - s).pow(2) * (n - 1) > 9 * ssd)
+      }
+    }
+
+  test("sigmaOutliers ≡ exact BigInt reference for arbitrary series") {
+    val prop = Prop.forAll(seriesGen) { series =>
+      val df = series.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+        .toDF("k", "t", "v")
+      val got = Anomaly.sigmaOutliers(df, Seq("k"), "v").collect()
+        .map(r => (r.getString(0), r.getLong(1).toInt, r.getBoolean(3))).toSet
+      got == refFlags(series).map(f => (f._1, f._2, f._3)).toSet
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
