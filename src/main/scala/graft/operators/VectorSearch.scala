@@ -144,6 +144,28 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
 
+  /** Johnson-Lindenstrauss random projection to `outDim` components —
+    * the pre-ANN compression step (shrink 100 TB of wide embeddings before
+    * indexing; pairwise distances are preserved within the JL bound).
+    * Deterministic hash-derived integer planes (the [[planes]] family, same
+    * reproducibility story as [[lshBuckets]]) and exact integer dots, so
+    * the projection is bit-identical on any parallelism/engine. LONG-ROW
+    * output (vec_id, pos, value) — pure map over the corpus scan, zero
+    * shuffles; `array_agg(sort by pos)` reassembles a vector column. */
+  def randomProjection(emb: DataFrame, outDim: Int, dim: Int = -1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(emb, embCol)
+    val pl = planes(outDim, d)
+    val comps = (0 until outDim).map { p =>
+      struct(lit(p.toLong).as("pos"),
+        graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq)).as("value"))
+    }
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), quantize(embCol).as("q"))
+      .select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.pos").as("pos"), col("c.value").as("value"))
+  }
+
   /** Per-group mean embedding (average pooling) in LONG-ROW form:
     * (group, pos, centroid) — one posexplode + hash aggregate, the
     * cluster-centroid / class-prototype step of an embedding pipeline.

@@ -144,6 +144,24 @@ object VectorQueries {
       },
       Some(ivfOracleSql)),
 
+    // Johnson-Lindenstrauss random projection (64 → 16 dims): the pre-ANN
+    // compression map — deterministic integer planes, exact dots, zero
+    // shuffles. The oracle replays the identical plane literals.
+    QueryDef("q_x_random_projection",
+      (s, d) => graft.operators.VectorSearch.randomProjection(
+        t(s, d, "embeddings"), outDim = 16, dim = 64),
+      Some {
+        val pl = graft.operators.VectorSearch.planes(16, 64)
+        val posList = (0 until 16).mkString("[", ", ", "]")
+        val valList = pl.map(p =>
+          s"CAST(list_dot_product(q, [${p.map(_.toDouble).mkString(", ")}]) AS BIGINT)")
+          .mkString("[", ", ", "]")
+        s"""SELECT vec_id, CAST(pos AS BIGINT) AS pos, value FROM (
+              SELECT vec_id, unnest($posList) AS pos, unnest($valList) AS value
+              FROM (SELECT vec_id, $quantSql AS q FROM embeddings
+                    WHERE embedding IS NOT NULL))"""
+      }),
+
     // Mean pooling: per-group embedding centroid in long-row form — the
     // cluster-prototype aggregate. Integer sums are order-independent, so
     // the final double division is identical on both engines.

@@ -479,6 +479,22 @@ class FunctionsSpec extends SparkSpec {
     assert(!kept.columns.contains("keep"))
   }
 
+  test("randomProjection: deterministic long-row output, map-only plan") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // identical → identical projection
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val proj = VectorSearch.randomProjection(emb, outDim = 2, dim = 4)
+    val got = rows(proj.orderBy("vec_id", "pos"))
+    assert(got.size == 6) // 3 vectors × 2 components
+    // identical inputs project identically; distinct inputs differ somewhere
+    assert(got.take(2).map(_.drop(1)) == got.slice(2, 4).map(_.drop(1)))
+    assert(got.take(2).map(_.last) != got.slice(4, 6).map(_.last))
+    // pure map: no exchange anywhere
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("vector search: identical vectors rank first with sim 1.0") {
     val v = (1 to 64).map(_.toFloat / 100)
     val w = (1 to 64).map(i => (65 - i).toFloat / 100)
