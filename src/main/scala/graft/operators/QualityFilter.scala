@@ -74,4 +74,17 @@ object QualityFilter {
         idCol = idCol, textCol = textCol)
       .select(col("doc_id"), col("n_spans").as("n_bigrams"),
         col("n_dup_spans").as("n_common"), col("dup_fraction").as("coverage"))
+
+  /** Corpus-RELATIVE quality gating: keep rows whose metric reaches the
+    * corpus's own `quantile` of that metric — the production form of
+    * threshold selection (fixed constants go stale as the corpus shifts;
+    * "drop the bottom quartile" does not). The exact interpolated
+    * percentile is one aggregate whose 1-row result broadcasts into a
+    * map-side flag — no second scan shape, engine-portable arithmetic
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  def quantileGate(df: DataFrame, metricCol: String, quantile: Double): DataFrame = {
+    val cut = df.agg(expr(s"percentile($metricCol, $quantile)").as("cutoff"))
+    df.crossJoin(broadcast(cut))
+      .withColumn("keep", col(metricCol) >= col("cutoff"))
+  }
 }

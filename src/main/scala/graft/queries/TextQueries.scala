@@ -386,6 +386,19 @@ object TextQueries {
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
               FROM documents WHERE lang = 'en' GROUP BY 1""")),
 
+    // Corpus-relative quality gate: keep docs at or above the corpus P25
+    // of token count — dynamic thresholds instead of stale constants. One
+    // exact-percentile aggregate broadcast into a map-side flag.
+    QueryDef("q_x_quantile_gate",
+      (s, d) => graft.operators.QualityFilter.quantileGate(
+        t(s, d, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "n_tokens", 0.25),
+      Some(s"""SELECT doc_id, n_tokens, cutoff, n_tokens >= cutoff AS keep
+               FROM (SELECT doc_id, len($tokensSql) AS n_tokens FROM documents)
+               CROSS JOIN (SELECT quantile_cont(len($tokensSql), 0.25) AS cutoff
+                           FROM documents)""")),
+
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in
     // graft.functions.TextFunctions with ScalaTest coverage).

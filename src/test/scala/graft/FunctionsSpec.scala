@@ -145,6 +145,14 @@ class FunctionsSpec extends SparkSpec {
       Seq(4L, 0L, 0L, null)))
   }
 
+  test("quantileGate: corpus-relative cutoff keeps the top of the distribution") {
+    val df = (1L to 8L).map(i => (i, i * 10)).toDF("doc_id", "m")
+    // P25 of 10..80 (interpolated) = 27.5 → keep m ≥ 27.5 (docs 3..8)
+    val got = rows(graft.operators.QualityFilter.quantileGate(df, "m", 0.25)
+      .filter(col("keep")).select("doc_id").orderBy("doc_id")).flatten
+    assert(got == (3L to 8L))
+  }
+
   test("bigramCoverage: common-bigram fraction against corpus counts") {
     // "a b" occurs 3x corpus-wide (docs 1,1,2), everything else is rare
     val docs = Seq(
