@@ -168,18 +168,31 @@ object Multimodal {
     /** JPEG dimensions from the first SOFn marker (plain byte arithmetic —
       * segments are FF <marker> <len BE16> <payload>; SOF carries
       * precision(1) height(2) width(2)). DHT/JPG/DAC share the 0xC0 nibble
-      * but are not frame headers. */
+      * but are not frame headers. Runs of 0xFF are legal fill between
+      * segments (the marker byte is the first non-FF), and TEM/RSTn/SOI/EOI
+      * are stand-alone — they carry no length word, so reading one there
+      * would desynchronize the whole scan. The scan stops at SOS/EOI:
+      * entropy-coded data follows and SOF always precedes SOS. */
     private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
       var i = 2
-      while (i + 8 < b.length && (b(i) & 0xff) == 0xff) {
-        val marker = b(i + 1) & 0xff
+      while (i + 1 < b.length && (b(i) & 0xff) == 0xff) {
+        var j = i + 1 // skip 0xFF fill bytes to the real marker byte
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j >= b.length) return None
+        val marker = b(j) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
-          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          if (j + 7 >= b.length) return None
+          val h = ((b(j + 4) & 0xff) << 8) | (b(j + 5) & 0xff)
+          val w = ((b(j + 6) & 0xff) << 8) | (b(j + 7) & 0xff)
           return Some((w, h))
         }
-        i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i = j + 1
+        else {
+          if (j + 2 >= b.length) return None
+          i = j + 1 + (((b(j + 1) & 0xff) << 8) | (b(j + 2) & 0xff))
+        }
       }
       None
     }

@@ -20,9 +20,23 @@ import org.apache.spark.sql.functions._
   * any parallelism and across engines (the q_x_anomaly oracle replays the
   * inequality verbatim). Shape: ONE shuffle on the group key; both window
   * passes share the partitioning.
+  *
+  * ==Magnitude contract==
+  * Intermediates live in decimal(38,0). With n points per group and
+  * |value| ≤ V the largest term is Σ(n·cᵢ−s)² ≤ 4·n³·V², so results are
+  * exact while k²·4·n³·V² < 10³⁸ — e.g. n ≤ 10⁶ points per key with
+  * values up to 10⁹, or n ≤ 10⁹ with values up to 10⁷ (event/row/byte
+  * counts per window sit far inside this). BEYOND the bound, non-ANSI
+  * Spark overflows decimal to silent NULL — flags come back NULL, not
+  * wrong, but with no error (the DuckDB oracle's HUGEINT raises instead).
+  * Callers with pathological magnitudes should set
+  * `spark.sql.ansi.enabled=true`, which turns the overflow into a loud
+  * ArithmeticException.
   */
 object Anomaly {
 
+  /** See the object-level magnitude contract: exact while k²·4·n³·V² < 10³⁸;
+    * beyond it `is_anomaly` degrades to silent NULL under non-ANSI Spark. */
   def sigmaOutliers(series: DataFrame, keyCols: Seq[String], valueCol: String,
       k: Int = 3): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -68,7 +82,9 @@ object Anomaly {
     * — the big mean-dominated terms cancel INSIDE the parentheses, so the
     * largest intermediate is n·sq (≈ n²·mean²), one factor of n smaller
     * than the cancellation-free n²·sq form, keeping decimal(38,0) exact
-    * for the same series the windowed [[sigmaOutliers]] handles. */
+    * for the same series the windowed [[sigmaOutliers]] handles (the
+    * object-level magnitude contract applies here too: past the bound,
+    * flags degrade to silent NULL under non-ANSI Spark). */
   def flagAgainstStats(points: DataFrame, statsDf: DataFrame, keyCols: Seq[String],
       valueCol: String, k: Int = 3): DataFrame =
     points.join(broadcast(statsDf), keyCols, "left")

@@ -142,17 +142,21 @@ object BpeVocab {
     * runs on the (tiny) distinct-symbol frame only. */
   def encodeIdHistogram(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // persisted: the encoded symbol stream (tokenize + one fold per merge
-    // over every word — the dominant cost) feeds BOTH the distinct-vocab
-    // branch and the join's left side; without the persist the corpus
-    // encode runs twice (see the persist-lifecycle note on TextDedup)
-    val sy = encodedWords(docs, merges, idCol, textCol)
-      .select(col("doc_id"), explode(split(col("sym"), Sep)).as("symbol"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = sy.select(col("symbol")).distinct()
+    // the distinct-symbol inventory is derived from the WORD VOCAB (≪
+    // corpus) — same word set, same merges, hence the identical symbol set
+    // as the per-doc stream — so the corpus-sized encoded stream below is
+    // consumed exactly ONCE by the join and nothing needs a persist (the
+    // previous shape persisted the corpus stream to feed both branches and
+    // leaked that cache for the session lifetime)
+    val vocabSyms = merges.foldLeft(initSymbols(wordVocab(docs, textCol)))(
+      (df, m) => df.select(applyMerge(col("sym"), m).as("sym"), col("freq")))
+    val vocab = vocabSyms
+      .select(explode(split(col("sym"), Sep)).as("symbol")).distinct()
       .withColumn("id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("symbol"))).cast("long"))
-    sy.join(broadcast(vocab), Seq("symbol"))
+    encodedWords(docs, merges, idCol, textCol)
+      .select(col("doc_id"), explode(split(col("sym"), Sep)).as("symbol"))
+      .join(broadcast(vocab), Seq("symbol"))
       .groupBy(col("doc_id"), col("id"))
       .agg(count(lit(1)).as("n"))
   }

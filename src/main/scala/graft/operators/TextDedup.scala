@@ -84,14 +84,51 @@ object TextDedup {
   def scrubDuplicatedSpans(docs: DataFrame, width: Int = DefaultSpanWidth,
       minCount: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val occ = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        posexplode(Text.spanHashes("toks", width)).as(Seq("pos", "span_hash")))
-    val flaggedPos = occ
+    val flaggedPos = positionedSpans(docs, width, idCol, textCol)
       .withColumn("total", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))))
       .filter(col("total") >= minCount)
       .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("fpos"))
+    scrubAssemble(docs, flaggedPos, width, idCol, textCol)
+  }
+
+  /** Duplicated-span removal in the published Lee-et-al form: KEEP ONE
+    * occurrence of each duplicated span, drop the rest. The keeper is the
+    * occurrence with the smallest (doc_id, pos) — an order-deterministic
+    * rule, so reruns (and the DuckDB oracle) pick the identical keeper at
+    * any parallelism. A token survives iff it is covered by NO flagged
+    * (non-keeper) occurrence; tokens of the keeper occurrence survive
+    * unless a DIFFERENT duplicated span's flagged occurrence overlaps them.
+    *
+    * Same shape as [[scrubDuplicatedSpans]] plus one rank: the span_hash
+    * window now also computes row_number ordered by (doc_id, pos) — both
+    * window functions share the single span_hash shuffle. */
+  def scrubDuplicatedSpansKeepOne(docs: DataFrame, width: Int = DefaultSpanWidth,
+      minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))
+    val flaggedPos = positionedSpans(docs, width, idCol, textCol)
+      .withColumn("total", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(w.orderBy(col("doc_id"), col("pos"))))
+      .filter(col("total") >= minCount && col("rk") >= 2)
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("fpos"))
+    scrubAssemble(docs, flaggedPos, width, idCol, textCol)
+  }
+
+  /** (doc_id, pos, span_hash) — every w-token window occurrence WITH its
+    * start position (the scrub variants need positions; [[spanOccurrences]]
+    * deliberately drops them). */
+  private def positionedSpans(docs: DataFrame, width: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        posexplode(Text.spanHashes("toks", width)).as(Seq("pos", "span_hash")))
+
+  /** Shared scrub tail: join flagged start positions back to the corpus and
+    * re-assemble — token i survives iff no flagged start p has
+    * p ≤ i ≤ p+w−1 (HOF filter+exists — codegen-friendly, no UDF). */
+  private def scrubAssemble(docs: DataFrame, flaggedPos: DataFrame, width: Int,
+      idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
       .join(flaggedPos, Seq("doc_id"), "left")
       .withColumn("fpos", coalesce(col("fpos"), array().cast("array<int>")))
@@ -101,7 +138,6 @@ object TextDedup {
         concat_ws(" ", col("kept")).as("text_scrubbed"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_tokens_kept"))
-  }
 
   /** [[duplicatedSpans]] answered from a STORED inventory of per-batch
     * [[spanStats]] partials instead of re-tokenizing the corpus: merge by

@@ -161,7 +161,10 @@ object VectorSearch {
         graft.expressions.DotProductLong(col("q"), typedlit(pl(p).toSeq)).as("value"))
     }
     emb.filter(col(embCol).isNotNull)
-      .select(col(idCol).as("vec_id"), quantize(embCol).as("q"))
+      .select(col(idCol).as("vec_id"),
+        when(size(col(embCol)) === d, quantize(embCol)).otherwise(raise_error(format_string(
+          s"randomProjection: embedding dim %s != configured dim $d",
+          size(col(embCol))))).as("q"))
       .select(col("vec_id"), explode(array(comps: _*)).as("c"))
       .select(col("vec_id"), col("c.pos").as("pos"), col("c.value").as("value"))
   }

@@ -503,6 +503,38 @@ object TextQueries {
                                 p -> i - 1 >= p AND i - 1 <= p + 7)) = 0) AS keep
                      FROM tk t LEFT JOIN f USING (doc_id))""")),
 
+    // Keep-one duplicated-span removal (the published Lee-et-al form): the
+    // occurrence with the smallest (doc_id, pos) per duplicated span
+    // SURVIVES; every other occurrence is scrubbed. One extra row_number in
+    // the same span_hash window — keeper choice is order-deterministic, so
+    // both engines pick the identical one.
+    QueryDef("q_x_scrub_spans_keep_one",
+      (s, d) => graft.operators.TextDedup.scrubDuplicatedSpansKeepOne(t(s, d, "documents")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+               sp AS (SELECT doc_id,
+                        unnest(CASE WHEN len(toks) >= 8
+                          THEN generate_series(0, len(toks) - 8) ELSE [] END) AS pos,
+                        unnest(CASE WHEN len(toks) >= 8
+                          THEN list_transform(generate_series(1, len(toks) - 7),
+                               i -> ${hash64Sql("array_to_string(toks[i:i+7], ' ')")})
+                          ELSE [] END) AS span_hash FROM tk),
+               c AS (SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY span_hash) AS total,
+                     row_number() OVER (PARTITION BY span_hash
+                                        ORDER BY doc_id, pos) AS rk FROM sp),
+               f AS (SELECT doc_id, list(pos) AS fpos FROM c
+                     WHERE total >= 2 AND rk >= 2 GROUP BY doc_id)
+               SELECT doc_id,
+                      coalesce(array_to_string(list_transform(keep, i -> toks[i]), ' '), '')
+                        AS text_scrubbed,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(len(keep) AS BIGINT) AS n_tokens_kept
+               FROM (SELECT t.doc_id, toks,
+                       list_filter(generate_series(1, len(toks)),
+                         i -> len(list_filter(coalesce(fpos, CAST([] AS BIGINT[])),
+                                p -> i - 1 >= p AND i - 1 <= p + 7)) = 0) AS keep
+                     FROM tk t LEFT JOIN f USING (doc_id))""")),
+
     // N-gram Jaccard near-dup: prefix-blocked candidate pairs + exact
     // 3-shingle Jaccard ≥ 0.5. Blocking keeps pair formation linear-ish.
     QueryDef("q_x_dedup_ngram",

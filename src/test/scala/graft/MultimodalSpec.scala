@@ -132,6 +132,29 @@ class MultimodalSpec extends SparkSpec {
     assert(feats != Multimodal.StubDecoder.features(jpg).toSeq)
   }
 
+  test("JPEG header scan: 0xFF fill bytes and stand-alone markers don't desync") {
+    // hand-assembled marker stream: SOI, fill-padded APP0, TEM + RST0
+    // (stand-alone, no length word), then SOF0 8x12 — a scan that reads a
+    // "length" from TEM/RST or classifies a fill byte as the marker would
+    // land mid-payload and miss the SOF
+    def B(xs: Int*) = xs.map(_.toByte).toArray
+    val jpeg =
+      B(0xff, 0xd8) ++                        // SOI
+      B(0xff, 0xff, 0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46) ++ // fill,fill,APP0 len=4
+      B(0xff, 0x01) ++                        // TEM (stand-alone)
+      B(0xff, 0xd0) ++                        // RST0 (stand-alone)
+      B(0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x0c, 0x00, 0x08) ++ // SOF0 h=12 w=8
+      new Array[Byte](16)
+    val meta = Multimodal.HeaderProbe.probe(jpeg)
+    assert(meta.format == "jpeg" && meta.width.contains(8) && meta.height.contains(12))
+    // a stream whose first frame-class byte sits inside entropy data after
+    // SOS must NOT be parsed as dimensions — the scan stops at SOS
+    val truncated = B(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x00,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x0c, 0x00, 0x08)
+    val m2 = Multimodal.HeaderProbe.probe(truncated)
+    assert(m2.format == "jpeg" && m2.width.isEmpty && m2.height.isEmpty)
+  }
+
   test("pngRoundTrip: decoded dims and nonzero pixels match the byte math") {
     val docs = Multimodal.syntheticMedia(spark, s"$sf0001/documents.parquet")
       .select(col("media_id").as("doc_id"),

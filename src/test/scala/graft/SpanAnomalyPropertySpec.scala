@@ -52,6 +52,58 @@ class SpanAnomalyPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- scrubDuplicatedSpansKeepOne vs naive reference ----
+
+  private def refScrubKeepOne(docs: List[(Long, String)]): Map[Long, (String, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val all = docs.flatMap { case (id, _) =>
+      val ts = toks(id)
+      if (ts.length < W) Seq.empty
+      else (0 to ts.length - W).map(p => (id, p, ts.slice(p, p + W).mkString(" ")))
+    }
+    // all occurrences of duplicated spans EXCEPT the (doc_id, pos)-minimal
+    // keeper per span — exactly the published keep-one rule
+    val flagged: Set[(Long, Int)] = all.groupBy(_._3).filter(_._2.size >= 2).values
+      .flatMap(_.sortBy(o => (o._1, o._2)).drop(1).map(o => (o._1, o._2))).toSet
+    docs.map { case (id, _) =>
+      val ts = toks(id)
+      val kept = ts.indices
+        .filterNot(i => flagged.exists { case (d, p) => d == id && i >= p && i <= p + W - 1 })
+        .map(ts)
+      id -> (kept.mkString(" "), ts.length.toLong, kept.length.toLong)
+    }.toMap
+  }
+
+  test("scrubDuplicatedSpansKeepOne ≡ naive keep-one reference (w=3)") {
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = refScrubKeepOne(docs)
+      val got = TextDedup.scrubDuplicatedSpansKeepOne(docs.toDF("doc_id", "text"), width = W)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("keep-one keeps exactly one occurrence: a twice-repeated span survives once") {
+    val docs = List(
+      (1L, "x y z q r s t u"),     // span "x y z" also in doc 2
+      (2L, "a b c x y z d e"))
+    val got = TextDedup.scrubDuplicatedSpansKeepOne(docs.toDF("doc_id", "text"), width = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the (doc_id, pos)-minimal occurrence → untouched;
+    // doc 2 loses the covered tokens
+    assert(got(1L) == "x y z q r s t u")
+    assert(got(2L) == "a b c d e")
+    // the blanket form scrubs BOTH occurrences
+    val blanket = TextDedup.scrubDuplicatedSpans(docs.toDF("doc_id", "text"), width = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(blanket(1L) == "q r s t u" && blanket(2L) == "a b c d e")
+  }
+
   // ---- sigmaOutliers vs exact BigInt reference ----
 
   private val seriesGen: Gen[List[(String, Long)]] =
