@@ -121,6 +121,23 @@ object BpeVocab {
       .toDF("step", "left", "right", "weight")
   }
 
+  /** Persist the learned merge table as a versioned catalog artifact —
+    * train the tokenizer once, encode from any later job ([[loadMerges]]):
+    * the production split a session-held merge list cannot give. */
+  def saveMerges(cat: graft.catalog.Catalog, table: String,
+      spark: SparkSession, merges: Seq[Merge]): Unit =
+    cat.write(table, mergesDf(spark, merges))
+
+  /** Load a stored merge table back into the driver-literal list the encode
+    * paths bake into their plans. Merge ORDER is semantic (each step's fold
+    * sees the previous step's symbols), so steps are re-sorted; the collect
+    * is merge-table-sized (hundreds to ~100k rows), never corpus-sized. */
+  def loadMerges(cat: graft.catalog.Catalog, table: String): Seq[Merge] =
+    cat.read(table).select(col("step"), col("left"), col("right"), col("weight"))
+      .collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.step).toSeq
+
   /** Per-word encoded symbol column over the doc word stream — the shared
     * front half of [[encodedLength]] and [[encodeIdHistogram]]. */
   private def encodedWords(docs: DataFrame, merges: Seq[Merge],

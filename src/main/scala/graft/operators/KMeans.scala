@@ -112,6 +112,38 @@ object KMeans {
     } finally prepared.unpersist()
   }
 
+  /** The fitted model in its persistable LONG-ROW form: (cluster, pos,
+    * value) — k·dim rows of exact quantized-integer centroid cells. This is
+    * the catalog-artifact shape: train once, store versioned
+    * ([[saveModel]]), and any later job [[loadModel]]s + [[assign]]s
+    * without touching the training corpus (the production
+    * train-once/score-many split). */
+  def modelDf(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.centroids.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos.toLong, v) }
+    }.toDF("cluster", "pos", "value")
+  }
+
+  /** Persist the model as a versioned catalog table (atomic pointer-flip
+    * commit, history/rollback like any other table — a bad re-fit is one
+    * `rollback` away). */
+  def saveModel(cat: graft.catalog.Catalog, table: String,
+      spark: org.apache.spark.sql.SparkSession, model: Model): Unit =
+    cat.write(table, modelDf(spark, model))
+
+  /** Load a stored model ([[saveModel]]) back into the driver-literal form
+    * every scoring path bakes into its map-side plan. The collect is k·dim
+    * rows — model-sized, never corpus-sized. */
+  def loadModel(cat: graft.catalog.Catalog, table: String): Model = {
+    val cells = cat.read(table)
+      .select(col("cluster"), col("pos"), col("value")).collect()
+    require(cells.nonEmpty, s"k-means: stored model '$table' is empty")
+    Model(cells.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+      cid.toInt -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toArray
+    })
+  }
+
   /** (vec_id, cluster) for every row — a pure map over the corpus scan
     * (centroid literals baked into the plan; nothing is joined, shuffled,
     * or collected), so scoring a 100 TB corpus is scan-bound. */

@@ -129,6 +129,24 @@ object TextQueries {
       _ => graft.operators.BpeVocab.learn(t(s, d, "documents"), 3))
   }
 
+  /** Per-(session, sfDir) roots for the q_x_bpe_encode_stored merge table. */
+  private val bpeMergeRoots =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  /** Oracle shared by the in-session and stored-merges encode gates — a
+    * merge table round-tripped through the catalog must encode identically. */
+  private lazy val bpeEncodeOracleSql: String =
+    s"""WITH $bpeCtes,
+        dw AS (SELECT doc_id, array_to_string(list_transform(
+                 generate_series(1, length(word)), i -> word[i]), chr(1)) AS sym
+               FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+               WHERE length(word) > 0 AND NOT contains(word, chr(1))),
+        enc1 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM dw CROSS JOIN m1),
+        enc2 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc1 CROSS JOIN m2),
+        enc3 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc2 CROSS JOIN m3)
+        SELECT doc_id, CAST(sum(len(string_split(sym, chr(1)))) AS BIGINT) AS n_bpe_symbols
+        FROM enc3 GROUP BY doc_id"""
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Text quality scoring: token/char/letter counts, stopword ratio, and a
@@ -338,16 +356,24 @@ object TextQueries {
     QueryDef("q_x_bpe_encode",
       (s, d) => graft.operators.BpeVocab.encodedLength(
         t(s, d, "documents"), learnedMerges(s, d)),
-      Some(s"""WITH $bpeCtes,
-               dw AS (SELECT doc_id, array_to_string(list_transform(
-                        generate_series(1, length(word)), i -> word[i]), chr(1)) AS sym
-                      FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
-                      WHERE length(word) > 0 AND NOT contains(word, chr(1))),
-               enc1 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM dw CROSS JOIN m1),
-               enc2 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc1 CROSS JOIN m2),
-               enc3 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc2 CROSS JOIN m3)
-               SELECT doc_id, CAST(sum(len(string_split(sym, chr(1)))) AS BIGINT) AS n_bpe_symbols
-               FROM enc3 GROUP BY doc_id""")),
+      Some(bpeEncodeOracleSql)),
+
+    // Encoding under a STORED merge table: learn → Catalog.write (versioned
+    // artifact) → loadMerges → encode — the tokenizer-as-artifact production
+    // shape (train once, every later job encodes from the stored table).
+    // Same oracle as q_x_bpe_encode: the catalog round-trip must not change
+    // one symbol count.
+    QueryDef("q_x_bpe_encode_stored",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(bpeMergeRoots, s, d, "graft-bpe-merges"))
+        if (!cat.exists("bpe_merges"))
+          graft.operators.BpeVocab.saveMerges(cat, "bpe_merges", s, learnedMerges(s, d))
+        graft.operators.BpeVocab.encodedLength(
+          t(s, d, "documents"),
+          graft.operators.BpeVocab.loadMerges(cat, "bpe_merges"))
+      },
+      Some(bpeEncodeOracleSql)),
 
     // Tokenizer output: each doc's bag of BPE token IDS under the learned
     // merges — ids are dense ranks over the encoded corpus's sorted symbol

@@ -102,6 +102,24 @@ object VectorQueries {
     s"""WITH $kmeansCtes
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a3"""
 
+  /** Oracle shared by the in-session and stored-model k-means ANN probes —
+    * a model round-tripped through the catalog must not change a rank. */
+  private lazy val kmeansAnnOracleSql: String =
+    s"""WITH $kmeansCtes,
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, cid FROM a3),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+              FROM n a JOIN n b ON a.cid = b.cid
+              AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
+        SELECT qid, nid, sim, rank FROM (
+          SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM p) WHERE rank <= 3"""
+
+  /** Per-(session, sfDir) roots for the q_x_ann_kmeans_stored model table. */
+  private val kmeansModelRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: queries = vec_id < 50, k = 5, self excluded.
@@ -192,16 +210,25 @@ object VectorQueries {
     QueryDef("q_x_ann_kmeans",
       (s, d) => graft.operators.KMeans.ivfProbeTopK(
         t(s, d, "embeddings"), kmeansModel(s, d), col("vec_id") < 20, 3),
-      Some(s"""WITH $kmeansCtes,
-               n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, cid FROM a3),
-               p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-                     list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
-                     FROM n a JOIN n b ON a.cid = b.cid
-                     AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
-               SELECT qid, nid, sim, rank FROM (
-                 SELECT qid, nid, sim,
-                        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-                 FROM p) WHERE rank <= 3""")),
+      Some(kmeansAnnOracleSql)),
+
+    // The same probe through a STORED model: fit → Catalog.write (versioned
+    // k·dim-cell table) → loadModel → assign — the train-once/score-many
+    // production shape, where the scoring job never sees the training
+    // corpus. The model is exact integers, so the round-trip through
+    // parquet changes nothing: same oracle as q_x_ann_kmeans.
+    QueryDef("q_x_ann_kmeans_stored",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(kmeansModelRoots, s, d, "graft-kmeans-model"))
+        if (!cat.exists("kmeans_model"))
+          graft.operators.KMeans.saveModel(cat, "kmeans_model", s, kmeansModel(s, d))
+        graft.operators.KMeans.ivfProbeTopK(
+          t(s, d, "embeddings"),
+          graft.operators.KMeans.loadModel(cat, "kmeans_model"),
+          col("vec_id") < 20, 3)
+      },
+      Some(kmeansAnnOracleSql)),
 
     // Semantic dedup (SemDeDup): near-dup pairs blocked by k-means CLUSTER
     // instead of hyperplane bucket — learned clusters put semantic copies

@@ -83,4 +83,17 @@ class BpeVocabSpec extends SparkSpec {
     val docs = graft.queries.Q.t(spark, sf0001, "documents")
     assert(BpeVocab.learn(docs, 3) == BpeVocab.learn(docs, 3))
   }
+
+  test("merges round-trip through the catalog; stored encode ≡ live encode") {
+    val docs = Seq((1L, "low low low low low lower lower lowest lowest"))
+      .toDF("doc_id", "text")
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-bpe-merges").toString)
+    val merges = BpeVocab.learn(docs, 2)
+    BpeVocab.saveMerges(cat, "merges", spark, merges)
+    assert(BpeVocab.loadMerges(cat, "merges") == merges)
+    assert(rows(BpeVocab.encodedLength(docs, BpeVocab.loadMerges(cat, "merges"))
+        .orderBy("doc_id")) ==
+      rows(BpeVocab.encodedLength(docs, merges).orderBy("doc_id")))
+  }
 }

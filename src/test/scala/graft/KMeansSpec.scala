@@ -71,4 +71,21 @@ class KMeansSpec extends SparkSpec {
     val withNull = blobs.union(Seq((99L, null: Seq[Float])).toDF("vec_id", "embedding"))
     assert(KMeans.fitAssign(withNull, k = 2, iters = 2).count() == 10)
   }
+
+  test("model round-trips through the catalog bit-exactly; stored assign ≡ live assign") {
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-km-model").toString)
+    val m = KMeans.fit(blobs, k = 3, iters = 2)
+    KMeans.saveModel(cat, "km", spark, m)
+    val loaded = KMeans.loadModel(cat, "km")
+    assert(loaded.centroids.map { case (c, a) => (c, a.toSeq) } ==
+      m.centroids.map { case (c, a) => (c, a.toSeq) })
+    assert(rows(KMeans.assign(blobs, loaded).orderBy("vec_id")) ==
+      rows(KMeans.assign(blobs, m).orderBy("vec_id")))
+    // a re-fit writes a NEW version; rollback restores the previous model
+    KMeans.saveModel(cat, "km", spark, KMeans.fit(blobs, k = 2, iters = 1))
+    assert(KMeans.loadModel(cat, "km").centroids.size == 2)
+    cat.rollback("km", cat.versions("km").head)
+    assert(KMeans.loadModel(cat, "km").centroids.map(_._1) == m.centroids.map(_._1))
+  }
 }
