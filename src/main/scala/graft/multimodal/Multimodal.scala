@@ -148,6 +148,72 @@ object Multimodal {
     }
   }
 
+  /** REAL WAV codec: canonical-header PCM16 encode plus a chunk-WALKING
+    * decode — WAV is uncompressed, so both directions are plain byte
+    * arithmetic with no codec library. This narrows the [[StubDecoder]]
+    * boundary again (after PNG/JPEG): audio gets true sample-domain decode;
+    * only entropy-coded codecs (MP3/H.264) remain stubbed. */
+  object WavCodec {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def isWav(b: Array[Byte]): Boolean =
+      b != null && b.length >= 44 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Canonical 44-byte-header mono PCM16 WAV. */
+    def encodePcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** (sampleRate, nChannels, interleaved samples) from a PCM16 WAV. Walks
+      * the CHUNK LIST rather than assuming fmt-then-data at fixed offsets,
+      * so files carrying LIST/fact/cue chunks (common in the wild) parse
+      * too; chunks are word-aligned per the RIFF spec. None for non-WAV,
+      * non-PCM16, or torn payloads — never a garbage decode. */
+    def decodePcm16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (!isWav(b)) return None
+      var fmt = -1; var channels = -1; var rate = -1; var bits = -1
+      var data: Array[Short] = null
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = le32(b, i + 4)
+        if (len < 0 || i + 8 + len > b.length) return None // torn chunk
+        if (id == "fmt " && len >= 16) {
+          fmt = le16(b, i + 8); channels = le16(b, i + 10)
+          rate = le32(b, i + 12); bits = le16(b, i + 22)
+        } else if (id == "data") {
+          val n = len / 2
+          val out = new Array[Short](n)
+          var j = 0
+          while (j < n) {
+            out(j) = ((b(i + 8 + 2 * j) & 0xff) | (b(i + 9 + 2 * j) << 8)).toShort
+            j += 1
+          }
+          data = out
+        }
+        i += 8 + len + (len & 1)
+      }
+      if (fmt == 1 && bits == 16 && rate > 0 && channels > 0 && data != null)
+        Some((rate, channels, data))
+      else None
+    }
+  }
+
   /** REAL header decode for self-describing formats — PNG (IHDR), BMP, WAV
     * (RIFF) and PPM (P6) are plain byte arithmetic, no codec library needed.
     * Formats that require an actual codec the JDK lacks (MP3/H.264) stay
@@ -299,6 +365,72 @@ object Multimodal {
             throw new IllegalStateException("undecodable PNG emitted by encodeGray"))
           val nonzero = PngCodec.grayPixels(img).count(_ != 0).toLong
           Row(r.getLong(0), img.getWidth.toLong, img.getHeight.toLong, nonzero)
+        }
+      }(enc)
+  }
+
+  /** Sample-domain audio features over a media frame — the audio analogue
+    * of [[extractFeatures]]'s pixel path: WAV payloads get a REAL decode
+    * ([[WavCodec.decodePcm16]]) and per-payload statistics; non-WAV rows
+    * keep their id with NULL features (the honest "needs a codec we don't
+    * have" marker, not a fake number). All features are deterministic
+    * integer arithmetic except `rms`, one correctly-rounded IEEE
+    * sqrt-of-exact-ratio — so results are bit-identical across engines.
+    * Zero-crossing rule: sign change between consecutive interleaved
+    * samples, negative vs non-negative. mapPartitions batch shape, same as
+    * every decode here — at 100 TB this is a pure map over the media scan. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("peak", LongType),
+      StructField("sum_sq", LongType),
+      StructField("rms", DoubleType),
+      StructField("n_zero_crossings", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        WavCodec.decodePcm16(r.getAs[Array[Byte]]("payload")) match {
+          case Some((rate, _, s)) =>
+            var sumSq = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toLong
+              sumSq += v * v
+              val a = math.abs(v); if (a > peak) peak = a
+              if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+              i += 1
+            }
+            val n = s.length.toLong
+            val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+            Row(id, rate, n, n * 1000L / rate, peak, sumSq, rms, zc)
+          case None => Row(id, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic WAV media from a text corpus: each document's
+    * UTF-8 bytes become PCM16 samples ((byte − 128) · 256 — the standard
+    * u8→s16 PCM widening) wrapped in a REAL canonical WAV. The gate pairs
+    * this with [[audioFeatures]]: a genuine encode→chunk-walk→decode cycle
+    * whose outputs a SQL oracle reproduces from the text alone. */
+  def wavSynth(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val samples = Array.tabulate(bytes.length)(i =>
+            (((bytes(i) & 0xff) - 128) * 256).toShort)
+          Row(r.getLong(0), "audio", WavCodec.encodePcm16(samples, sampleRate))
         }
       }(enc)
   }

@@ -87,4 +87,20 @@ object QualityFilter {
     df.crossJoin(broadcast(cut))
       .withColumn("keep", col(metricCol) >= col("cutoff"))
   }
+
+  /** Per-GROUP corpus-relative gating: each group (language / source /
+    * shard) gets its OWN exact-percentile cutoff — the real curation shape.
+    * A corpus-global P25 is dominated by the majority language: it
+    * under-gates that language and guts the low-resource ones (their whole
+    * distribution can sit below a global cutoff). Shape: one grouped
+    * exact-percentile aggregate whose result is group-cardinality-sized,
+    * broadcast back into a map-side flag — same two-pass scan cost as the
+    * global [[quantileGate]] at any corpus size. */
+  def quantileGateGrouped(df: DataFrame, groupCol: String, metricCol: String,
+      quantile: Double): DataFrame = {
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($metricCol, $quantile)").as("cutoff"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("keep", col(metricCol) >= col("cutoff"))
+  }
 }

@@ -425,6 +425,20 @@ object TextQueries {
                CROSS JOIN (SELECT quantile_cont(len($tokensSql), 0.25) AS cutoff
                            FROM documents)""")),
 
+    // Per-LANGUAGE quantile gate: each language gets its own P25 cutoff —
+    // a corpus-global percentile is dominated by the majority language and
+    // guts low-resource ones. One grouped exact-percentile agg (group-
+    // cardinality-sized) broadcast back as a map-side flag.
+    QueryDef("q_x_quantile_gate_grouped",
+      (s, d) => graft.operators.QualityFilter.quantileGateGrouped(
+        t(s, d, "documents").select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_tokens", 0.25),
+      Some(s"""SELECT lang, doc_id, n_tokens, cutoff, n_tokens >= cutoff AS keep
+               FROM (SELECT lang, doc_id, len($tokensSql) AS n_tokens FROM documents) m
+               JOIN (SELECT lang, quantile_cont(len($tokensSql), 0.25) AS cutoff
+                     FROM documents GROUP BY lang) c USING (lang)""")),
+
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in
     // graft.functions.TextFunctions with ScalaTest coverage).
@@ -989,6 +1003,30 @@ object TextQueries {
       Some("""SELECT doc_id, CAST(64 AS BIGINT) AS png_w,
               CAST(greatest(1, (octet_length(CAST(text AS BLOB)) + 63) // 64) AS BIGINT) AS png_h,
               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
-              FROM documents"""))
+              FROM documents""")),
+
+    // Sample-domain WAV audio features through a REAL codec cycle: each
+    // document's bytes become PCM16 samples in a canonical WAV
+    // (wavSynth), which audioFeatures chunk-walks back to samples and
+    // reduces to RMS / peak / zero-crossings / duration — all integer
+    // arithmetic except one IEEE sqrt. The oracle reproduces every number
+    // from the text alone (ASCII corpus: chars ≡ bytes), so a stubbed or
+    // broken decode cannot pass.
+    QueryDef("q_x_audio_features",
+      (s, d) => graft.multimodal.Multimodal.audioFeatures(
+        graft.multimodal.Multimodal.wavSynth(t(s, d, "documents"))),
+      Some("""WITH s AS (SELECT doc_id,
+                list_transform(split(text, ''), c -> CAST((ord(c) - 128) * 256 AS BIGINT)) AS sm
+              FROM documents)
+              SELECT doc_id AS media_id,
+                     CAST(8000 AS INTEGER) AS sample_rate,
+                     CAST(len(sm) AS BIGINT) AS n_samples,
+                     CAST(len(sm) * 1000 // 8000 AS BIGINT) AS duration_ms,
+                     CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
+                     CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS sum_sq,
+                     sqrt(list_sum(list_transform(sm, x -> x * x)) / CAST(len(sm) AS DOUBLE)) AS rms,
+                     CAST(len(list_filter(generate_series(2, len(sm)),
+                          i -> (sm[i-1] < 0) <> (sm[i] < 0))) AS BIGINT) AS n_zero_crossings
+              FROM s"""))
   )
 }

@@ -153,6 +153,20 @@ class FunctionsSpec extends SparkSpec {
     assert(got == (3L to 8L))
   }
 
+  test("quantileGateGrouped: each group gets its own cutoff, not the global one") {
+    // group A: 10..80 (P25 = 27.5), group B: 1000..8000 (P25 = 2750) — a
+    // GLOBAL P25 would pass all of B and gut A; per-group cutoffs keep the
+    // top 3/4 of each
+    val df = ((1L to 8L).map(i => ("A", i, i * 10)) ++
+      (11L to 18L).map(i => ("B", i, (i - 10) * 1000))).toDF("g", "doc_id", "m")
+    val got = graft.operators.QualityFilter.quantileGateGrouped(df, "g", "m", 0.25)
+    val kept = rows(got.filter(col("keep")).select("g", "doc_id").orderBy("doc_id"))
+    assert(kept.map(_(1)) == ((3L to 8L) ++ (13L to 18L)))
+    // cutoffs really differ per group
+    assert(rows(got.select("g", "cutoff").distinct().orderBy("g")) ==
+      Seq(Seq("A", 27.5), Seq("B", 2750.0)))
+  }
+
   test("bigramCoverage: common-bigram fraction against corpus counts") {
     // "a b" occurs 3x corpus-wide (docs 1,1,2), everything else is rare
     val docs = Seq(

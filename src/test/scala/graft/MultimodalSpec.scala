@@ -168,6 +168,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got.filter(col("n_payload_bytes") =!= col("n")).count() == 0)
   }
 
+  test("WAV codec: PCM16 round-trips samples exactly; chunk walk survives LIST chunks") {
+    import Multimodal.WavCodec
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 0, -1, 1)
+    val wav = WavCodec.encodePcm16(samples, 8000)
+    assert(WavCodec.isWav(wav))
+    val (rate, ch, got) = WavCodec.decodePcm16(wav).get
+    assert(rate == 8000 && ch == 1 && got.toSeq == samples.toSeq)
+    // an extra LIST chunk between fmt and data must not break the walk
+    val fmtAndHeader = wav.slice(0, 36)           // RIFF..fmt chunk
+    val dataChunk = wav.slice(36, wav.length)
+    val listChunk = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val withList = fmtAndHeader ++ listChunk ++ dataChunk
+    val (r2, _, got2) = WavCodec.decodePcm16(withList).get
+    assert(r2 == 8000 && got2.toSeq == samples.toSeq)
+    // torn payload → None, not garbage
+    assert(WavCodec.decodePcm16(wav.dropRight(3)).isEmpty)
+  }
+
+  test("audioFeatures: exact integer features from a real decode; non-WAV rows go NULL") {
+    import spark.implicits._
+    import Multimodal.WavCodec
+    // alternating ±1000: 7 sign changes, sum_sq = 8e6, peak = 1000
+    val s = Array.tabulate[Short](8)(i => (if (i % 2 == 0) 1000 else -1000).toShort)
+    val wav = WavCodec.encodePcm16(s, 4000)
+    val media = Seq((1L, "audio", wav), (2L, "audio", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    val got = rows(Multimodal.audioFeatures(media).orderBy("media_id"))
+    assert(got(0) == Seq(1L, 4000, 8L, 2L, 1000L, 8000000L, 1000.0, 7L))
+    assert(got(1) == Seq(2L, null, null, null, null, null, null, null))
+  }
+
   test("stub decoder: deterministic, resize bounds size, frames cover bytes") {
     val bytes = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
     val f1 = Multimodal.StubDecoder.features(bytes)
