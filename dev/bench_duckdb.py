@@ -3,18 +3,41 @@
 (single-node columnar engine, all cores) over the same parquet tables and
 time it — the closest available surrogate for 'reference single-node
 throughput' since the reference repo publishes no numbers (BASELINE.md).
-Usage: bench_duckdb.py <sfDir> <verifyOutDirWithOracleJson> [runs]"""
-import json, sys, time
+
+Usage: bench_duckdb.py <sfDir> [oracleSource] [runs]
+
+oracleSource may be a graft.Verify output dir (containing oracle_sql.json),
+a path to an oracle_sql.json itself, or omitted — in which case the NEWEST
+checked-in dev/oracle_sql_r*.json is used, so the DuckDB side of the bench
+ratio reproduces in one command with no Verify run first:
+
+    python3 dev/bench_duckdb.py /root/testdata/sf0.1
+"""
+import glob, json, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir, runs=2):
+def resolve_oracles(arg):
+    if arg is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = sorted(glob.glob(os.path.join(here, "oracle_sql_r*.json")))
+        if not cands:
+            sys.exit("no checked-in dev/oracle_sql_r*.json — run graft.Verify "
+                     "and pass its output dir, or check one in")
+        return cands[-1]
+    if os.path.isdir(arg):
+        return os.path.join(arg, "oracle_sql.json")
+    return arg
+
+def main(sf_dir, oracle_arg=None, runs=2):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    path = resolve_oracles(oracle_arg)
+    print(f"oracles: {path}", file=sys.stderr)
+    oracles = json.load(open(path))
     times = {}
     for name, sql in sorted(oracles.items()):
         best = None
@@ -34,4 +57,5 @@ def main(sf_dir, out_dir, runs=2):
                       "queries": times, "sf": sf_dir}))
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 2)

@@ -80,6 +80,139 @@ object KMeans {
     array_min(array(entries: _*)).getField("cid")
   }
 
+  /** Minimum "negscore" (cc − 2·q·c) over the model's centroids — adding
+    * q·q gives the exact integer squared distance to the nearest centroid.
+    * Same array-min-of-structs shape as [[clusterExpr]] (each dot appears
+    * once in the plan). */
+  private def negScoreMin(model: Model): Column =
+    array_min(array(model.centroids.map { case (_, c) =>
+      val cc = c.map(x => x * x).sum
+      lit(cc) - DotProductLong(col("q"), typedlit(c.toSeq)) * 2
+    }: _*))
+
+  /** Exact corpus inertia under `model`: Σ min-squared-distance, as one
+    * decimal aggregate (order-independent, hence bit-reproducible). The
+    * model-quality yardstick the init specs compare on. */
+  def inertia(emb: DataFrame, model: Model, idCol: String = "vec_id",
+      embCol: String = "embedding"): BigInt = {
+    val d = emb.filter(col(embCol).isNotNull)
+      .select(VectorSearch.quantize(embCol).as("q"))
+      .withColumn("qq", DotProductLong(col("q"), col("q")))
+      .agg(sum((col("qq") + negScoreMin(model)).cast("decimal(38,0)")).as("s"))
+      .head().getDecimal(0)
+    if (d == null) BigInt(0) else BigInt(d.toBigInteger)
+  }
+
+  /** kmeans‖ initialization (Bahmani et al. 2012), DETERMINISTIC: better
+    * seeds for larger k than the plain hash-ranked pick, with the same
+    * bit-reproducibility contract.
+    *
+    *  - `rounds` oversampling passes: each point is selected with
+    *    probability ≈ l·d²(x)/φ (l = `oversampleFactor`·k, φ = Σd²), but
+    *    the coin flip is the point's own 40-bit id-hash compared against
+    *    the exact decimal inequality u·φ < l·d²·2⁴⁰ — no RNG, so every
+    *    rerun (at any parallelism) picks the identical candidate set. Each
+    *    pass is one map + a decimal aggregate; selected rows are capped at
+    *    4·l (smallest u first — deterministic) before the O(l)-row collect.
+    *  - candidates are then weighted by one [[clusterExpr]] count pass and
+    *    reduced to k centers by a driver-side weighted Lloyd over the tiny
+    *    candidate set (zero-weight duplicates drop out).
+    *
+    * Decimal bound: u·φ < 2⁴⁰·n·maxd² must stay inside decimal(38,0) —
+    * holds through ~10¹² rows of unit-norm quantized embeddings (≈10³⁷);
+    * the same contract style as [[graft.operators.Anomaly]] documents.
+    * Keeps the invariant that matters at 100 TB: assignment stays a pure
+    * map; the only extra cost is `rounds` corpus passes at init time. */
+  def seedsParallel(emb: DataFrame, k: Int, rounds: Int = 2,
+      oversampleFactor: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): Model = {
+    val prepared = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try seedsParallelPrepared(prepared, k, rounds, oversampleFactor)
+    finally prepared.unpersist()
+  }
+
+  private val U = 1L << 40
+
+  private def seedsParallelPrepared(prepared: DataFrame, k: Int, rounds: Int,
+      oversampleFactor: Int): Model = {
+    val l = math.max(k * oversampleFactor, k)
+    var cands: Seq[Array[Long]] = seedsPrepared(prepared, 1).centroids.map(_._2)
+    for (r <- 1 to rounds) {
+      val m = Model(cands.zipWithIndex.map { case (c, i) => i -> c })
+      val d2 = prepared
+        .withColumn("qq", DotProductLong(col("q"), col("q")))
+        .withColumn("d2", col("qq") + negScoreMin(m))
+        .withColumn("u", pmod(graft.functions.Hashing.hash64(
+          concat(lit(s"km[par]$r:"), col("vec_id").cast("string"))), lit(U)))
+      val phi = d2.agg(sum(col("d2").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (phi != null && phi.signum > 0) {
+        val picked = d2
+          .filter(col("u").cast("decimal(38,0)") * lit(phi) <
+            col("d2").cast("decimal(38,0)") * lit(l.toLong) * lit(U))
+          .orderBy(col("u"), col("vec_id"))
+          .limit(4 * l)
+          .select(col("q")).collect()
+          .map(_.getSeq[Long](0).toArray)
+        cands = cands ++ picked
+      }
+    }
+    // weight candidates by their attracted point counts (duplicates tie to
+    // the smaller id and the loser weighs 0 → dropped by the reduction)
+    val cm = Model(cands.zipWithIndex.map { case (c, i) => i -> c })
+    val weights = prepared.withColumn("cluster", clusterExpr(cm))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("w")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val weighted = cands.zipWithIndex
+      .map { case (c, i) => (c, weights.getOrElse(i, 0L)) }
+      .filter(_._2 > 0L)
+    Model(weightedLloyd(weighted, k, iters = 5).zipWithIndex.map(_.swap))
+  }
+
+  /** Driver-side weighted Lloyd over the (tiny) candidate set: deterministic
+    * init (highest weight first, ties on content), integer grid means with
+    * the same floor(x + 0.5) rounding as the distributed [[update]]. */
+  private def weightedLloyd(cands: Seq[(Array[Long], Long)], k: Int,
+      iters: Int): Seq[Array[Long]] = {
+    def dist2(a: Array[Long], b: Array[Long]): BigInt = {
+      var s = BigInt(0); var i = 0
+      while (i < a.length) { val d = BigInt(a(i) - b(i)); s += d * d; i += 1 }
+      s
+    }
+    var centers = cands.sortBy { case (c, w) => (-w, c.toSeq.mkString(",")) }
+      .take(k).map(_._1)
+    for (_ <- 1 to iters) {
+      val assigned = cands.map { case (c, w) =>
+        val best = centers.indices.minBy(i => (dist2(c, centers(i)), i))
+        (best, c, w)
+      }
+      centers = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, pts) =>
+        val wsum = pts.map(_._3).sum
+        val dim = pts.head._2.length
+        Array.tabulate(dim) { j =>
+          val s = pts.foldLeft(BigInt(0)) { case (acc, (_, c, w)) => acc + BigInt(c(j)) * w }
+          (BigDecimal(s) / BigDecimal(wsum) + 0.5).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        }
+      }
+    }
+    centers
+  }
+
+  /** [[fit]] with kmeans‖ seeding — the larger-k production fit: same Lloyd
+    * updates, same bit-reproducibility, better starting inertia. */
+  def fitParallel(emb: DataFrame, k: Int = 8, iters: Int = 2, rounds: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): Model = {
+    val prepared = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to iters).foldLeft(seedsParallelPrepared(prepared, k, rounds, 2)) {
+        (m, _) => update(prepared, m)
+      }
+    } finally prepared.unpersist()
+  }
+
   /** One Lloyd update: assign under `model`, recompute per-cluster means on
     * the quantization grid. The aggregate ships k·dim cells per map task;
     * the collect is k·dim rows. Emptied clusters drop out of the model. */

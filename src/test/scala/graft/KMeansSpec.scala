@@ -72,6 +72,26 @@ class KMeansSpec extends SparkSpec {
     assert(KMeans.fitAssign(withNull, k = 2, iters = 2).count() == 10)
   }
 
+  test("kmeans|| seeding: lower inertia than hash seeds at equal iterations, bit-reproducible") {
+    // one dominant blob + three tiny far-away blobs: uniform hash-ranked
+    // seeds land in the big blob with high probability, while the
+    // distance-weighted kmeans|| oversampling must reach the outliers
+    val pts =
+      (0 until 40).map(i => (i.toLong, Seq(0.001f * i, 0.0f, 0.0f, 0.0f))) ++
+      Seq((100L, Seq(10f, 10f, 10f, 10f)), (101L, Seq(10f, 10f, 10f, 10.01f)),
+          (200L, Seq(-10f, 10f, -10f, 10f)), (201L, Seq(-10f, 10f, -10f, 10.01f)),
+          (300L, Seq(10f, -10f, 10f, -10f)), (301L, Seq(10f, -10f, 10f, -10.01f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val simple = KMeans.fit(df, k = 4, iters = 2)
+    val par = KMeans.fitParallel(df, k = 4, iters = 2)
+    val (iSimple, iPar) = (KMeans.inertia(df, simple), KMeans.inertia(df, par))
+    assert(iPar < iSimple, s"kmeans|| inertia $iPar not below hash-seed inertia $iSimple")
+    // bit-reproducible: a rerun yields the identical model
+    val par2 = KMeans.fitParallel(df, k = 4, iters = 2)
+    assert(par.centroids.map { case (c, a) => (c, a.toSeq) } ==
+      par2.centroids.map { case (c, a) => (c, a.toSeq) })
+  }
+
   test("model round-trips through the catalog bit-exactly; stored assign ≡ live assign") {
     val cat = new graft.catalog.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft-km-model").toString)
