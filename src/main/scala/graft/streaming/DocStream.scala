@@ -53,6 +53,54 @@ object DocStream {
     new String(out)
   }
 
+  /** [[md5Hex]] truncated to the portable 60-bit value of
+    * [[graft.functions.Hashing.hash64]] — executor-side span hashing with
+    * the thread-local digest (no per-call getInstance). */
+  private[graft] def hash64Fast(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  final case class SpanState(nDocs: Long, nOcc: Long)
+  final case class SpanStat(span_hash: Long, n_docs: Long, n_occurrences: Long)
+
+  /** LIVING SPAN INVENTORY over an unbounded document stream — the
+    * streaming twin of [[graft.operators.TextDedup.spanStats]], closing the
+    * batch/stream asymmetry of the crawl path (the batch form appends
+    * per-batch partials and merges at read time; here the state store IS
+    * the merge). Every w-token window of every arriving doc is hashed
+    * map-side (identical tokenization + 60-bit hash to the batch op and
+    * its DuckDB oracle), then `mapGroupsWithState` keyed by span_hash adds
+    * the batch's occurrence/doc counts to the span's running totals.
+    *
+    * Update-mode emissions: each micro-batch emits the UPDATED totals for
+    * exactly the spans it touched, so a sink's latest row per span is the
+    * inventory (totals are monotone — `max` per span recovers the latest
+    * from an append-style sink). Mergeability contract mirrors the batch
+    * partials': each document arrives in exactly ONE micro-batch (compose
+    * [[firstSeen]] upstream when re-crawls are possible). State is one
+    * (n_docs, n_occurrences) pair per distinct span — the same cardinality
+    * the stored batch inventory carries; use the RocksDB state store
+    * provider when that outgrows the heap. */
+  def spanInventory(docs: Dataset[Doc],
+      width: Int = graft.operators.TextDedup.DefaultSpanWidth): Dataset[SpanStat] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val toks = d.text.split(" ", -1)
+      if (toks.length < width) Iterator.empty
+      else (0 to toks.length - width).iterator.map(p =>
+        (d.doc_id, hash64Fast(toks.slice(p, p + width).mkString(" "))))
+    }.groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (hash: Long, occ: Iterator[(Long, Long)], state: GroupState[SpanState]) =>
+          var n = 0L
+          val batchDocs = scala.collection.mutable.HashSet.empty[Long]
+          occ.foreach { case (id, _) => n += 1; batchDocs += id }
+          val prev = state.getOption.getOrElse(SpanState(0L, 0L))
+          val next = SpanState(prev.nDocs + batchDocs.size, prev.nOcc + n)
+          state.update(next)
+          SpanStat(hash, next.nDocs, next.nOcc)
+      }
+  }
+
   /** Emit each distinct content exactly once (the smallest doc_id of its
     * first micro-batch); duplicates — within a batch or across batches —
     * emit nothing. */

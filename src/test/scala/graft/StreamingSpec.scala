@@ -157,6 +157,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span inventory matches batch spanStats across micro-batches") {
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft-spanstream").toString
+    def append(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    val w = 3
+    // batch 1: doc 1 repeats a span internally; docs 1/2 share one
+    append(Seq(
+      (1L, "a b c a b c a b c"),     // span "a b c" ×3 + rotations
+      (2L, "x y a b c z q")))
+    val stream = spark.readStream.schema("doc_id bigint, text string")
+      .parquet(dir).as[DocStream.Doc]
+    val q = DocStream.spanInventory(stream, w)
+      .writeStream.outputMode("update").format("memory").queryName("spaninv").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a third doc re-hits the shared span and adds novel ones
+      append(Seq((3L, "a b c d e f")))
+      q.processAllAvailable()
+      // latest totals per span (totals are monotone → max): must equal the
+      // batch operator over the union corpus, bit for bit
+      val streamed = spark.table("spaninv")
+        .groupBy("span_hash")
+        .agg(max(col("n_docs")).as("n_docs"), max(col("n_occurrences")).as("n_occurrences"))
+      val batch = graft.operators.TextDedup.spanStats(spark.read.parquet(dir), width = w)
+      assert(rows(streamed.orderBy("span_hash")) == rows(batch.orderBy("span_hash")))
+      // and the duplicated-span filter derived from the stream matches too
+      assert(rows(streamed.filter(col("n_occurrences") >= 2).orderBy("span_hash")) ==
+        rows(graft.operators.TextDedup.duplicatedSpans(spark.read.parquet(dir), width = w)
+          .orderBy("span_hash")))
+    } finally q.stop()
+  }
+
   test("streaming anomaly scoring: live points flagged against broadcast batch stats") {
     import graft.operators.Anomaly
     val dir = Files.createTempDirectory("graft-anomaly-stream").toString
