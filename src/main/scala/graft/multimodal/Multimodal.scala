@@ -263,6 +263,45 @@ object Multimodal {
       None
     }
 
+    /** MPEG-1 Layer III header tables (bitrate kbps by index; sample rate
+      * by index) — the constants every MP3 tool ships. */
+    private val Mp3Bitrates =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val Mp3Rates = Array(44100, 48000, 32000)
+
+    /** MP3 sample rate + CBR duration estimate from the first valid sync
+      * frame header — 32 bits of documented bit-fields, no entropy decode
+      * (which is exactly why this is NOT stubbed: frame headers are plain
+      * byte arithmetic; only the sample decode needs a codec). Skips an
+      * ID3v2 tag (syncsafe 28-bit size) and false syncs; VBR files get the
+      * first-frame-bitrate estimate, the standard quick probe. */
+    private def mp3Meta(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        i = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+      while (i >= 0 && i + 4 <= b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xe0) == 0xe0) {
+          val version = (b(i + 1) >> 3) & 3 // 3 = MPEG-1
+          val layer = (b(i + 1) >> 1) & 3 // 1 = Layer III
+          val brIdx = (b(i + 2) >> 4) & 0xf
+          val srIdx = (b(i + 2) >> 2) & 3
+          if (version == 3 && layer == 1 && brIdx >= 1 && brIdx <= 14 && srIdx < 3) {
+            val kbps = Mp3Bitrates(brIdx)
+            val durMs = ((b.length - i).toLong * 8L / kbps).toInt
+            return Some((Mp3Rates(srIdx), durMs))
+          }
+        }
+        i += 1
+      }
+      None
+    }
+
+    private def isMp3(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 &&
+        (((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) ||
+          (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3'))
+
     def probe(b: Array[Byte]): MediaMeta = {
       if (b == null) MediaMeta("unknown", None, None, None, None)
       else if (b.length >= 24 && PngCodec.isPng(b))
@@ -271,6 +310,10 @@ object Multimodal {
       else if (PngCodec.isJpeg(b)) {
         val dims = jpegDims(b)
         MediaMeta("jpeg", dims.map(_._1), dims.map(_._2), None, None)
+      }
+      else if (isMp3(b)) mp3Meta(b) match {
+        case Some((rate, dur)) => MediaMeta("mp3", None, None, Some(rate), Some(dur))
+        case None => MediaMeta("unknown", None, None, None, None)
       }
       else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
         MediaMeta("bmp", Some(le32(b, 18)), Some(le32(b, 22)), None, None)

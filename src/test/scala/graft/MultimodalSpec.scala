@@ -69,10 +69,14 @@ class MultimodalSpec extends SparkSpec {
     val ppm = "P6\n12 34\n255\n".getBytes ++ new Array[Byte](12 * 34 * 3)
     // truncated JPEG: recognized by signature, no SOF frame → null dims
     val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ new Array[Byte](32)
-    // an MP3 sync header — a codec the JDK genuinely lacks → unknown
+    // an MP3 sync frame: MPEG-1 Layer III, 128 kbps, 44.1 kHz — the HEADER
+    // is plain bit-fields (parsed for real); only sample decode is stubbed.
+    // 35 bytes at 128 kbps → 35*8/128 = 2 ms CBR estimate
     val mp3ish = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte) ++ new Array[Byte](32)
-    val df = Seq((1L, bmp), (2L, wav), (3L, ppm), (4L, jpegish), (5L, mp3ish))
-      .toDF("media_id", "payload")
+    // garbage that only LOOKS like an ID3 tag → no valid sync frame → unknown
+    val id3ish = "ID3".getBytes ++ new Array[Byte](16)
+    val df = Seq((1L, bmp), (2L, wav), (3L, ppm), (4L, jpegish), (5L, mp3ish),
+      (6L, id3ish)).toDF("media_id", "payload")
     val got = rows(Multimodal.probeMetadata(df).orderBy("media_id")
       .select("media_id", "format", "width", "height", "sample_rate", "duration_ms"))
     assert(got == Seq(
@@ -80,7 +84,8 @@ class MultimodalSpec extends SparkSpec {
       Seq(2L, "wav", null, null, 8000, 1000),  // 16000 data bytes at 16 kB/s = 1 s
       Seq(3L, "ppm", 12, 34, null, null),
       Seq(4L, "jpeg", null, null, null, null),
-      Seq(5L, "unknown", null, null, null, null)))
+      Seq(5L, "mp3", null, null, 44100, 2),
+      Seq(6L, "unknown", null, null, null, null)))
   }
 
   test("PNG codec: known image round-trips pixels exactly through the JDK") {
