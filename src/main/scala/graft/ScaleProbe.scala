@@ -106,6 +106,32 @@ object ScaleProbe {
       time(s"range_join k=$k")(graft.operators.RangeJoin
         .pointInInterval(pts, "o_totalprice", bands, "lo", "hi", 25000.0).count())
     }
+    // Keep-one scrub: same word-count shape as the inventory plus the
+    // per-doc position collect — must stay linear in corpus tokens (the
+    // keeper rank rides the same span_hash shuffle as the count).
+    for (k <- Seq(1, 4, 8)) {
+      val d = rep(docs, Seq("doc_id"), k)
+      time(s"scrub_keep_one k=$k")(
+        graft.operators.TextDedup.scrubDuplicatedSpansKeepOne(d).count())
+    }
+    // BPE encode (vocab-join shape): replicated docs add no new WORDS, so
+    // the fold work is flat and only the stream join grows — near-linear,
+    // with the vocab-collapse visible as sublinear growth vs tokens.
+    {
+      val merges = graft.operators.BpeVocab.learn(docs, 3)
+      for (k <- Seq(1, 4, 8)) {
+        val d = rep(docs, Seq("doc_id"), k)
+        time(s"bpe_encode k=$k")(
+          graft.operators.BpeVocab.encodedLength(d, merges).count())
+      }
+    }
+    // Audio features: pure mapPartitions over the payload scan — perfectly
+    // parallel, zero shuffles; must scale with bytes decoded.
+    for (k <- Seq(1, 4, 8)) {
+      val d = rep(docs, Seq("doc_id"), k)
+      time(s"audio_features k=$k")(graft.multimodal.Multimodal.audioFeatures(
+        graft.multimodal.Multimodal.wavSynth(d)).count())
+    }
     // Retrieval: the same 4-term search against a k×-grown corpus, once
     // through the STORED term-sorted postings index (built untimed — the
     // write-once path) and once rebuilding postings inline. The inline form

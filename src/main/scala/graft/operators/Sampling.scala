@@ -142,4 +142,21 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(keyCol))
     df.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
+
+  /** Per-group TOKEN-budget quota — the unit real mixing recipes are
+    * written in ("20B tokens of web, 5B of code"), where a doc-count quota
+    * silently skews toward short documents. Docs are taken in identity-hash
+    * order (salted domain, like [[stratifiedSplit]] — independent of every
+    * other sampling decision, reproducible at any parallelism) and a doc
+    * survives iff the group's running token total INCLUDING it fits the
+    * budget. One group-key shuffle carrying a running-sum window; emits
+    * cum_tokens + keep for audit, like the gates here always do. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, tokenCol: String,
+      budget: Long, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Hashing.hash64(concat(col(keyCol).cast("string"), lit("|tokquota"))),
+        col(keyCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .withColumn("keep", col("cum_tokens") <= budget)
+  }
 }

@@ -623,6 +623,24 @@ object TextDedup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+  /** Keeper selection over near-dup clusters by SOURCE PRIORITY: within
+    * each cluster the kept document is the one with the smallest
+    * (priority, doc_id) — the production dedup policy when sources rank
+    * (curated > crawled mirror), where [[clusters]]' plain min-id keeper
+    * would keep whichever copy happens to carry the smaller id. One
+    * cluster-key window over the (small) cluster frame; the join to doc
+    * metadata is cluster-membership-sized, not corpus-sized. */
+  def clusterKeepersByPriority(clusterDf: DataFrame, docMeta: DataFrame,
+      priorityCol: String, idCol: String = "doc_id"): DataFrame =
+    clusterDf.join(
+        docMeta.select(col(idCol).as("doc_id"), col(priorityCol).as("priority")),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("priority"), col("doc_id"))))
+      .select(col("cluster_id"), col("doc_id"), col("priority"),
+        (col("rk") === 1).as("is_keeper"))
+
   /** Number of SimHash fingerprint bits: 60, because the portable
     * md5-derived [[Hashing.hash64]] carries 60 bits of entropy (production
     * SimHash is 64-bit; bits beyond the hash width would be constant-zero

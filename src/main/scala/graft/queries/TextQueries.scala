@@ -602,6 +602,40 @@ object TextQueries {
                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
                FROM reach GROUP BY src""")),
 
+    // Source-priority keeper selection over the near-dup clusters: within
+    // each cluster keep the doc with the smallest (priority, doc_id) — the
+    // production policy when sources rank (curated beats crawled mirror).
+    // Priority here derives from the source suffix so both engines compute
+    // the identical ranking.
+    QueryDef("q_x_dedup_keeper",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TextDedup.clusterKeepersByPriority(
+          graft.operators.TextDedup.clusters(
+            graft.operators.TextDedup.ngramJaccard(docs, 0.5)),
+          docs.select(col("doc_id"),
+            expr("CAST(substring(source, 4) AS BIGINT) % 3").as("prio")),
+          "prio")
+      },
+      Some(s"""WITH RECURSIVE $shingledSql,
+               pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                         FROM shd a JOIN shd b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+                         WHERE $jacSql >= 0.5),
+               edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                         UNION SELECT id2, id1 FROM pairs),
+               reach AS (SELECT src, dst FROM edges
+                         UNION
+                         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+               comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                        FROM reach GROUP BY src)
+               SELECT cluster_id, doc_id, priority, rk = 1 AS is_keeper FROM (
+                 SELECT c.cluster_id, c.doc_id,
+                        CAST(substring(d.source, 4) AS BIGINT) % 3 AS priority,
+                        row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY CAST(substring(d.source, 4) AS BIGINT) % 3,
+                                   c.doc_id) AS rk
+                 FROM comp c JOIN documents d USING (doc_id))""")),
+
     // MinHash + LSH near-dup: 16 permutations (one md5 per shingle + affine
     // maps mod 2^31-1), 8 bands of 2 rows; band-bucket equi-join forms
     // candidates; exact Jaccard verifies. The canonical 100 TB dedup shape:
@@ -899,6 +933,25 @@ object TextQueries {
                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS score
                     FROM documents))
               WHERE rank <= 20""")),
+
+    // Per-source TOKEN-budget quota — the unit real mixing recipes are
+    // written in ("N tokens of web, M of code"); doc-count quotas skew
+    // toward short docs. Identity-hash order (salted domain), running
+    // window sum, keep while the cumulative total fits the budget.
+    QueryDef("q_x_mix_token_budget",
+      (s, d) => graft.operators.Sampling.tokenBudgetPerGroup(
+        t(s, d, "documents").select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "n_tokens", 800L, "doc_id"),
+      Some(s"""SELECT source, doc_id, n_tokens, cum_tokens,
+                      cum_tokens <= 800 AS keep
+               FROM (SELECT source, doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY source
+                            ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS cum_tokens
+                     FROM (SELECT source, doc_id, len($tokensSql) AS n_tokens,
+                             ${hash64Sql("(CAST(doc_id AS VARCHAR) || '|tokquota')")} AS h
+                           FROM documents))""")),
 
     // Sequence packing: documents placed at their cumulative-token offset
     // inside 4096-token training sequences, 8 hash shards packing
