@@ -487,6 +487,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(10L, 10L), Seq(11L, 10L)))
   }
 
+  test("clusterKeepersByPriority: exactly one keeper per cluster, ranked by (priority, id)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    // doc 3 has the best (lowest) priority in {1,2,3}; 10/11 tie on
+    // priority → smaller id keeps
+    val meta = Seq((1L, 2L), (2L, 1L), (3L, 0L), (10L, 5L), (11L, 5L))
+      .toDF("doc_id", "prio")
+    val got = rows(TextDedup.clusterKeepersByPriority(
+      TextDedup.clusters(pairs), meta, "prio").orderBy("cluster_id", "doc_id"))
+    assert(got == Seq(
+      Seq(1L, 1L, 2L, false), Seq(1L, 2L, 1L, false), Seq(1L, 3L, 0L, true),
+      Seq(10L, 10L, 5L, true), Seq(10L, 11L, 5L, false)))
+    // invariant: one keeper per cluster
+    val keepers = TextDedup.clusterKeepersByPriority(TextDedup.clusters(pairs), meta, "prio")
+      .filter(col("is_keeper")).groupBy("cluster_id").count()
+    assert(rows(keepers.select("count")).flatten.forall(_ == 1L))
+  }
+
   test("quality filter: short and letter-poor docs are rejected") {
     val docs = Seq(
       (1L, ("the quick brown fox jumps over a lazy dog and then some more words " * 2).trim),

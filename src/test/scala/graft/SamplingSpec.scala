@@ -30,6 +30,24 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "rank filter must prune before the shuffle merge")
   }
 
+  test("tokenBudgetPerGroup: kept totals fit the budget, nested under budget growth, deterministic") {
+    val df = (1L to 40L).map(i => (s"g${i % 2}", i, 50L + i % 7)).toDF("g", "id", "n_tok")
+    val small = graft.operators.Sampling.tokenBudgetPerGroup(df, "g", "n_tok", 300L, "id")
+    // every kept doc's running total fits the budget
+    assert(small.filter(col("keep") && col("cum_tokens") > 300).count() == 0)
+    // per group, the FIRST dropped doc in hash order would have overflowed:
+    // dropped docs all have cum_tokens > budget
+    assert(small.filter(!col("keep") && col("cum_tokens") <= 300).count() == 0)
+    // nested: everything kept at 300 stays kept at 600
+    val big = graft.operators.Sampling.tokenBudgetPerGroup(df, "g", "n_tok", 600L, "id")
+    val keptSmall = rows(small.filter(col("keep")).select("id")).flatten.toSet
+    val keptBig = rows(big.filter(col("keep")).select("id")).flatten.toSet
+    assert(keptSmall.subsetOf(keptBig) && keptBig.size > keptSmall.size)
+    // deterministic across reruns
+    assert(rows(small.orderBy("id")) ==
+      rows(graft.operators.Sampling.tokenBudgetPerGroup(df, "g", "n_tok", 300L, "id").orderBy("id")))
+  }
+
   test("packSequences: offsets bounded by budget, cumsum consistent per shard") {
     val df = spark.range(100).toDF("doc_id").withColumn("n", col("doc_id") % 7 + 1)
     val packed = Sampling.packSequences(df, col("n"), "doc_id", 10, 4).cache()
