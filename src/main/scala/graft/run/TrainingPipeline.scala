@@ -10,10 +10,10 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
   *
   *   quality gate (+ optional repetition gate) → exact dedup →
   *   (optional) substring-dup gate → (optional) bigram-coverage gate →
-  *   (optional) near-dup removal →
-  *   (optional) weighted mixture → deterministic sample →
-  *   (optional) train/val/test stamp → sequence packing (train slice only
-  *   when split)
+  *   (optional) near-dup removal → (optional) keep-one span scrub →
+  *   (optional) weighted mixture → (optional) per-group token budget →
+  *   deterministic sample → (optional) train/val/test stamp →
+  *   sequence packing (train slice only when split)
   *
   * The corpus-statistic gates sit AFTER exact dedup on purpose: computed
   * before it, every copy of an exact-duplicate doc would score as fully
@@ -35,6 +35,11 @@ import graft.operators.{QualityFilter, Sampling, TextDedup}
 final case class MixtureConfig(
     groupCol: String, ratesPct: Map[String, Int], defaultPct: Int = 100)
 
+/** Opt-in per-group TOKEN budget ([[Sampling.tokenBudgetPerGroup]]) applied
+  * after the rate mixture: absolute caps in the unit recipes are written in
+  * ("at most N tokens of source X"), composing with relative rates. */
+final case class TokenBudgetConfig(groupCol: String, budgetTokens: Long)
+
 /** Opt-in holdout stage: stamp each selected doc train/val/test
   * ([[Sampling.stratifiedSplit]] — deterministic, nested, stratum-uniform)
   * and pack ONLY the train slice into sequences (holdout docs must never
@@ -51,7 +56,13 @@ final case class TrainingPipelineConfig(
     minBigramCoverage: Option[Double] = None,  // e.g. Some(0.2): drop rare-bigram gibberish
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
+    // keep-one substring scrub (Lee et al.): REWRITE the surviving docs'
+    // text, keeping the first occurrence of each duplicated width-token
+    // span and dropping the rest; n_tokens is updated to the scrubbed
+    // count so packing budgets the text that actually ships
+    scrubSpans: Option[Int] = None,        // e.g. Some(8): scrub width-8 dup spans
     mix: Option[MixtureConfig] = None,     // per-group keep rates (data mixing)
+    tokenBudget: Option[TokenBudgetConfig] = None, // absolute per-group token cap
     split: Option[SplitConfig] = None,     // train/val/test stamp + train-only packing
     samplePct: Int = 100,
     // when set, learn this many BPE merges ON the packed slice and budget
@@ -132,7 +143,7 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
             .filter(coalesce(col("coverage"), lit(1.0)) >= t) // short docs pass
             .select(col("doc_id")), Seq("doc_id"))
       }
-      val dedupedPlan = cfg.nearDupJaccard match {
+      val nearDeduped = cfg.nearDupJaccard match {
         case None => statGated
         case Some(t) =>
           // near-dup clusters over the exact-deduped set; keep each cluster's
@@ -141,6 +152,22 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
             .filter(col("doc_id") =!= col("cluster_id"))
             .select(col("doc_id"))
           statGated.join(drop, Seq("doc_id"), "left_anti")
+      }
+      // the scrub REWRITES text (keep-one, order-deterministic keeper) and
+      // refreshes n_tokens, so every downstream stage — token budget,
+      // packing — budgets the text that actually ships. Its input feeds
+      // three scans (span inventory, re-assembly, metadata join) → persist.
+      val dedupedPlan = cfg.scrubSpans match {
+        case None => nearDeduped
+        case Some(w) =>
+          val p = nearDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          statPersists += p
+          p.drop("text").join(
+            TextDedup.scrubDuplicatedSpansKeepOne(p, width = w)
+              .select(col("doc_id"), col("text_scrubbed").as("text"),
+                col("n_tokens_kept")),
+            Seq("doc_id"))
+            .withColumn("n_tokens", col("n_tokens_kept")).drop("n_tokens_kept")
       }
       val deduped = dedupedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -151,9 +178,15 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
           case Some(m) =>
             Sampling.mixtureSample(deduped, m.groupCol, m.ratesPct, "doc_id", m.defaultPct)
         }
+        val budgeted = cfg.tokenBudget match {
+          case None => mixed
+          case Some(tb) => Sampling.tokenBudgetPerGroup(
+              mixed, tb.groupCol, "n_tokens", tb.budgetTokens, "doc_id")
+            .filter(col("keep")).drop("cum_tokens", "keep")
+        }
         val sampled =
-          if (cfg.samplePct >= 100) mixed
-          else Sampling.hashSample(mixed, "doc_id", cfg.samplePct)
+          if (cfg.samplePct >= 100) budgeted
+          else Sampling.hashSample(budgeted, "doc_id", cfg.samplePct)
 
         val stamped = cfg.split match {
           case None => sampled

@@ -57,6 +57,52 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(_.head) == Seq(1L, 3L))
   }
 
+  test("scrub stage keeps one occurrence of a duplicated span and re-budgets tokens") {
+    import spark.implicits._
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    // docs 1 and 2 share a 3-token span; the rest is distinct
+    val tiny = Seq(
+      (1L, "x y z q r s t u"),
+      (2L, "a b c x y z d e"),
+      (3L, "m n o p q1 q2 q3 q4")).toDF("doc_id", "text")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(quality = open, scrubSpans = Some(3),
+      seqTokens = 64, shards = 1)
+    new TrainingPipeline(spark, cat).run(tiny, cfg)
+    val corpus = cat.read("training_corpus")
+    val texts = rows(corpus.select("doc_id", "text").orderBy("doc_id"))
+      .map(r => r(0) -> r(1)).toMap
+    // the (doc_id, pos)-minimal occurrence survives; doc 2 loses the copy
+    assert(texts(1L) == "x y z q r s t u")
+    assert(texts(2L) == "a b c d e")
+    assert(texts(3L) == "m n o p q1 q2 q3 q4")
+    // the committed corpus carries NO cross-doc duplicated span any more
+    assert(graft.operators.TextDedup.duplicatedSpans(corpus, width = 3).count() == 0)
+    // n_tokens reflects the SCRUBBED text (doc 2: 8 → 5), so packing
+    // budgets what actually ships
+    assert(rows(corpus.filter(col("doc_id") === 2L).select("n_tokens")).head.head == 5L)
+  }
+
+  test("token budget caps each group's corpus tokens; selection is nested and deterministic") {
+    import spark.implicits._
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    val tiny = (1L to 30L).map(i =>
+      (i, (1 to 10).map(j => s"w$i-$j").mkString(" "), s"g${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(quality = open,
+      tokenBudget = Some(graft.run.TokenBudgetConfig("source", 35L)),
+      seqTokens = 64, shards = 1)
+    new TrainingPipeline(spark, cat).run(tiny, cfg)
+    val perGroup = cat.read("training_corpus")
+      .groupBy("source").agg(sum(col("n_tokens")).as("tok"))
+    // every group fits the 35-token budget (each doc is 10 tokens → ≤3 docs)
+    assert(rows(perGroup.select("tok")).flatten.forall(_.asInstanceOf[Long] <= 35L))
+    assert(cat.read("training_corpus").count() > 0)
+  }
+
   test("corpus-statistic gates: span-dup and bigram-coverage exclusions") {
     import spark.implicits._
     val copied = (1 to 12).map(i => "c" + i).mkString(" ")
