@@ -173,6 +173,40 @@ class MultimodalSpec extends SparkSpec {
     assert(got.filter(col("n_payload_bytes") =!= col("n")).count() == 0)
   }
 
+  test("GIF: real multi-frame decode — header dims, frame pixels, true sampled frames") {
+    import Multimodal.{GifCodec, PngCodec}
+    def gray(v: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        4, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (x <- 0 until 4; y <- 0 until 2) img.getRaster.setSample(x, y, 0, v)
+      img
+    }
+    val gif = GifCodec.encodeFrames(Seq(gray(10), gray(80), gray(160), gray(240)))
+    assert(GifCodec.isGif(gif))
+    val meta = Multimodal.HeaderProbe.probe(gif)
+    assert(meta.format == "gif" && meta.width.contains(4) && meta.height.contains(2))
+    // every animated frame decodes with its own pixel values
+    val frames = GifCodec.decodeFrames(gif)
+    assert(frames.size == 4)
+    assert(frames.map(_.getRGB(0, 0) & 0xff) == Seq(10, 80, 160, 240))
+    // sampleFrames ships REAL evenly-spaced pixel frames (as lossless PNG)
+    // for GIF payloads — not stub byte splits
+    import spark.implicits._
+    val media = Seq((1L, "video", gif)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.sampleFrames(media, 2).collect().sortBy(_.getInt(1))
+    assert(out.length == 2)
+    // raster samples, not getRGB: the frames ship as 8-bit grayscale PNG,
+    // and getRGB on TYPE_BYTE_GRAY applies a linear→sRGB conversion
+    val sampled = out.map(r => PngCodec.decode(r.getAs[Array[Byte]]("frame")).get)
+    assert(sampled.map(f => PngCodec.grayPixels(f).head).toSeq == Seq(10, 160)) // indices 0, 2
+    // extractFeatures routes GIF through the real first-frame decode
+    val feats = rows(Multimodal.extractFeatures(media)).head(3)
+      .asInstanceOf[collection.Seq[Float]]
+    assert(feats == PngCodec.features(frames.head, Multimodal.featureDim).toSeq)
+    // garbage behind a GIF signature must degrade gracefully, never throw
+    GifCodec.decodeFrames("GIF89a".getBytes ++ new Array[Byte](20)): Unit
+  }
+
   test("WAV codec: PCM16 round-trips samples exactly; chunk walk survives LIST chunks") {
     import Multimodal.WavCodec
     val samples = Array[Short](0, 1000, -1000, 32767, -32768, 0, -1, 1)
