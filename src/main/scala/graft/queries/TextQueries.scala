@@ -1065,6 +1065,19 @@ object TextQueries {
     // arithmetic except one IEEE sqrt. The oracle reproduces every number
     // from the text alone (ASCII corpus: chars ≡ bytes), so a stubbed or
     // broken decode cannot pass.
+    // Multi-frame GIF round-trip: each doc's bytes split into two halves,
+    // packed as grayscale frames of a REAL animated GIF, decoded back
+    // frame-by-frame — n_frames and per-frame nonzero pixel counts are
+    // pure arithmetic over the byte length (UTF-8 text has no NUL bytes),
+    // so the oracle proves a genuine multi-frame codec cycle preserved
+    // both frames.
+    QueryDef("q_x_gif_frames",
+      (s, d) => graft.multimodal.Multimodal.gifRoundTrip(t(s, d, "documents")),
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_frames,
+              CAST((octet_length(CAST(text AS BLOB)) + 1) // 2 AS BIGINT) AS f0_nonzero,
+              CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT) AS f1_nonzero
+              FROM documents""")),
+
     QueryDef("q_x_audio_features",
       (s, d) => graft.multimodal.Multimodal.audioFeatures(
         graft.multimodal.Multimodal.wavSynth(t(s, d, "documents"))),
