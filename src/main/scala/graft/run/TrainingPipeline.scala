@@ -56,6 +56,10 @@ final case class TrainingPipelineConfig(
     minBigramCoverage: Option[Double] = None,  // e.g. Some(0.2): drop rare-bigram gibberish
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
+    // when set with nearDupJaccard, each near-dup cluster keeps the doc
+    // with the smallest (this column, doc_id) instead of the plain min id
+    // — source-ranked dedup (curated beats crawled mirror)
+    nearDupPriorityCol: Option[String] = None,
     // keep-one substring scrub (Lee et al.): REWRITE the surviving docs'
     // text, keeping the first occurrence of each duplicated width-token
     // span and dropping the rest; n_tokens is updated to the scrubbed
@@ -146,11 +150,16 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
       val nearDeduped = cfg.nearDupJaccard match {
         case None => statGated
         case Some(t) =>
-          // near-dup clusters over the exact-deduped set; keep each cluster's
-          // canonical minimum, drop the rest
-          val drop = TextDedup.clusters(TextDedup.ngramJaccard(statGated, t))
-            .filter(col("doc_id") =!= col("cluster_id"))
-            .select(col("doc_id"))
+          // near-dup clusters over the exact-deduped set; keep each
+          // cluster's canonical doc — min id, or best (priority, id) when
+          // a priority column is configured — and drop the rest
+          val clustered = TextDedup.clusters(TextDedup.ngramJaccard(statGated, t))
+          val drop = cfg.nearDupPriorityCol match {
+            case None => clustered.filter(col("doc_id") =!= col("cluster_id"))
+              .select(col("doc_id"))
+            case Some(pc) => TextDedup.clusterKeepersByPriority(clustered, statGated, pc)
+              .filter(!col("is_keeper")).select(col("doc_id"))
+          }
           statGated.join(drop, Seq("doc_id"), "left_anti")
       }
       // the scrub REWRITES text (keep-one, order-deterministic keeper) and

@@ -57,6 +57,25 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(_.head) == Seq(1L, 3L))
   }
 
+  test("near-dup priority keeper: the ranked source survives, not the min id") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => "tok" + i).mkString(" ")
+    val nearDup = (1 to 28).map(i => "tok" + i).mkString(" ") + " tokX tokY"
+    // doc 1 (min id, priority 2) vs doc 2 (near-dup, priority 0): with the
+    // priority column configured, doc 2 must win the cluster
+    val tiny = Seq((1L, base, 2L), (2L, nearDup, 0L), (3L, "solo words only", 1L))
+      .toDF("doc_id", "text", "prio")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(
+      quality = graft.operators.QualityFilter.Thresholds(
+        minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0),
+      nearDupJaccard = Some(0.5), nearDupPriorityCol = Some("prio"),
+      seqTokens = 64, shards = 1)
+    new TrainingPipeline(spark, cat).run(tiny, cfg)
+    assert(rows(cat.read("training_corpus").select("doc_id").orderBy("doc_id"))
+      .map(_.head) == Seq(2L, 3L))
+  }
+
   test("scrub stage keeps one occurrence of a duplicated span and re-budgets tokens") {
     import spark.implicits._
     val open = graft.operators.QualityFilter.Thresholds(
