@@ -169,6 +169,26 @@ object VectorSearch {
       .select(col("vec_id"), col("c.pos").as("pos"), col("c.value").as("value"))
   }
 
+  /** INT8 embedding compression in long-row form: (vec_id, pos, v8,
+    * scale) — each vector's quantized components rescaled to [-127, 127]
+    * by its own max-abs (symmetric per-vector quantization, the standard
+    * 4× storage cut applied to a 100 TB embedding store before any index
+    * is built; reconstruction v8·scale is within scale/2 per component).
+    * Pure map over the corpus scan, zero shuffles. Deterministic across
+    * engines: components and max-abs are exact integers, the rescale is
+    * one IEEE multiply/divide and a floor(x+0.5) — identical everywhere.
+    * All-zero vectors emit v8 = 0 with scale 0. */
+  def int8Components(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), quantize(embCol).as("q"))
+      .withColumn("mx", expr("array_max(transform(q, x -> abs(x)))"))
+      .select(col("vec_id"), col("mx"), posexplode(col("q")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        when(col("mx") === 0, lit(0L)).otherwise(
+          floor(col("v") * lit(127.0) / col("mx") + lit(0.5)).cast("long")).as("v8"),
+        (col("mx").cast("double") / 127).as("scale"))
+
   /** Per-group mean embedding (average pooling) in LONG-ROW form:
     * (group, pos, centroid) — one posexplode + hash aggregate, the
     * cluster-centroid / class-prototype step of an embedding pipeline.

@@ -180,6 +180,24 @@ object VectorQueries {
                     WHERE embedding IS NOT NULL))"""
       }),
 
+    // INT8 compression: per-vector symmetric max-abs quantization to
+    // [-127, 127] — the 4x storage cut a 100 TB embedding store takes
+    // before index build. Map-only; exact integers + one IEEE rescale, so
+    // both engines emit identical codes and scales.
+    QueryDef("q_x_embed_int8",
+      (s, d) => graft.operators.VectorSearch.int8Components(t(s, d, "embeddings")),
+      Some(s"""SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+                      CAST(CASE WHEN mx = 0 THEN 0
+                           ELSE floor(v * 127.0 / mx + 0.5) END AS BIGINT) AS v8,
+                      CAST(mx AS DOUBLE) / 127 AS scale
+               FROM (SELECT vec_id, mx,
+                       unnest(generate_series(0, len(q) - 1)) AS pos,
+                       unnest(q) AS v
+                     FROM (SELECT vec_id, q,
+                             list_max(list_transform(q, x -> abs(x))) AS mx
+                           FROM (SELECT vec_id, $quantSql AS q FROM embeddings
+                                 WHERE embedding IS NOT NULL)))""")),
+
     // Mean pooling: per-group embedding centroid in long-row form — the
     // cluster-prototype aggregate. Integer sums are order-independent, so
     // the final double division is identical on both engines.

@@ -534,6 +534,24 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("int8Components: codes bounded, reconstruction within scale/2, zero vectors safe") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.003f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),       // all-zero → v8 0, scale 0
+      (3L, Seq(-0.0001f, 0.0001f, 1.2f, -1.2f))).toDF("vec_id", "embedding")
+    val out = VectorSearch.int8Components(emb)
+    assert(out.filter(abs(col("v8")) > 127).count() == 0)
+    assert(rows(out.filter(col("vec_id") === 2L).select("v8", "scale")).forall(_ == Seq(0L, 0.0)))
+    // reconstruction: |q − v8·scale| ≤ scale/2 per component (q = exact
+    // quantized integer) — the defining symmetric-quantization bound
+    val q = emb.select(col("vec_id"), posexplode(VectorSearch.quantize("embedding"))
+      .as(Seq("pos", "v"))).withColumn("pos", col("pos").cast("long"))
+    val bad = out.join(q, Seq("vec_id", "pos"))
+      .filter(col("scale") > 0 &&
+        abs(col("v") - col("v8") * col("scale")) > col("scale") / 2 + 1e-9)
+    assert(bad.count() == 0)
+  }
+
   test("vector search: identical vectors rank first with sim 1.0") {
     val v = (1 to 64).map(_.toFloat / 100)
     val w = (1 to 64).map(i => (65 - i).toFloat / 100)
