@@ -149,6 +149,49 @@ object TextIndex {
       .select(col("doc_id"), col("score"), col("sim"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the lexical and
+    * vector rankings — the OTHER standard hybrid-search shape, next to
+    * [[searchHybrid]]'s recall-then-rerank: both lists rank independently
+    * to `recallK` and fuse by Σ 1/(rrfK + rank), which needs no score
+    * calibration between the two systems (ranks only).
+    *
+    * Scale shape: the lexical side touches only the query terms' postings;
+    * the vector side is one broadcast-query corpus scan reduced by
+    * TakeOrdered (per-partition top-recallK + driver merge — no global
+    * sort, no single-partition shuffle); the fusion join runs on two
+    * ≤recallK-row frames. Determinism: integer-quantized cosine ranks,
+    * IEEE 1/(K+r) terms summed pairwise (commutative in IEEE), ties to
+    * the smaller doc id — cross-engine exact (gate q_x_search_rrf). */
+  def searchRrf(post: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVec: Seq[Float], recallK: Int, k: Int, rrfK: Int = 60,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      weightScale: Long = 1000000L): DataFrame = {
+    val lex = searchWeighted(post, queryTerms, recallK, weightScale)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+    val qq = queryVec.map(x => BigDecimal(x.toDouble * VectorSearch.Scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    val qn = qq.map(x => x * x).sum
+    val topVec = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("doc_id"), VectorSearch.quantize(embCol).as("cv"))
+      .withColumn("cn", VectorSearch.dot("cv", "cv"))
+      .withColumn("dp", graft.expressions.DotProductLong(col("cv"), typedlit(qq.toSeq)))
+      .withColumn("sim", expr(s"CAST(dp AS DOUBLE) / sqrt(CAST(cn AS DOUBLE) * CAST($qn AS DOUBLE))"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(recallK) // TakeOrdered
+    val vec = topVec.withColumn("rank_vec", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"), col("rrf"), col("rank"))
+  }
+
   /** Okapi BM25 top-`k`: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
     * tfNorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). One filtered
     * postings scan + two broadcast-sized joins (term stats, doc lengths) +

@@ -162,6 +162,49 @@ object RetrievalQueries {
                  SELECT scored.*, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
                  FROM scored) WHERE rank <= 5""")),
 
+    // Reciprocal-rank fusion of the lexical and vector top-50 lists
+    // (Σ 1/(60+rank) — no score calibration, ranks only): the OTHER
+    // standard hybrid shape next to recall-then-rerank. Lexical side
+    // touches only the query terms' postings; vector side is one
+    // broadcast-query TakeOrdered scan; fusion joins two ≤50-row frames.
+    QueryDef("q_x_search_rrf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        graft.operators.TextIndex.searchRrf(
+          graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
+          emb, searchTerms, qv, recallK = 50, k = 5)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+               p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                     WHERE term <> '' GROUP BY 1, 2),
+               dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+               m AS (SELECT doc_id, sum(tf * (1000000 // df)) AS score
+                     FROM p JOIN dfs USING (term)
+                     WHERE term IN ($searchTermsSql) GROUP BY 1),
+               r AS (SELECT doc_id, CAST(rnk AS BIGINT) AS rank_lex FROM (
+                       SELECT m.*, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                       FROM m) WHERE rnk <= 50),
+               e AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS DOUBLE)) AS q
+                     FROM embeddings WHERE embedding IS NOT NULL),
+               qv AS (SELECT q FROM e WHERE vec_id = 0),
+               sims AS (SELECT vec_id AS doc_id,
+                        list_dot_product(q, (SELECT q FROM qv)) /
+                        sqrt(list_dot_product(q, q) *
+                             (SELECT list_dot_product(q, q) FROM qv)) AS sim FROM e),
+               tv AS (SELECT doc_id, CAST(rnk AS BIGINT) AS rank_vec FROM (
+                        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk
+                        FROM sims) WHERE rnk <= 50),
+               f AS (SELECT coalesce(r.doc_id, tv.doc_id) AS doc_id, rank_lex, rank_vec,
+                     coalesce(CAST(1 AS DOUBLE) / (60 + rank_lex), 0) +
+                     coalesce(CAST(1 AS DOUBLE) / (60 + rank_vec), 0) AS rrf
+                     FROM r FULL OUTER JOIN tv ON r.doc_id = tv.doc_id)
+               SELECT doc_id, rank_lex, rank_vec, rrf, CAST(rank AS BIGINT) AS rank FROM (
+                 SELECT f.*, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+               WHERE rank <= 5""")),
+
     // INCREMENTAL index maintenance: bootstrap the postings table from half
     // the corpus, append the other half's postings as a file-level O(batch)
     // catalog append (doc-disjoint batches → (term, doc) rows are disjoint,

@@ -101,6 +101,28 @@ class TextIndexSpec extends SparkSpec {
     assert(got == Seq(Seq(2L, 1L), Seq(1L, 2L)))
   }
 
+  test("searchRrf: presence in both lists beats either list alone; single-list docs survive") {
+    val docs = Seq(
+      (1L, "apple banana apple"), // lexical-only hit (embedding orthogonal)
+      (2L, "apple cherry"),       // in BOTH lists → must fuse to rank 1
+      (3L, "unrelated words")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.85f, 0.15f))).toDF("vec_id", "embedding") // vector-only hit
+    val got = rows(TextIndex.searchRrf(
+        TextIndex.postings(docs, "doc_id", "text"), emb,
+        Seq("apple"), Seq(0.9f, 0.1f), recallK = 2, k = 3)
+      .select("doc_id", "rank_lex", "rank_vec", "rank"))
+    // doc 2: lexical rank 2 + vector rank 1 → rrf 1/62 + 1/61 — tops both
+    // single-list docs; doc 1 (lex 1 only: 1/61) beats doc 3 (vec 2: 1/62);
+    // full-outer keeps the vector-only doc in the fused list
+    assert(got == Seq(
+      Seq(2L, 2L, 1L, 1L),
+      Seq(1L, 1L, null, 2L),
+      Seq(3L, null, 2L, 3L)))
+  }
+
   test("searchHybrid plan: the candidate list broadcasts (no corpus-wide similarity shuffle)") {
     val docs = Seq((1L, "apple pie"), (2L, "apple tart")).toDF("doc_id", "text")
     val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
