@@ -215,4 +215,28 @@ object VectorSearch {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
+
+  /** Incremental embedding near-dup: each NEW batch vector against an
+    * EXISTING corpus — the recurring-ingest shape the MinHash family has
+    * ([[graft.operators.TextDedup.minhashLshIncremental]]), on the vector
+    * side. Batch buckets equi-join corpus buckets, so there is NO corpus
+    * self-join: candidate volume is O(batch × bucket collisions), and the
+    * corpus side is exactly what a persisted [[buildIvfIndex]] provides
+    * (pass the stored index as `corpus` — it already carries
+    * bucket/q/nn). Returns (batch_id, corpus_id, sim ≥ threshold). */
+  def nearDuplicatesIncremental(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8, numPlanes: Int = 8, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(corpus)
+    val c = lshBuckets(corpus, numPlanes, d)
+      .select(col("vec_id").as("corpus_id"), col("q").as("q2"),
+        col("nn").as("n2"), col("bucket"))
+    lshBuckets(batch, numPlanes, d)
+      .select(col("vec_id").as("batch_id"), col("q").as("q1"),
+        col("nn").as("n1"), col("bucket"))
+      .join(c, Seq("bucket"))
+      .withColumn("dp", dot("q1", "q2"))
+      .withColumn("sim", cosine("dp", "n1", "n2"))
+      .filter(col("sim") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("sim"))
+  }
 }

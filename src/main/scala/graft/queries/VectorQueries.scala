@@ -281,6 +281,31 @@ object VectorQueries {
                    list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
             FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) >= 0.3"""
+      }),
+
+    // Incremental embedding near-dup (the recurring-ingest shape on the
+    // vector side, mirroring minhash's incremental form): odd vec_ids are
+    // the batch, even the corpus — batch buckets equi-join corpus buckets,
+    // never a corpus self-join.
+    QueryDef("q_x_dedup_embed_incremental",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.VectorSearch.nearDuplicatesIncremental(
+          emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+          0.3, numPlanes, dim = 64)
+      },
+      Some {
+        val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+            n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, $bucketSql AS bucket FROM e)
+            SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
+                   list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+            FROM n a JOIN n b ON a.bucket = b.bucket
+              AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+            WHERE list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) >= 0.3"""
       })
   )
 }
