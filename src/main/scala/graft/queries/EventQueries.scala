@@ -81,13 +81,16 @@ object EventQueries {
     // inequality with the deviation sum expanded to raw moments.
     QueryDef("q_x_anomaly_scored",
       (s, d) => {
-        // persisted: the hourly aggregate feeds BOTH the train-stats branch
-        // and the scored points — one events scan, not two
+        // localCheckpoint (eager), NOT persist: the tiny hourly aggregate
+        // (hours × event types) feeds both the train-stats branch and the
+        // scored points — one events scan either way, but checkpoint blocks
+        // are GC-reclaimed with the frame while a persist would pin cache
+        // for the session lifetime (the leak the BPE encode path had)
         val hourly = events(s, d)
           .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("win"),
             col("event_type"))
           .agg(count(lit(1)).as("n_events"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         val train = hourly.filter(hour(col("win")) < 12)
         graft.operators.Anomaly.flagAgainstStats(
           hourly.filter(hour(col("win")) >= 12),
