@@ -132,6 +132,17 @@ object ScaleProbe {
       time(s"audio_features k=$k")(graft.multimodal.Multimodal.audioFeatures(
         graft.multimodal.Multimodal.wavSynth(d)).count())
     }
+    // Incremental embedding near-dup: a FIXED 200-vector batch against a
+    // k×-grown corpus — bucket equi-joins only, so cost tracks collisions
+    // (≈ corpus-linear scan + candidate-bound verify), never corpus².
+    {
+      val batch = emb.limit(200)
+      for (k <- Seq(1, 4, 8)) {
+        val c = rep(emb, Seq("vec_id"), k)
+        time(s"embed_incr k=$k")(graft.operators.VectorSearch
+          .nearDuplicatesIncremental(c, batch, 0.3, 8, dim = 64).count())
+      }
+    }
     // Retrieval: the same 4-term search against a k×-grown corpus, once
     // through the STORED term-sorted postings index (built untimed — the
     // write-once path) and once rebuilding postings inline. The inline form
