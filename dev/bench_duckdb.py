@@ -22,7 +22,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def resolve_oracles(arg):
     if arg is None:
         here = os.path.dirname(os.path.abspath(__file__))
-        cands = sorted(glob.glob(os.path.join(here, "oracle_sql_r*.json")))
+        # numeric round sort: lexicographic would rank r10 below r5
+        import re
+        cands = sorted(glob.glob(os.path.join(here, "oracle_sql_r*.json")),
+                       key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
         if not cands:
             sys.exit("no checked-in dev/oracle_sql_r*.json — run graft.Verify "
                      "and pass its output dir, or check one in")

@@ -24,13 +24,34 @@ object Hashing {
   def hash64Seeded(seed: Int, c: Column): Column =
     hash64(concat(lit(s"$seed:"), c))
 
-  /** Driver-side twin of [[hash64]] — same value for the same string, used
-    * to precompute constants (e.g. LSH hyperplanes) embedded as literals. */
-  def hash64Local(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  /** Thread-local digest: MessageDigest is not thread-safe and getInstance
+    * is not free — reused per row by executor-side hashing (the SimHash
+    * expression and the streaming span inventory hash per token/window). */
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** md5 hex digest of a UTF-8 string — the JVM-side twin of SQL `md5()`,
+    * shared so the 60-bit-truncation rule below has ONE implementation. */
+  def md5HexLocal(s: String): String = {
+    val bytes = md.get().digest(s.getBytes("UTF-8")) // digest() resets
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** JVM-side twin of [[hash64]] — same value for the same string; used to
+    * precompute constants (LSH hyperplanes) AND for executor-side row
+    * hashing (thread-local digest, no per-call getInstance). */
+  def hash64Local(s: String): Long =
+    java.lang.Long.parseLong(md5HexLocal(s).substring(0, 15), 16)
 
   /** Order-dependent polynomial rolling hash over a string-array column
     * (document fingerprinting that IS word-order sensitive, complementing

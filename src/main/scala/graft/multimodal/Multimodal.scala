@@ -156,6 +156,15 @@ object Multimodal {
     }
   }
 
+  /** Little/big-endian byte readers shared by every header/codec parser
+    * here (one implementation — a bounds fix must not fork). */
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
   /** REAL multi-frame GIF decode via the JDK reader — the one VIDEO-LIKE
     * format this container can genuinely decode frame-by-frame, making
     * [[sampleFrames]]' flatMap shape real (true pixel frames, not byte
@@ -213,26 +222,24 @@ object Multimodal {
     * boundary again (after PNG/JPEG): audio gets true sample-domain decode;
     * only entropy-coded codecs (MP3/H.264) remain stubbed. */
   object WavCodec {
-    private def le16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def le32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-
     def isWav(b: Array[Byte]): Boolean =
       b != null && b.length >= 44 &&
         b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-    /** Canonical 44-byte-header mono PCM16 WAV. */
-    def encodePcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    /** Canonical 44-byte-header PCM16 WAV; `samples` are interleaved when
+      * `channels` > 1. */
+    def encodePcm16(samples: Array[Short], sampleRate: Int,
+        channels: Int = 1): Array[Byte] = {
+      require(channels >= 1, "wav: channels must be >= 1")
       val dataLen = samples.length * 2
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
         .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
-        .putInt(16).putShort(1).putShort(1) // PCM, mono
-        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
-        .putShort(2).putShort(16) // block align, bits/sample
+        .putInt(16).putShort(1).putShort(channels.toShort) // PCM
+        .putInt(sampleRate).putInt(sampleRate * 2 * channels) // byte rate
+        .putShort((2 * channels).toShort).putShort(16) // block align, bits
         .put("data".getBytes("US-ASCII")).putInt(dataLen)
       samples.foreach(bb.putShort)
       bb.array()
@@ -282,13 +289,6 @@ object Multimodal {
   object HeaderProbe {
     final case class MediaMeta(format: String, width: Option[Int], height: Option[Int],
         sampleRate: Option[Int], durationMs: Option[Int])
-
-    private def le16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def le32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    private def be32(b: Array[Byte], o: Int): Int =
-      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
     /** JPEG dimensions from the first SOFn marker (plain byte arithmetic —
       * segments are FF <marker> <len BE16> <payload>; SOF carries
@@ -488,6 +488,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType),
       StructField("n_samples", LongType),
       StructField("duration_ms", LongType),
       StructField("peak", LongType),
@@ -499,7 +500,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         WavCodec.decodePcm16(r.getAs[Array[Byte]]("payload")) match {
-          case Some((rate, _, s)) =>
+          case Some((rate, channels, s)) =>
             var sumSq = 0L; var peak = 0L; var zc = 0L
             var i = 0
             while (i < s.length) {
@@ -511,8 +512,12 @@ object Multimodal {
             }
             val n = s.length.toLong
             val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
-            Row(id, rate, n, n * 1000L / rate, peak, sumSq, rms, zc)
-          case None => Row(id, null, null, null, null, null, null, null)
+            // duration counts FRAMES (interleaved samples / channels) —
+            // a stereo second is one second, not two; energy/peak/zc stay
+            // over the interleaved stream (documented channel-agnostic)
+            Row(id, rate, channels, n, n * 1000L / (rate.toLong * channels),
+              peak, sumSq, rms, zc)
+          case None => Row(id, null, null, null, null, null, null, null, null)
         }
       }
     }(enc)

@@ -629,15 +629,21 @@ object TextDedup {
     * (curated > crawled mirror), where [[clusters]]' plain min-id keeper
     * would keep whichever copy happens to carry the smaller id. One
     * cluster-key window over the (small) cluster frame; the join to doc
-    * metadata is cluster-membership-sized, not corpus-sized. */
+    * metadata is cluster-membership-sized, not corpus-sized.
+    *
+    * Missing metadata cannot win or vanish: docs absent from `docMeta`
+    * (LEFT join) or carrying a NULL priority rank LAST (nulls-last, also
+    * DuckDB's ascending default) — an unranked crawl copy never beats a
+    * curated priority-0 doc, and it still appears in the output as a
+    * droppable non-keeper rather than silently surviving the dedup. */
   def clusterKeepersByPriority(clusterDf: DataFrame, docMeta: DataFrame,
       priorityCol: String, idCol: String = "doc_id"): DataFrame =
     clusterDf.join(
         docMeta.select(col(idCol).as("doc_id"), col(priorityCol).as("priority")),
-        Seq("doc_id"))
+        Seq("doc_id"), "left")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-          .orderBy(col("priority"), col("doc_id"))))
+          .orderBy(col("priority").asc_nulls_last, col("doc_id"))))
       .select(col("cluster_id"), col("doc_id"), col("priority"),
         (col("rk") === 1).as("is_keeper"))
 

@@ -217,20 +217,34 @@ object VectorSearch {
   }
 
   /** Incremental embedding near-dup: each NEW batch vector against an
-    * EXISTING corpus — the recurring-ingest shape the MinHash family has
-    * ([[graft.operators.TextDedup.minhashLshIncremental]]), on the vector
-    * side. Batch buckets equi-join corpus buckets, so there is NO corpus
-    * self-join: candidate volume is O(batch × bucket collisions), and the
-    * corpus side is exactly what a persisted [[buildIvfIndex]] provides
-    * (pass the stored index as `corpus` — it already carries
-    * bucket/q/nn). Returns (batch_id, corpus_id, sim ≥ threshold). */
+    * EXISTING corpus of raw embeddings — the recurring-ingest shape the
+    * MinHash family has ([[graft.operators.TextDedup.minhashLshIncremental]]),
+    * on the vector side. Batch buckets equi-join corpus buckets, so there
+    * is NO corpus self-join: candidate volume is O(batch × bucket
+    * collisions). When the corpus is already indexed, use
+    * [[nearDuplicatesIndexed]] — it consumes [[buildIvfIndex]]'s stored
+    * bucket/q/nn columns directly instead of re-deriving them. Returns
+    * (batch_id, corpus_id, sim ≥ threshold). */
   def nearDuplicatesIncremental(corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.8, numPlanes: Int = 8, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus)
-    val c = lshBuckets(corpus, numPlanes, d)
-      .select(col("vec_id").as("corpus_id"), col("q").as("q2"),
-        col("nn").as("n2"), col("bucket"))
-    lshBuckets(batch, numPlanes, d)
+    nearDuplicatesIndexed(
+      lshBuckets(corpus, numPlanes, d)
+        .select(col("vec_id"), col("bucket"), col("q"), col("nn")),
+      batch, threshold, numPlanes, d)
+  }
+
+  /** [[nearDuplicatesIncremental]] against a PRE-BUILT IVF index
+    * ([[buildIvfIndex]] → catalog, columns (vec_id, bucket, q, nn)): the
+    * corpus contributes nothing but the stored index scan — no
+    * re-quantization, no re-bucketing. Query with the SAME
+    * `numPlanes`/`dim` used at build time (plane signs are baked into the
+    * stored bucket values). */
+  def nearDuplicatesIndexed(index: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8, numPlanes: Int = 8, dim: Int = -1): DataFrame = {
+    val c = index.select(col("vec_id").as("corpus_id"), col("q").as("q2"),
+      col("nn").as("n2"), col("bucket"))
+    lshBuckets(batch, numPlanes, if (dim > 0) dim else probeDim(batch))
       .select(col("vec_id").as("batch_id"), col("q").as("q1"),
         col("nn").as("n1"), col("bucket"))
       .join(c, Seq("bucket"))

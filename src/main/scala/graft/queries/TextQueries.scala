@@ -1086,6 +1086,7 @@ object TextQueries {
               FROM documents)
               SELECT doc_id AS media_id,
                      CAST(8000 AS INTEGER) AS sample_rate,
+                     CAST(1 AS INTEGER) AS n_channels,
                      CAST(len(sm) AS BIGINT) AS n_samples,
                      CAST(len(sm) * 1000 // 8000 AS BIGINT) AS duration_ms,
                      CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,

@@ -31,33 +31,11 @@ object DocStream {
 
   /** Executor-side md5 hex — same value as `md5(text)` in SQL, so keepers
     * line up with the batch [[graft.operators.TextDedup.exact]] output.
-    * MessageDigest is not thread-safe and `getInstance` is not free —
-    * thread-local instance, reused per row (same pattern as the SimHash
-    * expression's hasher). */
-  private val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  private[graft] def md5Hex(s: String): String = {
-    val bytes = md.get().digest(s.getBytes("UTF-8")) // digest() resets the instance
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
-  /** [[md5Hex]] truncated to the portable 60-bit value of
-    * [[graft.functions.Hashing.hash64]] — executor-side span hashing with
-    * the thread-local digest (no per-call getInstance). */
-  private[graft] def hash64Fast(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+    * One shared implementation ([[graft.functions.Hashing.md5HexLocal]],
+    * thread-local digest): the hash-derivation rule must never fork
+    * between the batch operators, their oracles, and the streaming twins. */
+  private[graft] def md5Hex(s: String): String =
+    graft.functions.Hashing.md5HexLocal(s)
 
   final case class SpanState(nDocs: Long, nOcc: Long)
   final case class SpanStat(span_hash: Long, n_docs: Long, n_occurrences: Long)
@@ -87,7 +65,7 @@ object DocStream {
       val toks = d.text.split(" ", -1)
       if (toks.length < width) Iterator.empty
       else (0 to toks.length - width).iterator.map(p =>
-        (d.doc_id, hash64Fast(toks.slice(p, p + width).mkString(" "))))
+        (d.doc_id, graft.functions.Hashing.hash64Local(toks.slice(p, p + width).mkString(" "))))
     }.groupByKey(_._2)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (hash: Long, occ: Iterator[(Long, Long)], state: GroupState[SpanState]) =>

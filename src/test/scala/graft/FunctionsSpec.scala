@@ -502,6 +502,14 @@ class FunctionsSpec extends SparkSpec {
     val keepers = TextDedup.clusterKeepersByPriority(TextDedup.clusters(pairs), meta, "prio")
       .filter(col("is_keeper")).groupBy("cluster_id").count()
     assert(rows(keepers.select("count")).flatten.forall(_ == 1L))
+    // missing metadata ranks LAST and stays droppable — it neither wins
+    // the cluster nor silently vanishes from the output
+    val partial = Seq((2L, 5L), (3L, 5L), (10L, 1L), (11L, 1L)).toDF("doc_id", "prio")
+    val got2 = rows(TextDedup.clusterKeepersByPriority(
+      TextDedup.clusters(pairs), partial, "prio").orderBy("cluster_id", "doc_id"))
+    assert(got2 == Seq(
+      Seq(1L, 1L, null, false), Seq(1L, 2L, 5L, true), Seq(1L, 3L, 5L, false),
+      Seq(10L, 10L, 1L, true), Seq(10L, 11L, 1L, false)))
   }
 
   test("quality filter: short and letter-poor docs are rejected") {
@@ -532,6 +540,19 @@ class FunctionsSpec extends SparkSpec {
     // pure map: no exchange anywhere
     val plan = proj.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("nearDuplicatesIndexed ≡ incremental recompute: the stored index changes nothing") {
+    val emb = (0L until 20L).map(i =>
+      (i, (1 to 8).map(j => ((i % 4) * 0.3f + j * 0.01f)))).toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val direct = rows(VectorSearch.nearDuplicatesIncremental(corpus, batch, 0.5, 8, dim = 8)
+      .orderBy("batch_id", "corpus_id"))
+    val viaIndex = rows(VectorSearch.nearDuplicatesIndexed(
+        VectorSearch.buildIvfIndex(corpus, 8, dim = 8), batch, 0.5, 8, dim = 8)
+      .orderBy("batch_id", "corpus_id"))
+    assert(direct.nonEmpty && direct == viaIndex)
   }
 
   test("int8Components: codes bounded, reconstruction within scale/2, zero vectors safe") {

@@ -231,11 +231,15 @@ class MultimodalSpec extends SparkSpec {
     // alternating ±1000: 7 sign changes, sum_sq = 8e6, peak = 1000
     val s = Array.tabulate[Short](8)(i => (if (i % 2 == 0) 1000 else -1000).toShort)
     val wav = WavCodec.encodePcm16(s, 4000)
-    val media = Seq((1L, "audio", wav), (2L, "audio", Array[Byte](1, 2, 3)))
-      .toDF("media_id", "kind", "payload")
+    // a STEREO file with the same interleaved stream: half the frames, so
+    // half the duration — energy stats unchanged (channel-agnostic)
+    val stereo = WavCodec.encodePcm16(s, 4000, channels = 2)
+    val media = Seq((1L, "audio", wav), (2L, "audio", Array[Byte](1, 2, 3)),
+      (3L, "audio", stereo)).toDF("media_id", "kind", "payload")
     val got = rows(Multimodal.audioFeatures(media).orderBy("media_id"))
-    assert(got(0) == Seq(1L, 4000, 8L, 2L, 1000L, 8000000L, 1000.0, 7L))
-    assert(got(1) == Seq(2L, null, null, null, null, null, null, null))
+    assert(got(0) == Seq(1L, 4000, 1, 8L, 2L, 1000L, 8000000L, 1000.0, 7L))
+    assert(got(1) == Seq(2L, null, null, null, null, null, null, null, null))
+    assert(got(2) == Seq(3L, 4000, 2, 8L, 1L, 1000L, 8000000L, 1000.0, 7L))
   }
 
   test("stub decoder: deterministic, resize bounds size, frames cover bytes") {
