@@ -48,6 +48,28 @@ class SamplingSpec extends SparkSpec {
       rows(graft.operators.Sampling.tokenBudgetPerGroup(df, "g", "n_tok", 300L, "id").orderBy("id")))
   }
 
+  test("tokenBudgetPerGroup ≡ in-JVM reference on randomized inputs") {
+    // 40 randomized-ish rows (deterministic arithmetic fixture), three
+    // groups, uneven token counts — replicate the operator's rule exactly
+    // in plain Scala: salted-hash order per group, keep while the running
+    // total INCLUDING the doc fits the budget
+    val rows0 = (1L to 40L).map(i => (s"g${i % 3}", i, 11L + (i * 7) % 23))
+    val df = rows0.toDF("g", "id", "n_tok")
+    val budget = 120L
+    val expected = rows0.groupBy(_._1).flatMap { case (_, grp) =>
+      val ordered = grp.sortBy { case (_, id, _) =>
+        (graft.functions.Hashing.hash64Local(s"$id|tokquota"), id) }
+      var cum = 0L
+      ordered.map { case (_, id, n) => cum += n; id -> ((cum, cum <= budget)) }
+    }.toMap
+    val got = rows(graft.operators.Sampling
+      .tokenBudgetPerGroup(df, "g", "n_tok", budget, "id")
+      .select("id", "cum_tokens", "keep"))
+      .map(r => r(0).asInstanceOf[Long] ->
+        ((r(1).asInstanceOf[Long], r(2).asInstanceOf[Boolean]))).toMap
+    assert(got == expected)
+  }
+
   test("packSequences: offsets bounded by budget, cumsum consistent per shard") {
     val df = spark.range(100).toDF("doc_id").withColumn("n", col("doc_id") % 7 + 1)
     val packed = Sampling.packSequences(df, col("n"), "doc_id", 10, 4).cache()

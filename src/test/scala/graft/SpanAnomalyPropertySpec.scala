@@ -104,6 +104,34 @@ class SpanAnomalyPropertySpec extends AnyFunSuite {
     assert(blanket(1L) == "q r s t u" && blanket(2L) == "a b c d e")
   }
 
+  // ---- int8Components bound property ----
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.choose(-2000, 2000).map(_ / 1000.0f)))
+
+  test("int8Components: codes in [-127,127] and reconstruction within scale/2 for arbitrary vectors") {
+    val prop = Prop.forAll(Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, vecGen))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val out = graft.operators.VectorSearch.int8Components(df).collect()
+      val q = df.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.posexplode(
+          graft.operators.VectorSearch.quantize("embedding"))
+          .as(Seq("pos", "v"))).collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+      out.forall { r =>
+        val (id, pos, v8, scale) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+        val orig = q((id, pos))
+        math.abs(v8) <= 127 &&
+          (scale == 0.0 && orig == 0L && v8 == 0L ||
+            scale > 0 && math.abs(orig - v8 * scale) <= scale / 2 + 1e-9)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- sigmaOutliers vs exact BigInt reference ----
 
   private val seriesGen: Gen[List[(String, Long)]] =
