@@ -334,21 +334,46 @@ object Multimodal {
       * byte arithmetic; only the sample decode needs a codec). Skips an
       * ID3v2 tag (syncsafe 28-bit size) and false syncs; VBR files get the
       * first-frame-bitrate estimate, the standard quick probe. */
+    /** False-sync scan bound: a real MP3's first frame header sits at the
+      * audio start (or within ID3 padding slop); arbitrary binary no longer
+      * pays an O(n) byte scan before being rejected. */
+    private val Mp3SyncScanWindow = 8192
+
+    /** MPEG-1 Layer III header test at offset `i` (sync bits + legal
+      * bitrate/sample-rate indices). Returns the frame byte length, or -1. */
+    private def mp3FrameLenAt(b: Array[Byte], i: Int): Int = {
+      if (i + 4 > b.length ||
+          (b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return -1
+      val version = (b(i + 1) >> 3) & 3 // 3 = MPEG-1
+      val layer = (b(i + 1) >> 1) & 3 // 1 = Layer III
+      val brIdx = (b(i + 2) >> 4) & 0xf
+      val srIdx = (b(i + 2) >> 2) & 3
+      val padding = (b(i + 2) >> 1) & 1
+      if (version != 3 || layer != 1 || brIdx < 1 || brIdx > 14 || srIdx >= 3) -1
+      else 144 * Mp3Bitrates(brIdx) * 1000 / Mp3Rates(srIdx) + padding
+    }
+
     private def mp3Meta(b: Array[Byte]): Option[(Int, Int)] = {
-      var i = 0
+      var start = 0
       if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
-        i = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        start = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
           ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
-      while (i >= 0 && i + 4 <= b.length) {
-        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xe0) == 0xe0) {
-          val version = (b(i + 1) >> 3) & 3 // 3 = MPEG-1
-          val layer = (b(i + 1) >> 1) & 3 // 1 = Layer III
-          val brIdx = (b(i + 2) >> 4) & 0xf
-          val srIdx = (b(i + 2) >> 2) & 3
-          if (version == 3 && layer == 1 && brIdx >= 1 && brIdx <= 14 && srIdx < 3) {
-            val kbps = Mp3Bitrates(brIdx)
+      val limit = math.min(b.length.toLong, start.toLong + Mp3SyncScanWindow).toInt
+      var i = start
+      while (i >= 0 && i + 4 <= limit) {
+        val frameLen = mp3FrameLenAt(b, i)
+        if (frameLen > 0) {
+          // A lone 4-byte pattern is not evidence: require a SECOND valid
+          // sync header exactly one frame later — or, for a single-frame /
+          // truncated-tail payload, that the candidate sits at the audio
+          // start (byte 0 / right after the ID3 tag).
+          val verified =
+            if (i.toLong + frameLen + 4 <= b.length) mp3FrameLenAt(b, i + frameLen) > 0
+            else i == start
+          if (verified) {
+            val kbps = Mp3Bitrates((b(i + 2) >> 4) & 0xf)
             val durMs = ((b.length - i).toLong * 8L / kbps).toInt
-            return Some((Mp3Rates(srIdx), durMs))
+            return Some((Mp3Rates((b(i + 2) >> 2) & 3), durMs))
           }
         }
         i += 1

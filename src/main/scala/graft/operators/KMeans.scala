@@ -172,7 +172,23 @@ object KMeans {
 
   /** Driver-side weighted Lloyd over the (tiny) candidate set: deterministic
     * init (highest weight first, ties on content), integer grid means with
-    * the same floor(x + 0.5) rounding as the distributed [[update]]. */
+    * EXACT rational round-half-up — floor(s/w + 1/2) computed as BigInt
+    * floor-division floor((2s + w) / 2w), no intermediate decimal/double
+    * rounding that could flip an integer near a .5 boundary. (The
+    * distributed [[update]] divides in IEEE double, which is bit-identical
+    * across engines for the exact-integer inputs both paths see; this form
+    * is additionally exact for ANY magnitude, and is what the SQL oracle
+    * replays with HUGEINT arithmetic.) */
+  /** floor(s/w + 1/2) exactly: floor((2s + w) / 2w) via BigInt floor
+    * division (BigInt./ truncates toward zero, so negatives adjust).
+    * Package-visible so the spec can pin the near-.5-boundary cases where
+    * a DECIMAL128 intermediate quotient would flip the integer. */
+  private[graft] def roundedMean(s: BigInt, w: BigInt): BigInt = {
+    val n = 2 * s + w
+    val d = 2 * w
+    if (n.signum >= 0) n / d else -((-n + d - 1) / d)
+  }
+
   private def weightedLloyd(cands: Seq[(Array[Long], Long)], k: Int,
       iters: Int): Seq[Array[Long]] = {
     def dist2(a: Array[Long], b: Array[Long]): BigInt = {
@@ -192,7 +208,7 @@ object KMeans {
         val dim = pts.head._2.length
         Array.tabulate(dim) { j =>
           val s = pts.foldLeft(BigInt(0)) { case (acc, (_, c, w)) => acc + BigInt(c(j)) * w }
-          (BigDecimal(s) / BigDecimal(wsum) + 0.5).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+          roundedMean(s, BigInt(wsum)).toLong
         }
       }
     }

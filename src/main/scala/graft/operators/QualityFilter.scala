@@ -85,8 +85,15 @@ object QualityFilter {
   def quantileGate(df: DataFrame, metricCol: String, quantile: Double): DataFrame = {
     val cut = df.agg(expr(s"percentile($metricCol, $quantile)").as("cutoff"))
     df.crossJoin(broadcast(cut))
-      .withColumn("keep", col(metricCol) >= col("cutoff"))
+      .withColumn("keep", keepVerdict(metricCol))
   }
+
+  /** NULL metrics never pass a gate (percentile ignores them, so a NULL
+    * can't influence the cutoff either) — `keep` is always a real boolean,
+    * so `filter(col("keep"))` audits every input row instead of silently
+    * three-valued-logic-dropping the NULLs. */
+  private def keepVerdict(metricCol: String) =
+    coalesce(col(metricCol) >= col("cutoff"), lit(false))
 
   /** Per-GROUP corpus-relative gating: each group (language / source /
     * shard) gets its OWN exact-percentile cutoff — the real curation shape.
@@ -98,9 +105,14 @@ object QualityFilter {
     * global [[quantileGate]] at any corpus size. */
   def quantileGateGrouped(df: DataFrame, groupCol: String, metricCol: String,
       quantile: Double): DataFrame = {
-    val cuts = df.groupBy(col(groupCol))
+    // Null-SAFE join: groupBy computes a cutoff for the NULL group, and a
+    // plain equi-join would never match it back — rows with a NULL group
+    // would vanish from the output (neither keep=true nor keep=false).
+    // `<=>` keeps every input row, matching the global gate's contract.
+    val cuts = df.groupBy(col(groupCol).as("__gate_group"))
       .agg(expr(s"percentile($metricCol, $quantile)").as("cutoff"))
-    df.join(broadcast(cuts), Seq(groupCol))
-      .withColumn("keep", col(metricCol) >= col("cutoff"))
+    df.join(broadcast(cuts), col(groupCol) <=> col("__gate_group"), "left")
+      .drop("__gate_group")
+      .withColumn("keep", keepVerdict(metricCol))
   }
 }

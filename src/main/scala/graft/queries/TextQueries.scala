@@ -420,7 +420,8 @@ object TextQueries {
         t(s, d, "documents")
           .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens")),
         "n_tokens", 0.25),
-      Some(s"""SELECT doc_id, n_tokens, cutoff, n_tokens >= cutoff AS keep
+      Some(s"""SELECT doc_id, n_tokens, cutoff,
+                      coalesce(n_tokens >= cutoff, false) AS keep
                FROM (SELECT doc_id, len($tokensSql) AS n_tokens FROM documents)
                CROSS JOIN (SELECT quantile_cont(len($tokensSql), 0.25) AS cutoff
                            FROM documents)""")),
@@ -434,10 +435,12 @@ object TextQueries {
         t(s, d, "documents").select(col("lang"), col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens")),
         "lang", "n_tokens", 0.25),
-      Some(s"""SELECT lang, doc_id, n_tokens, cutoff, n_tokens >= cutoff AS keep
+      Some(s"""SELECT m.lang, doc_id, n_tokens, cutoff,
+                      coalesce(n_tokens >= cutoff, false) AS keep
                FROM (SELECT lang, doc_id, len($tokensSql) AS n_tokens FROM documents) m
-               JOIN (SELECT lang, quantile_cont(len($tokensSql), 0.25) AS cutoff
-                     FROM documents GROUP BY lang) c USING (lang)""")),
+               LEFT JOIN (SELECT lang, quantile_cont(len($tokensSql), 0.25) AS cutoff
+                          FROM documents GROUP BY lang) c
+                 ON m.lang IS NOT DISTINCT FROM c.lang""")),
 
     // Content fingerprint: md5 over the sorted distinct token set (word-order
     // insensitive document identity; the rolling-hash variant lives in
@@ -1078,12 +1081,20 @@ object TextQueries {
               CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT) AS f1_nonzero
               FROM documents""")),
 
+    // The oracle derives samples from CHARACTERS (split + ord) while
+    // wavSynth packs BYTES — equal only for pure-ASCII, non-empty text.
+    // That assumption is ENFORCED, not assumed: both sides filter to
+    // octet_length = char_length AND text <> '', so a non-ASCII or empty
+    // doc drops from both identically instead of silently diverging.
     QueryDef("q_x_audio_features",
       (s, d) => graft.multimodal.Multimodal.audioFeatures(
-        graft.multimodal.Multimodal.wavSynth(t(s, d, "documents"))),
+        graft.multimodal.Multimodal.wavSynth(t(s, d, "documents")
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            col("text") =!= ""))),
       Some("""WITH s AS (SELECT doc_id,
                 list_transform(split(text, ''), c -> CAST((ord(c) - 128) * 256 AS BIGINT)) AS sm
-              FROM documents)
+              FROM documents
+              WHERE octet_length(CAST(text AS BLOB)) = length(text) AND text <> '')
               SELECT doc_id AS media_id,
                      CAST(8000 AS INTEGER) AS sample_rate,
                      CAST(1 AS INTEGER) AS n_channels,

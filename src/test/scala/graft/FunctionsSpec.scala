@@ -167,6 +167,30 @@ class FunctionsSpec extends SparkSpec {
       Seq(Seq("A", 27.5), Seq("B", 2750.0)))
   }
 
+  test("quantileGateGrouped: NULL groups are gated, not silently dropped") {
+    // A NULL group key gets its own cutoff via the null-safe join — before
+    // the fix these rows vanished (equi-join never matches NULL keys).
+    val df = Seq(
+      (Some("A"), 1L, Some(10L)), (Some("A"), 2L, Some(20L)),
+      (None, 3L, Some(100L)), (None, 4L, Some(200L)),
+      (None, 5L, None) // NULL metric: keep must be false, not NULL
+    ).toDF("g", "doc_id", "m")
+    val got = graft.operators.QualityFilter.quantileGateGrouped(df, "g", "m", 0.5)
+    assert(got.count() == 5, "every input row must survive the gate join")
+    val byId = rows(got.select("doc_id", "keep").orderBy("doc_id"))
+    // NULL-group median of (100, 200) = 150 → doc 3 fails, doc 4 passes;
+    // doc 5 (NULL metric) is keep=false — a real boolean, never NULL.
+    assert(byId == Seq(Seq(1L, false), Seq(2L, true),
+      Seq(3L, false), Seq(4L, true), Seq(5L, false)))
+  }
+
+  test("quantileGate: NULL metric rows are kept in output with keep=false") {
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None)).toDF("doc_id", "m")
+    val got = rows(graft.operators.QualityFilter.quantileGate(df, "m", 0.5)
+      .select("doc_id", "keep").orderBy("doc_id"))
+    assert(got == Seq(Seq(1L, false), Seq(2L, true), Seq(3L, false)))
+  }
+
   test("bigramCoverage: common-bigram fraction against corpus counts") {
     // "a b" occurs 3x corpus-wide (docs 1,1,2), everything else is rare
     val docs = Seq(

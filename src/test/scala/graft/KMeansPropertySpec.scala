@@ -45,4 +45,31 @@ class KMeansPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("roundedMean is exact rational floor(s/w + 1/2), incl. .5 boundaries") {
+    // Adversarial case where a DECIMAL128 intermediate quotient flips the
+    // integer: w odd ~4e18, quotient = m + 1/2 − 1/(2w) with m = 1e15. The
+    // true value sits 1.25e-19 BELOW the boundary (→ m), but a 34-digit
+    // quotient rounds to exactly m + 0.5 (→ m + 1).
+    val w = BigInt("4000000000000000001")
+    val m = BigInt("1000000000000000")
+    val s = (w * (2 * m + 1) - 1) / 2
+    assert(KMeans.roundedMean(s, w) == m)
+    val old = (BigDecimal(s) / BigDecimal(w) + 0.5)
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+    assert(old == m + 1, "the DECIMAL128 path really is wrong here")
+    // Exact half rounds UP (floor(x + 1/2) semantics), both signs.
+    assert(KMeans.roundedMean(BigInt(5), BigInt(2)) == 3)  // 2.5 → 3
+    assert(KMeans.roundedMean(BigInt(-5), BigInt(2)) == -2) // −2.5 → −2
+    // Property: matches a 60-digit MathContext reference for random values.
+    val mc = new java.math.MathContext(60)
+    val prop = Prop.forAll(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4),
+        Gen.choose(1L, Long.MaxValue / 4)) { (sv, wv) =>
+      val ref = (BigDecimal(sv, mc) / BigDecimal(wv, mc) + 0.5)
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+      KMeans.roundedMean(BigInt(sv), BigInt(wv)) == ref
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -88,6 +88,24 @@ class MultimodalSpec extends SparkSpec {
       Seq(6L, "unknown", null, null, null, null)))
   }
 
+  test("mp3 probe: false syncs rejected, consecutive-frame evidence accepted") {
+    import Multimodal.HeaderProbe
+    // 128 kbps / 44.1 kHz MPEG-1 Layer III header → frame length 417 bytes
+    val hdr = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)
+    // Sync-looking start with room for a full frame but NO second header
+    // one frame later → not mp3 (pre-fix this was accepted outright).
+    val falseSync = hdr ++ new Array[Byte](600)
+    assert(HeaderProbe.probe(falseSync).format == "unknown")
+    // Same start WITH a valid header exactly one frame (417 B) later → mp3.
+    val twoFrames = hdr ++ new Array[Byte](413) ++ hdr ++ new Array[Byte](16)
+    assert(HeaderProbe.probe(twoFrames).format == "mp3")
+    // ID3-tagged text: tag skip lands in text, no verified frame → unknown,
+    // and the scan is bounded (large payload returns fast).
+    val id3Text = "ID3".getBytes ++ new Array[Byte](7) ++
+      ("lorem ipsum " * 8192).getBytes
+    assert(HeaderProbe.probe(id3Text).format == "unknown")
+  }
+
   test("PNG codec: known image round-trips pixels exactly through the JDK") {
     import Multimodal.PngCodec
     // 5 rows of 3 pixels with every interesting value class.
