@@ -85,6 +85,18 @@ object ScaleProbe {
       val d = rep(docs, Seq("doc_id"), k)
       time(s"bpe_learn k=$k")(graft.operators.BpeVocab.learn(d, 3).size.toLong)
     }
+    // Production-DEPTH learning: ≥512 merges in one pass. The documents
+    // corpus has only 31 distinct words (pairs exhaust at 89 merges), so
+    // depth runs over customer names — 15k distinct words, ~120k merge
+    // capacity. The vocab-resident loop pays ONE corpus word-count job +
+    // an in-memory merge loop; the per-merge distributed twin would need
+    // ~1024 sequential Spark jobs here. Must complete in seconds.
+    val custNames = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_name").as("text"))
+    time("bpe_learn 512 merges")(
+      graft.operators.BpeVocab.learn(custNames, 512).size.toLong)
+    time("bpe_learn 4096 merges")(
+      graft.operators.BpeVocab.learn(custNames, 4096).size.toLong)
     // File-level appends: commit cost must track the BATCH (constant here),
     // not the table — the flat line that makes a streaming/fact sink viable.
     val cat = new graft.catalog.Catalog(spark,

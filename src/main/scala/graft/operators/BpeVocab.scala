@@ -88,11 +88,150 @@ object BpeVocab {
         .otherwise(concat(acc, lit(Sep), x)))
   }
 
-  /** Learn `steps` merges. Each iteration: one vocab-sized agg + a 1-row
-    * collect; the updated vocab is re-persisted and the previous handle
-    * released so lineage and cache stay O(1) across steps. Stops early when
-    * no pair is left to merge. */
+  /** Learn `steps` merges with the word vocabulary RESIDENT IN DRIVER
+    * MEMORY. The corpus-sized work is exactly one job — [[wordVocab]]'s
+    * word-count aggregate — whose result (distinct words + frequencies,
+    * ≪ corpus: a few million rows for web-scale crawls) is collected once;
+    * every merge step then runs as the classic in-memory BPE loop with
+    * incrementally-maintained pair counts (Sennrich et al. 2016's reference
+    * implementation shape). A 32k–100k-merge production vocabulary costs
+    * zero additional cluster jobs — the per-merge
+    * agg-plus-collect of the distributed twin ([[learnDistributed]], kept
+    * for the equivalence spec) would need 2 jobs PER MERGE, a driver-
+    * coordination wall regardless of cluster size. Encode stays a pure
+    * distributed map either way. */
   def learn(docs: DataFrame, steps: Int, textCol: String = "text"): Seq[Merge] = {
+    val vocab = wordVocab(docs, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    learnLocal(vocab, steps)
+  }
+
+  /** UTF-8 byte order — Spark's UTF8String and DuckDB's default collation
+    * both compare strings this way, and [[topPair]]'s ORDER BY ties broke
+    * on it; the in-memory loop must tie-break identically (Java's String
+    * ordering differs above the BMP). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The greedy left-to-right merge fold of [[applyMerge]], driver-side:
+    * append each symbol, fusing with the accumulator's last symbol when
+    * (last, incoming) == (left, right). Greedy = non-overlapping:
+    * [a,a,a] under (a,a) → [aa,a]. */
+  private def applyMergeLocal(syms: Array[String], left: String,
+      right: String, merged: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    out += syms(0)
+    var i = 1
+    while (i < syms.length) {
+      if (out(out.length - 1) == left && syms(i) == right)
+        out(out.length - 1) = merged
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** In-memory BPE merge loop over a collected (word, freq) vocabulary.
+    * Pair counts are maintained INCREMENTALLY: a merge touches only the
+    * words that contain its pair (tracked per pair), so step cost is
+    * proportional to affected words, not the vocabulary — the property
+    * that lets 32k+ merges finish in driver seconds. Semantics are pinned
+    * to [[learnDistributed]] by BpePropertySpec: same counts (adjacent
+    * occurrences weighted by word freq), same greedy fold, same
+    * (weight desc, left, right) argmax with binary-UTF-8 ties. */
+  private[graft] def learnLocal(vocab: Array[(String, Long)], steps: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    // split on CODE POINTS: Spark's substring/length count code points,
+    // and toCharArray would halve anything outside the BMP
+    val words: Array[Array[String]] =
+      vocab.map { case (w, _) =>
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      }
+    val freqs: Array[Long] = vocab.map(_._2)
+
+    def pairsOf(syms: Array[String]): mutable.LinkedHashMap[(String, String), Long] = {
+      val m = mutable.LinkedHashMap.empty[(String, String), Long]
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        m.update(p, m.getOrElse(p, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    var wi = 0
+    while (wi < words.length) {
+      pairsOf(words(wi)).foreach { case (p, mult) =>
+        pairCount.update(p, pairCount.getOrElse(p, 0L) + mult * freqs(wi))
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      }
+      wi += 1
+    }
+
+    def bestPair(): Option[((String, String), Long)] = {
+      var best: (String, String) = null
+      var bestW = 0L
+      pairCount.foreach { case (p, w) =>
+        if (w > bestW || (w == bestW && best != null &&
+            (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2)))))
+          { best = p; bestW = w }
+      }
+      Option(best).map(p => (p, bestW))
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      bestPair() match {
+        case Some(((l, r), w)) =>
+          merges += Merge(step, l, r, w)
+          val merged = l + r
+          val affected = pairWords.getOrElse((l, r), mutable.BitSet.empty).toArray
+          affected.foreach { i =>
+            val before = pairsOf(words(i))
+            words(i) = applyMergeLocal(words(i), l, r, merged)
+            val after = pairsOf(words(i))
+            (before.keySet ++ after.keySet).foreach { p =>
+              val delta = (after.getOrElse(p, 0L) - before.getOrElse(p, 0L)) * freqs(i)
+              if (delta != 0L) {
+                val nw = pairCount.getOrElse(p, 0L) + delta
+                if (nw > 0L) pairCount.update(p, nw) else pairCount.remove(p)
+              }
+              if (after.contains(p))
+                pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+              else if (before.contains(p))
+                pairWords.get(p).foreach { s => s -= i; if (s.isEmpty) pairWords.remove(p) }
+            }
+          }
+        case None => done = true
+      }
+      step += 1
+    }
+    merges.result()
+  }
+
+  /** The per-merge DISTRIBUTED loop (one vocab-sized pair-count agg + 1-row
+    * collect per step, re-persisted/count-materialized each round): kept as
+    * the cross-checking twin for [[learn]] — BpePropertySpec proves both
+    * emit the identical merge sequence on arbitrary corpora. Useful only
+    * when the word vocabulary itself cannot fit on the driver; at 2 Spark
+    * jobs per merge it cannot reach production vocab sizes. */
+  private[graft] def learnDistributed(docs: DataFrame, steps: Int,
+      textCol: String = "text"): Seq[Merge] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var syms = initSymbols(wordVocab(docs, textCol)).persist(lvl)
     val merges = Seq.newBuilder[Merge]

@@ -86,4 +86,21 @@ class BpePropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("vocab-resident learn ≡ per-merge distributed loop, arbitrary corpora") {
+    // The production path collects the word vocab once and loops in driver
+    // memory; the distributed twin pays 2 Spark jobs per merge. Both must
+    // emit the IDENTICAL merge sequence (step, left, right, weight) —
+    // including tie steps, repeated chains, and early exhaustion.
+    val prop = Prop.forAll(corpusGen, Gen.choose(1, 5)) { (words, steps) =>
+      // split the corpus across two docs: learning must not depend on
+      // document boundaries, only on the corpus word histogram
+      val (w1, w2) = words.splitAt(words.length / 2)
+      val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")))
+        .toDF("doc_id", "text")
+      BpeVocab.learn(docs, steps) == BpeVocab.learnDistributed(docs, steps)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
