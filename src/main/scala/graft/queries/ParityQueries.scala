@@ -31,6 +31,10 @@ object ParityQueries {
 
   private val scdCols = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
 
+  /** Per-(session, sfDir) catalog root for the S2/F12 catalog-surface gates. */
+  private val catalogRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // S3+P1 — table scan with column projection (pruned at the parquet scan).
@@ -700,6 +704,48 @@ object ParityQueries {
               c_mktsegment AS address, c_mktsegment AS city,
               substr(c_name, 10, 2) AS state, substr(c_name, 10, 9) AS zipcode
               FROM customer""")),
+
+    // S2 — TRUNCATE (validate_data.py:139) made oracle-visible, not just
+    // spec-visible: write → truncate → reload (append). The audit row pins
+    // the post-truncate count at 0 (atomic with the run, replayed on every
+    // invocation from the catalog), and the reload totals have teeth: had
+    // truncate not emptied the table, the append would double every count
+    // and the hash would fail.
+    QueryDef("q_s2_truncate_reload",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(catalogRoots, s, d, "graft-cat"))
+        if (!cat.exists("supplier_stage")) {
+          cat.write("supplier_stage", t(s, d, "supplier"))
+          cat.truncate("supplier_stage")
+          cat.write("trunc_audit", cat.read("supplier_stage")
+            .agg(count(lit(1)).as("rows_after_truncate")))
+          cat.append("supplier_stage", t(s, d, "supplier"))
+        }
+        cat.read("supplier_stage")
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("bal_cents"))
+          .crossJoin(broadcast(cat.read("trunc_audit")))
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS n,
+               CAST(sum(${centsSql("s_acctbal")}) AS BIGINT) AS bal_cents,
+               CAST(0 AS BIGINT) AS rows_after_truncate
+               FROM supplier GROUP BY s_nationkey""")),
+
+    // F12 — identifier lower-casing (dynamic_upsert.py:92): the table is
+    // WRITTEN under a mixed-case name and columns are read back with
+    // different casing than stored; a case-sensitive catalog or resolver
+    // would throw (no such table / no such column) and fail the gate.
+    QueryDef("q_f12_identifier_case",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(catalogRoots, s, d, "graft-cat"))
+        if (!cat.exists("Mixed_Case_Dim"))
+          cat.write("MIXED_Case_Dim", t(s, d, "nation"))
+        cat.read("mixed_case_dim")
+          .select(col("N_NATIONKEY").cast("long").as("n_nationkey"),
+            col("N_Name").as("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+              CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""")),
 
     // C5 end-to-end — the whole workflow dispatch (PipelineRunner.run) made
     // oracle-visible, not just spec-visible: five CSV loads (validate ×5),
