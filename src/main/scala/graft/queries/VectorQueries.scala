@@ -120,6 +120,128 @@ object VectorQueries {
   private val kmeansModelRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Per-(session, sfDir) kmeans‖-seeded model (fitParallel defaults:
+    * k=8, iters=2, rounds=2) — the production init, oracle-gated. */
+  private val kmeansParallelModels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.KMeans.Model]()
+
+  private def kmeansParallelModel(s: SparkSession, d: String): graft.operators.KMeans.Model = {
+    kmeansParallelModels.keySet.removeIf(_._1.sparkContext.isStopped)
+    kmeansParallelModels.computeIfAbsent((s, d),
+      _ => graft.operators.KMeans.fitParallel(t(s, d, "embeddings"), k = 8, iters = 2, rounds = 2))
+  }
+
+  /** Full SQL replay of [[graft.operators.KMeans.fitParallel]] — the
+    * deterministic kmeans‖ init IS engine-portable, end to end:
+    *   1. the single hash-ranked seed;
+    *   2. `rounds`=2 oversampling passes — each point's 40-bit id-hash
+    *      coin u tested against the exact integer inequality
+    *      u·φ < d²·l·2⁴⁰ (HUGEINT — mirrors Spark's decimal(38,0)),
+    *      survivors capped at 4·l smallest-u-first, appended in order;
+    *   3. candidate weights = one corpus argmax-assignment count;
+    *   4. 5 driver-Lloyd iterations over the weighted candidates: init
+    *      ranked by (weight DESC, comma-joined content, candidate index —
+    *      the stable-sort key), exact rational means
+    *      floor((2s+w)/2w) via nonneg-remainder HUGEINT floor division,
+    *      index COMPACTION when a cluster empties (row_number over
+    *      surviving ids — the in-memory loop reindexes its Seq);
+    *   5. 2 distributed Lloyd updates (double-division floor(s/n + 0.5),
+    *      cluster ids KEPT — `update` never reindexes);
+    *   6. the final corpus assignment.
+    * Every intermediate is an exact integer or an integer-valued double
+    * < 2^53, so ranks, coins and means agree bit-for-bit. */
+  private lazy val kmeansParallelOracleSql: String = {
+    val k = 8
+    val l = 16 // oversampleFactor * k
+    val cap = 4 * l
+    val U = "1099511627776" // 2^40
+    // one oversampling round: d² against cands, hash coin, exact inequality
+    def round(r: Int, cands: String, out: String) =
+      s"""d$r AS MATERIALIZED (SELECT e.vec_id, min(list_dot_product(e.q, e.q)
+                    + list_dot_product(c.q, c.q)
+                    - 2 * list_dot_product(e.q, c.q)) AS d2
+                  FROM e CROSS JOIN $cands c GROUP BY e.vec_id),
+          u$r AS MATERIALIZED (SELECT d$r.vec_id, e.q, d2,
+                    ${hash64Sql(s"'km[par]$r:' || CAST(d$r.vec_id AS VARCHAR)")} % $U AS u
+                  FROM d$r JOIN e ON d$r.vec_id = e.vec_id),
+          phi$r AS MATERIALIZED (SELECT sum(CAST(d2 AS HUGEINT)) AS phi FROM u$r),
+          p$r AS MATERIALIZED (SELECT q, row_number() OVER (ORDER BY u, vec_id) AS rnk
+                  FROM u$r, phi$r
+                  WHERE CAST(u AS HUGEINT) * phi < CAST(d2 AS HUGEINT) * $l * $U),
+          $out AS MATERIALIZED (SELECT idx, q FROM $cands
+                   UNION ALL
+                   SELECT (SELECT max(idx) FROM $cands) + rnk AS idx, q
+                   FROM p$r WHERE rnk <= $cap)"""
+    // one driver-Lloyd iteration: weighted assignment + exact rational
+    // means + index compaction (the in-memory Seq reindexes on empties)
+    def lloyd(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""la$i AS MATERIALIZED (SELECT idx, q, w, ci FROM (
+            SELECT c.idx, c.q, c.w, p.ci,
+              row_number() OVER (PARTITION BY c.idx
+                ORDER BY 2 * list_dot_product(c.q, p.q) - list_dot_product(p.q, p.q) DESC,
+                         p.ci) AS rn
+            FROM wc c CROSS JOIN $prev p) WHERE rn = 1),
+          l$i AS MATERIALIZED (SELECT row_number() OVER (ORDER BY ci) - 1 AS ci, q FROM (
+            SELECT ci, list(val ORDER BY pos) AS q FROM (
+              SELECT ci, pos,
+                CAST((num - ((num % den) + den) % den) // den AS DOUBLE) AS val
+              FROM (
+                SELECT ci, pos,
+                  2 * sum(CAST(v AS HUGEINT) * CAST(w AS HUGEINT))
+                    + sum(CAST(w AS HUGEINT)) AS num,
+                  2 * sum(CAST(w AS HUGEINT)) AS den
+                FROM (SELECT ci, w, unnest(generate_series(0, len(q) - 1)) AS pos,
+                             unnest(q) AS v FROM la$i)
+                GROUP BY ci, pos))
+            GROUP BY ci))"""
+    }
+    // one distributed Lloyd update: corpus assignment + double-rounded
+    // means, cluster ids kept (update() never reindexes)
+    def distUpdate(i: Int, cents: String): String =
+      s"""fa$i AS MATERIALIZED (SELECT vec_id, q, ci FROM (
+            SELECT e.vec_id, e.q, c.ci,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY 2 * list_dot_product(e.q, c.q) - list_dot_product(c.q, c.q) DESC,
+                         c.ci) AS rn
+            FROM e CROSS JOIN $cents c) WHERE rn = 1),
+          g$i AS MATERIALIZED (SELECT ci, list(val ORDER BY pos) AS q FROM (
+            SELECT ci, pos, floor(sum(v) / count(*) + 0.5) AS val
+            FROM (SELECT ci, unnest(generate_series(0, len(q) - 1)) AS pos,
+                         unnest(q) AS v FROM fa$i)
+            GROUP BY ci, pos) GROUP BY ci)"""
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $quantSql AS q FROM embeddings
+                   WHERE embedding IS NOT NULL),
+        c0 AS MATERIALIZED (SELECT 0 AS idx, q FROM (
+          SELECT q, row_number() OVER (
+            ORDER BY ${hash64Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+          FROM e) WHERE rn = 1),
+        ${round(1, "c0", "c1")},
+        ${round(2, "c1", "c2")},
+        wgt AS MATERIALIZED (SELECT ci AS idx, count(*) AS w FROM (
+          SELECT vec_id, ci FROM (
+            SELECT e.vec_id, c.idx AS ci,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY 2 * list_dot_product(e.q, c.q) - list_dot_product(c.q, c.q) DESC,
+                         c.idx) AS rn
+            FROM e CROSS JOIN c2 c) WHERE rn = 1) GROUP BY ci),
+        wc AS MATERIALIZED (SELECT c.idx, c.q, wgt.w FROM c2 c JOIN wgt ON c.idx = wgt.idx),
+        l0 AS MATERIALIZED (SELECT rn - 1 AS ci, q FROM (
+          SELECT q, row_number() OVER (
+            ORDER BY w DESC, array_to_string(q, ','), idx) AS rn
+          FROM wc) WHERE rn <= $k),
+        ${(1 to 5).map(lloyd).mkString(",\n        ")},
+        ${distUpdate(1, "l5")},
+        ${distUpdate(2, "g1")},
+        af AS MATERIALIZED (SELECT vec_id, ci FROM (
+          SELECT e.vec_id, c.ci,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY 2 * list_dot_product(e.q, c.q) - list_dot_product(c.q, c.q) DESC,
+                       c.ci) AS rn
+          FROM e CROSS JOIN g2 c) WHERE rn = 1)
+        SELECT vec_id, CAST(ci AS BIGINT) AS cluster FROM af"""
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: queries = vec_id < 50, k = 5, self excluded.
@@ -247,6 +369,17 @@ object VectorQueries {
           col("vec_id") < 20, 3)
       },
       Some(kmeansAnnOracleSql)),
+
+    // kmeans‖ (Bahmani et al.) as the PRODUCTION fit path, oracle-gated end
+    // to end: deterministic oversampling (id-hash coins against the exact
+    // u·φ < d²·l·2⁴⁰ inequality), candidate weighting, the driver-side
+    // weighted Lloyd reduction, and 2 distributed updates — all replayed in
+    // SQL. Proves the better-seeded init (lower inertia at larger k, spec-
+    // verified) carries the same engine-portability contract as plain fit.
+    QueryDef("q_x_kmeans_parallel",
+      (s, d) => graft.operators.KMeans.assign(
+        t(s, d, "embeddings"), kmeansParallelModel(s, d)),
+      Some(kmeansParallelOracleSql)),
 
     // Semantic dedup (SemDeDup): near-dup pairs blocked by k-means CLUSTER
     // instead of hyperplane bucket — learned clusters put semantic copies
