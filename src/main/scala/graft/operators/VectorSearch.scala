@@ -127,6 +127,43 @@ object VectorSearch {
       lshBuckets(queries, numPlanes, if (dim > 0) dim else probeDim(queries)),
       index, k)
 
+  /** INT8 variant of [[buildIvfIndex]]: (vec_id, bucket, v8: array<tinyint>,
+    * scale, nn8) — per-vector symmetric max-abs quantization
+    * ([[int8Components]]'s formula) applied to the index payload, cutting
+    * stored vector bytes ~8× vs the long-array full-width index (the 100 TB
+    * index-storage lever). Buckets come from the FULL-WIDTH signs (the
+    * coarse quantizer must not move when the payload is compressed);
+    * `scale` reconstructs values (v8·scale, within scale/2 per component);
+    * nn8 = Σv8² is the stored norm, exact. */
+  def buildIvfIndexInt8(emb: DataFrame, numPlanes: Int = 8, dim: Int = -1): DataFrame =
+    lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
+      .withColumn("mx", expr("array_max(transform(q, x -> abs(x)))"))
+      .withColumn("v8", expr(
+        "transform(q, x -> CAST(CASE WHEN mx = 0 THEN 0 " +
+          "ELSE floor(x * 127.0 / mx + 0.5) END AS TINYINT))"))
+      .select(col("vec_id"), col("bucket"), col("v8"),
+        (col("mx").cast("double") / 127).as("scale"),
+        graft.expressions.DotProductLong(
+          expr("transform(v8, x -> CAST(x AS BIGINT))"),
+          expr("transform(v8, x -> CAST(x AS BIGINT))")).as("nn8"))
+
+  /** Probe the INT8 index: queries quantize full-width at query time and
+    * rank candidates on the RECONSTRUCTED corpus vectors. Cosine is
+    * scale-invariant — cos(q, s·v8) ≡ cos(q, v8) exactly (s > 0 cancels in
+    * numerator and norm) — so the ranking arithmetic never touches `scale`:
+    * exact integer dot/norms over the int8 codes, one IEEE divide/sqrt,
+    * bit-reproducible on any engine. Rank displacement vs the full-width
+    * index is bounded by the quantization error (≤ scale/2 per component;
+    * spec-pinned sim-error bound). */
+  def ivfProbeTopKIndexedInt8(index: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = -1): DataFrame =
+    rankInBucket(
+      lshBuckets(queries, numPlanes, if (dim > 0) dim else probeDim(queries)),
+      index.select(col("vec_id"),
+        expr("transform(v8, x -> CAST(x AS BIGINT))").as("q"),
+        col("nn8").as("nn"), col("bucket")),
+      k)
+
   /** Bucket-equality candidate join + exact ranked verify, shared by the
     * inline and indexed probes (and by [[KMeans.ivfProbeTopK]], which uses
     * learned centroids as the coarse quantizer instead of hyperplane

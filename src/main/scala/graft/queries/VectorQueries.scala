@@ -67,6 +67,33 @@ object VectorQueries {
   /** DuckDB-side quantization (int-valued doubles — exact for dot products). */
   private val quantSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS DOUBLE))"
 
+  /** Oracle for the INT8-compressed stored IVF index: corpus side re-derives
+    * the int8 codes (max-abs symmetric, floor(x·127/mx + 0.5)) and ranks on
+    * them directly — cosine is scale-invariant, so the reconstruction scale
+    * cancels and every rank is exact integer dot/norms + one IEEE divide. */
+  private lazy val int8IvfOracleSql: String = {
+    val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+    val bucketSql = (0 until numPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, $bucketSql AS bucket FROM e),
+        i8 AS (SELECT vec_id, bucket,
+                 list_transform(q, x -> CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE floor(x * 127.0 / mx + 0.5) END) AS v8
+               FROM (SELECT vec_id, bucket, q,
+                       list_max(list_transform(q, x -> abs(x))) AS mx FROM n)),
+        c AS (SELECT vec_id, bucket, v8, list_dot_product(v8, v8) AS nn8 FROM i8),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              list_dot_product(a.q, b.v8) / sqrt(a.nn * b.nn8) AS sim
+              FROM n a JOIN c b ON a.bucket = b.bucket
+              AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
+        SELECT qid, nid, sim, rank FROM (
+          SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM p) WHERE rank <= 3"""
+  }
+
   /** Unrolled 2-iteration Lloyd replay of [[graft.operators.KMeans]] (same
     * seeds, same integer argmax with ties to the smallest cid, same
     * round-half-up grid means — every intermediate is an integer-valued
@@ -283,6 +310,26 @@ object VectorQueries {
           cat.read("ivf_index"), emb.filter(col("vec_id") < 20), 3, numPlanes, dim = 64)
       },
       Some(ivfOracleSql)),
+
+    // ANN through the INT8-compressed stored index: same IVF shape as
+    // q_x_ann_index but the stored payload is (v8 tinyint codes + scale +
+    // nn8) — ~8x smaller raw vector bytes, the 100 TB index-storage lever.
+    // Ranking uses the codes directly (cosine is scale-invariant), so the
+    // probe is exact and oracle-able; displacement vs full-width ranks is
+    // quantization-bounded (spec-pinned).
+    QueryDef("q_x_ann_index_int8",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(ivfIndexRoots, s, d, "graft-ivf-index"))
+        if (!cat.exists("ivf_index_int8"))
+          cat.writeSorted("ivf_index_int8",
+            graft.operators.VectorSearch.buildIvfIndexInt8(emb, numPlanes, dim = 64),
+            4, "bucket")
+        graft.operators.VectorSearch.ivfProbeTopKIndexedInt8(
+          cat.read("ivf_index_int8"), emb.filter(col("vec_id") < 20), 3, numPlanes, dim = 64)
+      },
+      Some(int8IvfOracleSql)),
 
     // Johnson-Lindenstrauss random projection (64 → 16 dims): the pre-ANN
     // compression map — deterministic integer planes, exact dots, zero

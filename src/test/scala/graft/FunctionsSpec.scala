@@ -627,4 +627,34 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(probed.orderBy("qid", "rank")) == rows(inline.orderBy("qid", "rank")))
     assert(rows(probed).nonEmpty)
   }
+
+  test("int8 IVF index: tinyint payload, bounded sim error, bounded rank displacement") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivf8-spec").toString)
+    cat.writeSorted("idx8", VectorSearch.buildIvfIndexInt8(emb, 4, dim = 16), 2, "bucket")
+    val stored = cat.read("idx8")
+    // storage claim: codes really are tinyint (1/8th the long payload)
+    assert(stored.schema("v8").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    val full = VectorSearch.ivfProbeTopK(emb, col("vec_id") < 8, 3, 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val int8 = VectorSearch.ivfProbeTopKIndexedInt8(
+        stored, emb.filter(col("vec_id") < 8), 3, 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(int8.nonEmpty)
+    // sim error bound: per-component error ≤ scale/2 ⇒ cosine shift well
+    // under 0.07 at dim 16 / 127 levels — every shared pair must respect it
+    for (((pair, (s8, _)), _) <- int8.zipWithIndex; (sf, _) <- full.get(pair))
+      assert(math.abs(s8 - sf) <= 0.07, s"pair $pair: int8 sim $s8 vs full $sf")
+    // rank displacement: the full-width top-1 neighbor of every query must
+    // appear in the int8 top-3 (same bucket set, quantization-bounded sims)
+    val fullTop1 = full.collect { case ((q, n), (_, 1L)) => q -> n }
+    val int8ByQ = int8.keySet.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((q, n1) <- fullTop1)
+      assert(int8ByQ(q).contains(n1),
+        s"query $q: full-width top-1 $n1 missing from int8 top-3 ${int8ByQ(q)}")
+  }
 }
