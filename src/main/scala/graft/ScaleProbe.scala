@@ -97,6 +97,57 @@ object ScaleProbe {
       graft.operators.BpeVocab.learn(custNames, 512).size.toLong)
     time("bpe_learn 4096 merges")(
       graft.operators.BpeVocab.learn(custNames, 4096).size.toLong)
+    // Measured skew: one key = 30% of an 8×-replicated lineitem. AQE-off
+    // sort-merge funnels the hot key into one task — salting must beat it;
+    // AQE-on splits skew at runtime — salting must roughly tie it.
+    locally {
+      // probe side: 28.8M rows, 30% on ONE key (an 8.6M-row task under
+      // AQE-off hash partitioning), rest spread over a 100k-key domain;
+      // build side: the 100k-key dim (too big to broadcast at real scale —
+      // broadcast disabled to emulate that). Salting replicates only the
+      // (small) build side; the auto-probe samples 1-in-16.
+      val base = rep(lineitem, Seq("l_orderkey"), 48)
+      def remap(c: String) =
+        when(pmod(col(c), lit(10)) < 3, lit(0L))
+          .otherwise(pmod(col(c), lit(100000)))
+      val skewed = base.select(remap("l_orderkey").as("k"),
+        col("l_extendedprice").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      skewed.count() // materialize: both paths read the same cached frame
+      // the hot key also fans out 8× on the build side (hot keys match more
+      // dim rows in practice) — the straggler task must BUILD 69M of the
+      // output's 89M rows by itself in the plain AQE-off plan
+      val build = spark.range(100000).select(col("id").as("k"), (col("id") * 7).as("w"))
+        .unionByName(spark.range(7).select(lit(0L).as("k"), col("id").as("w")))
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // one untimed warmup per variant: the first post-materialization job
+        // pays JIT/cache-promotion noise an order of magnitude above the
+        // steady-state cost this probe is about
+        def timeWarm(label: String)(f: => Long): Unit = { f; time(label)(f) }
+        // AQE only splits partitions above skewedPartitionThresholdInBytes
+        // (default 256 MB) — this fixture's hot partition is ~140 MB, so
+        // stock AQE leaves the straggler alone (a real operational gap
+        // salting covers). Lower the threshold so the aqe=true leg shows
+        // AQE's skew split engaging.
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        for (aqe <- Seq(false, true)) {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+          timeWarm(s"skew_plain aqe=$aqe")(skewed.join(build, Seq("k")).count())
+          timeWarm(s"skew_probe aqe=$aqe")(graft.operators.Skew.chooseSalts(
+            skewed, "k", targetRowsPerTask = 100000L, sampleMod = 16).toLong)
+          timeWarm(s"skew_salted_join aqe=$aqe")(graft.operators.Skew.saltedJoin(
+            skewed, build, "k", 64).count())
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+        skewed.unpersist()
+      }
+    }
     // File-level appends: commit cost must track the BATCH (constant here),
     // not the table — the flat line that makes a streaming/fact sink viable.
     val cat = new graft.catalog.Catalog(spark,

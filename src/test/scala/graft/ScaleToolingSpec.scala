@@ -58,6 +58,37 @@ class ScaleToolingSpec extends SparkSpec {
     assert(Skew.chooseSalts(hot, "k", 10) == Skew.MaxAutoSalts)
   }
 
+  test("30%-hot-key fixture: salting physically splits the hot key's task") {
+    // one key carries 30% of all rows — the pathological shape AQE-off SMJ
+    // funnels into a single straggler task
+    val n = 20000L
+    val skewed = spark.range(n).select(
+      when(col("id") % 10 < 3, lit(0L)).otherwise(col("id")).as("k"), col("id").as("v"))
+    val build = spark.range(n).select(col("id").as("k"), (col("id") * 7).as("w"))
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def hotPartitions(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("k") === 0).rdd
+          .mapPartitionsWithIndex((i, it) => if (it.hasNext) Iterator(i) else Iterator.empty)
+          .distinct().count()
+      val plain = skewed.join(build, Seq("k"))
+      assert(hotPartitions(plain) == 1,
+        "plain hash-partitioned join must place the whole hot key in one task")
+      val salts = Skew.chooseSalts(skewed, "k", targetRowsPerTask = 1000)
+      assert(salts >= 6, s"6000 hot rows / 1000 target → ≥6 salts, got $salts")
+      val salted = Skew.saltedJoin(skewed, build, "k", salts)
+      assert(hotPartitions(salted) > 1,
+        "salted join must spread the hot key across multiple tasks")
+      assert(salted.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("projection prunes the parquet scan to selected columns") {
     val plan = graft.SparkEntry.queries("q_s3_scan_projection")(spark, sf0001)
       .queryExecution.executedPlan.toString
