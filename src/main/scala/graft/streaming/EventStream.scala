@@ -28,7 +28,18 @@ object EventStream {
     spark.readStream.schema(schema).parquet(dir)
 
   /** Tumbling-window counts/sums per event type with a late-data watermark —
-    * semantically the streaming version of q_x_events_hourly. */
+    * semantically the streaming version of q_x_events_hourly.
+    *
+    * Watermark-drop CONTRACT (spec-pinned in StreamingSpec):
+    *  - arrival DISORDER within the watermark loses nothing: any interleaving
+    *    of events across micro-batches whose lateness (event time vs the max
+    *    event time already seen) stays ≤ `watermark` produces hourly counts
+    *    IDENTICAL to the batch aggregate over the same rows ("out-of-order
+    *    micro-batches" spec);
+    *  - an event arriving after the watermark has passed its window's end is
+    *    DROPPED from the already-finalized window ("watermark finalizes
+    *    windows" spec) — the price of bounded state; size `watermark` to the
+    *    pipeline's real p100 disorder. */
   def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)

@@ -92,6 +92,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order micro-batches within the watermark match batch counts exactly") {
+    val dir = Files.createTempDirectory("graft-ooo").toString
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, ts) => (id, ts, 1L, "click", 1.0, "{}") }
+        .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // hours 10–13 delivered SHUFFLED across micro-batches: every batch
+    // carries events older than the previous batch's max (up to ~2.1h of
+    // disorder — inside the 3h watermark), interleaved with fresh ones
+    append(Seq((1L, "2024-01-01 11:10:00"), (2L, "2024-01-01 10:05:00"),
+      (3L, "2024-01-01 12:20:00")))
+    val agg = EventStream.hourlyByType(
+      spark.readStream.schema(EventStream.schema).parquet(dir), watermark = "3 hours")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("ooo").start()
+    try {
+      q.processAllAvailable()
+      append(Seq((4L, "2024-01-01 10:40:00"), (5L, "2024-01-01 13:00:00"),
+        (6L, "2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      append(Seq((7L, "2024-01-01 12:45:00"), (8L, "2024-01-01 10:55:00"),
+        (9L, "2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      // horizon-closer: pushes the watermark far past hour 13 so every
+      // window finalizes and append mode emits it
+      append(Seq((10L, "2024-01-05 00:00:00")))
+      q.processAllAvailable()
+      val streamed = rows(spark.table("ooo")
+        .filter(col("win") < to_timestamp(lit("2024-01-01 14:00:00")))
+        .select("win", "n_events").orderBy("win"))
+      // batch twin over the same 9 in-window rows: identical counts —
+      // disorder within the watermark must lose NOTHING
+      val batch = rows(spark.read.parquet(dir)
+        .filter(col("ts") < to_timestamp(lit("2024-01-01 14:00:00")))
+        .groupBy(date_trunc("hour", col("ts")).as("win"))
+        .agg(count(lit(1)).as("n_events")).orderBy("win"))
+      assert(streamed == batch)
+      assert(streamed.map(_(1)) == Seq(3L, 2L, 2L, 2L)) // hours 10,11,12,13
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     val q = EventStream.purchasesWithRecentClicks(EventStream.read(spark, streamDir))
       .writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
