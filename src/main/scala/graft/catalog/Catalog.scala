@@ -32,6 +32,28 @@ final case class CatalogVersionInfo(
     version: Long, isCurrent: Boolean, nFiles: Int, nCarried: Int,
     streamBatchId: Option[Long])
 
+/** A pinned multi-table read set ([[Catalog.snapshot]]): every `read` goes to
+  * the version that was current when the snapshot was taken, so a plan
+  * joining N tables cannot mix one table's pre-flip rows with another's
+  * post-flip rows when writers commit mid-plan. Single-table reads were
+  * always atomic (pointer swap); this extends the guarantee across a READ
+  * SET — the same role Iceberg/Delta give a query's table snapshot ids.
+  * Validity window = version retention (`keepVersions`): a writer pruning a
+  * pinned version past that window fails the read loudly, never silently
+  * substitutes newer rows. */
+final class CatalogSnapshot private[catalog] (catalog: Catalog,
+    pinned: Map[String, Long]) {
+  /** Version pinned per table at snapshot time. */
+  def versions: Map[String, Long] = pinned
+  def read(name: String): DataFrame = pinned.get(name.toLowerCase) match {
+    case Some(v) => catalog.readVersion(name, v)
+    case None => throw new IllegalArgumentException(
+      s"catalog snapshot: '$name' is not in the pinned read set " +
+        s"(${pinned.keys.toSeq.sorted.mkString(", ")}) — declare every table " +
+        "the plan reads when taking the snapshot")
+  }
+}
+
 final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2) {
   private def tableDir(name: String): Path = Paths.get(rootDir, name.toLowerCase)
   private def pointerFile(name: String): Path = tableDir(name).resolve("_CURRENT")
@@ -54,6 +76,18 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     case Some(v) => readVersionDir(name, v)
     case None => throw new IllegalArgumentException(s"catalog: no such table '$name'")
   }
+
+  /** Pin the CURRENT version of every table in `tables` as one consistent
+    * read set ([[CatalogSnapshot]]). Take the snapshot once, read every
+    * input of a multi-table plan through it — a concurrent dimension swap
+    * mid-plan then cannot mix table versions (the C3 fact build reads 6
+    * tables; see PipelineRunner). O(#tables) pointer reads, no data I/O. */
+  def snapshot(tables: String*): CatalogSnapshot =
+    new CatalogSnapshot(this, tables.map { t =>
+      t.toLowerCase -> currentVersionNumber(t).getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog: cannot snapshot missing table '$t'"))
+    }.toMap)
 
   /** Time travel: read a specific retained version (the pointer-swap design
     * keeps `keepVersions` directories, so recent history is queryable the

@@ -70,14 +70,20 @@ final class PipelineRunner(spark: SparkSession, catalog: Catalog,
     Scd2Upsert.initialLoad(source, spec, runDate).limit(0)
   }
 
-  /** C3: build/refresh fact_orders from the current catalog state. */
+  /** C3: build/refresh fact_orders from ONE pinned snapshot of all six
+    * input tables — a concurrent dim swap while the (long) fact join runs
+    * cannot mix a pre-flip dimension with a post-flip one (the reference
+    * gets the same read consistency from its Redshift transaction,
+    * populate_fact.py:91). */
   def populateFact(): Unit = {
     if (!catalog.exists("dim_dates"))
       catalog.write("dim_dates", DateDimension.build(spark))
+    val snap = catalog.snapshot("orders", "orderdetails",
+      "dim_customers", "dim_stores", "dim_products", "dim_dates")
     val fact = FactBuilder.build(
-      catalog.read("orders"), catalog.read("orderdetails"),
-      catalog.read("dim_customers"), catalog.read("dim_stores"),
-      catalog.read("dim_products"), catalog.read("dim_dates"))
+      snap.read("orders"), snap.read("orderdetails"),
+      snap.read("dim_customers"), snap.read("dim_stores"),
+      snap.read("dim_products"), snap.read("dim_dates"))
     if (appendFact) catalog.append("fact_orders", fact)
     else catalog.write("fact_orders", fact)
   }

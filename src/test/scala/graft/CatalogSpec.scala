@@ -360,4 +360,31 @@ class CatalogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](cat.read("ghost"))
     assert(e.getMessage.contains("ghost"))
   }
+
+  test("snapshot pins a multi-table read set across a concurrent flip") {
+    val cat = freshCatalog()
+    cat.write("dim", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    cat.write("fact", Seq((1, 10L), (2, 20L)).toDF("k", "m"))
+    val snap = cat.snapshot("dim", "FACT") // case-insensitive like read()
+    // a writer flips BOTH tables while the "plan" holds the snapshot
+    cat.write("dim", Seq((1, "a2"), (2, "b2"), (3, "c")).toDF("k", "v"))
+    cat.write("fact", Seq((9, 90L)).toDF("k", "m"))
+    // snapshot reads see the pinned pre-flip versions of EVERY table —
+    // no post-flip rows can leak into a join over the read set
+    val joined = snap.read("dim").join(snap.read("fact"), Seq("k"))
+    assert(rows(joined.orderBy("k")) == Seq(Seq(1, "a", 10L), Seq(2, "b", 20L)))
+    // live reads see the new versions
+    assert(cat.read("dim").count() == 3 && cat.read("fact").count() == 1)
+    // reading outside the declared read set fails loudly (an undeclared
+    // table would silently read LIVE and reintroduce the torn-plan bug)
+    val e = intercept[IllegalArgumentException](snap.read("other"))
+    assert(e.getMessage.contains("read set"))
+    // snapshotting a missing table fails loudly
+    intercept[IllegalArgumentException](cat.snapshot("ghost"))
+    // a pinned version pruned past the retention window fails the read
+    // clearly (keepVersions=2): push two more versions of dim
+    cat.write("dim", Seq((4, "d")).toDF("k", "v"))
+    cat.write("dim", Seq((5, "e")).toDF("k", "v"))
+    intercept[IllegalArgumentException](snap.read("dim").collect())
+  }
 }
