@@ -113,4 +113,26 @@ object Sources {
       parsed.filter(col("r._corrupt").isNotNull)
         .select(col("value").as("raw_line")))
   }
+
+  /** JSONL EXPORT — the training-delivery sink (tokenized/packed corpora
+    * ship as sharded JSONL at least as often as parquet). `shards` controls
+    * the output file count via a hash repartition on `shardCol`: shard
+    * membership is a pure function of the key, so re-exports place every
+    * document in the same shard (rsync-friendly, resumable delivery) —
+    * `coalesce` would instead inherit whatever the upstream partitioning
+    * was. Writing is one narrow shuffle + map; no driver involvement, no
+    * small-files explosion at any corpus size.
+    *
+    * Round-trip contract (gated by q_x_jsonl_export): for long/string/
+    * double/array columns, write → [[jsonl]] read-back is IDENTITY. Nulls
+    * survive because the writer keeps them explicit (`ignoreNullFields` =
+    * false) — with the default drop-nulls, a read-back under the explicit
+    * schema still yields null, but downstream consumers with laxer parsers
+    * would see a missing key instead of a null value. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int,
+      shardCol: String): Unit =
+    df.repartition(shards, org.apache.spark.sql.functions.col(shardCol))
+      .write.mode("overwrite")
+      .option("ignoreNullFields", "false")
+      .json(path)
 }

@@ -75,6 +75,34 @@ object QualityFilter {
       .select(col("doc_id"), col("n_spans").as("n_bigrams"),
         col("n_dup_spans").as("n_common"), col("dup_fraction").as("coverage"))
 
+  /** Token-rarity features from the corpus's OWN frequency table — the
+    * unigram half of frequency-based quality filtering: a doc whose rarest
+    * token is corpus-unique (`min_tok_freq` = 1, `n_hapax` > 0) carries
+    * OCR noise / mojibake / random IDs; a doc whose RAREST token is still
+    * very common is pure boilerplate vocabulary. All-integer outputs, so
+    * the gate is cross-engine exact (no log-probability floats — the same
+    * design rule as [[bigramCoverage]]).
+    *
+    * Shape: one token-occurrence stream feeds (a) a word-count-shaped
+    * frequency aggregate (vocab-sized result) and (b) an equi-join of that
+    * table back onto the stream + one per-doc aggregate. The corpus is
+    * scanned twice — the standard trade at 100 TB, where persisting the
+    * exploded occurrence stream would cost more than the re-scan; the
+    * vocab side is broadcast-eligible whenever the vocabulary fits (AQE
+    * decides), else it is a plain token-keyed shuffle join. */
+  def tokenRarity(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def occurrences = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+    val freq = occurrences.groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
+    occurrences.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("tok_freq")).as("min_tok_freq"),
+        max(col("tok_freq")).as("max_tok_freq"),
+        sum(when(col("tok_freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
   /** Corpus-RELATIVE quality gating: keep rows whose metric reaches the
     * corpus's own `quantile` of that metric — the production form of
     * threshold selection (fixed constants go stale as the corpus shifts;

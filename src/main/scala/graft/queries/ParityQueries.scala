@@ -35,6 +35,10 @@ object ParityQueries {
   private val catalogRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Per-(session, sfDir) export root for the JSONL sink gate. */
+  private val jsonlRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // S3+P1 — table scan with column projection (pruned at the parquet scan).
@@ -704,6 +708,23 @@ object ParityQueries {
               c_mktsegment AS address, c_mktsegment AS city,
               substr(c_name, 10, 2) AS state, substr(c_name, 10, 9) AS zipcode
               FROM customer""")),
+
+    // JSONL export sink round-trip: write the documents table as sharded
+    // JSONL (the training-delivery format), read it back through the
+    // schema'd JSONL source, and oracle the read-back rows against the
+    // parquet directly — any value the writer mangles (escaping, nulls,
+    // integer widths) breaks the hash. Write-once per (session, sf) like
+    // the stored-index gates.
+    QueryDef("q_x_jsonl_export",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val out = tempRoot(jsonlRoots, s, d, "graft-jsonl-export") + "/docs"
+        if (!new java.io.File(out).exists)
+          graft.io.Sources.writeJsonl(docs, out, 4, "doc_id")
+        graft.io.Sources.jsonl(s, out, docs.schema)
+          .select(docs.schema.fieldNames.map(col).toIndexedSeq: _*)
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
 
     // S2 — TRUNCATE (validate_data.py:139) made oracle-visible, not just
     // spec-visible: write → truncate → reload (append). The audit row pins

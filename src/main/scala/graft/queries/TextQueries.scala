@@ -517,6 +517,19 @@ object TextQueries {
                            THEN n_common / CAST(n_bigrams AS DOUBLE) END AS coverage
                FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")),
 
+    // Token-rarity features from the corpus's own frequency table — the
+    // unigram frequency-filtering signal (docs whose rarest token is
+    // corpus-unique carry noise; all-integer outputs, cross-engine exact).
+    QueryDef("q_x_token_rarity",
+      (s, d) => graft.operators.QualityFilter.tokenRarity(t(s, d, "documents")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+               f AS (SELECT tok, count(*) AS tok_freq FROM tok GROUP BY tok)
+               SELECT doc_id, count(*) AS n_tokens,
+                      min(tok_freq) AS min_tok_freq,
+                      max(tok_freq) AS max_tok_freq,
+                      CAST(sum(CASE WHEN tok_freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+               FROM tok JOIN f USING (tok) GROUP BY doc_id""")),
+
     // Duplicated-span REMOVAL: tokens covered by a corpus-repeated 8-token
     // window are dropped and the text reassembled — the transform half of
     // substring dedup (the inventory above is the detection half).

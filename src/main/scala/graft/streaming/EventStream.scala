@@ -109,6 +109,15 @@ object EventStream {
         sessionFn(gapUs))
   }
 
+  /** FULL-µs event time. `Timestamp.getTime` alone is ms-truncated — on a
+    * µs-precision feed that truncation makes the streaming sessions
+    * disagree with the batch twin's `ts_us` arithmetic (start/end/duration
+    * off by the sub-ms fraction, and a gap decision can flip when two
+    * events straddle the 30-min threshold by <1 ms). getNanos carries the
+    * full fractional second, so combine whole seconds + nanos exactly. */
+  private[graft] def tsMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   private[graft] def sessionFn(gapUs: Long)(
       userId: Long, events: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
     val out = scala.collection.mutable.ListBuffer[Session]()
@@ -118,8 +127,8 @@ object EventStream {
       state.remove()
       cur = None
     }
-    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      val tUs = e.ts.getTime * 1000L
+    events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tUs = tsMicros(e.ts)
       val cents = math.round(e.value * 100)
       cur match {
         case Some(s) if tUs - s.last <= gapUs =>

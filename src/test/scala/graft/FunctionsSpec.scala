@@ -191,6 +191,20 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, false), Seq(2L, true), Seq(3L, false)))
   }
 
+  test("tokenRarity: corpus-frequency features count hapax occurrences") {
+    val docs = Seq(
+      (1L, "the the rare"),   // "the" freq 3, "rare" freq 1 (hapax)
+      (2L, "the common"),     // "common" freq 2
+      (3L, "common")).toDF("doc_id", "text")
+    val got = rows(graft.operators.QualityFilter.tokenRarity(docs)
+      .select("doc_id", "n_tokens", "min_tok_freq", "max_tok_freq", "n_hapax")
+      .orderBy("doc_id"))
+    assert(got == Seq(
+      Seq(1L, 3L, 1L, 3L, 1L),   // rarest = hapax "rare"
+      Seq(2L, 2L, 2L, 3L, 0L),
+      Seq(3L, 1L, 2L, 2L, 0L)))
+  }
+
   test("bigramCoverage: common-bigram fraction against corpus counts") {
     // "a b" occurs 3x corpus-wide (docs 1,1,2), everything else is rare
     val docs = Seq(

@@ -99,4 +99,26 @@ class SourcesSpec extends SparkSpec {
     val df = Sources.jsonl(spark, f.toString, docSchema)
     assert(rows(df.select("doc_id", "text")) == Seq(Seq(1L, "zipped")))
   }
+
+  test("writeJsonl: sharded export round-trips values, nulls, and arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("""quotes " and \ slashes, unicode é🙂"""), Some(1.5), Seq(1.0f, -2.25f)),
+      (2L, None, None, Seq.empty[Float])
+    ).toDF("doc_id", "text", "score", "vec")
+    val out = Files.createTempDirectory("graft-jsonl-w").toString + "/t"
+    Sources.writeJsonl(df, out, 3, "doc_id")
+    // bounded by the shard count (empty shards write no file at all —
+    // no empty-file litter when keys are few)
+    val nFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".json"))
+    assert(nFiles >= 1 && nFiles <= 3)
+    val back = Sources.jsonl(spark, out,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, text string, score double, vec array<float>"))
+      .select("doc_id", "text", "score", "vec")
+    // identity round-trip, nulls kept explicit (not dropped keys)
+    assert(rows(back.orderBy("doc_id")) == rows(df.orderBy("doc_id")))
+    assert(spark.read.text(out).filter(col("value").contains("\"text\":null")).count() == 1)
+  }
 }

@@ -267,6 +267,73 @@ class StreamingSpec extends SparkSpec {
     assert(state.getOption.exists(_.n == 1))       // third event holds open state
   }
 
+  test("streaming sessionize matches batch sessionize bit-exactly on the real feed") {
+    import EventStream._
+    // the real µs-precision events feed, time-ordered and split into 3
+    // sequential micro-batches (zero lateness → nothing can be dropped)
+    val ev = graft.queries.Q.events(spark, sf0001)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("value"), col("ts_us"))
+    val bounds = rows(ev.agg(
+      expr("percentile(ts_us, 0.33)"), expr("percentile(ts_us, 0.66)"),
+      max(col("ts_us")))).head.map(v => math.ceil(v.toString.toDouble).toLong)
+    val (c1, c2, tMax) = (bounds(0), bounds(1), bounds(2))
+    val dir = Files.createTempDirectory("graft-sess-stream").toString
+    def stage(from: Long, until: Long): Unit =
+      ev.filter(col("ts_us") >= from && col("ts_us") < until)
+        .select("event_id", "ts", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    stage(Long.MinValue, c1)
+    val sessions = EventStream.sessionize(
+      spark.readStream
+        .schema("event_id bigint, ts timestamp, user_id bigint, value double")
+        .parquet(dir).as[Event])
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      stage(c1, c2)
+      q.processAllAvailable()
+      stage(c2, Long.MaxValue)
+      q.processAllAvailable()
+      // two far-future closer batches for a synthetic user: the first
+      // advances the watermark past every open session's timeout, the
+      // second triggers timeout processing that flushes them
+      for (k <- 1 to 2) {
+        Seq((-k.toLong, tMax + k * 86400000000L)).toDF("event_id", "tus")
+          .select(col("event_id"), timestamp_micros(col("tus")).as("ts"),
+            lit(-1L).as("user_id"), lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("sess").filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("value_cents"))
+      // batch twin: q_x_sessionize's window logic, re-keyed on (start, end)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val batch = graft.queries.Q.events(spark, sf0001)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round(col("value") * 100, 0).cast("long").as("vc"))
+        .withColumn("brk",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1)
+            .when(lag(col("ts_us"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_events"), sum(col("vc")).as("value_cents"))
+        .drop("sid")
+      val mismatches = streamed
+        .join(batch, Seq("user_id", "start_us", "end_us", "n_events", "value_cents"),
+          "full_outer")
+      assert(streamed.count() == batch.count() &&
+        streamed.count() == mismatches.count(),
+        "streamed sessions != batch sessions")
+      assert(streamed.count() > 100) // the fixture produces real session volume
+    } finally q.stop()
+  }
+
   test("catalog sink: micro-batches append effectively-once (replays skipped)") {
     val cat = new graft.catalog.Catalog(spark,
       Files.createTempDirectory("graft-cat-sink").toString)
