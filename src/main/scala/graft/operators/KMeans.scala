@@ -293,6 +293,51 @@ object KMeans {
     })
   }
 
+  /** Cluster occupancy under `model`'s own assignment — the (centroid,
+    * weight) sufficient statistics an incremental update needs. One
+    * map-side assignment + k-row aggregate; store it next to the model. */
+  def clusterWeights(emb: DataFrame, model: Model, idCol: String = "vec_id",
+      embCol: String = "embedding"): Map[Long, Long] =
+    assign(emb, model, idCol, embCol)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Incremental (mini-batch) model update — continual clustering over a
+    * drifting corpus: fold ONE new batch into a trained model WITHOUT
+    * revisiting the training corpus, which is collapsed to its (centroid,
+    * weight) sufficient statistics. Each batch row assigns to its nearest
+    * current centroid (pure map); the merged cell is the weighted grid
+    * mean floor((w·val + Σ batch_v) / (w + n_batch) + 0.5) — exactly one
+    * [[update]] Lloyd step in which the old corpus participates as w
+    * phantom copies of its centroid. Clusters the batch misses are
+    * unchanged (the formula degenerates to floor(val + 0.5) = val).
+    *
+    * Cost: one batch-sized scan + a k·dim-cell collect — independent of
+    * historical corpus size, the property that makes nightly model
+    * refreshes O(night's data) at 100 TB. Double division mirrors
+    * [[update]]'s rounding (all inputs integer-valued < 2^53 → identical
+    * IEEE results in any engine). */
+  def updateModel(batch: DataFrame, model: Model, weights: Map[Long, Long],
+      embCol: String = "embedding"): Model = {
+    val cells = batch.filter(col(embCol).isNotNull)
+      .select(VectorSearch.quantize(embCol).as("q"))
+      .withColumn("cluster", clusterExpr(model))
+      .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    Model(model.centroids.map { case (cid, c) =>
+      val w = weights.getOrElse(cid.toLong, 0L)
+      cid -> c.zipWithIndex.map { case (v, pos) =>
+        val (s, n) = cells.getOrElse((cid.toLong, pos), (0L, 0L))
+        if (w + n == 0L) v
+        else math.floor((w * v + s).toDouble / (w + n) + 0.5).toLong
+      }
+    })
+  }
+
   /** (vec_id, cluster) for every row — a pure map over the corpus scan
     * (centroid literals baked into the plan; nothing is joined, shuffled,
     * or collected), so scoring a 100 TB corpus is scan-bound. */

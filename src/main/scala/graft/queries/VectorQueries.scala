@@ -98,15 +98,16 @@ object VectorQueries {
     * seeds, same integer argmax with ties to the smallest cid, same
     * round-half-up grid means — every intermediate is an integer-valued
     * double well under 2^53, so both engines rank and round identically). */
+  private def assignCte(name: String, cents: String) =
+    s"""$name AS (SELECT vec_id, q, cid FROM (
+          SELECT e.vec_id, e.q, s.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY 2 * list_dot_product(e.q, s.q) - list_dot_product(s.q, s.q) DESC,
+                       s.cid) AS rn
+          FROM e CROSS JOIN $cents s) WHERE rn = 1)"""
+
   private lazy val kmeansCtes: String = {
     val k = 8
-    def assignCte(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, q, cid FROM (
-            SELECT e.vec_id, e.q, s.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY 2 * list_dot_product(e.q, s.q) - list_dot_product(s.q, s.q) DESC,
-                         s.cid) AS rn
-            FROM e CROSS JOIN $cents s) WHERE rn = 1)"""
     def centCte(name: String, assigned: String) =
       s"""$name AS (SELECT cid, list(val ORDER BY pos) AS q FROM (
             SELECT cid, pos, floor(sum(v) / count(*) + 0.5) AS val FROM (
@@ -128,6 +129,30 @@ object VectorQueries {
   private lazy val kmeansOracleSql: String =
     s"""WITH $kmeansCtes
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a3"""
+
+  /** Replay of [[graft.operators.KMeans.updateModel]]: weights from the
+    * current model's own assignment (a3), batch cells from a3 restricted
+    * to the batch predicate, merged cells as the weighted grid mean, then
+    * one more assignment pass under the merged model. */
+  private lazy val kmeansUpdateOracleSql: String =
+    s"""WITH $kmeansCtes,
+        w AS (SELECT cid, count(*) AS w FROM a3 GROUP BY cid),
+        c2u AS (SELECT cid, unnest(generate_series(0, len(q) - 1)) AS pos,
+                       unnest(q) AS v FROM c2),
+        bc AS (SELECT cid, pos, sum(v) AS s, count(*) AS n FROM (
+                 SELECT cid, unnest(generate_series(0, len(q) - 1)) AS pos,
+                        unnest(q) AS v
+                 FROM a3 WHERE vec_id % 7 = 3) GROUP BY cid, pos),
+        m AS (SELECT cid, list(val ORDER BY pos) AS q FROM (
+                SELECT c2u.cid, c2u.pos,
+                  CASE WHEN coalesce(w.w, 0) + coalesce(bc.n, 0) = 0 THEN c2u.v
+                       ELSE floor((coalesce(w.w, 0) * c2u.v + coalesce(bc.s, 0))
+                            / (coalesce(w.w, 0) + coalesce(bc.n, 0)) + 0.5) END AS val
+                FROM c2u LEFT JOIN w ON c2u.cid = w.cid
+                         LEFT JOIN bc ON c2u.cid = bc.cid AND c2u.pos = bc.pos)
+              GROUP BY cid),
+        ${assignCte("a4", "m")}
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a4"""
 
   /** Oracle shared by the in-session and stored-model k-means ANN probes —
     * a model round-tripped through the catalog must not change a rank. */
@@ -427,6 +452,23 @@ object VectorQueries {
       (s, d) => graft.operators.KMeans.assign(
         t(s, d, "embeddings"), kmeansParallelModel(s, d)),
       Some(kmeansParallelOracleSql)),
+
+    // Incremental (mini-batch) model refresh — continual clustering: fold
+    // one batch (vec_id % 7 = 3 stands in for the night's new data) into
+    // the trained model via its (centroid, weight) sufficient statistics,
+    // never revisiting the training corpus; then re-assign the corpus
+    // under the refreshed model. The oracle replays the weighted grid-mean
+    // merge cell by cell.
+    QueryDef("q_x_kmeans_update",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val m = kmeansModel(s, d)
+        val w = graft.operators.KMeans.clusterWeights(emb, m)
+        val m2 = graft.operators.KMeans.updateModel(
+          emb.filter(col("vec_id") % 7 === 3), m, w)
+        graft.operators.KMeans.assign(emb, m2)
+      },
+      Some(kmeansUpdateOracleSql)),
 
     // Semantic dedup (SemDeDup): near-dup pairs blocked by k-means CLUSTER
     // instead of hyperplane bucket — learned clusters put semantic copies

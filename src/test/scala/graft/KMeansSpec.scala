@@ -92,6 +92,39 @@ class KMeansSpec extends SparkSpec {
       par2.centroids.map { case (c, a) => (c, a.toSeq) })
   }
 
+  test("updateModel: zero-weight refresh ≡ one more Lloyd iteration") {
+    // with every stored weight 0 the weighted merge degenerates to the
+    // plain grid mean over the batch — i.e. exactly the Lloyd update fit
+    // would run next. fit(iters=3) must therefore equal fit(iters=2)
+    // incrementally refreshed with the full corpus at zero weights.
+    val m2 = KMeans.fit(blobs, k = 2, iters = 2)
+    val direct = KMeans.fit(blobs, k = 2, iters = 3)
+    val incr = KMeans.updateModel(blobs, m2, weights = Map.empty)
+    assert(incr.centroids.map { case (c, a) => (c, a.toSeq) } ==
+      direct.centroids.map { case (c, a) => (c, a.toSeq) })
+  }
+
+  test("updateModel: clusters the batch misses keep their centroids exactly") {
+    val m = KMeans.fit(blobs, k = 2, iters = 2)
+    val w = KMeans.clusterWeights(blobs, m)
+    // a NEW batch far inside positive territory: assigns to the positive
+    // cluster only, and is distant enough that the damped merge must move it
+    val batch = (0 until 4).map(i => (100L + i, Seq(3.0f, 3.0f, 3.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val batchClusters = KMeans.assign(batch, m)
+      .select("cluster").distinct().as[Long].collect().toSet
+    val updated = KMeans.updateModel(batch, m, w)
+    val untouched = m.centroids.filterNot(c => batchClusters(c._1.toLong))
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (cid, c) =>
+      assert(updated.centroids.toMap.apply(cid).toSeq == c.toSeq)
+    }
+    // touched clusters moved toward the batch (weights make it damped, not frozen)
+    val touched = m.centroids.filter(c => batchClusters(c._1.toLong))
+    assert(touched.exists { case (cid, c) =>
+      updated.centroids.toMap.apply(cid).toSeq != c.toSeq })
+  }
+
   test("model round-trips through the catalog bit-exactly; stored assign ≡ live assign") {
     val cat = new graft.catalog.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft-km-model").toString)
