@@ -206,6 +206,24 @@ object ScaleProbe {
           .nearDuplicatesIncremental(c, batch, 0.3, 8, dim = 64).count())
       }
     }
+    // Incremental k-means refresh: a FIXED 500-vector batch folded into a
+    // model trained on a k×-grown corpus. The historical corpus enters
+    // only as (centroid, weight) sufficient statistics, so refresh cost
+    // must stay flat while corpus (and weights) grow — the O(night's
+    // data) nightly-refresh claim, measured. (clusterWeights is priced
+    // separately: it IS corpus-sized, but runs once at train time.)
+    {
+      val batch = emb.limit(500)
+      for (k <- Seq(1, 4, 8)) {
+        val c = rep(emb, Seq("vec_id"), k)
+        val model = graft.operators.KMeans.fit(c, k = 8, iters = 1)
+        val w = graft.operators.KMeans.clusterWeights(c, model)
+        time(s"kmeans_refresh k=$k") {
+          val m2 = graft.operators.KMeans.updateModel(batch, model, w)
+          m2.centroids.length.toLong
+        }
+      }
+    }
     // Retrieval: the same 4-term search against a k×-grown corpus, once
     // through the STORED term-sorted postings index (built untimed — the
     // write-once path) and once rebuilding postings inline. The inline form
