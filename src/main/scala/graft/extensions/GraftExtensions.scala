@@ -115,6 +115,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.TopKSketch(args(0),
           intLit(args(1), "capacity"), intLit(args(2), "emitK")).toAggregateExpression()
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[graft.expressions.UnicodeNormalize].getName,
+        "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "unicode_normalize(s, form) takes exactly 2 arguments")
+        require(args(1).foldable, "unicode_normalize: form must be a literal")
+        val form = args(1).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize: form must be a STRING literal, got $other")
+        }
+        graft.expressions.UnicodeNormalize(args(0), form)
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
     // Whole-operator extension (builder-brief preference (c)): the native
     // as-of join's planner strategy — AsOfJoinPlan → AsOfJoinExec.

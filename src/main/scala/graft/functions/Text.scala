@@ -11,6 +11,19 @@ object Text {
   /** Whitespace tokens (keeps empty trailing fields — count-stable). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC canonicalization ([[graft.expressions.UnicodeNormalize]],
+    * codegen'd) — run FIRST in a multilingual pipeline so composed and
+    * decomposed spellings of the same glyph hash/join/count as one key. */
+  def nfc(text: Column): Column =
+    graft.expressions.UnicodeNormalize(text, "NFC")
+
+  /** Accent folding by composition: canonical-decompose, then drop the
+    * combining marks (Unicode general category Mn) — "café" → "cafe".
+    * DuckDB twin: `strip_accents`. */
+  def stripAccents(text: Column): Column =
+    regexp_replace(graft.expressions.UnicodeNormalize(text, "NFD"),
+      lit("\\p{Mn}"), lit(""))
+
   /** Distinct k-token shingles of a tokens-array column (by name, because
     * Spark lambda HOFs bind names). Empty when fewer than k tokens. */
   def shingles(toksCol: String, k: Int = 3): Column = {

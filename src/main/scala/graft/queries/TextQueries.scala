@@ -517,6 +517,30 @@ object TextQueries {
                            THEN n_common / CAST(n_bigrams AS DOUBLE) END AS coverage
                FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")),
 
+    // Unicode canonicalization ahead of every byte-keyed operator: NFC
+    // composition + accent folding via the codegen'd UnicodeNormalize
+    // expression. The corpus is ASCII, so a DECOMPOSED mixed-accent suffix
+    // is injected to make the gate real work: NFC must compose it (len
+    // shrinks 19 -> 16), folding must strip the marks — verified against
+    // DuckDB's independent utf8proc implementation per row.
+    QueryDef("q_x_normalize",
+      (s, d) => {
+        val suffix = " café über piña"
+        def raw = concat(col("text"), lit(suffix))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          graft.functions.Text.nfc(raw).as("norm_text"),
+          graft.functions.Text.stripAccents(raw).as("folded"),
+          length(raw).cast("long").as("len_raw"),
+          length(graft.functions.Text.nfc(raw)).cast("long").as("len_nfc"))
+      },
+      Some(s"""SELECT doc_id,
+               nfc_normalize(text || ' café über piña') AS norm_text,
+               strip_accents(text || ' café über piña') AS folded,
+               length(text || ' café über piña') AS len_raw,
+               length(nfc_normalize(text || ' café über piña')) AS len_nfc
+               FROM documents""")),
+
     // Token-rarity features from the corpus's own frequency table — the
     // unigram frequency-filtering signal (docs whose rarest token is
     // corpus-unique carry noise; all-integer outputs, cross-engine exact).

@@ -83,6 +83,10 @@ class ExtensionsSpec extends SparkSpec {
       // id=0: a=[1,2,3,4], b=[2,4,6,8] → dot = 2+8+18+32 = 60
       val byId = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(byId(0L) == 60L)
+      // unicode_normalize exposed to SQL: decomposed e+U+0301 composes to e-acute
+      val norm = s2.sql("SELECT unicode_normalize('cafe\u0301', 'NFC') AS n")
+        .collect().head.getString(0)
+      assert(norm == "caf\u00e9" && norm.length == 4)
     } finally {
       SparkSession.setDefaultSession(TestSpark.spark)
       SparkSession.setActiveSession(TestSpark.spark)

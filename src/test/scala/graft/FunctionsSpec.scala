@@ -191,6 +191,25 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, false), Seq(2L, true), Seq(3L, false)))
   }
 
+  test("nfc/stripAccents: compose decomposed text, fold accents, pass nulls") {
+    val dec = "cafe\u0301 u\u0308ber"   // decomposed: 11 code points
+    val comp = "caf\u00e9 \u00fcber"    // composed: 9
+    val df = Seq((1L, dec), (2L, comp), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = rows(df.select(col("id"),
+      graft.functions.Text.nfc(col("s")).as("n"),
+      graft.functions.Text.stripAccents(col("s")).as("f"),
+      length(graft.functions.Text.nfc(col("s"))).as("ln")).orderBy("id"))
+    assert(got == Seq(
+      Seq(1L, comp, "cafe uber", 9),
+      Seq(2L, comp, "cafe uber", 9),
+      Seq(3L, null, null, null)))
+    // NFKC also folds compatibility forms (the ligature fi U+FB01)
+    val k = rows(Seq("\ufb01n").toDF("s").select(
+      graft.expressions.UnicodeNormalize(col("s"), "NFKC")))
+    assert(k == Seq(Seq("fin")))
+  }
+
   test("tokenRarity: corpus-frequency features count hapax occurrences") {
     val docs = Seq(
       (1L, "the the rare"),   // "the" freq 3, "rare" freq 1 (hapax)
