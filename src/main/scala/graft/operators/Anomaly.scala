@@ -54,6 +54,36 @@ object Anomaly {
 
   private val dec: Column => Column = _.cast("decimal(38,0)")
 
+  /** Robust outliers: |v − median| > k·MAD (median absolute deviation).
+    * The k-sigma test suffers MASKING — a large outlier inflates the σ
+    * that is supposed to flag it (and a 2nd copy of the spike can hide
+    * both); median/MAD have a 50% breakdown point, the standard robust
+    * alternative. Keeps `med`/`mad` columns for score visibility.
+    *
+    * Exactness: inputs are integer counts, and the exact interpolated
+    * median of integers is always x.0/x.5 — representable doubles, so
+    * both engines compute bit-identical med/MAD/flags (no stddev floats;
+    * same design rule as the integer k-sigma inequality above).
+    * Known MAD caveat, deliberate: a ≥50%-constant series has MAD = 0 and
+    * flags EVERY deviating point — k-sigma is the right test there.
+    *
+    * Shape: two grouped exact-percentile aggregates (key-cardinality
+    * results, broadcast back) — two passes over the series, the minimum
+    * any robust fit needs; scoring stays map-side. */
+  def madOutliers(series: DataFrame, keyCols: Seq[String], valueCol: String,
+      k: Int = 3): DataFrame = {
+    val keys = keyCols.map(col)
+    val med = series.groupBy(keys: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val scored = series.join(broadcast(med), keyCols)
+      .withColumn("_adev", abs(col(valueCol) - col("med")))
+    val madDf = scored.groupBy(keys: _*)
+      .agg(expr("percentile(_adev, 0.5)").as("mad"))
+    scored.join(broadcast(madDf), keyCols)
+      .withColumn("is_anomaly", col("_adev") > lit(k) * col("mad"))
+      .drop("_adev")
+  }
+
   /** Per-key raw-moment statistics (n, s, sq) of a training series — the
     * MERGEABLE form of the k-sigma state: two batches' stats add
     * column-wise (Σ(n·cᵢ−s)² expands to n²·sq − n·s², so the sum of

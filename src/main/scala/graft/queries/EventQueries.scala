@@ -75,6 +75,29 @@ object EventQueries {
                      CAST(dev AS HUGEINT) * dev * (n - 1) > 9 * ss.ssd AS is_anomaly
               FROM d JOIN ss USING (event_type)""")),
 
+    // Robust anomaly twin: |v − median| > 3·MAD over the same hourly
+    // series — immune to the masking that lets a big spike inflate σ and
+    // hide itself. Integer counts make every interpolated median x.0/x.5
+    // (exact doubles), so med/MAD/flags are bit-identical cross-engine.
+    QueryDef("q_x_anomaly_robust",
+      (s, d) => graft.operators.Anomaly.madOutliers(
+        events(s, d)
+          .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events")),
+        Seq("event_type"), "n_events", k = 3)
+        .select(col("win"), col("event_type"), col("n_events"),
+          col("med"), col("mad"), col("is_anomaly")),
+      Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+                     count(*) AS n_events FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, median(n_events) AS med FROM h GROUP BY 1),
+              a AS (SELECT h.*, m.med, abs(h.n_events - m.med) AS adev
+                    FROM h JOIN m USING (event_type)),
+              md AS (SELECT event_type, median(adev) AS mad FROM a GROUP BY 1)
+              SELECT a.win, a.event_type, a.n_events, a.med, md.mad,
+                     a.adev > 3 * md.mad AS is_anomaly
+              FROM a JOIN md USING (event_type)""")),
+
     // Anomaly scoring against STORED stats — the production shape: fit
     // mergeable (n, s, sq) moments on history (AM hours), score new points
     // (PM hours) map-side against the broadcast snapshot. Same integer

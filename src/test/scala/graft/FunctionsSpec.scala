@@ -83,6 +83,27 @@ class FunctionsSpec extends SparkSpec {
       .select("is_anomaly")).flatten == Seq(false))
   }
 
+  test("madOutliers: flags spikes k-sigma masks; MAD=0 degenerate case") {
+    import graft.operators.Anomaly
+    // TWO equal huge spikes in 12 points: they inflate sigma enough that
+    // the integer 3-sigma test flags NEITHER (masking) — median/MAD flags
+    // both. The stable points (100/101) stay unflagged in both tests.
+    val series = ((1 to 10).map(i => ("A", i.toLong, 100L + (i % 2))) ++
+      Seq(("A", 11L, 5000L), ("A", 12L, 5000L))).toDF("k", "t", "v")
+    val robust = rows(Anomaly.madOutliers(series, Seq("k"), "v")
+      .filter(col("is_anomaly")).select("t").orderBy("t")).flatten
+    assert(robust == Seq(11L, 12L))
+    val sigma = rows(Anomaly.sigmaOutliers(series, Seq("k"), "v")
+      .filter(col("is_anomaly")).select("t")).flatten
+    assert(sigma.isEmpty) // masked — the robust test exists for exactly this
+    // ≥50%-constant series: MAD = 0, every deviation flags (documented)
+    val const = (Seq(("B", 1L, 7L), ("B", 2L, 7L), ("B", 3L, 7L), ("B", 4L, 9L)))
+      .toDF("k", "t", "v")
+    val g = rows(Anomaly.madOutliers(const, Seq("k"), "v")
+      .filter(col("is_anomaly")).select("t")).flatten
+    assert(g == Seq(4L))
+  }
+
   test("scrubDuplicatedSpans: covered tokens removed, clean docs untouched") {
     val shared = (1 to 8).map(i => s"c$i").mkString(" ")
     val docs = Seq(
