@@ -47,6 +47,10 @@ final case class TokenBudgetConfig(groupCol: String, budgetTokens: Long)
 final case class SplitConfig(trainPct: Int = 90, valPct: Int = 5)
 
 final case class TrainingPipelineConfig(
+    // NFC-canonicalize text FIRST (codegen'd UnicodeNormalize): composed
+    // and decomposed spellings of the same glyph must hash/join as one key
+    // before any byte-keyed stage (exact dedup, span hashes, BPE)
+    normalizeNfc: Boolean = false,
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
     maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
     // corpus-statistic gates, applied AFTER exact dedup (each adds one
@@ -54,6 +58,7 @@ final case class TrainingPipelineConfig(
     // pass through):
     maxSpanDupFraction: Option[Double] = None, // e.g. Some(0.5): drop mostly-duplicated docs
     minBigramCoverage: Option[Double] = None,  // e.g. Some(0.2): drop rare-bigram gibberish
+    maxHapaxFraction: Option[Double] = None,   // e.g. Some(0.5): drop corpus-unique-token-heavy docs
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
     // when set with nearDupJaccard, each near-dup cluster keeps the doc
@@ -84,8 +89,12 @@ final case class TrainingPipelineSummary(
 
 final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
 
-  def run(docs: DataFrame, cfg: TrainingPipelineConfig = TrainingPipelineConfig()):
+  def run(docs0: DataFrame, cfg: TrainingPipelineConfig = TrainingPipelineConfig()):
       TrainingPipelineSummary = {
+    // canonicalization is a pure map riding the first scan — zero cost to
+    // every ASCII row via the isNormalized fast path
+    val docs = if (!cfg.normalizeNfc) docs0
+      else docs0.withColumn("text", graft.functions.Text.nfc(col("text")))
     val inputDocs = docs.count()
 
     // Persisted: each stage frame feeds its count AND the next stage (and
@@ -105,7 +114,8 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the corpus-statistic gates read their input TWICE each (stats pass +
     // join side); persisted handles released in the outer finally
-    val statGates = cfg.maxSpanDupFraction.isDefined || cfg.minBigramCoverage.isDefined
+    val statGates = cfg.maxSpanDupFraction.isDefined ||
+      cfg.minBigramCoverage.isDefined || cfg.maxHapaxFraction.isDefined
     val statPersists = scala.collection.mutable.ListBuffer[DataFrame]()
     try {
       val afterQuality = quality.count()
@@ -147,20 +157,34 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
             .filter(coalesce(col("coverage"), lit(1.0)) >= t) // short docs pass
             .select(col("doc_id")), Seq("doc_id"))
       }
-      val nearDeduped = cfg.nearDupJaccard match {
+      // token-rarity gate: AFTER exact dedup like the other corpus-statistic
+      // gates — duplicate copies make every token non-hapax, which would
+      // mask exactly the docs this gate exists to drop. tokenRarity scans
+      // its input twice (frequency pass + join side) → persist.
+      val hapaxGated = cfg.maxHapaxFraction match {
         case None => statGated
+        case Some(t) =>
+          val p = statGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          statPersists += p
+          p.join(
+            QualityFilter.tokenRarity(p)
+              .filter(col("n_hapax").cast("double") / col("n_tokens") <= t)
+              .select(col("doc_id")), Seq("doc_id"))
+      }
+      val nearDeduped = cfg.nearDupJaccard match {
+        case None => hapaxGated
         case Some(t) =>
           // near-dup clusters over the exact-deduped set; keep each
           // cluster's canonical doc — min id, or best (priority, id) when
           // a priority column is configured — and drop the rest
-          val clustered = TextDedup.clusters(TextDedup.ngramJaccard(statGated, t))
+          val clustered = TextDedup.clusters(TextDedup.ngramJaccard(hapaxGated, t))
           val drop = cfg.nearDupPriorityCol match {
             case None => clustered.filter(col("doc_id") =!= col("cluster_id"))
               .select(col("doc_id"))
-            case Some(pc) => TextDedup.clusterKeepersByPriority(clustered, statGated, pc)
+            case Some(pc) => TextDedup.clusterKeepersByPriority(clustered, hapaxGated, pc)
               .filter(!col("is_keeper")).select(col("doc_id"))
           }
-          statGated.join(drop, Seq("doc_id"), "left_anti")
+          hapaxGated.join(drop, Seq("doc_id"), "left_anti")
       }
       // the scrub REWRITES text (keep-one, order-deterministic keeper) and
       // refreshes n_tokens, so every downstream stage — token budget,

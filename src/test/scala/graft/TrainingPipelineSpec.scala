@@ -167,6 +167,40 @@ class TrainingPipelineSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("normalizeNfc collapses composed/decomposed copies; hapax gate drops gibberish") {
+    import spark.implicits._
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    // docs 1 and 2 are the same text in composed vs decomposed spelling —
+    // WITHOUT normalization they are different bytes and both survive
+    // exact dedup; WITH normalizeNfc they collapse to the canonical copy
+    val comp = "caf\u00e9 cr\u00e8me caf\u00e9 cr\u00e8me"
+    val dec = "cafe\u0301 cre\u0300me cafe\u0301 cre\u0300me"
+    val pair = Seq((1L, comp), (2L, dec)).toDF("doc_id", "text")
+    val raw = new TrainingPipeline(spark, cat).run(pair, TrainingPipelineConfig(
+      quality = open, seqTokens = 64, shards = 1,
+      corpusTable = "nfc_off", sequencesTable = "nfc_off_seqs"))
+    assert(raw.afterDedup == 2)
+    val norm = new TrainingPipeline(spark, cat).run(pair, TrainingPipelineConfig(
+      normalizeNfc = true, quality = open, seqTokens = 64, shards = 1,
+      corpusTable = "nfc_on", sequencesTable = "nfc_on_seqs"))
+    assert(norm.afterDedup == 1)
+    assert(rows(cat.read("nfc_on").select("doc_id")).map(_.head) == Seq(1L))
+    // hapax gate: docs 11/12 share vocabulary (only w5 is corpus-unique →
+    // fractions 0 and 1/5); doc 13 is random-ID gibberish — every token
+    // corpus-unique (fraction 1.0) → dropped
+    val g = Seq(
+      (11L, "w1 w2 w3 w4"), (12L, "w4 w3 w2 w1 w5"),
+      (13L, "xq9 zk7 pv3 mm2")).toDF("doc_id", "text")
+    val s = new TrainingPipeline(spark, cat).run(g, TrainingPipelineConfig(
+      quality = open, maxHapaxFraction = Some(0.5), seqTokens = 64, shards = 1,
+      corpusTable = "hapax_gated", sequencesTable = "hapax_seqs"))
+    assert(rows(cat.read("hapax_gated").select("doc_id").orderBy("doc_id")).map(_.head)
+      == Seq(11L, 12L))
+    assert(s.afterDedup >= 1)
+  }
+
   test("packByBpe budgets sequences in learned-tokenizer units") {
     import spark.implicits._
     val tiny = Seq(
