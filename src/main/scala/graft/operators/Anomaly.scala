@@ -102,6 +102,33 @@ object Anomaly {
       .groupBy(statFrames.head.columns.filterNot(Set("n", "s", "sq")).map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("sq")).as("sq"))
 
+  /** Fitted robust statistics (med, mad) per key — the model table for
+    * [[flagAgainstRobustStats]]. UNLIKE the raw moments of [[stats]], exact
+    * medians are NOT mergeable across batches: refreshing the fit needs the
+    * two exact-percentile passes over the history window (the honest cost
+    * of a robust fit — there is no sufficient statistic to carry forward).
+    * Key-cardinality sized, so the scoring side broadcasts it. */
+  def robustStats(series: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val med = series.groupBy(keys: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    series.join(broadcast(med), keyCols)
+      .withColumn("_adev", abs(col(valueCol) - col("med")))
+      .groupBy(keys: _*)
+      .agg(max(col("med")).as("med"), expr("percentile(_adev, 0.5)").as("mad"))
+  }
+
+  /** Score NEW points against fitted [[robustStats]] — map-side after the
+    * broadcast join, so it composes with a stream (stream-static join) the
+    * same way [[flagAgainstStats]] does. Points with no stats row report
+    * NULL, never false. */
+  def flagAgainstRobustStats(points: DataFrame, statsDf: DataFrame,
+      keyCols: Seq[String], valueCol: String, k: Int = 3): DataFrame =
+    points.join(broadcast(statsDf), keyCols, "left")
+      .withColumn("is_anomaly",
+        when(col("mad").isNotNull,
+          abs(col(valueCol) - col("med")) > lit(k) * col("mad")))
+
   /** Score NEW points against a fitted [[stats]] table — the
     * train-on-history / score-live shape: the stats side is key-cardinality
     * sized (broadcastable), so scoring is map-side and composes with a

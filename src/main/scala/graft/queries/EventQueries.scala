@@ -134,6 +134,38 @@ object EventQueries {
               FROM (SELECT * FROM h WHERE hour(win) >= 12) p
               LEFT JOIN tr USING (event_type)""")),
 
+    // Robust scoring against FITTED (med, mad) — the robust twin of
+    // q_x_anomaly_scored: fit on AM hours (two exact-percentile passes —
+    // medians have no mergeable sufficient statistic, the honest robust
+    // cost), score PM hours map-side against the broadcast model table.
+    QueryDef("q_x_anomaly_robust_scored",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .localCheckpoint()
+        graft.operators.Anomaly.flagAgainstRobustStats(
+          hourly.filter(hour(col("win")) >= 12),
+          graft.operators.Anomaly.robustStats(
+            hourly.filter(hour(col("win")) < 12), Seq("event_type"), "n_events"),
+          Seq("event_type"), "n_events", k = 3)
+          .select(col("win"), col("event_type"), col("n_events"),
+            col("med"), col("mad"), col("is_anomaly"))
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+                     count(*) AS n_events FROM events GROUP BY 1, 2),
+              tr AS (SELECT * FROM h WHERE hour(win) < 12),
+              m AS (SELECT event_type, median(n_events) AS med FROM tr GROUP BY 1),
+              md AS (SELECT event_type, max(med) AS med,
+                            median(abs(tr.n_events - m.med)) AS mad
+                     FROM tr JOIN m USING (event_type) GROUP BY event_type)
+              SELECT p.win, p.event_type, p.n_events, md.med, md.mad,
+                     CASE WHEN md.mad IS NOT NULL
+                          THEN abs(p.n_events - md.med) > 3 * md.mad END AS is_anomaly
+              FROM (SELECT * FROM h WHERE hour(win) >= 12) p
+              LEFT JOIN md USING (event_type)""")),
+
     // Semi-structured extraction: the events `props` column is JSON; pull a
     // typed field out (Spark get_json_object ↔ DuckDB json_extract_string).
     QueryDef("q_x_json_extract",

@@ -104,6 +104,24 @@ class FunctionsSpec extends SparkSpec {
     assert(g == Seq(4L))
   }
 
+  test("robustStats scoring: train==score set ≡ madOutliers; missing keys NULL") {
+    import graft.operators.Anomaly
+    val series = ((1 to 10).map(i => ("A", i.toLong, 100L + (i % 2))) ++
+      Seq(("A", 11L, 5000L), ("A", 12L, 5000L))).toDF("k", "t", "v")
+    val viaStats = rows(Anomaly.flagAgainstRobustStats(series,
+      Anomaly.robustStats(series, Seq("k"), "v"), Seq("k"), "v")
+      .orderBy("t").select("t", "is_anomaly"))
+    val viaWindow = rows(Anomaly.madOutliers(series, Seq("k"), "v")
+      .orderBy("t").select("t", "is_anomaly"))
+    assert(viaStats == viaWindow)
+    // unknown key scores NULL, never false
+    val scored = rows(Anomaly.flagAgainstRobustStats(
+      Seq(("Z", 1L, 9L)).toDF("k", "t", "v"),
+      Anomaly.robustStats(series, Seq("k"), "v"), Seq("k"), "v")
+      .select("is_anomaly"))
+    assert(scored.head.head == null)
+  }
+
   test("scrubDuplicatedSpans: covered tokens removed, clean docs untouched") {
     val shared = (1 to 8).map(i => s"c$i").mkString(" ")
     val docs = Seq(
