@@ -24,6 +24,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
         val t0 = System.nanoTime()
@@ -32,7 +33,19 @@ object Verify {
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // A thrown query must surface as a RED row, never as an absence:
+          // write a one-row parquet whose schema ("err": message) can't match
+          // any oracle, so the driver's compare records an explicit failure.
+          // (Round 6 lost 16 green rows silently when queries started
+          // throwing — CORRECTNESS just shrank with no trace.)
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+          errors += name -> msg
+          System.err.println(s"[verify] $name FAILED: $msg")
+          try {
+            import spark.implicits._
+            Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     }
@@ -51,6 +64,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Human/driver-readable index of everything that threw this run.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

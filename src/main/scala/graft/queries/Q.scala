@@ -41,14 +41,25 @@ object Q {
       { case (s, p) => s.read.parquet(p) })
   }
 
-  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects by default. Read `ts` as nanos-since-epoch (legacy long mode)
-    * and surface `ts_us` (exact: the data is whole microseconds) so event
-    * queries agree with DuckDB's `epoch_us` to the microsecond. */
+  /** The `events` fixture has shipped with several `ts` precisions over time
+    * (TIMESTAMP(NANOS), then timestamp[us]); the driver may regenerate it at
+    * any of them. Read with legacy nanos-as-long enabled (so NANOS parquet
+    * still loads as BIGINT instead of erroring) and branch on the RESOLVED
+    * schema to surface a uniform `ts_us` (µs since epoch, exact — the data is
+    * whole microseconds) that agrees with DuckDB's `epoch_us(ts)`:
+    *  - LongType (nanos-as-long)         → `ts div 1000`
+    *  - TIMESTAMP / TIMESTAMP_NTZ ([us]) → `unix_micros(cast(ts as timestamp))`
+    *    (session TZ is pinned UTC, so the NTZ→instant cast is the identity).
+    * All Spark-side consumers read only `ts_us`; the raw `ts` column is kept
+    * for schema parity but its type intentionally floats with the fixture. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_us", tsUs)
   }
 
   /** Per-(session, sfDir) temp directory for stored-index / stored-layout
