@@ -100,9 +100,19 @@ object BpeVocab {
     * for the equivalence spec) would need 2 jobs PER MERGE, a driver-
     * coordination wall regardless of cluster size. Encode stays a pure
     * distributed map either way. */
-  def learn(docs: DataFrame, steps: Int, textCol: String = "text"): Seq[Merge] = {
-    val vocab = wordVocab(docs, textCol).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+  def learn(docs: DataFrame, steps: Int, textCol: String = "text",
+      minFreq: Long = 1L): Seq[Merge] = {
+    // `minFreq` bounds the collect: on web-scale corpora the vocab's tail is
+    // dominated by hapax words (typos, ids, junk), and dropping freq <
+    // minFreq keeps driver memory proportional to the REPEATED vocabulary
+    // rather than the raw distinct-word count. Semantics caveat: pruned
+    // words' pair occurrences no longer contribute weight, so a tie decided
+    // by a hapax can flip — use minFreq > 1 only where that tolerance is
+    // acceptable (it is, for training-tokenizer vocab builds; pinned by
+    // BpeVocabSpec's prune-equivalence test).
+    val vocabDf = wordVocab(docs, textCol)
+    val pruned = if (minFreq > 1L) vocabDf.filter(col("freq") >= minFreq) else vocabDf
+    val vocab = pruned.collect().map(r => (r.getString(0), r.getLong(1)))
     learnLocal(vocab, steps)
   }
 

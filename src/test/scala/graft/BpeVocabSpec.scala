@@ -84,6 +84,26 @@ class BpeVocabSpec extends SparkSpec {
     assert(BpeVocab.learn(docs, 3) == BpeVocab.learn(docs, 3))
   }
 
+  test("minFreq prune: identical merge sequence on a corpus with a hapax tail") {
+    // Repeated words carry all the pair weight; the hapax tail ("zq-ish"
+    // junk) contributes no pair that competes with any repeated pair, so
+    // pruning freq<2 must not change a single merge decision.
+    val docs = Seq(
+      (1L, "low low low low low lower lower lowest lowest"),
+      (2L, "zq xv qj vk jx kz wq qx")).toDF("doc_id", "text")
+    val full = BpeVocab.learn(docs, 4)
+    val pruned = BpeVocab.learn(docs, 4, minFreq = 2L)
+    assert(pruned == full)
+    assert(full.nonEmpty)
+  }
+
+  test("minFreq prune drives the driver-resident vocab to repeated words only") {
+    val docs = Seq((1L, "aa aa bb cc")).toDF("doc_id", "text")
+    // freq>=2 keeps only "aa" → the sole learnable merge is (a,a), weight 2.
+    val pruned = BpeVocab.learn(docs, 3, minFreq = 2L)
+    assert(pruned.map(m => (m.left, m.right, m.weight)) == Seq(("a", "a", 2L)))
+  }
+
   test("merges round-trip through the catalog; stored encode ≡ live encode") {
     val docs = Seq((1L, "low low low low low lower lower lowest lowest"))
       .toDF("doc_id", "text")
