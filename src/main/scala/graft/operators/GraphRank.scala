@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank-style link centrality over an edge list — the graph-quality
+  * signal of large-scale pretraining data curation (host/URL authority from
+  * the crawl's link graph decides what gets kept; cf. the harmonic-centrality
+  * filtering on Common Crawl in public corpus pipelines), and a generic
+  * iterative-graph primitive (the reference's warehouse has no graph op;
+  * this is part of the training-pipeline extension surface).
+  *
+  * ==Exactness==
+  * Ranks live in FIXED-POINT BIGINT (scale 1e9), every step is integer
+  * arithmetic (`div` truncation on non-negative operands matches DuckDB's
+  * floor `//`), so a fixed iteration count yields bit-identical ranks on
+  * any engine and any parallelism — no float summation order anywhere. The
+  * deliberate trade: truncated contributions leak mass (total rank decays a
+  * few ulps per iteration), which is irrelevant for ranking/filtering and
+  * is the price of cross-engine determinism.
+  *
+  * ==Scale shape==
+  * Each iteration is one join of the edge list with the key-cardinality
+  * rank frame plus one groupBy(dst) — the standard Pregel-on-relations
+  * shape: shuffle cost O(edges) per iteration, co-partitioned on the join
+  * key, no all-pairs and no driver-side graph state (the only collect is
+  * the 1-row node count, folded in as a broadcast scalar). Iterations are
+  * a FIXED small count (the API contract), so lineage stays bounded
+  * without checkpointing.
+  */
+object GraphRank {
+
+  final val Scale = 1000000000L // 1e9 fixed-point
+
+  /** Undirected expansion of a directed edge list: both directions, so no
+    * node is dangling (every node has outdegree ≥ 1 by construction). */
+  def undirected(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+
+  /** `iters` rounds of damped PageRank over `edges` (directed; use
+    * [[undirected]] first for symmetric authority). Nodes = every endpoint.
+    * Damping is the rational `dampNum/100` (default 85/100) kept in integer
+    * arithmetic. Returns (node BIGINT, rank BIGINT) at scale 1e9.
+    *
+    * rank₀(v)   = Scale div N
+    * rankₖ₊₁(v) = ((100−d)·Scale div 100) div N
+    *              + d · Σ_{u→v} (rankₖ(u) div outdeg(u)) div 100
+    *
+    * Dangling nodes (outdeg 0 in a directed graph) simply leak their mass —
+    * acceptable for ranking; eliminate them via [[undirected]]. */
+  def pageRank(edges: DataFrame, iters: Int = 3, dampNum: Int = 85): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // 1-row node count riding every row as a broadcast scalar (the same
+    // no-collect pattern as the salted-join census)
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+
+    // SQL `div` (IntegralDivide) — the Column API has no integral-divide
+    // operator, and float `/` + floor would be off-by-one in the last ulp
+    // on long operands; `div` truncation on non-negative values ≡ DuckDB `//`.
+    var rank = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$Scale div n_nodes").as("rank"))
+    val base = (100L - dampNum) * Scale / 100L // driver-side exact constant
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outdeg.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div outdeg")).as("inflow"))
+      rank = nodes.crossJoin(broadcast(n))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"($base div n_nodes) + (($dampNum * coalesce(inflow, 0)) div 100)")
+            .as("rank"))
+    }
+    rank
+  }
+}

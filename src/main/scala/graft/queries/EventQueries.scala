@@ -396,7 +396,72 @@ object EventQueries {
                SELECT user_id, session_id, count(*) AS n_events,
                       CAST(max(tus) - min(tus) AS BIGINT) AS duration_us,
                       CAST(sum(vc) AS BIGINT) AS value_cents
-               FROM s GROUP BY user_id, session_id"""))
+               FROM s GROUP BY user_id, session_id""")),
+
+    // Ordered conversion funnel view → click → purchase: each stage's
+    // timestamp is the user's FIRST qualifying event strictly after the
+    // previous stage (the classic product-analytics funnel — order matters,
+    // a click before the first view does not count). Shape: one min-agg per
+    // stage, each keyed on user_id — three shuffles on the SAME key, each
+    // over an event-type-filtered (pushed-down) slice, no windows over the
+    // whole event stream. All timestamps exact BIGINT µs.
+    QueryDef("q_x_funnel",
+      (s, d) => {
+        val e = events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts_us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1_us"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts_us") > col("t1_us"))
+          .groupBy("user_id").agg(min("ts_us").as("t2_us"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts_us") > col("t2_us"))
+          .groupBy("user_id").agg(min("ts_us").as("t3_us"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+            expr("""1 + (CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END)""")
+              .cast("long").as("stage"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                         FROM events WHERE user_id IS NOT NULL),
+              v AS (SELECT user_id, min(tus) AS t1_us FROM e
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(tus) AS t2_us FROM e JOIN v USING (user_id)
+                    WHERE event_type = 'click' AND tus > t1_us GROUP BY 1),
+              p AS (SELECT e.user_id, min(tus) AS t3_us FROM e JOIN c USING (user_id)
+                    WHERE event_type = 'purchase' AND tus > t2_us GROUP BY 1)
+              SELECT v.user_id, v.t1_us, c.t2_us, p.t3_us,
+                     CAST(1 + (CASE WHEN c.t2_us IS NOT NULL THEN 1 ELSE 0 END)
+                            + (CASE WHEN p.t3_us IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS stage
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
+
+    // Weekly cohort retention: users bucketed by first-active week, then a
+    // (cohort, weeks-since) matrix of distinct active users — the classic
+    // retention triangle. Weeks are PURE INTEGER arithmetic on epoch-µs
+    // (days div 7), deliberately avoiding calendar week functions whose
+    // ISO/locale rules differ across engines. Shape: one distinct on
+    // (user, week), one min-agg per user, one join + count — all keyed on
+    // user_id until the final tiny matrix aggregate.
+    QueryDef("q_x_retention",
+      (s, d) => {
+        val e = events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"),
+            expr("(ts_us div 86400000000) div 7").as("week"))
+          .distinct()
+        val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+        e.join(cohort, "user_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+                         (epoch_us(ts) // 86400000000) // 7 AS week
+                         FROM events WHERE user_id IS NOT NULL),
+              coh AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+              SELECT coh.cohort_week, e.week - coh.cohort_week AS weeks_since,
+                     count(*) AS n_users
+              FROM e JOIN coh USING (user_id) GROUP BY 1, 2"""))
   )
 
   /** Shared body of the two tolerance gate queries — identical inputs and

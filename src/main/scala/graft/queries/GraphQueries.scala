@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Iterative graph analytics over relations — the link-centrality quality
+  * signal of web-scale corpus curation, exercised here on the TPC-H
+  * part↔supplier co-occurrence graph (the densest natural graph in the
+  * fixtures). See [[graft.operators.GraphRank]] for the fixed-point
+  * exactness and per-iteration shuffle-shape contracts.
+  */
+object GraphQueries {
+
+  lazy val all: Seq[QueryDef] = Seq(
+
+    // 3 damped PageRank iterations over the undirected part↔supplier graph
+    // (node ids disambiguated part→2k, supplier→2k+1). Fixed-point BIGINT
+    // ranks make the iteration bit-identical cross-engine — the oracle
+    // replays every truncating division verbatim.
+    QueryDef("q_x_pagerank",
+      (s, d) => {
+        val edges = t(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.operators.GraphRank.pageRank(
+            graft.operators.GraphRank.undirected(edges), iters = 3)
+          .select(col("node"), col("rank").as("rank_fp"))
+      },
+      Some("""WITH ed AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+                          FROM lineitem),
+              und AS (SELECT DISTINCT src, dst FROM
+                      (SELECT src, dst FROM ed
+                       UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+              nodes AS (SELECT DISTINCT src AS node FROM
+                        (SELECT src FROM und UNION ALL SELECT dst FROM und)),
+              deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY 1),
+              nn AS (SELECT count(*) AS n_nodes FROM nodes),
+              r0 AS (SELECT node, 1000000000 // n_nodes AS rank FROM nodes CROSS JOIN nn),
+              c1 AS (SELECT und.dst AS node, sum(r0.rank // deg.outdeg) AS inflow
+                     FROM und JOIN r0 ON und.src = r0.node
+                              JOIN deg ON und.src = deg.node GROUP BY 1),
+              r1 AS (SELECT nodes.node,
+                            (150000000 // nn.n_nodes) + ((85 * coalesce(c1.inflow, 0)) // 100) AS rank
+                     FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+              c2 AS (SELECT und.dst AS node, sum(r1.rank // deg.outdeg) AS inflow
+                     FROM und JOIN r1 ON und.src = r1.node
+                              JOIN deg ON und.src = deg.node GROUP BY 1),
+              r2 AS (SELECT nodes.node,
+                            (150000000 // nn.n_nodes) + ((85 * coalesce(c2.inflow, 0)) // 100) AS rank
+                     FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+              c3 AS (SELECT und.dst AS node, sum(r2.rank // deg.outdeg) AS inflow
+                     FROM und JOIN r2 ON und.src = r2.node
+                              JOIN deg ON und.src = deg.node GROUP BY 1),
+              r3 AS (SELECT nodes.node,
+                            (150000000 // nn.n_nodes) + ((85 * coalesce(c3.inflow, 0)) // 100) AS rank
+                     FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+              SELECT node, rank AS rank_fp FROM r3"""))
+  )
+}

@@ -46,6 +46,23 @@ final case class TokenBudgetConfig(groupCol: String, budgetTokens: Long)
   * land in training sequences). */
 final case class SplitConfig(trainPct: Int = 90, valPct: Int = 5)
 
+/** Opt-in corpus-health monitor for RECURRING builds: after the corpus
+  * commits, per-group metrics (doc count, token sum by `groupCol`) are
+  * scored against a robust median/MAD fit ([[graft.operators.Anomaly]]) of
+  * the metric history accumulated by prior runs in `historyTable`, then
+  * appended to that history. A source that silently collapses (crawler
+  * regression, upstream schema break) or explodes (spam flood) flags on the
+  * very next build — the train-on-history / score-live shape, with the
+  * robust fit so one bad historical run cannot mask the next one.
+  * Flags are evaluated only once `minHistoryRuns` prior runs exist (a
+  * 2-run median is meaningless); before that the run just contributes
+  * history. Flagged rows are committed to `<historyTable>_flags`. */
+final case class HealthCheckConfig(
+    groupCol: String,
+    historyTable: String = "corpus_health",
+    k: Int = 4,
+    minHistoryRuns: Int = 4)
+
 final case class TrainingPipelineConfig(
     // NFC-canonicalize text FIRST (codegen'd UnicodeNormalize): composed
     // and decomposed spellings of the same glyph must hash/join as one key
@@ -73,6 +90,7 @@ final case class TrainingPipelineConfig(
     mix: Option[MixtureConfig] = None,     // per-group keep rates (data mixing)
     tokenBudget: Option[TokenBudgetConfig] = None, // absolute per-group token cap
     split: Option[SplitConfig] = None,     // train/val/test stamp + train-only packing
+    healthCheck: Option[HealthCheckConfig] = None, // per-group metric anomaly monitor
     samplePct: Int = 100,
     // when set, learn this many BPE merges ON the packed slice and budget
     // sequences in real tokenizer units (n_bpe_symbols) instead of
@@ -85,7 +103,11 @@ final case class TrainingPipelineConfig(
 
 final case class TrainingPipelineSummary(
     inputDocs: Long, afterQuality: Long, afterDedup: Long, afterSample: Long,
-    totalTokens: Long, sequences: Long)
+    totalTokens: Long, sequences: Long,
+    // None = health check off or history still warming up; Some(n) = number
+    // of (group, metric) pairs whose value sits > k·MAD from the history
+    // median this run
+    healthAnomalies: Option[Long] = None)
 
 final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
 
@@ -227,6 +249,7 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
         }
         catalog.write(cfg.corpusTable, stamped)
         val selected = catalog.read(cfg.corpusTable) // read back: one compute, two consumers
+        val healthAnomalies = cfg.healthCheck.map(hc => runHealthCheck(hc, selected))
         val packInput =
           if (cfg.split.isDefined) selected.filter(col("split") === "train") else selected
         val packed = cfg.packByBpe match {
@@ -256,11 +279,56 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
         val afterSample =
           if (cfg.split.isEmpty) seqStats.getLong(0) else selected.count()
         TrainingPipelineSummary(inputDocs, afterQuality, afterDedup, afterSample,
-          seqStats.getLong(1), seqStats.getLong(2))
+          seqStats.getLong(1), seqStats.getLong(2), healthAnomalies.flatten)
       } finally deduped.unpersist()
     } finally {
       quality.unpersist()
       statPersists.foreach(_.unpersist())
     }
+  }
+
+  /** Score this run's per-group corpus metrics against the robust fit of
+    * the accumulated history, then append them to it. Metrics are held LONG
+    * (docs, tokens) and unpivoted to (group_key, metric, value) rows so one
+    * median/MAD fit keyed by (group_key, metric) covers both — identical
+    * shape to [[graft.operators.Anomaly.robustStats]]'s gate queries.
+    * History is key-cardinality × runs sized (tiny), so the fit broadcasts;
+    * the only corpus-sized work is the one groupBy over the already-
+    * committed selection. Returns None while history is still warming up. */
+  private def runHealthCheck(hc: HealthCheckConfig, selected: DataFrame): Option[Long] = {
+    // run sequence from the history CONTENT (max + 1), not the catalog
+    // version counter — version numbers also move on compaction, and the
+    // first write lands as v_0 (1-row agg over the tiny history table)
+    val runSeq =
+      if (!catalog.exists(hc.historyTable)) 1L
+      else catalog.read(hc.historyTable)
+        .agg(coalesce(max(col("run_seq")), lit(0L))).head().getLong(0) + 1L
+    val metrics = selected
+      .groupBy(col(hc.groupCol).cast("string").as("group_key"))
+      .agg(count(lit(1)).as("docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+      .select(col("group_key"),
+        explode(map(lit("docs"), col("docs"), lit("tokens"), col("tokens")))
+          .as(Seq("metric", "value")))
+      .withColumn("run_seq", lit(runSeq))
+    val flagged =
+      if (!catalog.exists(hc.historyTable)) None
+      else {
+        val history = catalog.read(hc.historyTable)
+        val runs = history.select(countDistinct(col("run_seq"))).head().getLong(0)
+        if (runs < hc.minHistoryRuns) None
+        else {
+          val fit = graft.operators.Anomaly.robustStats(
+            history, Seq("group_key", "metric"), "value")
+          val flags = graft.operators.Anomaly.flagAgainstRobustStats(
+              metrics, fit, Seq("group_key", "metric"), "value", hc.k)
+            .filter(col("is_anomaly"))
+          catalog.write(s"${hc.historyTable}_flags", flags)
+          Some(catalog.read(s"${hc.historyTable}_flags").count())
+        }
+      }
+    if (catalog.exists(hc.historyTable)) catalog.append(hc.historyTable, metrics)
+    else catalog.write(hc.historyTable, metrics)
+    flagged
   }
 }

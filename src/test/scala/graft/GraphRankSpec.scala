@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphRank
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.as[(Long, Long)].collect().toMap
+
+  test("one iteration on a 3-node star matches the hand-computed fixed point") {
+    // 1—2, 1—3 undirected. r0 = 10^9 div 3 = 333333333 each; outdeg 1:2, 2:1, 3:1.
+    // inflow(1) = 333333333 + 333333333; inflow(2) = inflow(3) = 333333333 div 2.
+    // base = 150000000 div 3 = 50000000.
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r = ranks(GraphRank.pageRank(GraphRank.undirected(edges), iters = 1))
+    assert(r(1L) == 50000000L + 85L * 666666666L / 100L) // 616666666
+    assert(r(2L) == 50000000L + 85L * 166666666L / 100L) // 191666666
+    assert(r(2L) == r(3L), "symmetric nodes must rank identically")
+  }
+
+  test("hub accumulates rank over iterations; totals stay near Scale") {
+    // star: 0 connected to 1..9 — the hub must dominate every leaf
+    val edges = (1L to 9L).map(i => (0L, i)).toDF("src", "dst")
+    val r = ranks(GraphRank.pageRank(GraphRank.undirected(edges), iters = 5))
+    val (hub, leaves) = (r(0L), (1L to 9L).map(r))
+    assert(leaves.toSet.size == 1, "identical leaves must tie exactly")
+    assert(hub > 4 * leaves.head, "hub must dominate")
+    // truncation leaks mass downward only, and only a few ulps per node/iter
+    val total = r.values.sum
+    assert(total <= GraphRank.Scale && total > GraphRank.Scale - 1000)
+  }
+
+  test("zero iterations returns the uniform prior") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = ranks(GraphRank.pageRank(GraphRank.undirected(edges), iters = 0))
+    assert(r.values.toSet == Set(GraphRank.Scale / 4))
+  }
+
+  test("determinism: identical ranks across repeated runs and partitionings") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val a = ranks(GraphRank.pageRank(GraphRank.undirected(edges), iters = 3))
+    val b = ranks(GraphRank.pageRank(
+      GraphRank.undirected(edges.repartition(7)), iters = 3))
+    assert(a == b)
+  }
+}

@@ -247,6 +247,38 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(_.head) == Seq(1L, 2L))
   }
 
+  test("health check: collapsed source flags after history warms up") {
+    import spark.implicits._
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val p = new TrainingPipeline(spark, cat)
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    // 20 whitespace tokens per doc, unique text per (run, source, index)
+    def corpus(run: Int, nA: Int, nB: Int) = {
+      def doc(src: String, i: Int) =
+        (run * 1000L + (if (src == "A") 0 else 500) + i,
+          (1 to 20).map(t => s"r${run}${src}${i}t$t").mkString(" "), src)
+      ((1 to nA).map(doc("A", _)) ++ (1 to nB).map(doc("B", _)))
+        .toDF("doc_id", "text", "source")
+    }
+    val cfg = TrainingPipelineConfig(quality = open, seqTokens = 64, shards = 1,
+      healthCheck = Some(graft.run.HealthCheckConfig("source", minHistoryRuns = 4, k = 4)))
+    // 5 warm-up runs: A drifts 11..15 docs (healthy variance), B steady at 10
+    val warm = (1 to 5).map(r => p.run(corpus(r, 10 + r, 10), cfg))
+    assert(warm.take(4).forall(_.healthAnomalies.isEmpty),
+      "flags must not fire before minHistoryRuns prior runs exist")
+    assert(warm(4).healthAnomalies.contains(0L),
+      "healthy drift within k*MAD must not flag")
+    // run 6: source B collapses 10 -> 1 docs; A stays in its healthy band
+    val s6 = p.run(corpus(6, 13, 1), cfg)
+    assert(s6.healthAnomalies.contains(2L)) // (B, docs) and (B, tokens)
+    val flags = rows(cat.read("corpus_health_flags")
+      .select("group_key", "metric").orderBy("group_key", "metric"))
+    assert(flags == Seq(Seq("B", "docs"), Seq("B", "tokens")))
+    // history accumulated one (group, metric) pair per run per group
+    assert(cat.read("corpus_health").select("run_seq").distinct().count() == 6)
+  }
+
   test("split stage stamps holdouts and packs ONLY the train slice") {
     val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
     val s = new TrainingPipeline(spark, cat).run(docs, TrainingPipelineConfig(
