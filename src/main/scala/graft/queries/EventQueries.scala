@@ -461,7 +461,64 @@ object EventQueries {
               coh AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
               SELECT coh.cohort_week, e.week - coh.cohort_week AS weeks_since,
                      count(*) AS n_users
-              FROM e JOIN coh USING (user_id) GROUP BY 1, 2"""))
+              FROM e JOIN coh USING (user_id) GROUP BY 1, 2""")),
+
+    // First-order Markov transition counts of each user's event sequence —
+    // the behavioral model behind next-action prediction and anomaly-in-
+    // sequence detection. Ordering is (ts_us, event_id): event_id breaks
+    // same-µs ties deterministically, so `lead` is engine-invariant. One
+    // user-keyed window shuffle + one tiny (type × type) aggregate.
+    QueryDef("q_x_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+                         FROM events WHERE user_id IS NOT NULL),
+              x AS (SELECT event_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                                                  ORDER BY tus, event_id) AS next_type
+                    FROM e)
+              SELECT event_type AS from_type, next_type AS to_type,
+                     count(*) AS n_transitions
+              FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2""")),
+
+    // Inter-event gap statistics per (later) event type: median / min /
+    // max / count of the µs gaps inside each user's ordered sequence.
+    // Median only (not p90/p99): interpolated medians of integers are
+    // always x.0/x.5 — exact doubles in both engines — while a 0.9
+    // interpolation factor is not exactly representable and would drift
+    // in the last ulp. Same single user-keyed window shuffle as above.
+    QueryDef("q_x_event_gaps",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+          .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(gap_us, 0.5)").as("med_gap_us"),
+            min(col("gap_us")).as("min_gap_us"),
+            max(col("gap_us")).as("max_gap_us"),
+            count(lit(1)).as("n_gaps"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+                         FROM events WHERE user_id IS NOT NULL),
+              g AS (SELECT event_type,
+                           tus - lag(tus) OVER (PARTITION BY user_id
+                                                ORDER BY tus, event_id) AS gap_us
+                    FROM e)
+              SELECT event_type, median(gap_us) AS med_gap_us,
+                     min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+                     count(*) AS n_gaps
+              FROM g WHERE gap_us IS NOT NULL GROUP BY 1"""))
   )
 
   /** Shared body of the two tolerance gate queries — identical inputs and
