@@ -38,6 +38,17 @@ class GraphRankSpec extends SparkSpec {
     assert(r.values.toSet == Set(GraphRank.Scale / 4))
   }
 
+  test("plan: no cartesian product; the only nested-loop is the 1-row scalar broadcast") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val plan = GraphRank.pageRank(GraphRank.undirected(edges), iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // the node-count crossJoin is a BROADCAST nested loop over exactly one
+    // row per side pair — acceptable; a non-broadcast NLJ would not be
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 3, s"unexpected nested-loop joins ($nlj) in plan:\n$plan")
+  }
+
   test("determinism: identical ranks across repeated runs and partitionings") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
       .toDF("src", "dst")
