@@ -244,6 +244,18 @@ object ScaleProbe {
       time(s"search_inline k=$k")(graft.operators.TextIndex
         .searchWeighted(graft.operators.TextIndex.postings(d, "doc_id", "text"), terms, 10).count())
     }
+
+    // PageRank: per-iteration cost must grow with EDGES, not nodes² — the
+    // replicated graphs are disjoint copies (key-shifted), so ranks per
+    // copy are identical and any super-linear growth is plan overhead.
+    val baseEdges = lineitem
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    for (k <- Seq(1, 4, 8)) {
+      val e = rep(baseEdges, Seq("src", "dst"), k)
+      time(s"pagerank_3it k=$k")(graft.operators.GraphRank
+        .pageRank(graft.operators.GraphRank.undirected(e), iters = 3).count())
+    }
     spark.stop()
   }
 }
