@@ -81,4 +81,43 @@ object GraphRank {
     }
     rank
   }
+
+  /** Co-occurrence edge list from (group, item) memberships: an edge (a, b),
+    * a < b, for every item pair sharing ≥ `minShared` groups. Pair volume is
+    * Σ per-group k² — bounded by the LARGEST GROUP, never corpus² (the same
+    * contract as the n-gram blocking buckets; at web scale, cap or sample
+    * oversized groups before calling — TPC-H orders hold ≤7 parts, so the
+    * fixture needs no cap). `minShared` ≥ 2 is the standard sparsifier:
+    * one shared basket is noise, repeat co-occurrence is signal. */
+  def coOccurrenceEdges(memberships: DataFrame, groupCol: String, itemCol: String,
+      minShared: Long = 2L): DataFrame = {
+    val m = memberships.select(col(groupCol).cast("long").as("g"),
+      col(itemCol).cast("long").as("i")).distinct()
+    m.as("x").join(m.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a"), col("b"))
+  }
+
+  /** Exact triangle count over an ordered edge list (a < b on every row) —
+    * the clustering-coefficient numerator, and the classic test that a
+    * relational engine can do graph analytics without an adjacency-matrix
+    * blowup. Shape: two equi-joins on node keys (edges⋈edges forming open
+    * wedges, then one membership probe closing them) + one count — no
+    * node-cardinality collect, no cross join; wedge volume is Σ deg(b)²
+    * over middle nodes, the standard bound. Returns one row
+    * (n_nodes, n_edges, n_triangles). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tris = wedges.join(e.as("e3"),
+      col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+    val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n"))).distinct()
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
+  }
 }

@@ -55,6 +55,49 @@ object GraphQueries {
               r3 AS (SELECT nodes.node,
                             (150000000 // nn.n_nodes) + ((85 * coalesce(c3.inflow, 0)) // 100) AS rank
                      FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
-              SELECT node, rank AS rank_fp FROM r3"""))
+              SELECT node, rank AS rank_fp FROM r3""")),
+
+    // Exact triangle census of the part co-purchase graph (parts sharing
+    // ≥2 orders). Co-occurrence pair volume is per-order k² (orders hold
+    // ≤7 parts — bucket-bounded, never corpus²); the count itself is two
+    // node-keyed equi-joins, no adjacency blowup. One row out.
+    QueryDef("q_x_triangles",
+      (s, d) => {
+        val edges = graft.operators.GraphRank.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minShared = 2L)
+        graft.operators.GraphRank.triangleStats(edges)
+      },
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+              e AS (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+                    ON x.g = y.g AND x.i < y.i
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+              w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+              tri AS (SELECT count(*) AS n_triangles FROM w
+                      JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+              nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
+                        (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+              ne AS (SELECT count(*) AS n_edges FROM e)
+              SELECT n_nodes, n_edges, n_triangles
+              FROM nodes CROSS JOIN ne CROSS JOIN tri""")),
+
+    // Degree distribution of the same co-purchase graph: how many nodes
+    // have each undirected degree — the scale-freeness probe that decides
+    // whether a graph needs skew handling. Node degrees from one union +
+    // hash agg; the histogram is degree-cardinality-sized.
+    QueryDef("q_x_degree_hist",
+      (s, d) => {
+        val edges = graft.operators.GraphRank.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minShared = 2L)
+        edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+              e AS (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+                    ON x.g = y.g AND x.i < y.i
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+              deg AS (SELECT n, count(*) AS degree FROM
+                      (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+              SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1"""))
   )
 }

@@ -49,6 +49,28 @@ class GraphRankSpec extends SparkSpec {
     assert(nlj <= 3, s"unexpected nested-loop joins ($nlj) in plan:\n$plan")
   }
 
+  test("coOccurrenceEdges: minShared sparsifies single-basket pairs; a < b ordering") {
+    val m = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 1L), (30L, 1L), (30L, 3L))
+      .toDF("g", "i")
+    val e = GraphRank.coOccurrenceEdges(m, "g", "i", minShared = 2L)
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L))) // (1,3) shares only one group → dropped
+    val all = GraphRank.coOccurrenceEdges(m, "g", "i", minShared = 1L)
+      .as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L), (1L, 3L)))
+    assert(all.forall { case (a, b) => a < b })
+  }
+
+  test("triangleStats counts exactly on a hand-built graph") {
+    // 1-2-3 closed, 3-4 dangling: one triangle, 4 nodes, 4 edges
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val row = GraphRank.triangleStats(edges).as[(Long, Long, Long)].head()
+    assert(row == ((4L, 4L, 1L)))
+    // K4 has 4 triangles
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)).toDF("a", "b")
+    assert(GraphRank.triangleStats(k4).as[(Long, Long, Long)].head() == ((4L, 6L, 4L)))
+  }
+
   test("determinism: identical ranks across repeated runs and partitionings") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
       .toDF("src", "dst")
