@@ -19,11 +19,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Host-degradation canary: q_s3_scan_projection (a trivial 2-column scan
   * whose cost cannot legitimately change) is re-timed every ~20 queries.
-  * If any canary sample drifts >5× from the baseline, `host_degraded` is
-  * set true in the summary — a contended host window (the r03 artifact
-  * showed 20–66× spikes on physically-cheap queries; a quiet-host rerun of
-  * the same binary did all 103 in 37.7 s) must be distinguishable from a
-  * plan regression inside the artifact itself.
+  * `host_degraded` is set when EITHER (a) any sample drifts >3× from the
+  * run's own baseline, or (b) the baseline itself exceeds an absolute
+  * floor (0.35 s — clean windows on this container measure 0.12–0.19 s;
+  * the round-6 driver window started ALREADY degraded at 0.46 s, so a
+  * purely relative test reported drift ≈ 1 while every query ran ~3.5×
+  * slow). A contended window (the r03 artifact showed 20–66× spikes on
+  * physically-cheap queries; a quiet-host rerun of the same binary did
+  * all 103 in 37.7 s) must be distinguishable from a plan regression
+  * inside the artifact itself.
   *
   * Config mirrors the 100 TB posture scaled to one node: AQE on (runtime
   * shuffle coalescing + skew-join splitting), shuffle partitions = cores
@@ -122,7 +126,9 @@ object Bench {
     canarySamples += ((results.size, timeOnce(canaryFn)._1))
 
     val maxDrift = canarySamples.map(_._2).max / canaryBase
-    val hostDegraded = maxDrift > 5.0
+    // see the canary doc above: relative drift alone misses a window that
+    // STARTS degraded, the absolute floor alone misses mid-run contention
+    val hostDegraded = maxDrift > 3.0 || canaryBase > 0.35
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val summary =
