@@ -82,6 +82,47 @@ object GraphRank {
     rank
   }
 
+  /** Personalized PageRank (random-walk-with-restart): the restart mass
+    * concentrates on `seeds` instead of spreading uniformly, so ranks
+    * measure proximity TO THE SEED SET — the "items similar to these" /
+    * query-biased authority shape. Same fixed-point BIGINT arithmetic and
+    * per-iteration O(edges) shuffle as [[pageRank]]; the only differences
+    * are the seed-indicator join (seed set is query-sized → broadcast) and
+    * the restart term `(100−d)·Scale div 100 div n_seeds` paid only on
+    * seed rows. Non-seed nodes unreachable from the seeds stay at rank 0 —
+    * exactly the pruning a recommender wants. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      dampNum: Int = 85): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+    val ns = sd.agg(count(lit(1)).as("n_seeds"))
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val base = (100L - dampNum) * Scale / 100L
+    val withSeed = nodes.join(broadcast(sd), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"),
+        col("n_seeds"))
+    var rank = withSeed.select(col("node"),
+      expr(s"(is_seed * $Scale) div n_seeds").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outdeg.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div outdeg")).as("inflow"))
+      rank = withSeed.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"((is_seed * $base) div n_seeds) + " +
+            s"(($dampNum * coalesce(inflow, 0)) div 100)").as("rank"))
+    }
+    rank
+  }
+
   /** Co-occurrence edge list from (group, item) memberships: an edge (a, b),
     * a < b, for every item pair sharing ≥ `minShared` groups. Pair volume is
     * Σ per-group k² — bounded by the LARGEST GROUP, never corpus² (the same

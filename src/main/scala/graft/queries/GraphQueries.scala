@@ -57,6 +57,63 @@ object GraphQueries {
                      FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
               SELECT node, rank AS rank_fp FROM r3""")),
 
+    // Personalized PageRank seeded on nation-0 suppliers: restart mass
+    // concentrates on the seed set, so ranks measure graph proximity to it
+    // — the "parts/suppliers similar to these" recommendation shape. Same
+    // fixed-point arithmetic as q_x_pagerank; rank-0 (unreached) nodes are
+    // filtered on both sides.
+    QueryDef("q_x_pagerank_seeded",
+      (s, d) => {
+        val edges = t(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val seeds = t(s, d, "supplier").filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        graft.operators.GraphRank.personalizedPageRank(
+            graft.operators.GraphRank.undirected(edges), seeds, iters = 3)
+          .filter(col("rank") > 0)
+          .select(col("node"), col("rank").as("rank_fp"))
+      },
+      Some("""WITH ed AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+                          FROM lineitem),
+              und AS (SELECT DISTINCT src, dst FROM
+                      (SELECT src, dst FROM ed
+                       UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+              nodes AS (SELECT DISTINCT src AS node FROM
+                        (SELECT src FROM und UNION ALL SELECT dst FROM und)),
+              deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY 1),
+              sd AS (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier
+                     WHERE s_nationkey = 0),
+              ns AS (SELECT count(*) AS n_seeds FROM sd),
+              ws AS (SELECT nodes.node,
+                            CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+                            ns.n_seeds
+                     FROM nodes CROSS JOIN ns LEFT JOIN sd ON nodes.node = sd.node),
+              r0 AS (SELECT node, (is_seed * 1000000000) // n_seeds AS rank FROM ws),
+              c1 AS (SELECT und.dst AS node, sum(r0.rank // deg.outdeg) AS inflow
+                     FROM und JOIN r0 ON und.src = r0.node
+                              JOIN deg ON und.src = deg.node GROUP BY 1),
+              r1 AS (SELECT ws.node,
+                            ((ws.is_seed * 150000000) // ws.n_seeds)
+                            + ((85 * coalesce(c1.inflow, 0)) // 100) AS rank
+                     FROM ws LEFT JOIN c1 ON ws.node = c1.node),
+              c2 AS (SELECT und.dst AS node, sum(r1.rank // deg.outdeg) AS inflow
+                     FROM und JOIN r1 ON und.src = r1.node
+                              JOIN deg ON und.src = deg.node GROUP BY 1),
+              r2 AS (SELECT ws.node,
+                            ((ws.is_seed * 150000000) // ws.n_seeds)
+                            + ((85 * coalesce(c2.inflow, 0)) // 100) AS rank
+                     FROM ws LEFT JOIN c2 ON ws.node = c2.node),
+              c3 AS (SELECT und.dst AS node, sum(r2.rank // deg.outdeg) AS inflow
+                     FROM und JOIN r2 ON und.src = r2.node
+                              JOIN deg ON und.src = deg.node GROUP BY 1),
+              r3 AS (SELECT ws.node,
+                            ((ws.is_seed * 150000000) // ws.n_seeds)
+                            + ((85 * coalesce(c3.inflow, 0)) // 100) AS rank
+                     FROM ws LEFT JOIN c3 ON ws.node = c3.node)
+              SELECT node, rank AS rank_fp FROM r3 WHERE rank > 0""")),
+
     // Exact triangle census of the part co-purchase graph (parts sharing
     // ≥2 orders). Co-occurrence pair volume is per-order k² (orders hold
     // ≤7 parts — bucket-bounded, never corpus²); the count itself is two

@@ -49,6 +49,26 @@ class GraphRankSpec extends SparkSpec {
     assert(nlj <= 3, s"unexpected nested-loop joins ($nlj) in plan:\n$plan")
   }
 
+  test("personalized PageRank: restart mass stays near the seed; unreachable nodes rank 0") {
+    // two components: 1—2—3 and 4—5; seed {1} → component {4,5} must stay 0
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = ranks(GraphRank.personalizedPageRank(
+      GraphRank.undirected(edges), seeds, iters = 3))
+    assert(r(4L) == 0L && r(5L) == 0L)
+    // NOT r(1) > r(2): on a short path at small iteration counts the walk
+    // oscillates and the middle node can legitimately hold the most mass;
+    // what must hold is positivity in the seed's component and decay at
+    // the far end (3 is strictly further than 2).
+    assert(r(1L) > 0L && r(2L) > r(3L) && r(3L) > 0L, s"unexpected ranks: $r")
+    // one hand-checked iteration: r0 = (1e9, 0, 0, 0, 0); after iter 1:
+    // node1 = base + 0 (no inflow: 2,3 rank 0) = 150000000; node2 gets
+    // 85% of r0(1) div outdeg(1)=1 → 850000000
+    val r1 = ranks(GraphRank.personalizedPageRank(
+      GraphRank.undirected(edges), seeds, iters = 1))
+    assert(r1(1L) == 150000000L && r1(2L) == 850000000L && r1(3L) == 0L)
+  }
+
   test("coOccurrenceEdges: minShared sparsifies single-basket pairs; a < b ordering") {
     val m = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 1L), (30L, 1L), (30L, 3L))
       .toDF("g", "i")
