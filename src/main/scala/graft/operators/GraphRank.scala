@@ -103,10 +103,13 @@ object GraphRank {
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val base = (100L - dampNum) * Scale / 100L
+    // greatest(n_seeds, 1): an EMPTY seed set means is_seed = 0 on every
+    // row, so the numerator is already 0 — the floor only prevents the
+    // 0-div-0 ANSI error and yields the correct all-zero ranks
     val withSeed = nodes.join(broadcast(sd), Seq("node"), "left")
       .crossJoin(broadcast(ns))
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"),
-        col("n_seeds"))
+        greatest(col("n_seeds"), lit(1L)).as("n_seeds"))
     var rank = withSeed.select(col("node"),
       expr(s"(is_seed * $Scale) div n_seeds").as("rank"))
     for (_ <- 1 to iters) {

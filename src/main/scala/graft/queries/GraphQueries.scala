@@ -88,7 +88,7 @@ object GraphQueries {
               ns AS (SELECT count(*) AS n_seeds FROM sd),
               ws AS (SELECT nodes.node,
                             CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
-                            ns.n_seeds
+                            greatest(ns.n_seeds, 1) AS n_seeds
                      FROM nodes CROSS JOIN ns LEFT JOIN sd ON nodes.node = sd.node),
               r0 AS (SELECT node, (is_seed * 1000000000) // n_seeds AS rank FROM ws),
               c1 AS (SELECT und.dst AS node, sum(r0.rank // deg.outdeg) AS inflow

@@ -69,6 +69,14 @@ class GraphRankSpec extends SparkSpec {
     assert(r1(1L) == 150000000L && r1(2L) == 850000000L && r1(3L) == 0L)
   }
 
+  test("personalized PageRank with an EMPTY seed set is all-zero, not an error") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val none = Seq.empty[Long].toDF("node")
+    val r = ranks(GraphRank.personalizedPageRank(
+      GraphRank.undirected(edges), none, iters = 2))
+    assert(r.values.toSet == Set(0L))
+  }
+
   test("coOccurrenceEdges: minShared sparsifies single-basket pairs; a < b ordering") {
     val m = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 1L), (30L, 1L), (30L, 3L))
       .toDF("g", "i")
