@@ -143,4 +143,70 @@ object QualityFilter {
       .drop("__gate_group")
       .withColumn("keep", keepVerdict(metricCol))
   }
+
+  /** The published Gopher document-quality rule set (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", App. A1.1) — the standard
+    * heuristic battery run BEFORE any model-based filtering:
+    * word-count bounds, mean-word-length band, symbol-to-word ratio
+    * ('#' and '...' — markup/truncation debris), minimum fraction of
+    * words containing a letter, and a minimum stopword-hit count.
+    *
+    * Every metric is exact integer counting followed by at most one IEEE
+    * division (deterministic cross-engine), and each rule is ALSO exposed
+    * as its own boolean so curation can audit which rule killed a document
+    * (the production question is never "did it fail" but "why").
+    * Pure map-side column arithmetic — whole-stage codegen, zero shuffles,
+    * same 100 TB shape as [[scored]]. */
+  final case class GopherThresholds(
+      minWords: Long = 50,
+      maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Long = 2)
+
+  def gopherScored(docs: DataFrame, t: GopherThresholds = GopherThresholds(),
+      textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")): DataFrame =
+    docs
+      .withColumn("toks", Text.tokens(col(textCol)))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      // Σ word length via one fold — NOT length(text) − (n−1), which would
+      // bake in the single-space-join assumption of this fixture.
+      .withColumn("sum_word_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("n_symbol_words",
+        ((length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))) +
+          (length(col(textCol)) -
+            length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("long"))
+      .withColumn("n_alpha_words",
+        expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("long"))
+      .withColumn("n_stopword_hits", Text.vocabHits("toks", stopwords))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          col("sum_word_len").cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("symbol_ratio",
+        when(col("n_words") > 0,
+          col("n_symbol_words").cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("alpha_word_ratio",
+        when(col("n_words") > 0,
+          col("n_alpha_words").cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("r_word_count",
+        col("n_words") >= t.minWords && col("n_words") <= t.maxWords)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= t.minMeanWordLen &&
+          col("mean_word_len") <= t.maxMeanWordLen)
+      .withColumn("r_symbol", col("symbol_ratio") <= t.maxSymbolRatio)
+      .withColumn("r_alpha", col("alpha_word_ratio") >= t.minAlphaWordRatio)
+      .withColumn("r_stop", col("n_stopword_hits") >= t.minStopwordHits)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .drop("toks")
+
+  def gopherFilter(docs: DataFrame, t: GopherThresholds = GopherThresholds(),
+      textCol: String = "text"): DataFrame =
+    gopherScored(docs, t, textCol).filter(col("keep"))
+      .drop("r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stop", "keep")
 }

@@ -194,6 +194,57 @@ object TextQueries {
                      len(list_filter($tokensSql, t -> t IN ($stopIn))) AS n_stopwords
                      FROM documents)""")),
 
+    // The published Gopher heuristic rule battery (Rae et al. 2021 App.
+    // A1.1): word-count band, mean-word-length band, symbol-to-word ratio,
+    // alpha-word fraction, stopword-hit floor — each rule surfaced as its
+    // own boolean (curation needs "WHY was it dropped"). All integer counts
+    // + one IEEE division per ratio → cross-engine exact. Word bounds are
+    // tightened to this fixture's 10–99-token docs so the verdict is mixed.
+    QueryDef("q_x_gopher_rules",
+      (s, d) => graft.operators.QualityFilter.gopherScored(
+          t(s, d, "documents"),
+          graft.operators.QualityFilter.GopherThresholds(
+            minWords = 30, maxWords = 90, minStopwordHits = 2))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_word_ratio"), col("n_stopword_hits"),
+          col("r_word_count"), col("r_mean_len"), col("r_symbol"),
+          col("r_alpha"), col("r_stop"), col("keep")),
+      Some(s"""WITH raw AS (SELECT doc_id,
+                 CAST(len($tokensSql) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform($tokensSql, t -> length(t))) AS BIGINT)
+                   AS sum_word_len,
+                 CAST((length(text) - length(replace(text, '#', ''))) +
+                   (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+                   AS n_symbol_words,
+                 CAST(len(list_filter($tokensSql,
+                   t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+                 CAST(len(list_filter($tokensSql, t -> t IN ($stopIn))) AS BIGINT)
+                   AS n_stopword_hits
+                 FROM documents),
+               m AS (SELECT doc_id, n_words, n_stopword_hits,
+                 CASE WHEN n_words > 0
+                   THEN sum_word_len / CAST(n_words AS DOUBLE) ELSE 0.0 END
+                   AS mean_word_len,
+                 CASE WHEN n_words > 0
+                   THEN n_symbol_words / CAST(n_words AS DOUBLE) ELSE 0.0 END
+                   AS symbol_ratio,
+                 CASE WHEN n_words > 0
+                   THEN n_alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END
+                   AS alpha_word_ratio
+                 FROM raw)
+               SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                 alpha_word_ratio, n_stopword_hits,
+                 (n_words >= 30 AND n_words <= 90) AS r_word_count,
+                 (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+                 (symbol_ratio <= 0.1) AS r_symbol,
+                 (alpha_word_ratio >= 0.8) AS r_alpha,
+                 (n_stopword_hits >= 2) AS r_stop,
+                 (n_words >= 30 AND n_words <= 90
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+                  AND n_stopword_hits >= 2) AS keep
+               FROM m""")),
+
     // Length distribution: exact interpolated quantiles (Spark `percentile`
     // and DuckDB `quantile_cont` share the linear-interpolation definition;
     // integer inputs → identical doubles) + bucketed histogram.

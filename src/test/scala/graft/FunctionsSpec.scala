@@ -622,6 +622,40 @@ class FunctionsSpec extends SparkSpec {
     assert(!kept.columns.contains("keep"))
   }
 
+  test("gopher rules: each rule kills exactly its target document") {
+    import graft.operators.QualityFilter
+    val base = "the quick brown fox jumps over a lazy dog and then some more"
+    val docs = Seq(
+      (1L, (base + " ") * 5 + base),                  // clean: passes all
+      (2L, "the a short"),                            // r_word_count (too few)
+      (3L, ("a b c d e f g h i j " * 8).trim),        // r_mean_len (mean=1)
+      (4L, (base + " ") * 5 + base + " " + "# # # # # # # # # # # # # # #"),
+      (5L, (("1234 5678 " * 18).trim + " the a of")), // r_alpha (<80% alpha words)
+      (6L, ("quick brown fox jumps over lazy dog " * 6).trim) // r_stop (no hits)
+    ).toDF("doc_id", "text")
+    val t = QualityFilter.GopherThresholds(minWords = 10, maxWords = 200)
+    val v = QualityFilter.gopherScored(docs, t).orderBy("doc_id")
+    val got = rows(v.select("doc_id", "r_word_count", "r_mean_len", "r_symbol",
+      "r_alpha", "r_stop", "keep"))
+    assert(got == Seq(
+      Seq(1L, true, true, true, true, true, true),
+      Seq(2L, false, true, true, true, true, false),
+      Seq(3L, true, false, true, true, true, false),
+      Seq(4L, true, true, false, true, true, false),
+      Seq(5L, true, true, true, false, true, false),
+      Seq(6L, true, true, true, true, false, false)))
+    // '...' counts as ONE symbol occurrence (three chars / 3), not three
+    val ell = Seq((7L, (base + " ") * 5 + base + " " + ("... " * 15).trim))
+      .toDF("doc_id", "text")
+    val e = rows(QualityFilter.gopherScored(ell, t)
+      .select("n_symbol_words", "r_symbol")).head
+    assert(e == Seq(15L, false))
+    // filter drops the rule columns and keeps only the survivors
+    val kept = QualityFilter.gopherFilter(docs, t)
+    assert(rows(kept.select("doc_id")).flatten == Seq(1L))
+    assert(!kept.columns.contains("r_symbol") && !kept.columns.contains("keep"))
+  }
+
   test("randomProjection: deterministic long-row output, map-only plan") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
