@@ -59,6 +59,78 @@ object VectorSearch {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity pass a retrieval stack runs AFTER top-N: greedily pick k
+    * results maximizing `λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)`, so
+    * near-duplicate hits don't crowd the result page.
+    *
+    * Shape for 100 TB: the corpus-sized work is the candidate scan (same
+    * broadcast-queries-scan-corpus plan as [[bruteForceTopK]]); everything
+    * after operates on Q·n candidate rows and Q·n² candidate-pair rows with
+    * n and k small constants (here n ≤ tens) — the greedy loop is k−1
+    * driver-SCHEDULED but fully distributed joins over that bounded set, and
+    * the running `picked` relation (Q·k rows) broadcasts. No UDFs, no
+    * driver-side data, no all-pairs over the corpus. All sims come from
+    * exact integer dots, so pick order is engine-reproducible; ties break
+    * on nid. */
+  def mmrRerank(emb: DataFrame, queryPred: Column, n: Int, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    val e = prepared(emb)
+    val qs = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn")))
+    val cands = qs
+      .join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn")),
+        col("qid") =!= col("nid"))
+      .withColumn("dp", dot("qv", "cv"))
+      .withColumn("sim", cosine("dp", "qn", "cn"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rnk") <= n)
+      .select(col("qid"), col("nid"), col("sim"), col("cv"), col("cn"))
+      .persist() // reused k times; Q·n rows
+    // Pairwise sims among each query's candidates: Q·n(n−1) rows, bounded.
+    val pair = cands.select(col("qid"), col("nid").as("a_nid"),
+        col("cv").as("av"), col("cn").as("an"))
+      .join(cands.select(col("qid"), col("nid").as("b_nid"),
+        col("cv").as("bv"), col("cn").as("bn")), Seq("qid"))
+      .filter(col("a_nid") =!= col("b_nid"))
+      .withColumn("pdp", dot("av", "bv"))
+      .withColumn("psim", cosine("pdp", "an", "bn"))
+      .select(col("qid"), col("a_nid"), col("b_nid"), col("psim"))
+      .persist()
+    val slim = cands.select(col("qid"), col("nid"), col("sim"))
+    var picked = slim
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), lit(1L).as("pick"), col("sim"))
+    for (i <- 2 to k) {
+      val sel = broadcast(picked.select(col("qid").as("s_qid"), col("nid").as("s_nid")))
+      // max similarity of each unpicked candidate to the picked set
+      val red = pair
+        .join(sel, pair("qid") === sel("s_qid") && pair("b_nid") === sel("s_nid"))
+        .groupBy(col("qid"), col("a_nid"))
+        .agg(max(col("psim")).as("max_sel_sim"))
+      val next = slim
+        .join(sel, slim("qid") === sel("s_qid") && slim("nid") === sel("s_nid"),
+          "left_anti")
+        .join(red, slim("qid") === red("qid") && slim("nid") === red("a_nid"))
+        .drop(red("qid")).drop("a_nid")
+        .withColumn("mmr",
+          lit(lambda) * col("sim") - lit(1.0 - lambda) * col("max_sel_sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(i.toLong).as("pick"), col("sim"))
+      // Q·k rows total: localCheckpoint keeps the loop's lineage flat so
+      // round i doesn't re-run rounds 1..i−1's joins.
+      picked = picked.unionByName(next).localCheckpoint()
+    }
+    cands.unpersist(); pair.unpersist()
+    picked
+  }
+
   /** Deterministic pseudo-random hyperplanes (ints in [-1000, 1000]) derived
     * from md5 — reproducible across runs/engines, embeddable as literals. */
   def planes(numPlanes: Int, dim: Int): Array[Array[Long]] =

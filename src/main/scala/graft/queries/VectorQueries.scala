@@ -294,7 +294,60 @@ object VectorQueries {
         SELECT vec_id, CAST(ci AS BIGINT) AS cluster FROM af"""
   }
 
+  /** Oracle for q_x_search_mmr: the greedy MMR loop unrolled as k−1 chained
+    * CTE rounds (plain SQL — no recursive CTE needed because k is a small
+    * fixed constant; the recursive form couldn't aggregate over the whole
+    * picked-so-far set anyway). Arithmetic mirrors
+    * [[graft.operators.VectorSearch.mmrRerank]] term for term: integer dots,
+    * one sqrt+division per sim, `0.5·sim − 0.5·max_picked_sim`, ties on nid. */
+  private def mmrOracleSql(queryPred: String, n: Int, k: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+          nrm AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e),
+          cand AS (SELECT qid, nid, sim FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) DESC,
+                              b.vec_id) AS rnk
+            FROM nrm a JOIN nrm b ON $queryPred AND b.vec_id <> a.vec_id)
+            WHERE rnk <= $n),
+          cv AS (SELECT c.qid, c.nid, c.sim, x.q, x.nn
+                 FROM cand c JOIN nrm x ON x.vec_id = c.nid),
+          pair AS (SELECT x.qid, x.nid AS a_nid, y.nid AS b_nid,
+                   list_dot_product(x.q, y.q) / sqrt(x.nn * y.nn) AS psim
+                   FROM cv x JOIN cv y ON x.qid = y.qid AND x.nid <> y.nid),
+          selall1 AS (SELECT qid, nid, 1 AS pick, sim FROM (
+            SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid) AS rn FROM cand) WHERE rn = 1)"""
+    val rounds = (2 to k).map { i =>
+      s""", sel$i AS (SELECT qid, nid, $i AS pick, sim FROM (
+            SELECT c.qid, c.nid, c.sim,
+              row_number() OVER (PARTITION BY c.qid
+                ORDER BY 0.5 * c.sim - 0.5 * m.red DESC, c.nid) AS rn
+            FROM cand c
+            JOIN (SELECT p.qid, p.a_nid, max(p.psim) AS red FROM pair p
+                  JOIN selall${i - 1} s ON s.qid = p.qid AND s.nid = p.b_nid
+                  GROUP BY p.qid, p.a_nid) m
+              ON m.qid = c.qid AND m.a_nid = c.nid
+            WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} s2
+                              WHERE s2.qid = c.qid AND s2.nid = c.nid))
+            WHERE rn = 1),
+          selall$i AS (SELECT * FROM selall${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString
+    head + rounds +
+      s" SELECT qid, nid, CAST(pick AS BIGINT) AS pick, sim FROM selall$k"
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
+
+    // MMR diversity re-rank (Carbonell & Goldstein): top-20 candidates per
+    // query, then 5 greedy picks trading relevance against similarity to
+    // what's already picked (λ = 0.5) — the anti-crowding pass after ANN.
+    QueryDef("q_x_search_mmr",
+      (s, d) => graft.operators.VectorSearch.mmrRerank(
+        t(s, d, "embeddings"), col("vec_id") < 10, n = 20, k = 5),
+      Some(mmrOracleSql("a.vec_id < 10", n = 20, k = 5))),
 
     // Brute-force cosine top-k: queries = vec_id < 50, k = 5, self excluded.
     QueryDef("q_x_embed_topk",

@@ -656,6 +656,30 @@ class FunctionsSpec extends SparkSpec {
     assert(!kept.columns.contains("r_symbol") && !kept.columns.contains("keep"))
   }
 
+  test("mmrRerank: diversity beats redundancy at low lambda, reduces to relevance at 1.0") {
+    // 0 = query; 1 and 2 are EXACT duplicates (most relevant); 3 is diverse.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f)),
+      (2L, Seq(0.99f, 0.1f)),
+      (3L, Seq(0.3f, 0.95f))).toDF("vec_id", "embedding")
+    def picks(lambda: Double): Seq[Seq[Any]] =
+      rows(VectorSearch.mmrRerank(emb, col("vec_id") === 0, n = 3, k = 3, lambda)
+        .orderBy("qid", "pick").select("qid", "nid", "pick"))
+    // λ=0.3: after picking dup #1 (nid tie-break over #2), the OTHER dup's
+    // max-sim-to-picked is 1.0 — the diversity penalty sends the diverse
+    // doc #3 ahead of it; the remaining dup lands last.
+    assert(picks(0.3) == Seq(Seq(0L, 1L, 1L), Seq(0L, 3L, 2L), Seq(0L, 2L, 3L)))
+    // λ=1.0: no diversity term — pure relevance order, ties on nid.
+    assert(picks(1.0) == Seq(Seq(0L, 1L, 1L), Seq(0L, 2L, 2L), Seq(0L, 3L, 3L)))
+    // picks carry the ORIGINAL query sim, matching brute-force ranking's sims
+    val bf = rows(VectorSearch.bruteForceTopK(emb, col("vec_id") === 0, 3)
+      .select("nid", "sim")).map(r => r.head -> r(1)).toMap
+    val ps = rows(VectorSearch.mmrRerank(emb, col("vec_id") === 0, n = 3, k = 3, 0.3)
+      .select("nid", "sim"))
+    ps.foreach { case Seq(nid, sim) => assert(bf(nid) == sim) }
+  }
+
   test("randomProjection: deterministic long-row output, map-only plan") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
