@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.DotProductLong
+
+/** Product quantization for ANN search (Jégou, Douze & Schmid 2011,
+  * "Product Quantization for Nearest Neighbor Search"): split each D-dim
+  * vector into `m` subvectors, learn a small k-means codebook per subspace,
+  * and store each corpus vector as just `m` centroid ids. Asymmetric
+  * distance computation (ADC) then scores a FULL-precision query against
+  * the compressed corpus by summing per-subspace query×centroid dots —
+  * the 100 TB ANN memory move: the scan reads m small ints per vector
+  * instead of D floats (64-dim float → 4 codes here is a 64× payload cut),
+  * while queries lose no precision at all.
+  *
+  * Everything inherits the repo's determinism contract:
+  *  - codebooks come from [[KMeans.fit]] per subspace (hash-ranked seeds,
+  *    integer-grid Lloyd) on SLICED embeddings — quantize∘slice ≡
+  *    slice∘quantize, so an oracle can replay each fit on list slices;
+  *  - codes are the codebook's cluster ids with the same (negscore, cid)
+  *    tie-break as every assignment in [[KMeans]];
+  *  - ADC sims are exact-integer dot/norm sums with one final IEEE
+  *    sqrt+division — reruns and other engines rank identically.
+  *
+  * Plan shape: encoding is a pure MAP over the corpus scan (codebooks are
+  * driver literals, zero joins); ADC is broadcast-queries × encoded-corpus
+  * with a map-side score whose codebook lookups are literal maps — the
+  * same "model as literals" move as [[KMeans.assign]]. No stage touches
+  * anything corpus-proportional except the one scan.
+  */
+object ProductQuantizer {
+
+  final case class PQModel(subDim: Int, books: Seq[KMeans.Model]) {
+    def m: Int = books.size
+  }
+
+  /** Train one codebook per subspace on the sliced embedding column. The
+    * corpus is scanned m·(iters+1) times at codebook-training time — at
+    * real scale you pass a hash-sampled training frame
+    * ([[Sampling.hashSample]]); codebook quality needs a sample, not the
+    * corpus. */
+  def fit(emb: DataFrame, m: Int, ksub: Int = 8, iters: Int = 2, dim: Int = -1,
+      idCol: String = "vec_id", embCol: String = "embedding"): PQModel = {
+    val d = if (dim > 0) dim else VectorSearch.probeDim(emb, embCol)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    PQModel(sub, (0 until m).map { j =>
+      KMeans.fit(
+        emb.filter(col(embCol).isNotNull)
+          .select(col(idCol), slice(col(embCol), j * sub + 1, sub).as(embCol)),
+        ksub, iters, idCol, embCol)
+    })
+  }
+
+  /** Nearest-centroid id within subspace `j` of the quantized vector in
+    * `qCol` — [[KMeans]]'s argmin-of-(cc − 2qc) with the identical
+    * (negscore, cid) tie-break, on the slice. */
+  private def codeExpr(model: PQModel, j: Int, qCol: String): Column = {
+    val qs = slice(col(qCol), j * model.subDim + 1, model.subDim)
+    array_min(array(model.books(j).centroids.map { case (cid, c) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - DotProductLong(qs, typedlit(c.toSeq)) * 2).as("negscore"),
+        lit(cid.toLong).as("cid"))
+    }: _*)).getField("cid")
+  }
+
+  /** Corpus → (vec_id, codes array<bigint>): the stored PQ index payload.
+    * Pure map over the scan; persist this (e.g. via the catalog) and ADC
+    * never reads a raw vector again. */
+  def encode(emb: DataFrame, model: PQModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .select(col("vec_id"),
+        array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
+
+  /** ADC cosine top-k: full-precision queries against PQ codes.
+    * sim ≈ Σⱼ dot(qⱼ, cb[codeⱼ]) / √(|q|² · Σⱼ |cb[codeⱼ]|²) — the
+    * reconstruction never materializes; per-subspace dots and norms come
+    * from literal-map lookups on the code. `encoded` defaults to
+    * [[encode]] of `emb` but a persisted codes table slots in unchanged. */
+  def adcTopK(emb: DataFrame, model: PQModel, queryPred: Column, k: Int,
+      encoded: DataFrame = null,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val codes = Option(encoded).getOrElse(encode(emb, model, idCol, embCol))
+      .select(col("vec_id").as("nid"), col("codes"))
+    val qs = broadcast(emb.filter(col(embCol).isNotNull).filter(queryPred)
+      .select(col(idCol).as("qid"), VectorSearch.quantize(embCol).as("qv"))
+      .withColumn("qn", DotProductLong(col("qv"), col("qv"))))
+    val dotSum = (0 until model.m).map { j =>
+      val book = typedlit(model.books(j).centroids
+        .map { case (cid, c) => cid.toLong -> c.toSeq }.toMap)
+      DotProductLong(
+        slice(col("qv"), j * model.subDim + 1, model.subDim),
+        element_at(book, col("codes").getItem(j)))
+    }.reduce(_ + _)
+    val normSum = (0 until model.m).map { j =>
+      val norms = typedlit(model.books(j).centroids
+        .map { case (cid, c) => cid.toLong -> c.map(x => x * x).sum }.toMap)
+      element_at(norms, col("codes").getItem(j))
+    }.reduce(_ + _)
+    qs.join(codes, col("qid") =!= col("nid"))
+      .withColumn("dp", dotSum)
+      .withColumn("rn2", normSum)
+      .withColumn("sim", col("dp").cast("double") /
+        sqrt(col("qn").cast("double") * col("rn2").cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** The model in persistable long-row form: (subspace, cluster, pos,
+    * value) — m·ksub·subDim exact integer cells. */
+  def modelDf(spark: org.apache.spark.sql.SparkSession, model: PQModel): DataFrame = {
+    import spark.implicits._
+    model.books.zipWithIndex.flatMap { case (b, j) =>
+      b.centroids.flatMap { case (cid, c) =>
+        c.zipWithIndex.map { case (v, pos) => (j.toLong, cid.toLong, pos.toLong, v) }
+      }
+    }.toDF("subspace", "cluster", "pos", "value")
+  }
+
+  def saveModel(cat: graft.catalog.Catalog, table: String,
+      spark: org.apache.spark.sql.SparkSession, model: PQModel): Unit =
+    cat.write(table, modelDf(spark, model))
+
+  /** Model-sized collect (m·ksub·subDim rows), never corpus-sized. */
+  def loadModel(cat: graft.catalog.Catalog, table: String): PQModel = {
+    val cells = cat.read(table)
+      .select(col("subspace"), col("cluster"), col("pos"), col("value")).collect()
+    require(cells.nonEmpty, s"pq: stored model '$table' is empty")
+    val books = cells.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+      KMeans.Model(rows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (cid, cs) =>
+        cid.toInt -> cs.sortBy(_.getLong(2)).map(_.getLong(3)).toArray
+      })
+    }
+    val subDim = books.head.centroids.head._2.length
+    PQModel(subDim, books)
+  }
+}

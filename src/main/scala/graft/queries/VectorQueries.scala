@@ -294,6 +294,75 @@ object VectorQueries {
         SELECT vec_id, CAST(ci AS BIGINT) AS cluster FROM af"""
   }
 
+  /** Per-(session, sfDir) fitted PQ codebooks (m=4 × 16-dim subspaces,
+    * ksub=8, iters=2) — trained once, probed by both PQ gates. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.ProductQuantizer.PQModel]()
+
+  private def pqModel(s: SparkSession, d: String): graft.operators.ProductQuantizer.PQModel = {
+    pqModels.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqModels.computeIfAbsent((s, d),
+      _ => graft.operators.ProductQuantizer.fit(
+        t(s, d, "embeddings"), m = 4, ksub = 8, iters = 2, dim = 64))
+  }
+
+  /** Per-(session, sfDir) roots for the q_x_ann_pq_stored codes + model. */
+  private val pqStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Oracle for the PQ-ADC gates: replay each subspace's k-means fit on
+    * LIST SLICES of the quantized vectors (quantize∘slice ≡ slice∘quantize;
+    * the CTEs per subspace are the q_x_kmeans fit replay verbatim, suffixed
+    * and sliced), then score queries against the per-subspace
+    * reconstructions with exact integer dot/norm sums. */
+  private lazy val pqAnnOracleSql: String = {
+    val (m, sub, ksub, kNN) = (4, 16, 8, 5)
+    def assignCteJ(j: Int, name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, q, cid FROM (
+            SELECT e.vec_id, e.q, s.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY 2 * list_dot_product(e.q, s.q) - list_dot_product(s.q, s.q) DESC,
+                         s.cid) AS rn
+            FROM e$j e CROSS JOIN $cents s) WHERE rn = 1)"""
+    def centCteJ(name: String, assigned: String) =
+      s"""$name AS (SELECT cid, list(val ORDER BY pos) AS q FROM (
+            SELECT cid, pos, floor(sum(v) / count(*) + 0.5) AS val FROM (
+              SELECT cid, unnest(generate_series(0, len(q) - 1)) AS pos, unnest(q) AS v
+              FROM $assigned)
+            GROUP BY cid, pos) GROUP BY cid)"""
+    val fits = (0 until m).map { j =>
+      s"""e$j AS MATERIALIZED (SELECT vec_id, q[${j * sub + 1}:${j * sub + sub}] AS q FROM e),
+          seeds$j AS (SELECT cid, q FROM (
+            SELECT row_number() OVER (
+              ORDER BY ${hash64Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS cid, q
+            FROM e$j) WHERE cid < $ksub),
+          ${assignCteJ(j, s"a1_$j", s"seeds$j")},
+          ${centCteJ(s"c1_$j", s"a1_$j")},
+          ${assignCteJ(j, s"a2_$j", s"c1_$j")},
+          ${centCteJ(s"c2_$j", s"a2_$j")},
+          ${assignCteJ(j, s"a3_$j", s"c2_$j")}"""
+    }.mkString(",\n        ")
+    val parts = (0 until m).map { j =>
+      s"""SELECT qs.qid, a.vec_id AS nid, qs.qn,
+          list_dot_product(qs.q[${j * sub + 1}:${j * sub + sub}], c.q) AS pd,
+          list_dot_product(c.q, c.q) AS pn
+          FROM qs, a3_$j a JOIN c2_$j c ON a.cid = c.cid
+          WHERE a.vec_id <> qs.qid"""
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $quantSql AS q FROM embeddings
+          WHERE embedding IS NOT NULL),
+        $fits,
+        qs AS (SELECT vec_id AS qid, q, list_dot_product(q, q) AS qn
+               FROM e WHERE vec_id < 10),
+        part AS ($parts),
+        sc AS (SELECT qid, nid, sum(pd) / sqrt(any_value(qn) * sum(pn)) AS sim
+               FROM part GROUP BY qid, nid)
+        SELECT qid, nid, sim, rank FROM (
+          SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM sc) WHERE rank <= $kNN"""
+  }
+
   /** Oracle for q_x_search_mmr: the greedy MMR loop unrolled as k−1 chained
     * CTE rounds (plain SQL — no recursive CTE needed because k is a small
     * fixed constant; the recursive form couldn't aggregate over the whole
@@ -340,6 +409,33 @@ object VectorQueries {
   }
 
   lazy val all: Seq[QueryDef] = Seq(
+
+    // Product-quantization ANN (Jégou et al.): 64-dim corpus compressed to
+    // 4 codebook ids per vector; ADC ranks full-precision queries against
+    // the codes via literal-map codebook lookups — the memory-bound 100 TB
+    // ANN shape (the scan reads 4 small ints, not 64 floats, per vector).
+    QueryDef("q_x_ann_pq",
+      (s, d) => graft.operators.ProductQuantizer.adcTopK(
+        t(s, d, "embeddings"), pqModel(s, d), col("vec_id") < 10, 5),
+      Some(pqAnnOracleSql)),
+
+    // The same probe against STORED codes + a stored codebook: encode →
+    // catalog write (codes table + model cells) → load both back → ADC
+    // reads only the persisted codes. The index round-trip must change no
+    // rank — same oracle as q_x_ann_pq.
+    QueryDef("q_x_ann_pq_stored",
+      (s, d) => {
+        val pq = graft.operators.ProductQuantizer
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(pqStoreRoots, s, d, "graft-pq-store"))
+        if (!cat.exists("pq_model")) {
+          pq.saveModel(cat, "pq_model", s, pqModel(s, d))
+          cat.write("pq_codes", pq.encode(t(s, d, "embeddings"), pqModel(s, d)))
+        }
+        pq.adcTopK(t(s, d, "embeddings"), pq.loadModel(cat, "pq_model"),
+          col("vec_id") < 10, 5, encoded = cat.read("pq_codes"))
+      },
+      Some(pqAnnOracleSql)),
 
     // MMR diversity re-rank (Carbonell & Goldstein): top-20 candidates per
     // query, then 5 greedy picks trading relevance against similarity to
