@@ -70,7 +70,7 @@ object KMeans {
     * accumulated score expression at every level, growing the expression
     * tree (and its evaluation cost) exponentially in k — measured 2.2 s →
     * 0.78 s on the warm sf0.1 IVF probe at k = 8 (fit 8.9 → 3.8 s). */
-  private def clusterExpr(model: Model): Column = {
+  private[operators] def clusterExpr(model: Model): Column = {
     val entries = model.centroids.map { case (cid, c) =>
       val cc = c.map(x => x * x).sum
       struct(

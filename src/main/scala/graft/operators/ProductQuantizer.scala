@@ -77,6 +77,25 @@ object ProductQuantizer {
       .select(col("vec_id"),
         array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
 
+  /** Σⱼ dot(query-sliceⱼ, codebookⱼ[codeⱼ]) via literal-map lookups —
+    * expects columns `qv` (quantized query) and `codes`. */
+  private def adcDotSum(model: PQModel): Column =
+    (0 until model.m).map { j =>
+      val book = typedlit(model.books(j).centroids
+        .map { case (cid, c) => cid.toLong -> c.toSeq }.toMap)
+      DotProductLong(
+        slice(col("qv"), j * model.subDim + 1, model.subDim),
+        element_at(book, col("codes").getItem(j)))
+    }.reduce(_ + _)
+
+  /** Σⱼ |codebookⱼ[codeⱼ]|² — the reconstruction's exact squared norm. */
+  private def adcNormSum(model: PQModel): Column =
+    (0 until model.m).map { j =>
+      val norms = typedlit(model.books(j).centroids
+        .map { case (cid, c) => cid.toLong -> c.map(x => x * x).sum }.toMap)
+      element_at(norms, col("codes").getItem(j))
+    }.reduce(_ + _)
+
   /** ADC cosine top-k: full-precision queries against PQ codes.
     * sim ≈ Σⱼ dot(qⱼ, cb[codeⱼ]) / √(|q|² · Σⱼ |cb[codeⱼ]|²) — the
     * reconstruction never materializes; per-subspace dots and norms come
@@ -90,21 +109,40 @@ object ProductQuantizer {
     val qs = broadcast(emb.filter(col(embCol).isNotNull).filter(queryPred)
       .select(col(idCol).as("qid"), VectorSearch.quantize(embCol).as("qv"))
       .withColumn("qn", DotProductLong(col("qv"), col("qv"))))
-    val dotSum = (0 until model.m).map { j =>
-      val book = typedlit(model.books(j).centroids
-        .map { case (cid, c) => cid.toLong -> c.toSeq }.toMap)
-      DotProductLong(
-        slice(col("qv"), j * model.subDim + 1, model.subDim),
-        element_at(book, col("codes").getItem(j)))
-    }.reduce(_ + _)
-    val normSum = (0 until model.m).map { j =>
-      val norms = typedlit(model.books(j).centroids
-        .map { case (cid, c) => cid.toLong -> c.map(x => x * x).sum }.toMap)
-      element_at(norms, col("codes").getItem(j))
-    }.reduce(_ + _)
     qs.join(codes, col("qid") =!= col("nid"))
-      .withColumn("dp", dotSum)
-      .withColumn("rn2", normSum)
+      .withColumn("dp", adcDotSum(model))
+      .withColumn("rn2", adcNormSum(model))
+      .withColumn("sim", col("dp").cast("double") /
+        sqrt(col("qn").cast("double") * col("rn2").cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** IVF-PQ (the billion-scale composite index): a coarse k-means quantizer
+    * prunes the CANDIDATE SET (probe only the query's inverted list) while
+    * PQ codes compress the PAYLOAD the probe reads — at 100 TB the scan
+    * touches 1/k_coarse of the corpus at m ints per vector. Non-residual
+    * variant (codes quantize the raw vectors, as FAISS `by_residual=false`):
+    * the bucket only prunes, so the ADC arithmetic — and determinism
+    * contract — is exactly [[adcTopK]]'s; residual encoding is the recall
+    * upgrade that would add a (bucket, code) cross-dot literal table.
+    * The probe is a broadcast EQUI-join on bucket id, not a nested loop. */
+  def ivfpqProbeTopK(emb: DataFrame, coarse: KMeans.Model, model: PQModel,
+      queryPred: Column, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("bucket", KMeans.clusterExpr(coarse))
+    val codes = e.select(col("vec_id").as("nid"), col("bucket"),
+      array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
+    val qs = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
+      .withColumn("qn", DotProductLong(col("qv"), col("qv"))))
+    qs.join(codes, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("dp", adcDotSum(model))
+      .withColumn("rn2", adcNormSum(model))
       .withColumn("sim", col("dp").cast("double") /
         sqrt(col("qn").cast("double") * col("rn2").cast("double")))
       .withColumn("rank", row_number().over(

@@ -315,8 +315,13 @@ object VectorQueries {
     * the CTEs per subspace are the q_x_kmeans fit replay verbatim, suffixed
     * and sliced), then score queries against the per-subspace
     * reconstructions with exact integer dot/norm sums. */
-  private lazy val pqAnnOracleSql: String = {
-    val (m, sub, ksub, kNN) = (4, 16, 8, 5)
+  private val (pqM, pqSub, pqKsub) = (4, 16, 8)
+
+  /** The m per-subspace fit replays (each the q_x_kmeans CTE chain on a
+    * list slice). References an `e` CTE (vec_id, quantized q) — composable
+    * after either a bare `e` or the full coarse-quantizer [[kmeansCtes]]. */
+  private lazy val pqFitCtes: String = {
+    val (m, sub, ksub) = (pqM, pqSub, pqKsub)
     def assignCteJ(j: Int, name: String, cents: String) =
       s"""$name AS (SELECT vec_id, q, cid FROM (
             SELECT e.vec_id, e.q, s.cid,
@@ -342,19 +347,20 @@ object VectorQueries {
           ${centCteJ(s"c2_$j", s"a2_$j")},
           ${assignCteJ(j, s"a3_$j", s"c2_$j")}"""
     }.mkString(",\n        ")
-    val parts = (0 until m).map { j =>
+    fits
+  }
+
+  /** The shared ADC tail: per-subspace (query-slice · reconstruction)
+    * partials → summed exact dot/norm → ranked sim. `candJoin(j)` supplies
+    * the FROM/WHERE picking each subspace's candidate rows. */
+  private def pqScoreSql(kNN: Int, candJoin: Int => String): String = {
+    val parts = (0 until pqM).map { j =>
       s"""SELECT qs.qid, a.vec_id AS nid, qs.qn,
-          list_dot_product(qs.q[${j * sub + 1}:${j * sub + sub}], c.q) AS pd,
+          list_dot_product(qs.q[${j * pqSub + 1}:${j * pqSub + pqSub}], c.q) AS pd,
           list_dot_product(c.q, c.q) AS pn
-          FROM qs, a3_$j a JOIN c2_$j c ON a.cid = c.cid
-          WHERE a.vec_id <> qs.qid"""
+          ${candJoin(j)}"""
     }.mkString(" UNION ALL ")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, $quantSql AS q FROM embeddings
-          WHERE embedding IS NOT NULL),
-        $fits,
-        qs AS (SELECT vec_id AS qid, q, list_dot_product(q, q) AS qn
-               FROM e WHERE vec_id < 10),
-        part AS ($parts),
+    s"""part AS ($parts),
         sc AS (SELECT qid, nid, sum(pd) / sqrt(any_value(qn) * sum(pn)) AS sim
                FROM part GROUP BY qid, nid)
         SELECT qid, nid, sim, rank FROM (
@@ -362,6 +368,30 @@ object VectorQueries {
                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
           FROM sc) WHERE rank <= $kNN"""
   }
+
+  private lazy val pqAnnOracleSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $quantSql AS q FROM embeddings
+          WHERE embedding IS NOT NULL),
+        $pqFitCtes,
+        qs AS (SELECT vec_id AS qid, q, list_dot_product(q, q) AS qn
+               FROM e WHERE vec_id < 10),
+        ${pqScoreSql(5, j =>
+          s"""FROM qs, a3_$j a JOIN c2_$j c ON a.cid = c.cid
+              WHERE a.vec_id <> qs.qid""")}"""
+
+  /** IVF-PQ: the coarse-quantizer replay ([[kmeansCtes]], whose a3 carries
+    * each vector's bucket) restricts candidates to the query's inverted
+    * list; scoring is the same PQ-ADC tail. */
+  private lazy val ivfpqOracleSql: String =
+    s"""WITH $kmeansCtes,
+        $pqFitCtes,
+        qs AS (SELECT a.vec_id AS qid, a.q, list_dot_product(a.q, a.q) AS qn,
+                      a.cid AS bucket
+               FROM a3 a WHERE a.vec_id < 10),
+        ${pqScoreSql(3, j =>
+          s"""FROM qs JOIN a3 cb ON cb.cid = qs.bucket AND cb.vec_id <> qs.qid
+              JOIN a3_$j a ON a.vec_id = cb.vec_id
+              JOIN c2_$j c ON a.cid = c.cid""")}"""
 
   /** Oracle for q_x_search_mmr: the greedy MMR loop unrolled as k−1 chained
     * CTE rounds (plain SQL — no recursive CTE needed because k is a small
@@ -436,6 +466,16 @@ object VectorQueries {
           col("vec_id") < 10, 5, encoded = cat.read("pq_codes"))
       },
       Some(pqAnnOracleSql)),
+
+    // IVF-PQ: the billion-scale composite — the k-means coarse quantizer
+    // prunes candidates to the query's inverted list (equi-join on bucket)
+    // while PQ codes compress what the probe reads. Reuses BOTH fitted
+    // models; the oracle composes both fit replays.
+    QueryDef("q_x_ann_ivfpq",
+      (s, d) => graft.operators.ProductQuantizer.ivfpqProbeTopK(
+        t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d),
+        col("vec_id") < 10, 3),
+      Some(ivfpqOracleSql)),
 
     // MMR diversity re-rank (Carbonell & Goldstein): top-20 candidates per
     // query, then 5 greedy picks trading relevance against similarity to

@@ -66,6 +66,25 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(fresh == stored)
   }
 
+  test("ivfpq: probes only the query's inverted list, scores like plain ADC") {
+    val coarse = graft.operators.KMeans.fit(blobs, k = 4, iters = 3)
+    val model = PQ.fit(blobs, m = 2, ksub = 4, iters = 2, dim = 8)
+    val probe = PQ.ivfpqProbeTopK(blobs, coarse, model, col("vec_id") < 4, 3)
+    val buckets = graft.operators.KMeans.assign(blobs, coarse)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = probe.collect()
+    assert(got.nonEmpty)
+    // every returned neighbor shares the query's coarse bucket
+    got.foreach(r => assert(buckets(r.getLong(0)) == buckets(r.getLong(1))))
+    // sims agree with the unpruned ADC ranking for the same (qid, nid) pairs
+    val full = PQ.adcTopK(blobs, model, col("vec_id") < 4, 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach(r => assert(full((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+    // the probe is an equi-join on bucket, never a nested loop over the corpus
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("fit refuses a dimension not divisible into m subspaces") {
     val e = intercept[IllegalArgumentException] {
       PQ.fit(blobs, m = 3, ksub = 2, dim = 8)
