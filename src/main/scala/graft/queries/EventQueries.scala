@@ -398,6 +398,40 @@ object EventQueries {
                       CAST(sum(vc) AS BIGINT) AS value_cents
                FROM s GROUP BY user_id, session_id""")),
 
+    // Burst suppression (debounce): within each (user, event_type) stream,
+    // drop events arriving < 60 s after their predecessor — the tracking-
+    // pixel double-fire / retry-storm cleaner run before any event
+    // analytics. Lag-based (predecessor regardless of its own verdict), so
+    // it stays one window over one (user,type)-keyed shuffle and is
+    // engine-portable; the output pins every keep decision via kept-side
+    // aggregates. Integer-µs arithmetic throughout.
+    QueryDef("q_x_event_debounce",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tus"), col("event_id"))
+        events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts_us").as("tus"))
+          .withColumn("prev", lag(col("tus"), 1).over(w))
+          .withColumn("keep",
+            col("prev").isNull || col("tus") - col("prev") >= 60000000L)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("tus"))).as("kept_tus_sum"),
+            min(when(col("keep"), col("event_id"))).as("first_kept_id"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+                          FROM events WHERE user_id IS NOT NULL),
+               m AS (SELECT *, lag(tus) OVER (PARTITION BY user_id, event_type
+                                              ORDER BY tus, event_id) AS prev FROM e),
+               k AS (SELECT *, (prev IS NULL OR tus - prev >= 60000000) AS keep FROM m)
+               SELECT user_id, event_type, count(*) AS n_total,
+                      CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                      CAST(sum(CASE WHEN keep THEN tus END) AS BIGINT) AS kept_tus_sum,
+                      min(CASE WHEN keep THEN event_id END) AS first_kept_id
+               FROM k GROUP BY user_id, event_type""")),
+
     // Ordered conversion funnel view → click → purchase: each stage's
     // timestamp is the user's FIRST qualifying event strictly after the
     // previous stage (the classic product-analytics funnel — order matters,

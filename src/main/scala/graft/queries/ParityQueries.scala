@@ -752,6 +752,27 @@ object ParityQueries {
                CAST(0 AS BIGINT) AS rows_after_truncate
                FROM supplier GROUP BY s_nationkey""")),
 
+    // Incremental aggregate maintenance: daily revenue built by folding 4
+    // disjoint order batches into a catalog-stored aggregate, one
+    // O(batch + groups) refresh each — never a history re-scan. The oracle
+    // recomputes from scratch over ALL orders, so any merge defect (lost
+    // batch, double count, key mixup) fails the hash.
+    QueryDef("q_x_incremental_agg",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(catalogRoots, s, d, "graft-cat"))
+        if (!cat.exists("daily_rev")) (0 until 4).foreach { i =>
+          graft.ops.IncrementalAgg.refresh(cat, "daily_rev",
+            t(s, d, "orders").filter(col("o_orderkey") % 4 === i)
+              .select(col("o_orderdate"), cents(col("o_totalprice")).as("rev_cents")),
+            keys = Seq("o_orderdate"), sumCols = Seq("rev_cents"))
+        }
+        cat.read("daily_rev").select(col("o_orderdate"), col("n_rows"),
+          col("rev_cents_sum").as("rev_cents"))
+      },
+      Some(s"""SELECT o_orderdate, count(*) AS n_rows,
+               CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+               FROM orders GROUP BY o_orderdate""")),
+
     // F12 — identifier lower-casing (dynamic_upsert.py:92): the table is
     // WRITTEN under a mixed-case name and columns are read back with
     // different casing than stored; a case-sensitive catalog or resolver
