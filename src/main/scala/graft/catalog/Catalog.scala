@@ -2,6 +2,7 @@ package graft.catalog
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import scala.jdk.CollectionConverters._
 
 /** Parquet-backed table catalog replacing the reference's Redshift tables.
@@ -99,6 +100,20 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
         s"catalog: version $version of '$name' does not exist or was pruned " +
           s"(retained: ${versions(name).mkString(", ")})")
     readVersionDir(name, s"v_$version")
+  }
+
+  /** Change-data capture between two retained versions: multiset row diff
+    * (`exceptAll` both ways) tagged `added` / `removed` — "what did last
+    * night's load actually change". Duplicate rows diff by copy count, so
+    * a double-applied batch surfaces as additions instead of vanishing.
+    * Shape: one shuffle keyed on the full row (Spark plans exceptAll as a
+    * counted hash aggregate, not a join per column); at 100 TB diff a
+    * partition-pruned slice, not the whole table. */
+  def diffVersions(name: String, from: Long, to: Long): DataFrame = {
+    val a = readVersion(name, from)
+    val b = readVersion(name, to)
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
   }
 
   /** A version is either self-contained (plain directory scan) or, after a

@@ -35,6 +35,22 @@ object ParityQueries {
   private val catalogRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Two-version fixture shared by the CDC and time-travel gates: v0 holds
+    * orders with o_orderkey%3 ∈ {0,2}, v1 (current) replaces it with
+    * %3 ∈ {0,1} — so the diff and both as-of reads are all predicate-
+    * derivable by the oracle. */
+  private def cdcCatalog(s: SparkSession, d: String): graft.catalog.Catalog = {
+    val cat = new graft.catalog.Catalog(s, tempRoot(catalogRoots, s, d, "graft-cat"))
+    if (!cat.exists("orders_cdc")) {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("rev_cents"))
+      cat.write("orders_cdc",
+        o.filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 3 === 2))
+      cat.write("orders_cdc", o.filter(col("o_orderkey") % 3 <= 1))
+    }
+    cat
+  }
+
   /** Per-(session, sfDir) export root for the JSONL sink gate. */
   private val jsonlRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
@@ -751,6 +767,46 @@ object ParityQueries {
                CAST(sum(${centsSql("s_acctbal")}) AS BIGINT) AS bal_cents,
                CAST(0 AS BIGINT) AS rows_after_truncate
                FROM supplier GROUP BY s_nationkey""")),
+
+    // Change-data capture between catalog versions: v0 carries orders with
+    // o_orderkey%3 ∈ {0,2}, v1 replaces it with %3 ∈ {0,1} — the diff must
+    // be exactly the %3=1 rows added and the %3=2 rows removed. Multiset
+    // semantics (exceptAll), tagged rows, zero data movement beyond the
+    // two version scans.
+    QueryDef("q_x_version_diff",
+      (s, d) => {
+        val cat = cdcCatalog(s, d)
+        cat.diffVersions("orders_cdc", 0, 1)
+          .select(col("o_orderkey"), col("rev_cents"), col("change"))
+      },
+      Some(s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS rev_cents,
+                      'added' AS change
+               FROM orders WHERE o_orderkey % 3 = 1
+               UNION ALL
+               SELECT o_orderkey, ${centsSql("o_totalprice")} AS rev_cents,
+                      'removed' AS change
+               FROM orders WHERE o_orderkey % 3 = 2""")),
+
+    // Time travel: the CURRENT table and a pinned historical version read
+    // side by side in one result — the as-of-yesterday audit query. The
+    // totals have teeth: v0 and v1 hold different order subsets, so a
+    // pointer mix-up or a non-atomic replace fails the hash.
+    QueryDef("q_x_time_travel",
+      (s, d) => {
+        val cat = cdcCatalog(s, d)
+        def summarize(df: org.apache.spark.sql.DataFrame, v: String) =
+          df.agg(count(lit(1)).as("n_orders"), sum(col("rev_cents")).as("rev_cents"))
+            .select(lit(v).as("version"), col("n_orders"), col("rev_cents"))
+        summarize(cat.readVersion("orders_cdc", 0), "v0")
+          .unionByName(summarize(cat.read("orders_cdc"), "current"))
+      },
+      Some(s"""SELECT 'v0' AS version, count(*) AS n_orders,
+                      CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+               FROM orders WHERE o_orderkey % 3 IN (0, 2)
+               UNION ALL
+               SELECT 'current', count(*),
+                      CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+               FROM orders WHERE o_orderkey % 3 IN (0, 1)""")),
 
     // Incremental aggregate maintenance: daily revenue built by folding 4
     // disjoint order batches into a catalog-stored aggregate, one

@@ -355,6 +355,23 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.rollback("t", 99L))
   }
 
+  test("diffVersions: multiset CDC — copy-count changes surface, not vanish") {
+    val cat = freshCatalog()
+    cat.write("t", Seq("a", "a", "b").toDF("v"))
+    cat.write("t", Seq("a", "b", "b", "c").toDF("v"))
+    val got = rows(cat.diffVersions("t", 0, 1).orderBy("change", "v"))
+    // one 'a' lost, one extra 'b' and a new 'c' gained — per COPY, so the
+    // duplicate-count shift on a and b is visible, not cancelled out
+    assert(got == Seq(Seq("b", "added"), Seq("c", "added"), Seq("a", "removed")))
+    // identical versions diff to empty
+    cat.write("t", Seq("x").toDF("v"))
+    assert(cat.diffVersions("t", 2, 2).count() == 0)
+    // a pruned version fails loudly like any other historical read
+    cat.write("t", Seq("y").toDF("v"))
+    cat.write("t", Seq("z").toDF("v"))
+    intercept[IllegalArgumentException](cat.diffVersions("t", 0, 4).collect())
+  }
+
   test("missing table read fails clearly") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException](cat.read("ghost"))
