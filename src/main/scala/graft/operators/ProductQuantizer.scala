@@ -151,6 +151,96 @@ object ProductQuantizer {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Quantized residual of each vector against its coarse centroid —
+    * exact long subtraction; expects columns `q` and `bucket`. */
+  private def residualExpr(coarse: KMeans.Model): Column = {
+    val cents = typedlit(coarse.centroids
+      .map { case (cid, c) => cid.toLong -> c.toSeq }.toMap)
+    zip_with(col("q"), element_at(cents, col("bucket")), (a, b) => a - b)
+  }
+
+  /** Train PQ codebooks on coarse-quantizer RESIDUALS (the FAISS-default
+    * `by_residual=true` form): residuals concentrate near zero, so the
+    * same ksub centroids spend their resolution on the part of the vector
+    * the coarse quantizer didn't explain — the recall upgrade over
+    * [[fit]]. Residuals are exact integer differences scaled back to
+    * floats for [[KMeans.fit]]; the /10⁴ → ×10⁴ double round-trip is
+    * exact for |r| ≪ 2⁵¹, so quantize∘descale is the identity and an
+    * oracle can replay the fits directly on integer residual lists. */
+  def fitResidual(emb: DataFrame, coarse: KMeans.Model, m: Int, ksub: Int = 8,
+      iters: Int = 2, dim: Int = -1,
+      idCol: String = "vec_id", embCol: String = "embedding"): PQModel = {
+    val d = if (dim > 0) dim else VectorSearch.probeDim(emb, embCol)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val withR = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("bucket", KMeans.clusterExpr(coarse))
+      .select(col("vec_id"), residualExpr(coarse).as("r"))
+      .select(col("vec_id"),
+        expr("transform(r, x -> CAST(x AS DOUBLE) / 10000.0D)").as("resid"))
+    val sub = d / m
+    PQModel(sub, (0 until m).map { j =>
+      KMeans.fit(
+        withR.select(col("vec_id"), slice(col("resid"), j * sub + 1, sub).as("resid")),
+        ksub, iters, "vec_id", "resid")
+    })
+  }
+
+  /** Residual codes: (vec_id, bucket, codes) — each code quantizes the
+    * vector's residual slice against subspace `j`'s residual codebook. */
+  def encodeResidual(emb: DataFrame, coarse: KMeans.Model, model: PQModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("bucket", KMeans.clusterExpr(coarse))
+      .withColumn("r", residualExpr(coarse))
+      .select(col("vec_id"), col("bucket"),
+        array((0 until model.m).map(codeExpr(model, _, "r")): _*).as("codes"))
+
+  /** Residual IVF-PQ probe: recon(x) = coarse_centroid(bucket) + Σⱼ
+    * bookⱼ[codeⱼ], so dot(q, recon) = dot(q, cb) + Σⱼ dot(q-sliceⱼ,
+    * bookⱼ[codeⱼ]) and |recon|² = |cb|² + 2·Σⱼ dot(cb-sliceⱼ,
+    * bookⱼ[codeⱼ]) + Σⱼ |bookⱼ[codeⱼ]|² — every term an exact integer
+    * from literal-map lookups (the cross term dots two LITERAL lookups;
+    * no reconstruction ever materializes). Same bucket equi-join shape as
+    * [[ivfpqProbeTopK]]. */
+  def ivfpqResidualProbeTopK(emb: DataFrame, coarse: KMeans.Model, model: PQModel,
+      queryPred: Column, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("bucket", KMeans.clusterExpr(coarse))
+    val codes = encodeResidual(emb, coarse, model, idCol, embCol)
+      .withColumnRenamed("vec_id", "nid")
+    val qs = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
+      .withColumn("qn", DotProductLong(col("qv"), col("qv"))))
+    val cents = typedlit(coarse.centroids
+      .map { case (cid, c) => cid.toLong -> c.toSeq }.toMap)
+    val centNorms = typedlit(coarse.centroids
+      .map { case (cid, c) => cid.toLong -> c.map(x => x * x).sum }.toMap)
+    val crossSum = (0 until model.m).map { j =>
+      val slices = typedlit(coarse.centroids.map { case (cid, c) =>
+        cid.toLong -> c.slice(j * model.subDim, (j + 1) * model.subDim).toSeq
+      }.toMap)
+      val book = typedlit(model.books(j).centroids
+        .map { case (cid, c) => cid.toLong -> c.toSeq }.toMap)
+      DotProductLong(element_at(slices, col("bucket")),
+        element_at(book, col("codes").getItem(j)))
+    }.reduce(_ + _)
+    qs.join(codes, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("dp",
+        DotProductLong(col("qv"), element_at(cents, col("bucket"))) + adcDotSum(model))
+      .withColumn("rn2",
+        element_at(centNorms, col("bucket")) + lit(2L) * crossSum + adcNormSum(model))
+      .withColumn("sim", col("dp").cast("double") /
+        sqrt(col("qn").cast("double") * col("rn2").cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** The model in persistable long-row form: (subspace, cluster, pos,
     * value) — m·ksub·subDim exact integer cells. */
   def modelDf(spark: org.apache.spark.sql.SparkSession, model: PQModel): DataFrame = {

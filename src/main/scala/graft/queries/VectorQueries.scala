@@ -320,7 +320,9 @@ object VectorQueries {
   /** The m per-subspace fit replays (each the q_x_kmeans CTE chain on a
     * list slice). References an `e` CTE (vec_id, quantized q) — composable
     * after either a bare `e` or the full coarse-quantizer [[kmeansCtes]]. */
-  private lazy val pqFitCtes: String = {
+  private lazy val pqFitCtes: String = pqFitCtesFrom("e")
+
+  private def pqFitCtesFrom(src: String): String = {
     val (m, sub, ksub) = (pqM, pqSub, pqKsub)
     def assignCteJ(j: Int, name: String, cents: String) =
       s"""$name AS (SELECT vec_id, q, cid FROM (
@@ -336,7 +338,7 @@ object VectorQueries {
               FROM $assigned)
             GROUP BY cid, pos) GROUP BY cid)"""
     val fits = (0 until m).map { j =>
-      s"""e$j AS MATERIALIZED (SELECT vec_id, q[${j * sub + 1}:${j * sub + sub}] AS q FROM e),
+      s"""e$j AS MATERIALIZED (SELECT vec_id, q[${j * sub + 1}:${j * sub + sub}] AS q FROM $src),
           seeds$j AS (SELECT cid, q FROM (
             SELECT row_number() OVER (
               ORDER BY ${hash64Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS cid, q
@@ -392,6 +394,57 @@ object VectorQueries {
           s"""FROM qs JOIN a3 cb ON cb.cid = qs.bucket AND cb.vec_id <> qs.qid
               JOIN a3_$j a ON a.vec_id = cb.vec_id
               JOIN c2_$j c ON a.cid = c.cid""")}"""
+
+  /** Residual IVF-PQ oracle: coarse fit replay → integer residuals per
+    * vector (a3 row − its c2 centroid) → the m subspace fits replayed ON
+    * the residual lists → in-bucket ADC with the expanded-norm identity
+    * |cb + pqrec|² = |cb|² + 2·(cb·pqrec) + |pqrec|² (every term an exact
+    * integer-valued double, summed below 2⁵³ before the one sqrt). */
+  private lazy val ivfpqResidualOracleSql: String = {
+    val parts = (0 until pqM).map { j =>
+      val (lo, hi) = (j * pqSub + 1, j * pqSub + pqSub)
+      s"""SELECT qs.qid, r.vec_id AS nid, qs.qn,
+          list_dot_product(qs.q[$lo:$hi], c.q) AS pd,
+          list_dot_product(c.q, c.q) AS pn,
+          list_dot_product(cc.q[$lo:$hi], c.q) AS px,
+          list_dot_product(qs.q, cc.q) AS qb,
+          list_dot_product(cc.q, cc.q) AS cbn
+          FROM qs JOIN res r ON r.bucket = qs.bucket AND r.vec_id <> qs.qid
+          JOIN a3_$j a ON a.vec_id = r.vec_id
+          JOIN c2_$j c ON a.cid = c.cid
+          JOIN c2 cc ON cc.cid = qs.bucket"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $kmeansCtes,
+        res AS MATERIALIZED (SELECT a.vec_id,
+          list_transform(generate_series(1, len(a.q)), i -> a.q[i] - c.q[i]) AS q,
+          a.cid AS bucket
+          FROM a3 a JOIN c2 c ON a.cid = c.cid),
+        ${pqFitCtesFrom("res")},
+        qs AS (SELECT a.vec_id AS qid, a.q, list_dot_product(a.q, a.q) AS qn,
+                      a.cid AS bucket
+               FROM a3 a WHERE a.vec_id < 10),
+        part AS ($parts),
+        sc AS (SELECT qid, nid,
+               (any_value(qb) + sum(pd)) /
+                 sqrt(any_value(qn) * (any_value(cbn) + 2 * sum(px) + sum(pn))) AS sim
+               FROM part GROUP BY qid, nid)
+        SELECT qid, nid, sim, rank FROM (
+          SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM sc) WHERE rank <= 3"""
+  }
+
+  /** Per-(session, sfDir) residual PQ codebooks (trained on coarse-model
+    * residuals; shares the cached coarse model). */
+  private val pqResidualModels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.ProductQuantizer.PQModel]()
+
+  private def pqResidualModel(s: SparkSession, d: String): graft.operators.ProductQuantizer.PQModel = {
+    pqResidualModels.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqResidualModels.computeIfAbsent((s, d),
+      _ => graft.operators.ProductQuantizer.fitResidual(
+        t(s, d, "embeddings"), kmeansModel(s, d), m = 4, ksub = 8, iters = 2, dim = 64))
+  }
 
   /** Oracle for q_x_search_mmr: the greedy MMR loop unrolled as k−1 chained
     * CTE rounds (plain SQL — no recursive CTE needed because k is a small
@@ -476,6 +529,17 @@ object VectorQueries {
         t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d),
         col("vec_id") < 10, 3),
       Some(ivfpqOracleSql)),
+
+    // Residual IVF-PQ (FAISS-default by_residual=true): codebooks quantize
+    // coarse-centroid RESIDUALS, spending their resolution where the
+    // bucket didn't explain the vector — better recall at identical code
+    // size. The cross term dots two literal lookups; no reconstruction
+    // materializes.
+    QueryDef("q_x_ann_ivfpq_residual",
+      (s, d) => graft.operators.ProductQuantizer.ivfpqResidualProbeTopK(
+        t(s, d, "embeddings"), kmeansModel(s, d), pqResidualModel(s, d),
+        col("vec_id") < 10, 3),
+      Some(ivfpqResidualOracleSql)),
 
     // MMR diversity re-rank (Carbonell & Goldstein): top-20 candidates per
     // query, then 5 greedy picks trading relevance against similarity to

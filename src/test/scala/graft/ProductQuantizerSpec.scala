@@ -85,6 +85,26 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("residual codebooks approximate true sims better than raw-vector ones") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val coarse = graft.operators.KMeans.fit(emb, k = 8, iters = 2)
+    val plain = PQ.fit(emb, m = 4, ksub = 8, iters = 2, dim = 64)
+    val resid = PQ.fitResidual(emb, coarse, m = 4, ksub = 8, iters = 2, dim = 64)
+    val pred = col("vec_id") < 10
+    def sims(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = sims(VectorSearch.bruteForceTopK(emb, pred, 600))
+    val p = sims(PQ.ivfpqProbeTopK(emb, coarse, plain, pred, 600))
+    val r = sims(PQ.ivfpqResidualProbeTopK(emb, coarse, resid, pred, 600))
+    assert(p.keySet == r.keySet && p.nonEmpty) // same bucket-pruned candidates
+    def meanErr(est: Map[(Long, Long), Double]) =
+      est.map { case (k, v) => math.abs(v - exact(k)) }.sum / est.size
+    val (pe, re) = (meanErr(p), meanErr(r))
+    // residuals concentrate near zero, so the same ksub centroids resolve
+    // finer structure — reconstruction error must drop, and materially so
+    assert(re < pe, s"residual err $re not below plain err $pe")
+  }
+
   test("fit refuses a dimension not divisible into m subspaces") {
     val e = intercept[IllegalArgumentException] {
       PQ.fit(blobs, m = 3, ksub = 2, dim = 8)
