@@ -166,6 +166,39 @@ object VectorSearch {
         s"lshBuckets: embedding dim %s != configured dim $dim", size(col("q"))))))
   }
 
+  /** Contrastive training triples — the embedding-model training-data op:
+    * for each anchor, its strongest in-bucket POSITIVE (sim ≥ `posThr`)
+    * and its HARDEST in-bucket negative (highest sim strictly below
+    * `negThr` — the near-miss that actually teaches the margin; a random
+    * negative is trivially separable). Candidates come from the same LSH
+    * bucket equi-join as every near-dup path — no all-pairs; anchors whose
+    * bucket yields no positive or no negative drop out (inner join).
+    * One bucket join + two ranks in the same anchor-keyed shuffle. */
+  def contrastiveTriples(emb: DataFrame, anchorPred: Column,
+      posThr: Double = 0.3, negThr: Double = 0.3,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    require(negThr <= posThr, "hard-negative band must sit below the positive band")
+    val e = lshBuckets(emb, numPlanes, dim)
+    val anchors = e.filter(anchorPred).select(col("vec_id").as("qid"),
+      col("q").as("qv"), col("nn").as("qn"), col("bucket"))
+    val pairs = anchors
+      .join(e.select(col("vec_id").as("nid"), col("q").as("cv"),
+        col("nn").as("cn"), col("bucket")), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dp", dot("qv", "cv"))
+      .withColumn("sim", cosine("dp", "qn", "cn"))
+      .select(col("qid"), col("nid"), col("sim"))
+      .persist()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val pos = pairs.filter(col("sim") >= posThr)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("nid").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = pairs.filter(col("sim") < negThr)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("nid").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("qid"))
+  }
+
   /** IVF-style ANN probe: neighbors are ranked ONLY within the query's LSH
     * bucket — the index shape for corpus-scale search (the bucket column is
     * the "inverted file"; a production index persists the corpus bucketed/

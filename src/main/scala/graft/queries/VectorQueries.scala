@@ -549,6 +549,35 @@ object VectorQueries {
         t(s, d, "embeddings"), col("vec_id") < 10, n = 20, k = 5),
       Some(mmrOracleSql("a.vec_id < 10", n = 20, k = 5))),
 
+    // Contrastive triples for embedding training: per anchor the strongest
+    // in-bucket positive (sim ≥ 0.3) and the hardest in-bucket negative
+    // (highest sim < 0.3 — the near-miss that teaches the margin). Same
+    // LSH bucket join as the near-dup paths; two ranks in one shuffle.
+    QueryDef("q_x_contrastive_pairs",
+      (s, d) => graft.operators.VectorSearch.contrastiveTriples(
+        t(s, d, "embeddings"), lit(true), 0.3, 0.3, numPlanes, 64),
+      Some {
+        val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+            n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, $bucketSql AS bucket FROM e),
+            p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                  FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+            pos AS (SELECT qid, nid AS pos_id, sim AS pos_sim FROM (
+              SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+              FROM p WHERE sim >= 0.3) WHERE rn = 1),
+            neg AS (SELECT qid, nid AS neg_id, sim AS neg_sim FROM (
+              SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+              FROM p WHERE sim < 0.3) WHERE rn = 1)
+            SELECT qid, pos_id, pos_sim, neg_id, neg_sim
+            FROM pos JOIN neg USING (qid)"""
+      }),
+
     // Brute-force cosine top-k: queries = vec_id < 50, k = 5, self excluded.
     QueryDef("q_x_embed_topk",
       (s, d) => graft.operators.VectorSearch.bruteForceTopK(

@@ -680,6 +680,35 @@ class FunctionsSpec extends SparkSpec {
     ps.foreach { case Seq(nid, sim) => assert(bf(nid) == sim) }
   }
 
+  test("contrastiveTriples matches an in-JVM reference on arbitrary vectors") {
+    // deterministic pseudo-random 8-d vectors
+    val emb = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 37 + j * 11) % 19 - 9) / 10.0f))
+    }.toDF("vec_id", "embedding")
+    val (posThr, negThr) = (0.3, 0.3)
+    // 2 planes → 4 coarse buckets, so buckets mix similar AND dissimilar
+    // vectors and both picks have real candidates
+    val got = VectorSearch.contrastiveTriples(emb, lit(true), posThr, negThr,
+        numPlanes = 2, dim = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // reference: same buckets, exact sims, greedy picks
+    val bucket = VectorSearch.lshBuckets(emb, 2, 8)
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sims = VectorSearch.bruteForceTopK(emb, lit(true), 40)
+      .select("qid", "nid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = (0L until 40L).flatMap { a =>
+      val cands = (0L until 40L).filter(b => b != a && bucket(b) == bucket(a))
+        .map(b => (b, sims((a, b))))
+      val pos = cands.filter(_._2 >= posThr).sortBy { case (b, s) => (-s, b) }.headOption
+      val neg = cands.filter(_._2 < negThr).sortBy { case (b, s) => (-s, b) }.headOption
+      for (p <- pos; n <- neg) yield a -> (p._1, p._2, n._1, n._2)
+    }.toMap
+    assert(want.nonEmpty, "fixture produced no triples — adjust it")
+    assert(got == want)
+  }
+
   test("randomProjection: deterministic long-row output, map-only plan") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
