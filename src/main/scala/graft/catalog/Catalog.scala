@@ -380,6 +380,22 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       true
     }
   }
+  /** Idempotent versioned OVERWRITE for `foreachBatch` sinks that REBUILD
+    * their table every micro-batch (e.g. [[graft.ops.IncrementalAgg]]'s
+    * streaming refresh): same replay guard as [[appendStreamBatch]] — the
+    * committed batch id travels in the version directory, a redelivered
+    * batch is skipped BEFORE any plan materializes — but full-write
+    * semantics instead of an append. Returns false on a replay. */
+  def writeStreamBatch(name: String, df: DataFrame, batchId: Long): Boolean = {
+    val last = currentPath(name)
+      .map(p => Paths.get(p).resolve(BatchIdFile))
+      .filter(Files.exists(_))
+      .map(Files.readString(_).trim.toLong)
+      .getOrElse(-1L)
+    if (batchId <= last) false
+    else { writeVersion(name, df, Map(BatchIdFile -> batchId.toString)); true }
+  }
+
   private val BatchIdFile = "_BATCH_ID"
   /** The catalog-owned marker files carried across versions. */
   private val InheritedMeta = Seq(BatchIdFile)

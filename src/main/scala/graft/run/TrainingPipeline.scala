@@ -70,6 +70,10 @@ final case class TrainingPipelineConfig(
     normalizeNfc: Boolean = false,
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
     maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
+    // the published Gopher rule battery as an extra map-side gate (word
+    // count / mean word length / symbol ratio / alpha-word fraction /
+    // stopword hits) — rides the same stage frame, zero extra shuffles
+    gopher: Option[QualityFilter.GopherThresholds] = None,
     // corpus-statistic gates, applied AFTER exact dedup (each adds one
     // span_hash shuffle over the deduped corpus; docs too short to score
     // pass through):
@@ -125,12 +129,18 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
     // which at corpus scale is a full extra scan per stage. Materialized by
     // the counts, freed before returning.
     // both gates are map-side; they fold into one persisted stage frame
-    val mapGated = cfg.maxRepetition match {
+    val mapGated0 = cfg.maxRepetition match {
       case None => QualityFilter.filter(docs, cfg.quality)
       case Some(t) => QualityFilter.repetitionScored(
           QualityFilter.filter(docs, cfg.quality))
         .filter(col("repetition") <= t)
         .drop("n_shingles", "n_distinct", "repetition")
+    }
+    val mapGated = cfg.gopher match {
+      case None => mapGated0
+      case Some(g) => // still map-side; metric columns stay internal
+        QualityFilter.gopherFilter(mapGated0, g)
+          .select(mapGated0.columns.map(col).toIndexedSeq: _*)
     }
     val quality = mapGated
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -40,6 +40,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("gopher gate drops rule-violators map-side without changing the schema") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over a lazy dog and then some more " * 3).trim
+    val noStops = ("quick brown fox jumps over lazy dog runs far " * 4).trim
+    val input = Seq(
+      (1L, good, "en", "s", good.length.toLong),
+      (2L, noStops, "en", "s", noStops.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(
+      quality = graft.operators.QualityFilter.Thresholds(minTokens = 5, minStopRatio = 0.0),
+      gopher = Some(graft.operators.QualityFilter.GopherThresholds(
+        minWords = 10, maxWords = 500)),
+      seqTokens = 256, shards = 1)
+    val s = new TrainingPipeline(spark, cat).run(input, cfg)
+    // doc 2 passes the base quality gate (stop ratio relaxed) but fails the
+    // gopher stopword rule; doc 1 survives
+    assert(s.afterQuality == 1)
+    assert(rows(cat.read("training_corpus").select("doc_id")).flatten == Seq(1L))
+    // no gopher metric columns leak into the committed corpus
+    assert(!cat.read("training_corpus").columns.exists(_.startsWith("r_")))
+    assert(!cat.read("training_corpus").columns.contains("mean_word_len"))
+  }
+
   test("near-dup removal drops cluster non-keepers") {
     import spark.implicits._
     val base = (1 to 30).map(i => "tok" + i).mkString(" ")
