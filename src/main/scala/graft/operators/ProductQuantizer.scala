@@ -130,16 +130,30 @@ object ProductQuantizer {
     * upgrade that would add a (bucket, code) cross-dot literal table.
     * The probe is a broadcast EQUI-join on bucket id, not a nested loop. */
   def ivfpqProbeTopK(emb: DataFrame, coarse: KMeans.Model, model: PQModel,
-      queryPred: Column, k: Int,
+      queryPred: Column, k: Int, nProbe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = emb.filter(col(embCol).isNotNull)
       .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
-      .withColumn("bucket", KMeans.clusterExpr(coarse))
-    val codes = e.select(col("vec_id").as("nid"), col("bucket"),
-      array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
+    val codes = e.withColumn("bucket", KMeans.clusterExpr(coarse))
+      .select(col("vec_id").as("nid"), col("bucket"),
+        array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
+    // Multi-probe (the standard IVF recall knob): each query fans out to
+    // its nProbe NEAREST coarse buckets — nProbe=1 is exactly "its own
+    // bucket". Sorting (negscore, cid) structs matches every assignment
+    // tie-break in [[KMeans]]; the fan-out multiplies only the broadcast
+    // query side, never the corpus.
+    val entries = array(coarse.centroids.map { case (cid, c) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - DotProductLong(col("q"), typedlit(c.toSeq)) * 2).as("negscore"),
+        lit(cid.toLong).as("cid"))
+    }: _*)
     val qs = broadcast(e.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
-      .withColumn("qn", DotProductLong(col("qv"), col("qv"))))
+      .withColumn("qn", DotProductLong(col("q"), col("q")))
+      .withColumn("bucket",
+        explode(transform(slice(sort_array(entries), 1, nProbe),
+          s => s.getField("cid"))))
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("qn"), col("bucket")))
     qs.join(codes, Seq("bucket")).filter(col("qid") =!= col("nid"))
       .withColumn("dp", adcDotSum(model))
       .withColumn("rn2", adcNormSum(model))

@@ -398,6 +398,37 @@ object EventQueries {
                       CAST(sum(vc) AS BIGINT) AS value_cents
                FROM s GROUP BY user_id, session_id""")),
 
+    // Running DISTINCT count — a window shape Spark has no native function
+    // for (COUNT(DISTINCT) OVER is unsupported): the classic first-
+    // occurrence-flag rewrite — flag each (user, type)'s first event via
+    // row_number, then a running sum of flags per user. Engine-portable
+    // and exactly equivalent; two keyed window shuffles ((user,type) then
+    // user), both on the same user-major data.
+    QueryDef("q_w8_running_distinct",
+      (s, d) => {
+        val wOcc = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tus"), col("event_id"))
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_us").as("tus"))
+          .withColumn("fs",
+            when(row_number().over(wOcc) === 1, 1L).otherwise(0L))
+          .select(col("user_id"), col("event_id"),
+            sum(col("fs")).over(wRun).cast("long").as("n_distinct_types"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                         FROM events WHERE user_id IS NOT NULL),
+              f AS (SELECT *, CASE WHEN row_number() OVER (
+                      PARTITION BY user_id, event_type ORDER BY tus, event_id) = 1
+                    THEN 1 ELSE 0 END AS fs FROM e)
+              SELECT user_id, event_id,
+                     CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+              FROM f""")),
+
     // Burst suppression (debounce): within each (user, event_type) stream,
     // drop events arriving < 60 s after their predecessor — the tracking-
     // pixel double-fire / retry-storm cleaner run before any event

@@ -395,6 +395,26 @@ object VectorQueries {
               JOIN a3_$j a ON a.vec_id = cb.vec_id
               JOIN c2_$j c ON a.cid = c.cid""")}"""
 
+  /** Multi-probe IVF-PQ oracle: each query fans out to its 2 nearest
+    * coarse buckets (same (negscore, cid) order as every assignment);
+    * scoring is the shared ADC tail over the widened candidate set. */
+  private lazy val ivfpqMultiOracleSql: String =
+    s"""WITH $kmeansCtes,
+        $pqFitCtes,
+        qs AS (SELECT vec_id AS qid, q, list_dot_product(q, q) AS qn
+               FROM e WHERE vec_id < 10),
+        prb AS (SELECT qid, cid AS bucket FROM (
+          SELECT qs.qid, c.cid,
+            row_number() OVER (PARTITION BY qs.qid
+              ORDER BY list_dot_product(c.q, c.q) - 2 * list_dot_product(qs.q, c.q),
+                       c.cid) AS rn
+          FROM qs CROSS JOIN c2 c) WHERE rn <= 2),
+        ${pqScoreSql(3, j =>
+          s"""FROM qs JOIN prb ON prb.qid = qs.qid
+              JOIN a3 cb ON cb.cid = prb.bucket AND cb.vec_id <> qs.qid
+              JOIN a3_$j a ON a.vec_id = cb.vec_id
+              JOIN c2_$j c ON a.cid = c.cid""")}"""
+
   /** Residual IVF-PQ oracle: coarse fit replay → integer residuals per
     * vector (a3 row − its c2 centroid) → the m subspace fits replayed ON
     * the residual lists → in-bucket ADC with the expanded-norm identity
@@ -529,6 +549,15 @@ object VectorQueries {
         t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d),
         col("vec_id") < 10, 3),
       Some(ivfpqOracleSql)),
+
+    // Multi-probe IVF-PQ: each query probes its 2 nearest inverted lists —
+    // the standard recall knob; the fan-out multiplies only the broadcast
+    // query side, never the corpus scan.
+    QueryDef("q_x_ann_ivfpq_multiprobe",
+      (s, d) => graft.operators.ProductQuantizer.ivfpqProbeTopK(
+        t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d),
+        col("vec_id") < 10, 3, nProbe = 2),
+      Some(ivfpqMultiOracleSql)),
 
     // Residual IVF-PQ (FAISS-default by_residual=true): codebooks quantize
     // coarse-centroid RESIDUALS, spending their resolution where the

@@ -83,6 +83,13 @@ class ProductQuantizerSpec extends SparkSpec {
     // the probe is an equi-join on bucket, never a nested loop over the corpus
     val plan = probe.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // multi-probe covering EVERY bucket ≡ the unpruned global ADC ranking
+    val nBuckets = coarse.centroids.size
+    val allProbe = rows(PQ.ivfpqProbeTopK(blobs, coarse, model,
+      col("vec_id") < 4, 5, nProbe = nBuckets).orderBy("qid", "rank"))
+    val unpruned = rows(PQ.adcTopK(blobs, model, col("vec_id") < 4, 5)
+      .orderBy("qid", "rank"))
+    assert(allProbe == unpruned)
   }
 
   test("residual codebooks approximate true sims better than raw-vector ones") {
