@@ -255,6 +255,34 @@ object ProductQuantizer {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Two-stage search (the production serving shape): a cheap PQ-ADC
+    * SHORTLIST over the compressed corpus, then an EXACT cosine re-rank of
+    * only the shortlist against full-precision vectors. The expensive full
+    * vectors are read for Q·shortlist rows, not the corpus — at 100 TB
+    * the re-rank side is a broadcast of the (tiny) shortlist against the
+    * id-keyed vector table, ideally bucketed/sorted by vec_id so the
+    * point lookups file-prune. Final ranks are exact where it matters
+    * (the top k) while the scan cost stays PQ-sized. */
+  def adcShortlistRerank(emb: DataFrame, model: PQModel, queryPred: Column,
+      shortlist: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val sl = broadcast(
+      adcTopK(emb, model, queryPred, shortlist, null, idCol, embCol)
+        .select(col("qid"), col("nid")))
+    val e = VectorSearch.prepared(emb, idCol, embCol)
+    sl.join(e.select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn")),
+        Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn")),
+        Seq("nid"))
+      .withColumn("dp", VectorSearch.dot("qv", "cv"))
+      .withColumn("sim", VectorSearch.cosine("dp", "qn", "cn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** The model in persistable long-row form: (subspace, cluster, pos,
     * value) — m·ksub·subDim exact integer cells. */
   def modelDf(spark: org.apache.spark.sql.SparkSession, model: PQModel): DataFrame = {

@@ -166,6 +166,31 @@ object VectorSearch {
         s"lshBuckets: embedding dim %s != configured dim $dim", size(col("q"))))))
   }
 
+  /** Metadata-FILTERED exact top-k (the "filtered vector search" serving
+    * shape): the candidate predicate applies BEFORE ranking — pre-filter,
+    * so k survivors are guaranteed (post-filtering an unfiltered top-k
+    * can return fewer than k or none when the filter is selective). The
+    * filter pushes into the corpus scan (one predicate on the scan node);
+    * everything else is [[bruteForceTopK]]'s broadcast shape. */
+  def bruteForceTopKFiltered(emb: DataFrame, queryPred: Column,
+      candPred: Column, k: Int): DataFrame = {
+    val e = emb.withColumn("__cand", candPred)
+    val prep = e.select(col("vec_id"), quantize("embedding").as("q"), col("__cand"))
+      .withColumn("nn", dot("q", "q"))
+    val qs = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("qid"), quantize("embedding").as("qv"))
+      .withColumn("qn", dot("qv", "qv")))
+    qs.join(prep.filter(col("__cand"))
+        .select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn")),
+        col("qid") =!= col("nid"))
+      .withColumn("dp", dot("qv", "cv"))
+      .withColumn("sim", cosine("dp", "qn", "cn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** Contrastive training triples — the embedding-model training-data op:
     * for each anchor, its strongest in-bucket POSITIVE (sim ≥ `posThr`)
     * and its HARDEST in-bucket negative (highest sim strictly below

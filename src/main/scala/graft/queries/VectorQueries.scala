@@ -355,7 +355,7 @@ object VectorQueries {
   /** The shared ADC tail: per-subspace (query-slice · reconstruction)
     * partials → summed exact dot/norm → ranked sim. `candJoin(j)` supplies
     * the FROM/WHERE picking each subspace's candidate rows. */
-  private def pqScoreSql(kNN: Int, candJoin: Int => String): String = {
+  private def pqScoreCtes(candJoin: Int => String): String = {
     val parts = (0 until pqM).map { j =>
       s"""SELECT qs.qid, a.vec_id AS nid, qs.qn,
           list_dot_product(qs.q[${j * pqSub + 1}:${j * pqSub + pqSub}], c.q) AS pd,
@@ -364,12 +364,40 @@ object VectorQueries {
     }.mkString(" UNION ALL ")
     s"""part AS ($parts),
         sc AS (SELECT qid, nid, sum(pd) / sqrt(any_value(qn) * sum(pn)) AS sim
-               FROM part GROUP BY qid, nid)
+               FROM part GROUP BY qid, nid)"""
+  }
+
+  private def pqScoreSql(kNN: Int, candJoin: Int => String): String =
+    s"""${pqScoreCtes(candJoin)}
         SELECT qid, nid, sim, rank FROM (
           SELECT qid, nid, sim,
                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
           FROM sc) WHERE rank <= $kNN"""
-  }
+
+  /** Two-stage oracle: PQ-ADC shortlist (rank ≤ 20) → exact cosine
+    * re-rank of only those pairs against the full-precision vectors. */
+  private lazy val pqRerankOracleSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $quantSql AS q FROM embeddings
+          WHERE embedding IS NOT NULL),
+        $pqFitCtes,
+        qs AS (SELECT vec_id AS qid, q, list_dot_product(q, q) AS qn
+               FROM e WHERE vec_id < 10),
+        ${pqScoreCtes(j =>
+          s"""FROM qs, a3_$j a JOIN c2_$j c ON a.cid = c.cid
+              WHERE a.vec_id <> qs.qid""")},
+        shortlist AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+          FROM sc) WHERE rk <= 20),
+        n2 AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e),
+        ex AS (SELECT s.qid, s.nid,
+               list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+               FROM shortlist s JOIN n2 a ON a.vec_id = s.qid
+               JOIN n2 b ON b.vec_id = s.nid)
+        SELECT qid, nid, sim, rank FROM (
+          SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM ex) WHERE rank <= 5"""
 
   private lazy val pqAnnOracleSql: String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, $quantSql AS q FROM embeddings
@@ -549,6 +577,32 @@ object VectorQueries {
         t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d),
         col("vec_id") < 10, 3),
       Some(ivfpqOracleSql)),
+
+    // Two-stage search: PQ shortlist (top-20 over compressed codes) →
+    // exact cosine re-rank of just those pairs against full vectors — the
+    // production serving shape (PQ-sized scan, exact final ranks).
+    QueryDef("q_x_ann_rerank",
+      (s, d) => graft.operators.ProductQuantizer.adcShortlistRerank(
+        t(s, d, "embeddings"), pqModel(s, d), col("vec_id") < 10,
+        shortlist = 20, k = 5),
+      Some(pqRerankOracleSql)),
+
+    // Metadata-filtered exact search: the candidate predicate (label = 1)
+    // applies BEFORE ranking, so k survivors are guaranteed — pre-filter,
+    // the recall-safe half of the filtered-ANN trade.
+    QueryDef("q_x_ann_filtered",
+      (s, d) => graft.operators.VectorSearch.bruteForceTopKFiltered(
+        t(s, d, "embeddings"), col("vec_id") < 20, col("label") === 1, 5),
+      Some(s"""WITH e AS (SELECT vec_id, label, $quantSql AS q FROM embeddings),
+               n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS nn FROM e),
+               p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                     FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+                     AND b.label = 1)
+               SELECT qid, nid, sim, rank FROM (
+                 SELECT qid, nid, sim,
+                        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                 FROM p) WHERE rank <= 5""")),
 
     // Multi-probe IVF-PQ: each query probes its 2 nearest inverted lists —
     // the standard recall knob; the fan-out multiplies only the broadcast

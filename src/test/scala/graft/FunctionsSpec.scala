@@ -680,6 +680,21 @@ class FunctionsSpec extends SparkSpec {
     ps.foreach { case Seq(nid, sim) => assert(bf(nid) == sim) }
   }
 
+  test("filtered search pre-filters: k survivors where post-filter would starve") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f), 0),  // most similar — but wrong label
+      (2L, Seq(0.95f, 0.2f), 0),
+      (3L, Seq(0.5f, 0.86f), 1),
+      (4L, Seq(0.3f, 0.95f), 1)).toDF("vec_id", "embedding", "label")
+    val got = rows(VectorSearch.bruteForceTopKFiltered(
+      emb, col("vec_id") === 0, col("label") === 1, 2).orderBy("rank")
+      .select("nid", "rank"))
+    // both label-1 docs surface, even though the global top-2 are label-0 —
+    // post-filtering a top-2 would have returned NOTHING
+    assert(got == Seq(Seq(3L, 1L), Seq(4L, 2L)))
+  }
+
   test("contrastiveTriples matches an in-JVM reference on arbitrary vectors") {
     // deterministic pseudo-random 8-d vectors
     val emb = (0 until 40).map { i =>

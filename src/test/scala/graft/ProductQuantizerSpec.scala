@@ -112,6 +112,23 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(re < pe, s"residual err $re not below plain err $pe")
   }
 
+  test("two-stage rerank: exact sims on the shortlist, shortlist-bounded") {
+    val model = PQ.fit(blobs, m = 2, ksub = 4, iters = 2, dim = 8)
+    val got = PQ.adcShortlistRerank(blobs, model, col("vec_id") < 4,
+      shortlist = 10, k = 3).collect()
+    assert(got.nonEmpty)
+    val exact = graft.operators.VectorSearch.bruteForceTopK(blobs, col("vec_id") < 4, 23)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // re-ranked sims are the EXACT full-precision cosines, not ADC estimates
+    got.foreach(r => assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+    val sl = PQ.adcTopK(blobs, model, col("vec_id") < 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach(r => assert(sl((r.getLong(0), r.getLong(1)))))
+    // a shortlist smaller than k is refused
+    intercept[IllegalArgumentException](
+      PQ.adcShortlistRerank(blobs, model, col("vec_id") < 4, 2, 5))
+  }
+
   test("fit refuses a dimension not divisible into m subspaces") {
     val e = intercept[IllegalArgumentException] {
       PQ.fit(blobs, m = 3, ksub = 2, dim = 8)
