@@ -13,7 +13,8 @@ object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     ParityQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      EventQueries.all ++ RetrievalQueries.all ++ GraphQueries.all
+      EventQueries.all ++ RetrievalQueries.all ++ GraphQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Text
+
+/** N-gram language-model scoring for corpus curation — the model-based
+  * quality tier that runs AFTER the heuristic batteries ([[QualityFilter]]):
+  * CCNet-style perplexity filtering (Wenzek et al. 2020) scores every
+  * document under a reference LM and gates on the corpus's own score
+  * distribution, and DSIR (Xie et al. 2023) importance-weights raw documents
+  * toward a target domain using hashed n-gram bag models.
+  *
+  * Reference scope: the reference pipeline (Redshift SQL, ~572 LoC) has no
+  * model-based curation at all — this family is part of the training-data
+  * extensions the engine adds on top (builder brief; SURVEY.md §7.8).
+  *
+  * == Cross-engine exactness contract ==
+  * Log-probabilities are QUANTIZED to integer micro-nats at the single point
+  * a transcendental enters: `logpMicro = round(ln(num/den) * 1e6)` where
+  * `num`/`den` are exact integer counts. Everything downstream is integer
+  * addition (order-independent, overflow-checked by magnitude: |logp| < 40
+  * nats → 4e7 micro-nats; 1e5 tokens/doc → 4e12 ≪ 2^63) plus at most one
+  * final IEEE division (deterministic). The only cross-engine hazard left is
+  * a libm `ln` disagreeing in the last ulp EXACTLY at a 0.5e-6 rounding
+  * boundary — probability ~1e-10 per distinct (num,den) pair, i.e. none in
+  * practice. (Unquantized float scores are what keeps `q_x_bm25` oracle-less;
+  * quantizing at the source is what lets this family be hash-exact.)
+  *
+  * == 100 TB shape ==
+  * Training is one word-count-shaped aggregate over the reference slice
+  * (model is vocab²-bounded but Zipf-sparse — web bigram tables are ~1e8-1e9
+  * rows, a plain parquet table). Scoring is an equi-join of the exploded
+  * bigram stream against the model (AQE broadcasts when the model fits,
+  * shuffles on the bigram key otherwise) followed by one per-doc aggregate.
+  * No all-pairs anywhere; skew on stop-bigrams is bounded because the join
+  * is key→model-row lookup (N:1), not pair-forming.
+  */
+object NgramLm {
+
+  val MicroScale: Long = 1000000L
+
+  /** Adjacent-token pairs of `textCol`, one row per OCCURRENCE:
+    * (doc_id, w1, w2). Whitespace tokens keep empty fields (Q.tokens
+    * convention), so token indices agree with DuckDB's `string_split`. */
+  def bigrams(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(slice(col("toks"), lit(1),
+        greatest(size(col("toks")) - 1, lit(0)))).as(Seq("pos", "w1")),
+        col("toks"))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("toks"), col("pos") + 2).as("w2"))
+  }
+
+  /** Bigram LM "model": exact integer pair counts c(w1,w2), context counts
+    * c(w1) (= bigram occurrences with that first token), and the training
+    * vocabulary size V (distinct tokens). Laplace (add-one) smoothing is
+    * applied at SCORE time so the model stays pure counts:
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V); an unseen context degrades to 1/V.
+    */
+  final case class BigramModel(pairs: DataFrame, contexts: DataFrame, vocabSize: Long)
+
+  def trainBigram(trainDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): BigramModel = {
+    val bg = bigrams(trainDocs, idCol, textCol)
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = trainDocs
+      .select(explode(Text.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok"))).head.getLong(0)
+    BigramModel(pairs, contexts, vocab)
+  }
+
+  /** Per-document cross-entropy under the model, in exact micro-nats:
+    * `n_bigrams`, `nll_micro` = Σ −round(ln(p)·1e6) (BIGINT, exact), and
+    * `xent_nats` = nll_micro / (n_bigrams·1e6) (one IEEE division).
+    * Documents with <2 tokens score NULL (no bigrams — a gate treats NULL
+    * as reject, per the [[QualityFilter]] NULL-metric convention). */
+  def crossEntropy(docs: DataFrame, model: BigramModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val logpMicro = round(
+      log((coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + model.vocabSize).cast("double"))
+        * MicroScale, 0).cast("long")
+    val scored = bg
+      .join(model.pairs, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(-logpMicro).as("nll_micro"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_micro"),
+        (col("nll_micro").cast("double") / (col("n_bigrams") * MicroScale))
+          .as("xent_nats"))
+  }
+
+  /** CCNet-style perplexity gate: score every document under a reference LM
+    * trained on `trainDocs`, keep documents at or below the corpus's own
+    * `quantile` of cross-entropy (low xent = fluent). Corpus-relative like
+    * [[QualityFilter.quantileGate]], with the inequality flipped (lower is
+    * better) and NULL (unscoreable) always rejected. */
+  def perplexityGate(docs: DataFrame, trainDocs: DataFrame, quantile: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scoredDocs = crossEntropy(docs, trainBigram(trainDocs, idCol, textCol),
+      idCol, textCol)
+    val cut = scoredDocs.agg(expr(s"percentile(xent_nats, $quantile)").as("cutoff"))
+    scoredDocs.crossJoin(broadcast(cut))
+      .withColumn("keep", coalesce(col("xent_nats") <= col("cutoff"), lit(false)))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): hash unigrams into `dim` buckets,
+    * fit smoothed bag-of-buckets models on a TARGET slice and on the RAW
+    * corpus, and weight each raw document by its log-likelihood ratio
+    * Σ_b f_b·(ln p̂_target[b] − ln p̂_raw[b]). High weight = looks like the
+    * target domain. Each model's bucket log-prob is quantized to micro-nats
+    * independently; the per-doc weight is then an exact integer dot product
+    * (`weight_micro`), so the whole column is hash-exact cross-engine.
+    *
+    * Shape: two dim-sized count aggregates (broadcast), one exploded-token
+    * join by bucket id, one per-doc aggregate — the same two-scan silhouette
+    * as [[QualityFilter.tokenRarity]] with a fixed-width model side. */
+  def dsirWeights(docs: DataFrame, targetDocs: DataFrame, dim: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def buckets(d: DataFrame): DataFrame =
+      d.select(col(idCol).as("doc_id"),
+          explode(Text.tokens(col(textCol))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), pmod(graft.functions.Hashing.hash64(col("tok")),
+          lit(dim.toLong)).as("b"))
+
+    // Smoothed bucket log-probs in micro-nats: round(ln((c_b+1)/(N+dim))·1e6).
+    def model(d: DataFrame, outCol: String): DataFrame = {
+      val counts = buckets(d).groupBy("b").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum("c").as("n"))
+      counts.crossJoin(broadcast(total))
+        .select(col("b"), round(log((col("c") + 1L).cast("double") /
+            (col("n") + dim).cast("double")) * MicroScale, 0)
+          .cast("long").as(outCol))
+    }
+    val target = model(targetDocs, "lp_target")
+    val raw = model(docs, "lp_raw")
+    // Unseen bucket in either model → that model's smoothed floor ln(1/(N+dim));
+    // computed from the broadcast totals so the formula stays uniform.
+    val tTotal = buckets(targetDocs).count()
+    val rTotal = buckets(docs).count()
+    def floorMicro(n: Long): Long =
+      math.round(math.log(1.0 / (n + dim)) * MicroScale)
+
+    buckets(docs)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("f"))
+      .join(broadcast(target), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("f") *
+          (coalesce(col("lp_target"), lit(floorMicro(tTotal))) -
+           coalesce(col("lp_raw"), lit(floorMicro(rTotal)))))
+        .as("weight_micro"),
+        sum("f").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("weight_micro"),
+        (col("weight_micro").cast("double") / (col("n_tokens") * MicroScale))
+          .as("avg_logratio_nats"))
+  }
+}

@@ -103,6 +103,37 @@ object QualityFilter {
         sum(when(col("tok_freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
   }
 
+  /** Unigram (token) Shannon entropy per document, in exact micro-nat
+    * integer form: with N tokens and per-token counts n_t,
+    * `H = (1/N)·Σ_t n_t·ln(N/n_t)`. Low entropy = few tokens dominate
+    * (looped phrases, tag soup, keyword stuffing); high entropy ≈ ln(N) =
+    * all-distinct text. Complements [[repetitionScored]] (which only sees
+    * EXACT k-shingle repeats — entropy also catches shuffled repetition).
+    *
+    * Cross-engine exactness: each distinct (n_t, N) pair contributes
+    * `n_t · round(ln(N/n_t)·1e6)` — integer products summed exactly —
+    * and the final division by N·1e6 is one IEEE op (the
+    * [[graft.operators.NgramLm]] micro-nat quantization contract).
+    * Shape: one explode + two-level aggregate, shuffled on (doc_id, tok)
+    * then doc_id — embarrassingly parallel per document at 100 TB. */
+  def tokenEntropy(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perTok = docs
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("nt"))
+    val perDoc = perTok
+      .withColumn("n", sum("nt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("nt") * round(log(col("n").cast("double") / col("nt").cast("double"))
+          * NgramLm.MicroScale, 0).cast("long")).as("h_micro_sum"))
+    perDoc.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      (col("h_micro_sum").cast("double") / (col("n_tokens") * NgramLm.MicroScale))
+        .as("entropy_nats"))
+  }
+
   /** Corpus-RELATIVE quality gating: keep rows whose metric reaches the
     * corpus's own `quantile` of that metric — the production form of
     * threshold selection (fixed constants go stale as the corpus shifts;

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Per-key sequence statistics over the event stream: exponentially-weighted
+  * smoothing and least-squares trend. The monitoring layer a pipeline runs
+  * over its own telemetry (ingest-rate drift, per-user spend trend) next to
+  * the [[Anomaly]] detectors.
+  *
+  * Exactness contract (driver hash-compare): both operators do ALL
+  * accumulation in exact integer arithmetic — money as cents
+  * ([[graft.queries.Q.cents]]), EWMA weights as powers of two, regression as
+  * raw integer moments — and emit doubles only through IEEE-deterministic
+  * `*` `/` `-` on those exact integers, never through libm or an
+  * order-dependent float sum.
+  *
+  * Scale shape: both are single-shuffle window/group ops keyed by the entity
+  * (partitionBy user). No state beyond the frame; at 100 TB this is one
+  * hash-partitioned sort per key group — the same silhouette as
+  * [[graft.streaming.EventStream]] sessionization, and AQE handles hot keys.
+  */
+object Trend {
+
+  /** EWMA with decay α = 1/2 over the trailing `window` (≤ 62) events of
+    * each key, event-time ordered: `ewma_n = Σ_k x_{n−k}·2^{−k} / Σ_k 2^{−k}`
+    * truncated at the frame edge (partial frames renormalize over the
+    * weights actually present — the standard "adjusted" EWMA form).
+    *
+    * Why α = 1/2 + cents: every weight 2^(W−1−k) is an exact BIGINT, so
+    * numerator and weight-sum are exact integer window sums and the single
+    * final division is IEEE-exact — bit-identical across engines, which a
+    * float-α recurrence can never be (its sum order is engine-defined).
+    * The frame is W `lag` taps (codegen'd, one sort per key), not a
+    * variable-length recurrence — O(W) per row, no cross-row float state. */
+  def ewmaHalf(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCents: Column, window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 62, s"window must be in [1,62]: $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val withC = events.withColumn("__c", valueCents)
+    val num = (0 until window).map { k =>
+      val weight = 1L << (window - 1 - k)
+      coalesce(lag(col("__c"), k).over(w) * weight, lit(0L))
+    }.reduce(_ + _)
+    val wsum = (0 until window).map { k =>
+      val weight = 1L << (window - 1 - k)
+      when(lag(col("__c"), k).over(w).isNotNull, lit(weight)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withC
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_wsum", wsum)
+      .withColumn("ewma",
+        col("ewma_num").cast("double") / (col("ewma_wsum") * 100L))
+      .drop("__c")
+  }
+
+  /** Ordinary-least-squares trend of `yCents` against the 0-based event
+    * index within each key (event-time order): per key emits the exact
+    * integer moments (n, Σx, Σy, Σxy, Σxx) plus
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` and
+    * `intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)` — each one division of
+    * exact integer numerators (closed-form normal equations), so the doubles
+    * are bit-identical cross-engine. Keys with < 2 events (or a degenerate
+    * denominator) emit NULL slope/intercept.
+    *
+    * Overflow headroom: idx < 2^31, cents < 2^40 → Σxy < rows·2^71 / key…
+    * in practice idx·cents < 2^51 and per-key rows < 2^20 keeps every moment
+    * < 2^63; the n·Σxy products are the binding terms — for per-key
+    * sequences beyond ~1e6 high-value events, switch y to decimal(38,0).
+    * Shape: one sort per key for the index, one grouped aggregate. */
+  def linearTrend(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      yCents: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val indexed = events
+      .withColumn("__x", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__y", yCents)
+    val m = indexed.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"))
+    val det = m("n") * m("sxx") - m("sx") * m("sx")
+    m.withColumn("slope_cents",
+        when(det =!= 0L,
+          (m("n") * m("sxy") - m("sx") * m("sy")).cast("double") / det))
+      .withColumn("intercept_cents",
+        when(det =!= 0L,
+          (m("sy") * m("sxx") - m("sx") * m("sxy")).cast("double") / det))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Model-based corpus curation gates — the statistical tier that runs after
+  * the heuristic batteries in [[TextQueries]]: n-gram LM cross-entropy
+  * (CCNet-style perplexity filtering), DSIR importance weighting toward a
+  * target domain, and unigram entropy. All scores follow the
+  * [[graft.operators.NgramLm]] micro-nat quantization contract, so every
+  * query here is hash-exact against its DuckDB oracle (no float-sum or libm
+  * order hazards — the transcendental is quantized at the source).
+  *
+  * Corpus split conventions (deterministic, oracle-derivable):
+  * even doc_ids train the reference LM; lang='en' is the DSIR target slice.
+  */
+object CurationQueries {
+
+  private val micro = graft.operators.NgramLm.MicroScale
+
+  /** Shared DuckDB CTEs: whitespace tokens and the zipped bigram stream
+    * (aligned unnests — DuckDB zips parallel unnests of equal length). */
+  private val bigramSql: String =
+    s"""tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS w1,
+                 unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w2
+               FROM tk)"""
+
+  /** Bigram-LM scoring CTEs: add-one-smoothed model on even doc_ids,
+    * micro-nat quantized per-bigram log-probs, per-doc exact integer NLL. */
+  private val xentSql: String =
+    s"""$bigramSql,
+        tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+        pc AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
+        cc AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+        vv AS (SELECT count(DISTINCT tok) AS vs
+               FROM (SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 2 = 0)),
+        sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                 sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
+                     CAST(COALESCE(c1, 0) + vs AS DOUBLE)) * $micro, 0) AS BIGINT))
+                   AS nll_micro
+               FROM bg LEFT JOIN pc USING (w1, w2) LEFT JOIN cc USING (w1), vv
+               GROUP BY 1),
+        xent AS (SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, nll_micro,
+                   CAST(nll_micro AS DOUBLE) / (n_bigrams * $micro) AS xent_nats
+                 FROM documents d LEFT JOIN sc USING (doc_id))"""
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents")
+
+  lazy val all: Seq[QueryDef] = Seq(
+
+    // Cross-entropy of every document under a bigram LM trained on the
+    // even-doc_id half of the corpus (Laplace smoothing, unseen context →
+    // 1/V). The fluency score CCNet gates on; exact integer micro-nats.
+    QueryDef("q_x_lm_xent",
+      (s, d) => graft.operators.NgramLm.crossEntropy(docs(s, d),
+        graft.operators.NgramLm.trainBigram(docs(s, d).filter(col("doc_id") % 2 === 0))),
+      Some(s"""WITH $xentSql
+               SELECT doc_id, n_bigrams, nll_micro, xent_nats FROM xent""")),
+
+    // The corpus-relative perplexity gate: keep documents at or below the
+    // corpus's own P90 of cross-entropy (reject the most-surprising 10% —
+    // gibberish, wrong-language, boilerplate soup). NULL (unscoreable)
+    // rejects, matching the QualityFilter gate convention.
+    QueryDef("q_x_lm_gate",
+      (s, d) => graft.operators.NgramLm.perplexityGate(docs(s, d),
+          docs(s, d).filter(col("doc_id") % 2 === 0), quantile = 0.9)
+        .select(col("doc_id"), col("n_bigrams"), col("nll_micro"), col("keep")),
+      Some(s"""WITH $xentSql,
+               cut AS (SELECT quantile_cont(xent_nats, 0.9) AS cutoff FROM xent)
+               SELECT doc_id, n_bigrams, nll_micro,
+                      COALESCE(xent_nats <= cutoff, false) AS keep
+               FROM xent, cut""")),
+
+    // DSIR importance weights toward the lang='en' slice: hashed-unigram
+    // bag models (dim=256) for target and raw corpus, per-doc exact integer
+    // log-likelihood-ratio dot product. Rank by weight_micro and you have
+    // the published target-domain resampling order.
+    QueryDef("q_x_dsir_weights",
+      (s, d) => graft.operators.NgramLm.dsirWeights(docs(s, d),
+        docs(s, d).filter(col("lang") === "en"), dim = 256),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+               b AS (SELECT doc_id, ${hash64Sql("tok")} % 256 AS b
+                     FROM tok WHERE tok <> ''),
+               tb AS (SELECT b.b FROM b JOIN documents d USING (doc_id)
+                      WHERE d.lang = 'en'),
+               tt AS (SELECT count(*) AS n FROM tb),
+               rt AS (SELECT count(*) AS n FROM b),
+               tm AS (SELECT b, CAST(round(ln((count(*) + 1) /
+                        CAST((SELECT n FROM tt) + 256 AS DOUBLE)) * $micro, 0)
+                        AS BIGINT) AS lp_target
+                      FROM tb GROUP BY 1),
+               rm AS (SELECT b, CAST(round(ln((count(*) + 1) /
+                        CAST((SELECT n FROM rt) + 256 AS DOUBLE)) * $micro, 0)
+                        AS BIGINT) AS lp_raw
+                      FROM b GROUP BY 1),
+               f AS (SELECT doc_id, b, count(*) AS f FROM b GROUP BY 1, 2)
+               SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+                      CAST(sum(f * (COALESCE(lp_target,
+                             CAST(round(ln(1.0 / (tt.n + 256)) * $micro, 0) AS BIGINT))
+                           - lp_raw)) AS BIGINT) AS weight_micro,
+                      CAST(sum(f * (COALESCE(lp_target,
+                             CAST(round(ln(1.0 / (tt.n + 256)) * $micro, 0) AS BIGINT))
+                           - lp_raw)) AS DOUBLE) / (sum(f) * $micro)
+                        AS avg_logratio_nats
+               FROM f LEFT JOIN tm USING (b) LEFT JOIN rm USING (b), tt
+               GROUP BY doc_id, tt.n""")),
+
+    // Unigram Shannon entropy per document (micro-nat-exact): the
+    // distribution-shape quality signal — catches shuffled repetition that
+    // exact-shingle repetition scoring misses.
+    QueryDef("q_x_token_entropy",
+      (s, d) => graft.operators.QualityFilter.tokenEntropy(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+               pt AS (SELECT doc_id, tok, count(*) AS nt FROM tok GROUP BY 1, 2),
+               nn AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n FROM pt GROUP BY 1),
+               h AS (SELECT pt.doc_id, nn.n, count(*) AS n_distinct,
+                       CAST(sum(nt * CAST(round(ln(CAST(nn.n AS DOUBLE) / nt)
+                         * $micro, 0) AS BIGINT)) AS BIGINT) AS hsum
+                     FROM pt JOIN nn USING (doc_id) GROUP BY 1, 2)
+               SELECT doc_id, n AS n_tokens, n_distinct,
+                      CAST(hsum AS DOUBLE) / (n * $micro) AS entropy_nats
+               FROM h"""))
+  )
+}

@@ -583,7 +583,61 @@ object EventQueries {
               SELECT event_type, median(gap_us) AS med_gap_us,
                      min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
                      count(*) AS n_gaps
-              FROM g WHERE gap_us IS NOT NULL GROUP BY 1"""))
+              FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")),
+
+    // Exponentially-weighted moving average (α=1/2, trailing 16 events) of
+    // each user's spend series — the smoothed-telemetry primitive. The
+    // power-of-two decay makes numerator and weight-sum exact BIGINT window
+    // sums (Trend.ewmaHalf), so the smoothed double is bit-identical
+    // cross-engine: a float-α recurrence could never be hash-gated.
+    QueryDef("q_x_ewma",
+      (s, d) => graft.operators.Trend.ewmaHalf(
+          events(s, d).select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+          "user_id", Seq("ts_us", "event_id"), cents(col("value")), window = 16)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("ewma_num"), col("ewma_wsum"), col("ewma")),
+      Some {
+        val terms = (0 until 16).map { k =>
+          s"COALESCE(lag(c, $k) OVER w * ${1L << (15 - k)}, 0)" }.mkString(" + ")
+        val wterms = (0 until 16).map { k =>
+          s"CASE WHEN lag(c, $k) OVER w IS NOT NULL THEN ${1L << (15 - k)} ELSE 0 END"
+        }.mkString(" + ")
+        s"""SELECT event_id, user_id, ts_us, ewma_num, ewma_wsum,
+            CAST(ewma_num AS DOUBLE) / (ewma_wsum * 100) AS ewma
+            FROM (SELECT event_id, user_id, ts_us,
+                    CAST($terms AS BIGINT) AS ewma_num,
+                    CAST($wterms AS BIGINT) AS ewma_wsum
+                  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                          ${centsSql("value")} AS c FROM events)
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))"""
+      }),
+
+    // Per-user least-squares spend trend: exact integer moments
+    // (n, Σx, Σy, Σxy, Σxx) over the event-index/cents series, slope and
+    // intercept each one IEEE division of integer closed forms — drift
+    // detection ("is this user's spend rising?") with a hash-exact result.
+    QueryDef("q_x_trend",
+      (s, d) => graft.operators.Trend.linearTrend(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+          .filter(col("user_id").isNotNull),
+        "user_id", Seq("ts_us", "event_id"), cents(col("value"))),
+      Some(s"""WITH e AS (SELECT user_id, ${centsSql("value")} AS y,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) - 1 AS x
+                   FROM events WHERE user_id IS NOT NULL),
+               m AS (SELECT user_id, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                     FROM e GROUP BY 1)
+               SELECT user_id, n, sx, sy, sxy, sxx,
+                 CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+                 END AS slope_cents,
+                 CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)
+                 END AS intercept_cents
+               FROM m"""))
   )
 
   /** Shared body of the two tolerance gate queries — identical inputs and

@@ -889,7 +889,56 @@ object ParityQueries {
                 CAST(731 AS BIGINT) AS dim_dates_rows,
                 (SELECT count(*) FROM od) AS fact_rows,
                 (SELECT CAST(sum(CAST(round(CAST(CAST(unitprice * quantity AS DECIMAL(8,2)) AS DOUBLE) * 100, 0) AS BIGINT)) AS BIGINT)
-                 FROM od) AS rev_cents"""))
+                 FROM od) AS rev_cents""")),
+
+    // OPTIMIZE-style file compaction: the table is first written as many
+    // tiny files (the streaming-ingest pathology), then Catalog.compact
+    // rewrites it to 2 files in a NEW version (old version stays
+    // time-travelable). The gate re-aggregates the compacted table — any
+    // row lost/duplicated in the rewrite fails the hash; the small→few
+    // file-count mechanics are asserted in CatalogSpec.
+    QueryDef("q_x_compact_roundtrip",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(catalogRoots, s, d, "graft-cat"))
+        if (!cat.exists("events_small_files")) {
+          cat.write("events_small_files",
+            events(s, d).select(col("event_id"), col("event_type"),
+              cents(col("value")).as("v_cents")).repartition(64))
+          cat.compact("events_small_files", 2)
+        }
+        cat.read("events_small_files")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("value_cents"),
+            sum(col("event_id")).as("id_sum"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n_events,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+               FROM events GROUP BY 1""")),
+
+    // Additive schema evolution: a second batch arrives with a NEW column
+    // (channel); appendEvolve widens the stored schema and null-fills the
+    // historical rows — the contract a long-lived ingest table needs. The
+    // oracle is the UNION of both batch shapes.
+    QueryDef("q_x_schema_evolution",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(catalogRoots, s, d, "graft-cat"))
+        if (!cat.exists("orders_evolving")) {
+          val o = t(s, d, "orders")
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("rev_cents"))
+          cat.write("orders_evolving", o.filter(col("o_orderkey") % 2 === 0))
+          cat.appendEvolve("orders_evolving",
+            o.filter(col("o_orderkey") % 2 === 1)
+              .withColumn("channel", lit("web")))
+        }
+        cat.read("orders_evolving")
+      },
+      Some(s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS rev_cents,
+                      CAST(NULL AS VARCHAR) AS channel
+               FROM orders WHERE o_orderkey % 2 = 0
+               UNION ALL
+               SELECT o_orderkey, ${centsSql("o_totalprice")}, 'web'
+               FROM orders WHERE o_orderkey % 2 = 1"""))
   ) :+ pipelineAudit
 
   /** C5 capstone: one audit row over the whole pipeline — source rows, dim

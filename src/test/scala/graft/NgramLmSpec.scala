@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{NgramLm, QualityFilter, Trend}
+
+/** Model-based curation tier: bigram-LM cross-entropy, DSIR importance
+  * weights, token entropy, and the exact-integer sequence statistics
+  * (EWMA, least-squares trend). Values are checked against independent
+  * in-JVM recomputations of the published formulas. */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val micro = NgramLm.MicroScale
+
+  test("crossEntropy: hand-checked bigram NLL on a 2-doc corpus") {
+    // Train on doc 0 only: "a b a b" → bigrams (a,b),(b,a),(a,b);
+    // c(a,b)=2, c(b,a)=1, c(a)=2, c(b)=1, V=2.
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val model = NgramLm.trainBigram(docs.filter($"doc_id" === 0))
+    assert(model.vocabSize == 2)
+
+    val got = NgramLm.crossEntropy(docs, model).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "nll_micro").as[(Long, Long, Long)].collect()
+
+    def lp(c12: Long, c1: Long): Long =
+      math.round(math.log((c12 + 1.0) / (c1 + 2.0)) * micro)
+    // doc 0: (a,b) twice + (b,a) once
+    val nll0 = -(2 * lp(2, 2) + lp(1, 1))
+    // doc 1: (a,b) seen, (b,c) unseen pair with seen context b
+    val nll1 = -(lp(2, 2) + lp(0, 1))
+    assert(got.toSeq == Seq((0L, 3L, nll0), (1L, 2L, nll1)))
+  }
+
+  test("crossEntropy: unseen context degrades to 1/V; short docs score NULL") {
+    val docs = Seq((0L, "a b"), (1L, "z q"), (2L, "solo")).toDF("doc_id", "text")
+    val model = NgramLm.trainBigram(docs.filter($"doc_id" === 0))
+    val got = NgramLm.crossEntropy(docs, model).orderBy("doc_id").collect()
+    // doc 1: both z,q unseen → p = 1/V = 1/2 per bigram
+    val lpFloor = math.round(math.log(1.0 / 2.0) * micro)
+    assert(got(1).getLong(2) == -lpFloor)
+    // doc 2: no bigrams → n_bigrams 0, NULL nll/xent
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(2) && got(2).isNullAt(3))
+  }
+
+  test("perplexityGate: gibberish scores above fluent text and is rejected") {
+    val fluent = (0L until 20L).map(i => (i, "the cat sat on the mat and the dog sat on the rug"))
+    val weird = Seq((100L, "zxq qxz vbn nbv plm mlp zxq qxz vbn nbv plm mlp"))
+    val docs = (fluent ++ weird).toDF("doc_id", "text")
+    val gated = NgramLm.perplexityGate(docs, docs.filter($"doc_id" < 20), quantile = 0.9)
+    val byId = gated.select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!byId(100L), "the unseen-vocab doc must fall above the P90 cutoff")
+    assert(byId(0L), "in-distribution docs must pass")
+  }
+
+  test("dsirWeights: target-like docs weigh higher than off-target docs") {
+    val target = (0L until 10L).map(i => (i, "alpha beta gamma alpha beta"))
+    val off = (100L until 110L).map(i => (i, "uno dos tres cuatro cinco"))
+    val docs = (target ++ off).toDF("doc_id", "text")
+    val w = NgramLm.dsirWeights(docs, docs.filter($"doc_id" < 10), dim = 64)
+      .select("doc_id", "weight_micro").as[(Long, Long)].collect().toMap
+    assert(w(0L) > w(100L),
+      s"target doc weight ${w(0L)} must exceed off-target ${w(100L)}")
+  }
+
+  test("tokenEntropy: all-distinct doc ≈ ln(N); constant doc = 0") {
+    val docs = Seq((0L, "a b c d"), (1L, "x x x x")).toDF("doc_id", "text")
+    val got = QualityFilter.tokenEntropy(docs).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_distinct", "entropy_nats")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got(0)._4 == math.round(math.log(4.0) * micro).toDouble / micro)
+    assert(got(0)._3 == 4L)
+    assert(got(1)._4 == 0.0 && got(1)._3 == 1L)
+  }
+
+  test("ewmaHalf matches the renormalized EWMA recurrence per key") {
+    val ev = Seq(
+      (1L, 7L, 10L, 1.00), (2L, 7L, 20L, 2.00), (3L, 7L, 30L, 4.00),
+      (4L, 8L, 10L, 10.00))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val got = Trend.ewmaHalf(ev, "user_id", Seq("ts_us", "event_id"),
+        round(col("value") * 100, 0).cast("long"), window = 16)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // Renormalized α=1/2 EWMA over full history (<16 events): weights 2^k.
+    assert(got(1L) == 1.00)
+    assert(got(2L) == (2 * 200 + 100).toDouble / (3 * 100)) // (2y2+y1)/3
+    assert(got(3L) == (4 * 400 + 2 * 200 + 100).toDouble / (7 * 100))
+    assert(got(4L) == 10.00)
+  }
+
+  test("ewmaHalf truncates at the window edge (frame, not full history)") {
+    val ev = (1L to 5L).map(i => (i, 1L, i * 10, 100.0 * i))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val got = Trend.ewmaHalf(ev, "user_id", Seq("ts_us", "event_id"),
+        round(col("value") * 100, 0).cast("long"), window = 2)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // window=2: ewma_n = (2·x_n + x_{n−1}) / 3
+    assert(got(5L) == (2 * 500 + 400).toDouble / 3)
+  }
+
+  test("linearTrend recovers an exact line and nulls degenerate keys") {
+    // user 1: y = 300 + 50·x exactly; user 2: single point.
+    val ev = (0L until 10L).map(i => (i, 1L, i * 10, (300 + 50 * i) / 100.0)) :+
+      (99L, 2L, 0L, 1.23)
+    val got = Trend.linearTrend(ev.toDF("event_id", "user_id", "ts_us", "value"),
+        "user_id", Seq("ts_us", "event_id"), round(col("value") * 100, 0).cast("long"))
+      .orderBy("user_id").collect()
+    assert(got(0).getDouble(got(0).fieldIndex("slope_cents")) == 50.0)
+    assert(got(0).getDouble(got(0).fieldIndex("intercept_cents")) == 300.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("slope_cents")))
+  }
+
+  test("lm + trend queries plan without cartesian products") {
+    val d = sf0001
+    Seq("q_x_lm_xent", "q_x_dsir_weights", "q_x_ewma", "q_x_trend").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q must not plan a cartesian")
+    }
+  }
+}
