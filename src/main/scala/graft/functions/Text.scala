@@ -62,6 +62,13 @@ object Text {
     s"size(filter($a, x -> array_contains($b, x))) / " +
       s"CAST(size($a) + size($b) - size(filter($a, x -> array_contains($b, x))) AS DOUBLE)")
 
+  /** Asymmetric set containment |A∩B| / |A| over distinct-element arrays —
+    * the near-containment signal Jaccard dilutes: a short doc fully quoted
+    * inside a long one has tiny Jaccard but containment ≈ 1. Caller must
+    * guard size(a) > 0 (ANSI division). */
+  def containment(a: String, b: String): Column = expr(
+    s"size(filter($a, x -> array_contains($b, x))) / CAST(size($a) AS DOUBLE)")
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. For the order-SENSITIVE variant see [[Hashing.rollingHash]]. */
   def setFingerprint(toks: Column): Column =

@@ -368,6 +368,38 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Asymmetric near-CONTAINMENT pairs: for each LSH candidate pair, both
+    * directed containments c12 = |S1∩S2|/|S1| and c21 = |S1∩S2|/|S2| over
+    * the distinct 3-shingle sets, kept when either direction reaches
+    * `threshold` — the copy-detection signal Jaccard dilutes (a short doc
+    * quoted verbatim inside a long one has Jaccard ≈ |S1|/|S2| → 0 but
+    * c12 ≈ 1). Same id-sized band shuffle as [[minhashLsh]].
+    *
+    * Candidate-recall caveat (by construction): MinHash bands collide on
+    * JACCARD, so extreme-ratio containments (tiny-in-huge) may not band-
+    * collide. At 100 TB the high-recall path for verbatim inclusion at any
+    * length ratio is the fixed-width span inventory ([[duplicatedSpans]]);
+    * this operator covers the comparable-size near-containment band in
+    * between. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 16, numBands: Int = 8): DataFrame = {
+    val base = hashedShingles(docs)
+    val bands = bandFrame(base, numHashes, numBands)
+    val cands = bands.select(col("doc_id").as("id1"), col("band"))
+      .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val shd = base.select(col("doc_id"), col("sh"))
+    cands
+      .join(shd.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(shd.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .filter(size(col("sh1")) > 0 && size(col("sh2")) > 0)
+      .withColumn("c12", Text.containment("sh1", "sh2"))
+      .withColumn("c21", Text.containment("sh2", "sh1"))
+      .filter(greatest(col("c12"), col("c21")) >= threshold)
+      .select(col("id1"), col("id2"), col("c12"), col("c21"))
+  }
+
   /** Incremental near-dup: each NEW batch document against an EXISTING
     * corpus — the shape every recurring crawl-ingest pipeline actually runs
     * (never re-dedup the whole corpus). Batch band keys equi-join corpus

@@ -750,6 +750,34 @@ object TextQueries {
             WHERE $jacSql >= 0.5"""
       }),
 
+    // Asymmetric near-containment over the same LSH candidates: both
+    // directed |S1∩S2|/|Si| ratios, kept when either reaches 0.8 — catches
+    // quoted-inside/boilerplate-wrapped copies whose Jaccard is diluted by
+    // the larger doc. Integer set sizes → one exact division per direction.
+    QueryDef("q_x_dedup_containment",
+      (s, d) => graft.operators.TextDedup.containmentPairs(
+        t(s, d, "documents"), 0.8, numHashes, numBands),
+      Some {
+        val sigExprs = (0 until numHashes).map(j =>
+          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+        val bandList = (0 until numBands).map(bn =>
+          s"'$bn|' || sig${2 * bn} || ':' || sig${2 * bn + 1}").mkString(", ")
+        val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+        val c12 = s"$inter / CAST(len(a.sh) AS DOUBLE)"
+        val c21 = s"$inter / CAST(len(b.sh) AS DOUBLE)"
+        s"""WITH $shingledSql,
+            hsh AS (SELECT doc_id, sh,
+                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+            sigs AS (SELECT doc_id, sh, $sigExprs FROM hsh),
+            bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+            SELECT id1, id2, $c12 AS c12, $c21 AS c21
+            FROM cands JOIN shd a ON a.doc_id = id1 JOIN shd b ON b.doc_id = id2
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              AND greatest($c12, $c21) >= 0.8"""
+      }),
+
     // Incremental near-dup: NEW batch (odd ids) against the EXISTING corpus
     // (even ids) — batch bands equi-join corpus bands, no corpus self-join.
     // The recurring-crawl shape: at 100 TB the corpus side is a persisted

@@ -118,6 +118,49 @@ object EventStream {
   private[graft] def tsMicros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  // ---- Stateful streaming EWMA ----
+
+  final case class EwmaState(recentCents: Seq[Long])
+  final case class EwmaPoint(user_id: Long, event_id: Long, ts_us: Long,
+      ewma_num: Long, ewma_wsum: Long, ewma: Double)
+
+  /** Streaming twin of [[graft.operators.Trend.ewmaHalf]]: per-user running
+    * EWMA (α=1/2, trailing `window` events) emitted per event. State is a
+    * ring of ≤ `window` cent values per user — O(window) longs, the bounded-
+    * state contract — and the arithmetic is the SAME exact-integer
+    * numerator/weight-sum as the batch op, so a stream fed in event-time
+    * order reproduces the batch column bit-for-bit (spec-pinned). Events
+    * are sorted within each micro-batch; cross-batch disorder within the
+    * watermark surfaces as a state-order difference exactly as it would in
+    * any running-statistic stream — size the watermark to the feed's real
+    * disorder and replay when it is exceeded. */
+  def ewmaStream(events: Dataset[Event], window: Int = 16): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    require(window >= 1 && window <= 62, s"window must be in [1,62]: $window")
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        ewmaFn(window))
+  }
+
+  private[graft] def ewmaFn(window: Int)(
+      userId: Long, events: Iterator[Event], state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+    var recent = state.getOption.map(_.recentCents).getOrElse(Seq.empty)
+    val out = events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+      recent = (recent :+ math.round(e.value * 100)).takeRight(window)
+      val m = recent.size
+      // oldest..newest get weights 2^(window−m) .. 2^(window−1), matching
+      // the batch op's lag-k weight 2^(window−1−k)
+      val num = recent.zipWithIndex.map { case (c, j) => c << (window - m + j) }.sum
+      val wsum = (1L << window) - (1L << (window - m))
+      EwmaPoint(userId, e.event_id, tsMicros(e.ts), num, wsum,
+        num.toDouble / (wsum * 100L))
+    }
+    state.update(EwmaState(recent))
+    out.iterator
+  }
+
   private[graft] def sessionFn(gapUs: Long)(
       userId: Long, events: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
     val out = scala.collection.mutable.ListBuffer[Session]()

@@ -288,6 +288,21 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Seq(Seq(1L, 2L)))
   }
 
+  test("containmentPairs: quoted-inside doc has high c12, diluted jaccard") {
+    // doc 1 (30 shingles) fully contained in doc 2 (30 + 14 extra): jaccard
+    // ≈ 0.68 but c12 = 1.0 — and an unrelated doc stays out.
+    val core = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val wrapped = core + " " + (200 to 213).map(i => s"x$i").mkString(" ")
+    val other = (300 to 340).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, core), (2L, wrapped), (3L, other)).toDF("doc_id", "text")
+    val got = rows(TextDedup.containmentPairs(docs, 0.9)
+      .select("id1", "id2", "c12", "c21"))
+    assert(got.map(r => (r(0), r(1), r(2))) == Seq((1L, 2L, 1.0)),
+      s"core-in-wrapped must be the only ≥0.9 containment pair: $got")
+    assert(got.head(3).asInstanceOf[Double] < 0.9,
+      "reverse direction (wrapped in core) must stay below threshold")
+  }
+
   test("ngram prefix buckets above the cap divert to banded MinHash") {
     // 100 mutually-dissimilar docs behind one boilerplate 3-token prefix
     // (the pathological bucket), plus a planted near-dup pair in the SAME

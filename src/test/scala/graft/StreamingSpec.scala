@@ -334,6 +334,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA matches batch Trend.ewmaHalf bit-exactly across micro-batches") {
+    import EventStream._
+    // real feed, time-split into 3 ordered micro-batches (zero lateness)
+    val ev = graft.queries.Q.events(spark, sf0001)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("value"), col("ts_us"))
+    val bounds = rows(ev.agg(
+      expr("percentile(ts_us, 0.33)"), expr("percentile(ts_us, 0.66)"))).head
+      .map(v => math.ceil(v.toString.toDouble).toLong)
+    val dir = Files.createTempDirectory("graft-ewma-stream").toString
+    def stage(from: Long, until: Long): Unit =
+      ev.filter(col("ts_us") >= from && col("ts_us") < until)
+        .select("event_id", "ts", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    stage(Long.MinValue, bounds(0))
+    val q = EventStream.ewmaStream(
+        spark.readStream
+          .schema("event_id bigint, ts timestamp, user_id bigint, value double")
+          .parquet(dir).as[Event], window = 16)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("ewma_stream").start()
+    try {
+      q.processAllAvailable()
+      stage(bounds(0), bounds(1))
+      q.processAllAvailable()
+      stage(bounds(1), Long.MaxValue)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_stream")
+        .select("event_id", "ewma_num", "ewma_wsum", "ewma")
+      val batch = graft.operators.Trend.ewmaHalf(
+          graft.queries.Q.events(spark, sf0001)
+            .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+          "user_id", Seq("ts_us", "event_id"),
+          round(col("value") * 100, 0).cast("long"), window = 16)
+        .select("event_id", "ewma_num", "ewma_wsum", "ewma")
+      val n = batch.count()
+      val matched = streamed.join(batch,
+        Seq("event_id", "ewma_num", "ewma_wsum", "ewma")).count()
+      assert(streamed.count() == n && matched == n,
+        "streaming EWMA must equal the batch column bit-for-bit")
+    } finally q.stop()
+  }
+
   test("catalog sink: micro-batches append effectively-once (replays skipped)") {
     val cat = new graft.catalog.Catalog(spark,
       Files.createTempDirectory("graft-cat-sink").toString)
