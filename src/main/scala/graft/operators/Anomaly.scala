@@ -142,6 +142,49 @@ object Anomaly {
     * for the same series the windowed [[sigmaOutliers]] handles (the
     * object-level magnitude contract applies here too: past the bound,
     * flags degrade to silent NULL under non-ANSI Spark). */
+  /** Population Stability Index between a REFERENCE and a CURRENT slice of
+    * a bucketed metric, per group: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with
+    * add-one smoothed bucket counts (the standard drift score; rule of
+    * thumb: <0.1 stable, >0.25 shifted). Detects DISTRIBUTION drift that
+    * count-based monitors miss — same volume, different shape.
+    *
+    * Exactness ([[NgramLm]] micro-nat contract): with c′ = c+1 and
+    * N′ = N + #buckets, each bucket's log-ratio ln((c′c·N′r)/(c′r·N′c)) is
+    * quantized once to integer micro-nats, the per-bucket term
+    * (c′c·N′r − c′r·N′c)·lr is exact (long products ≤ 2N², promoted to
+    * decimal(38,0) before the ·lr multiply and the sum — the
+    * [[sigmaOutliers]] magnitude pattern, exact to N ~ 10⁹ rows/group),
+    * and PSI = Σterms / (N′c·N′r·1e6) is one IEEE division.
+    * Shape: two grouped counts + one (group,bucket) full-outer join + one
+    * grouped sum — group-cardinality-sized state, no data-volume joins. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      bucketCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.groupBy(col(groupCol), col(bucketCol).as("bucket"))
+        .agg(count(lit(1)).as(as))
+    val joined = counts(ref, "cr").join(counts(cur, "cc"),
+        Seq(groupCol, "bucket"), "full_outer")
+      .select(col(groupCol), col("bucket"),
+        coalesce(col("cr"), lit(0L)).as("cr"), coalesce(col("cc"), lit(0L)).as("cc"))
+    val w = Window.partitionBy(col(groupCol))
+    val smoothed = joined
+      .withColumn("nrp", sum("cr").over(w) + count(lit(1)).over(w))
+      .withColumn("ncp", sum("cc").over(w) + count(lit(1)).over(w))
+      .withColumn("lr_micro", round(
+        log(((col("cc") + 1L) * col("nrp")).cast("double") /
+            ((col("cr") + 1L) * col("ncp")).cast("double")) * NgramLm.MicroScale,
+        0).cast("long"))
+    smoothed.groupBy(col(groupCol))
+      .agg(sum("cr").as("n_ref"), sum("cc").as("n_cur"),
+        max("nrp").as("nrp"), max("ncp").as("ncp"),
+        sum(((col("cc") + 1L) * col("nrp") - (col("cr") + 1L) * col("ncp"))
+          .cast("decimal(38,0)") * col("lr_micro")).as("psi_term_sum"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        (col("psi_term_sum").cast("double") /
+          (col("ncp").cast("decimal(38,0)") * col("nrp") * NgramLm.MicroScale)
+            .cast("double")).as("psi"))
+  }
+
   def flagAgainstStats(points: DataFrame, statsDf: DataFrame, keyCols: Seq[String],
       valueCol: String, k: Int = 3): DataFrame =
     points.join(broadcast(statsDf), keyCols, "left")

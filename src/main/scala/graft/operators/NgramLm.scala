@@ -74,6 +74,26 @@ object NgramLm {
     BigramModel(pairs, contexts, vocab)
   }
 
+  /** Persist a trained model through the versioned catalog (pairs +
+    * contexts tables and a 1-row meta table) — the production shape: the
+    * reference LM is fit ONCE on the curated reference corpus and scoring
+    * runs read the stored tables, exactly like the stored ANN/BPE/k-means
+    * models. Round-tripping must not change any score (spec + gate). */
+  def saveModel(cat: graft.catalog.Catalog, prefix: String, model: BigramModel): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = model.pairs.sparkSession
+    cat.write(s"${prefix}_pairs", model.pairs)
+    cat.write(s"${prefix}_contexts", model.contexts)
+    cat.write(s"${prefix}_meta", spark.createDataFrame(
+      java.util.Arrays.asList(Row(model.vocabSize)),
+      StructType(Seq(StructField("vocab_size", LongType)))))
+  }
+
+  def loadModel(cat: graft.catalog.Catalog, prefix: String): BigramModel =
+    BigramModel(cat.read(s"${prefix}_pairs"), cat.read(s"${prefix}_contexts"),
+      cat.read(s"${prefix}_meta").head.getLong(0))
+
   /** Per-document cross-entropy under the model, in exact micro-nats:
     * `n_bigrams`, `nll_micro` = Σ −round(ln(p)·1e6) (BIGINT, exact), and
     * `xent_nats` = nll_micro / (n_bigrams·1e6) (one IEEE division).

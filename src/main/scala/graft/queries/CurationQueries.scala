@@ -49,6 +49,10 @@ object CurationQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "documents")
 
+  /** Per-(session, sfDir) catalog root for the stored-LM gate. */
+  private val lmRoots =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Cross-entropy of every document under a bigram LM trained on the
@@ -57,6 +61,22 @@ object CurationQueries {
     QueryDef("q_x_lm_xent",
       (s, d) => graft.operators.NgramLm.crossEntropy(docs(s, d),
         graft.operators.NgramLm.trainBigram(docs(s, d).filter(col("doc_id") % 2 === 0))),
+      Some(s"""WITH $xentSql
+               SELECT doc_id, n_bigrams, nll_micro, xent_nats FROM xent""")),
+
+    // The stored-model form: the bigram LM is fit once, persisted through
+    // the versioned catalog (pairs/contexts/meta tables), reloaded, and
+    // scoring runs against the STORED tables — identical oracle to
+    // q_x_lm_xent, so the round-trip provably changes nothing.
+    QueryDef("q_x_lm_xent_stored",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(lmRoots, s, d, "graft-lm"))
+        if (!cat.exists("reflm_pairs"))
+          graft.operators.NgramLm.saveModel(cat, "reflm",
+            graft.operators.NgramLm.trainBigram(docs(s, d).filter(col("doc_id") % 2 === 0)))
+        graft.operators.NgramLm.crossEntropy(docs(s, d),
+          graft.operators.NgramLm.loadModel(cat, "reflm"))
+      },
       Some(s"""WITH $xentSql
                SELECT doc_id, n_bigrams, nll_micro, xent_nats FROM xent""")),
 

@@ -17,6 +17,8 @@ import Q._
   */
 object EventQueries {
 
+  private val micro = graft.operators.NgramLm.MicroScale
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour window per event type; measures in exact cents.
@@ -637,7 +639,46 @@ object EventQueries {
                  CASE WHEN n * sxx - sx * sx <> 0 THEN
                    CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)
                  END AS intercept_cents
-               FROM m"""))
+               FROM m""")),
+
+    // Distribution-drift monitor: PSI between the even- and odd-event_id
+    // halves of each type's value distribution (50-unit buckets, add-one
+    // smoothing) — catches shape drift that volume monitors miss. Exact
+    // integer per-bucket terms with micro-nat-quantized log-ratios
+    // (Anomaly.psiDrift), one IEEE division per group.
+    QueryDef("q_x_psi_drift",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), col("event_id"),
+          floor(col("value") / 50).cast("long").as("bucket"))
+        graft.operators.Anomaly.psiDrift(
+          ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1),
+          "event_type", "bucket")
+      },
+      Some(s"""WITH e AS (SELECT event_type, event_id,
+                     CAST(floor(value / 50) AS BIGINT) AS bucket FROM events),
+               r AS (SELECT event_type, bucket, count(*) AS cr FROM e
+                     WHERE event_id % 2 = 0 GROUP BY 1, 2),
+               c AS (SELECT event_type, bucket, count(*) AS cc FROM e
+                     WHERE event_id % 2 = 1 GROUP BY 1, 2),
+               j AS (SELECT event_type, bucket,
+                       COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+                     FROM r FULL OUTER JOIN c USING (event_type, bucket)),
+               n AS (SELECT *,
+                       CAST(sum(cr) OVER (PARTITION BY event_type)
+                         + count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nrp,
+                       CAST(sum(cc) OVER (PARTITION BY event_type)
+                         + count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ncp
+                     FROM j),
+               t AS (SELECT *, CAST(round(ln(((cc + 1) * nrp) /
+                       CAST((cr + 1) * ncp AS DOUBLE)) * $micro, 0) AS BIGINT)
+                       AS lr_micro
+                     FROM n)
+               SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+                      CAST(sum(cc) AS BIGINT) AS n_cur,
+                      CAST(sum(CAST((cc + 1) * nrp - (cr + 1) * ncp AS HUGEINT)
+                          * lr_micro) AS DOUBLE) /
+                        CAST(CAST(ncp AS HUGEINT) * nrp * $micro AS DOUBLE) AS psi
+               FROM t GROUP BY event_type, ncp, nrp"""))
   )
 
   /** Shared body of the two tolerance gate queries — identical inputs and

@@ -80,6 +80,13 @@ final case class TrainingPipelineConfig(
     maxSpanDupFraction: Option[Double] = None, // e.g. Some(0.5): drop mostly-duplicated docs
     minBigramCoverage: Option[Double] = None,  // e.g. Some(0.2): drop rare-bigram gibberish
     maxHapaxFraction: Option[Double] = None,   // e.g. Some(0.5): drop corpus-unique-token-heavy docs
+    // CCNet-style model-based gate: score every doc's bigram-LM
+    // cross-entropy under a reference LM trained on the deduped corpus
+    // itself and drop docs ABOVE this corpus quantile (e.g. Some(0.9):
+    // drop the most-surprising 10%). Runs with the corpus-statistic gates
+    // (post-exact-dedup — duplicate copies would otherwise dominate the
+    // model's counts); docs too short to score pass through
+    perplexityQuantile: Option[Double] = None,
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
     // when set with nearDupJaccard, each near-dup cluster keeps the doc
@@ -147,7 +154,8 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
     // the corpus-statistic gates read their input TWICE each (stats pass +
     // join side); persisted handles released in the outer finally
     val statGates = cfg.maxSpanDupFraction.isDefined ||
-      cfg.minBigramCoverage.isDefined || cfg.maxHapaxFraction.isDefined
+      cfg.minBigramCoverage.isDefined || cfg.maxHapaxFraction.isDefined ||
+      cfg.perplexityQuantile.isDefined
     val statPersists = scala.collection.mutable.ListBuffer[DataFrame]()
     try {
       val afterQuality = quality.count()
@@ -203,20 +211,36 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
               .filter(col("n_hapax").cast("double") / col("n_tokens") <= t)
               .select(col("doc_id")), Seq("doc_id"))
       }
-      val nearDeduped = cfg.nearDupJaccard match {
+      // model-based gate last in the statistic family: the LM trains on the
+      // corpus that survived the cheaper gates (gibberish already gone →
+      // cleaner reference model). crossEntropy scans its input for model
+      // counts AND scoring → persist; NULL-scored (short) docs pass.
+      val ppxGated = cfg.perplexityQuantile match {
         case None => hapaxGated
+        case Some(q) =>
+          val p = hapaxGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          statPersists += p
+          val scoredLm = graft.operators.NgramLm.crossEntropy(
+            p, graft.operators.NgramLm.trainBigram(p))
+          val cut = scoredLm.agg(expr(s"percentile(xent_nats, $q)").as("cutoff"))
+          p.join(scoredLm.crossJoin(broadcast(cut))
+              .filter(col("xent_nats").isNull || col("xent_nats") <= col("cutoff"))
+              .select(col("doc_id")), Seq("doc_id"))
+      }
+      val nearDeduped = cfg.nearDupJaccard match {
+        case None => ppxGated
         case Some(t) =>
           // near-dup clusters over the exact-deduped set; keep each
           // cluster's canonical doc — min id, or best (priority, id) when
           // a priority column is configured — and drop the rest
-          val clustered = TextDedup.clusters(TextDedup.ngramJaccard(hapaxGated, t))
+          val clustered = TextDedup.clusters(TextDedup.ngramJaccard(ppxGated, t))
           val drop = cfg.nearDupPriorityCol match {
             case None => clustered.filter(col("doc_id") =!= col("cluster_id"))
               .select(col("doc_id"))
-            case Some(pc) => TextDedup.clusterKeepersByPriority(clustered, hapaxGated, pc)
+            case Some(pc) => TextDedup.clusterKeepersByPriority(clustered, ppxGated, pc)
               .filter(!col("is_keeper")).select(col("doc_id"))
           }
-          hapaxGated.join(drop, Seq("doc_id"), "left_anti")
+          ppxGated.join(drop, Seq("doc_id"), "left_anti")
       }
       // the scrub REWRITES text (keep-one, order-deterministic keeper) and
       // refreshes n_tokens, so every downstream stage — token budget,

@@ -109,6 +109,34 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1).isNullAt(got(1).fieldIndex("slope_cents")))
   }
 
+  test("lm model round-trips through the catalog with identical scores") {
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-lm-spec").toString)
+    val docs = Seq((0L, "a b a b c a"), (1L, "b c a b"), (2L, "q z q"))
+      .toDF("doc_id", "text")
+    val model = NgramLm.trainBigram(docs)
+    NgramLm.saveModel(cat, "m", model)
+    val direct = rows(NgramLm.crossEntropy(docs, model).orderBy("doc_id"))
+    val stored = rows(NgramLm.crossEntropy(docs, NgramLm.loadModel(cat, "m"))
+      .orderBy("doc_id"))
+    assert(direct == stored)
+  }
+
+  test("psiDrift: identical halves ≈ 0, shifted distribution well above") {
+    // bucket on i/2 so the even/odd event_id halves see the SAME bucket
+    // sequence (plain i%10 would give the halves disjoint buckets)
+    val same = (1L to 400L).map(i => ("a", i, (i / 2) % 10))
+    val shifted = (1L to 400L).map(i =>
+      ("b", i, if (i % 2 == 0) (i / 2) % 10 else (i / 2) % 3)) // odd half squeezed low
+    val df = (same ++ shifted).toDF("g", "event_id", "bucket")
+    val psi = graft.operators.Anomaly.psiDrift(
+        df.filter($"event_id" % 2 === 0), df.filter($"event_id" % 2 === 1),
+        "g", "bucket")
+      .select("g", "psi").as[(String, Double)].collect().toMap
+    assert(math.abs(psi("a")) < 0.01, s"uniform halves must be stable: ${psi("a")}")
+    assert(psi("b") > 0.25, s"shifted halves must flag: ${psi("b")}")
+  }
+
   test("lm + trend queries plan without cartesian products") {
     val d = sf0001
     Seq("q_x_lm_xent", "q_x_dsir_weights", "q_x_ewma", "q_x_trend").foreach { q =>

@@ -64,6 +64,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!cat.read("training_corpus").columns.contains("mean_word_len"))
   }
 
+  test("perplexity gate drops the most-surprising docs, short docs pass") {
+    import spark.implicits._
+    // 20 fluent in-distribution docs, 1 alien-vocab doc, 1 too-short doc —
+    // the alien doc must be the (only) doc above the P90 xent cutoff.
+    val fluent = (1L to 20L).map(i =>
+      (i, "the cat sat on the mat and the dog sat on the rug again"))
+    val alien = Seq((100L, "zxq qxz vbn nbv plm mlp wry yrw kjh hjk dfg gfd"))
+    val short = Seq((200L, "hello")) // 1 token → no bigrams → NULL xent
+    val input = (fluent ++ alien ++ short).map { case (id, t) =>
+      (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(
+      quality = graft.operators.QualityFilter.Thresholds(
+        minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0),
+      dedupExact = false, // the 20 identical fluent docs must all survive
+      perplexityQuantile = Some(0.9), seqTokens = 256, shards = 1)
+    val s = new TrainingPipeline(spark, cat).run(input, cfg)
+    val kept = rows(cat.read("training_corpus").select("doc_id")).flatten.toSet
+    assert(!kept.contains(100L), "alien-vocab doc must fall above the cutoff")
+    assert(kept.contains(1L) && kept.contains(200L),
+      "fluent and unscoreable-short docs must pass")
+    assert(s.afterDedup == 21)
+  }
+
   test("near-dup removal drops cluster non-keepers") {
     import spark.implicits._
     val base = (1 to 30).map(i => "tok" + i).mkString(" ")
