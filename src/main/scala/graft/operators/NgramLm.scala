@@ -133,6 +133,38 @@ object NgramLm {
       .withColumn("keep", coalesce(col("xent_nats") <= col("cutoff"), lit(false)))
   }
 
+  /** Pointwise-mutual-information collocations: the corpus's top-`k`
+    * adjacent-token pairs by PMI = ln(p(w1,w2)/(p(w1)p(w2))) among pairs
+    * seen ≥ `minCount` times — the classic collocation/multi-word-unit
+    * miner (useful for tokenizer seeding and boilerplate discovery).
+    * Unigram probs are over ALL token occurrences, pair probs over the
+    * bigram stream. PMI is micro-nat quantized (the usual contract); the
+    * ratio is computed in double with a pinned association order
+    * (((c12·Nt)·Nt) / ((Nb·c1)·c2)) so both engines run the identical IEEE
+    * chain. Shape: two word-count aggregates + a pair-keyed join of the
+    * (already minCount-pruned) pair table against the two vocab-sized
+    * unigram sides, then one top-k window. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val uni = docs.select(explode(Text.tokens(col(textCol))).as("tok"))
+    val nTok = uni.count()
+    val nBig = bg.count()
+    val c1 = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(c1.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(c1.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .withColumn("pmi_micro", round(log(
+          (col("n_pair").cast("double") * nTok * nTok) /
+          (lit(nBig.toDouble) * col("c1") * col("c2"))) * MicroScale, 0)
+        .cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_micro").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"), col("rank"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): hash unigrams into `dim` buckets,
     * fit smoothed bag-of-buckets models on a TARGET slice and on the RAW

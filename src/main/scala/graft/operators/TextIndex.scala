@@ -232,4 +232,44 @@ object TextIndex {
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** [[searchBM25]] with the per-(term,doc) contribution QUANTIZED to an
+    * integer micro score: contrib = round(idf·tfNorm·1e6). Everything
+    * feeding the round is either an exact integer (tf, df, dl, N) or one
+    * deterministic IEEE chain over them (avgdl = Σdl/N is a single exact
+    * division; +,·,/ are bit-deterministic cross-engine — only libm `ln`
+    * carries the usual negligible last-ulp-at-boundary caveat of the
+    * micro-nat contract, see [[NgramLm]]). The per-doc score is then an
+    * exact BIGINT sum — order-independent — so unlike [[searchBM25]]'s
+    * float sum this ranking IS hash-exact against a SQL oracle. At 1e-6
+    * granularity the ranking is indistinguishable from the float form for
+    * any practical score range (BM25 scores live in [0, ~30]). */
+  def searchBM25Micro(post: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = docLengths(post)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
+    if (stats.isNullAt(1))
+      return post.select(col("doc_id")).limit(0)
+        .withColumn("n_terms", lit(0L)).withColumn("score_micro", lit(0L))
+        .withColumn("rank", lit(0L))
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val terms = queryTerms.distinct
+    val matched = post.filter(col("term").isin(terms: _*))
+    val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    matched
+      .join(dfs, "term")
+      .join(lens, "doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(idf * tfNorm * lit(1000000.0), 0).cast("long")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -128,6 +128,32 @@ object CurationQueries {
                FROM f LEFT JOIN tm USING (b) LEFT JOIN rm USING (b), tt
                GROUP BY doc_id, tt.n""")),
 
+    // PMI collocations: corpus-level top-50 adjacent-token pairs by
+    // pointwise mutual information (micro-nat quantized, ≥5 occurrences,
+    // (pmi, w1, w2) deterministic order) — the classic multi-word-unit
+    // miner for tokenizer seeding and boilerplate discovery.
+    QueryDef("q_x_pmi_collocations",
+      (s, d) => graft.operators.NgramLm.pmiCollocations(docs(s, d),
+        minCount = 5, k = 50),
+      Some(s"""WITH $bigramSql,
+               uni AS (SELECT unnest(toks) AS tok FROM tk),
+               nt AS (SELECT count(*) AS n FROM uni),
+               nb AS (SELECT count(*) AS n FROM bg),
+               c1 AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+               p AS (SELECT w1, w2, count(*) AS n_pair FROM bg
+                     GROUP BY 1, 2 HAVING count(*) >= 5),
+               sc AS (SELECT p.w1, p.w2, n_pair,
+                        CAST(round(ln((CAST(n_pair AS DOUBLE) * nt.n * nt.n) /
+                            (CAST(nb.n AS DOUBLE) * a.c * b.c)) * $micro, 0)
+                          AS BIGINT) AS pmi_micro
+                      FROM p JOIN c1 a ON p.w1 = a.tok
+                             JOIN c1 b ON p.w2 = b.tok, nt, nb)
+               SELECT w1, w2, n_pair, pmi_micro, rank
+               FROM (SELECT *, CAST(row_number() OVER
+                       (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT) AS rank
+                     FROM sc)
+               WHERE rank <= 50""")),
+
     // Unigram Shannon entropy per document (micro-nat-exact): the
     // distribution-shape quality signal — catches shuffled repetition that
     // exact-shingle repetition scoring misses.

@@ -263,6 +263,41 @@ object RetrievalQueries {
         searchTerms, k = 10),
       None),
 
+    // BM25 with micro-quantized per-(term,doc) contributions — the
+    // hash-exact form of the ranking above: idf's ln is quantized to an
+    // integer at the one point a transcendental enters, the per-doc score
+    // becomes an exact BIGINT sum, and the whole top-10 IS oracle-checked
+    // (closing the gap that keeps q_x_bm25 rows-only). Constants and the
+    // avgdl division are interpolated/computed identically on both sides.
+    QueryDef("q_x_bm25_exact",
+      (s, d) => graft.operators.TextIndex.searchBM25Micro(
+        graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
+        searchTerms, k = 10, k1 = 1.2, b = 0.75),
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                     WHERE term <> '' GROUP BY 1, 2),
+            lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+            st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM lens),
+            m AS (SELECT * FROM post WHERE term IN ($searchTermsSql)),
+            dfs AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+            sc AS (SELECT m.doc_id, count(*) AS n_terms,
+                     CAST(sum(CAST(round(
+                       ln(1.0 + ((CAST(st.n AS DOUBLE) - df) + 0.5) / (df + 0.5))
+                       * ((tf * ${k1 + 1}) /
+                          (tf + $k1 * (${1 - b} + $b * dl / (CAST(st.sdl AS DOUBLE) / st.n))))
+                       * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_micro
+                   FROM m JOIN dfs USING (term) JOIN lens USING (doc_id), st
+                   GROUP BY 1)
+            SELECT doc_id, n_terms, score_micro, rank
+            FROM (SELECT *, CAST(row_number() OVER
+                    (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+                  FROM sc)
+            WHERE rank <= 10"""
+      }),
+
     // Feature hashing: fixed-256-dim sparse term-count vectors in long form
     // — the no-vocabulary text→vector bridge. Exact integer counts on a
     // portable hash, so the whole vector set is hash-equal across engines.

@@ -109,6 +109,18 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1).isNullAt(got(1).fieldIndex("slope_cents")))
   }
 
+  test("pmiCollocations: an exclusive pair outranks a frequent independent pair") {
+    // "san francisco" always co-occur (exclusive); "the dog" share "the"
+    // with many other pairs → lower PMI despite equal pair count.
+    val docs = (1L to 6L).map(i =>
+      (i, "san francisco is great and the dog and the cat and the bird")).toDF("doc_id", "text")
+    val got = NgramLm.pmiCollocations(docs, minCount = 5, k = 10)
+      .select("w1", "w2", "rank").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("san", "francisco")) < got(("the", "dog")),
+      s"exclusive pair must outrank the common-word pair: $got")
+  }
+
   test("lm model round-trips through the catalog with identical scores") {
     val cat = new graft.catalog.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft-lm-spec").toString)

@@ -72,6 +72,22 @@ class TextIndexSpec extends SparkSpec {
     for ((d, s) <- expected) assert(got(d) == s, s"doc $d")
   }
 
+  test("searchBM25Micro: micro scores are the rounded float contributions; same ranking") {
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val float = TextIndex.searchBM25(post, Seq("spark", "window"), k = 10)
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toMap
+    val micro = TextIndex.searchBM25Micro(post, Seq("spark", "window"), k = 10)
+      .select($"doc_id", $"score_micro", $"rank").as[(Long, Long, Long)].collect()
+    // ranking agreement (scores 1e-6-quantized cannot flip well-separated
+    // ranks on this fixture)
+    assert(micro.map(r => r._1 -> r._3).toMap == float)
+    // micro score ≈ 1e6 × float score (within n_terms half-ulps of rounding)
+    val floatScores = TextIndex.searchBM25(post, Seq("spark", "window"), k = 10)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    micro.foreach { case (d, sm, _) =>
+      assert(math.abs(sm - floatScores(d) * 1e6) <= 2.0, s"doc $d") }
+  }
+
   test("searchWeightedPerGroup: independent top-k inside each group") {
     val post = TextIndex.postings(docs, "doc_id", "text")
     val groups = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "a"))
