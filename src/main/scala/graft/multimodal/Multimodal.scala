@@ -70,7 +70,7 @@ object Multimodal {
     * the JDK decodes without external libraries (javax.imageio ships PNG
     * and JPEG plugins). This narrows the [[StubDecoder]] boundary: PNG and
     * JPEG payloads get a true decode (dimensions AND pixels); only formats
-    * the container genuinely cannot decode (MP3/H.264) stay stubbed.
+    * the container genuinely cannot decode (MP3 samples/H.264) stay stubbed.
     * 8-bit grayscale PNG is lossless, so encode→decode round-trips byte
     * values exactly — the property the q_x_png_roundtrip gate checks (JPEG
     * is lossy by design, so its real decode is spec-verified against
@@ -220,7 +220,9 @@ object Multimodal {
     * decode — WAV is uncompressed, so both directions are plain byte
     * arithmetic with no codec library. This narrows the [[StubDecoder]]
     * boundary again (after PNG/JPEG): audio gets true sample-domain decode;
-    * only entropy-coded codecs (MP3/H.264) remain stubbed. */
+    * only entropy-coded SAMPLE decode (MP3 Huffman+IMDCT,
+    * H.264) remains stubbed — the MP3 frame layer itself is real, see
+    * [[Mp3Codec]]. */
   object WavCodec {
     def isWav(b: Array[Byte]): Boolean =
       b != null && b.length >= 44 &&
@@ -280,6 +282,79 @@ object Multimodal {
     }
   }
 
+  /** MPEG-1 Layer III FRAME layer (headers + frame boundaries): a real
+    * synthesizer/walker pair over the documented 32-bit frame headers.
+    * `encode` emits a VALID VBR stream (legal sync/bitrate/sample-rate
+    * fields, exact frame lengths) carrying an arbitrary payload in the
+    * frame bodies; `frameWalk` re-derives frame count, per-frame bitrates
+    * and the frame-exact duration by walking every header. This is the
+    * whole metadata layer of the format — only the entropy-coded SAMPLE
+    * decode (Huffman + IMDCT + synthesis filterbank) remains with
+    * [[StubDecoder]], and that boundary is now precisely the codec, not
+    * "MP3". */
+  object Mp3Codec {
+    val SampleRate = 44100
+    val SamplesPerFrame = 1152
+    /** VBR bitrate cycle by frame index; MPEG-1 L3 table indices 9/10/11. */
+    private val KbpsCycle = Array(128, 160, 192)
+    private val BrIndexOf = Map(128 -> 9, 160 -> 10, 192 -> 11)
+    private val PayloadPerFrame = 64
+
+    private def frameLen(kbps: Int): Int = 144 * kbps * 1000 / SampleRate
+
+    /** ceil(len/64) frames, at least one; frame j carries payload slice j
+      * zero-padded into a body sized by its cycling bitrate. */
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val nFrames = math.max(1, (payload.length + PayloadPerFrame - 1) / PayloadPerFrame)
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 0
+      var j = 0
+      while (j < nFrames) {
+        val kbps = KbpsCycle(j % KbpsCycle.length)
+        // sync(11) version=MPEG1 layer=III protection=1 → FF FB; then
+        // bitrateIdx<<4 | srIdx(00=44.1k)<<2 | padding 0
+        out.write(Array[Byte](0xff.toByte, 0xfb.toByte,
+          (BrIndexOf(kbps) << 4).toByte, 0.toByte))
+        val body = new Array[Byte](frameLen(kbps) - 4)
+        val n = math.max(0, math.min(PayloadPerFrame, payload.length - off))
+        if (n > 0) System.arraycopy(payload, off, body, 0, n)
+        off += PayloadPerFrame
+        out.write(body)
+        j += 1
+      }
+      out.toByteArray
+    }
+
+    final case class Mp3Stats(nFrames: Long, sampleRate: Int, durationMs: Long,
+        minKbps: Int, maxKbps: Int, vbr: Boolean)
+
+    /** Walk every frame header from the stream start (after an ID3v2 tag if
+      * present). Exact duration = nFrames·1152/rate — the real number, not
+      * the first-frame CBR estimate [[HeaderProbe.probe]] reports. Returns
+      * None when no valid frame starts the stream. */
+    def frameWalk(b: Array[Byte]): Option[Mp3Stats] = {
+      var i = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        i = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+      var n = 0L
+      var minK = Int.MaxValue
+      var maxK = 0
+      var rate = -1
+      while (i + 4 <= b.length && HeaderProbe.mp3FrameLenAt(b, i) > 0) {
+        val kbps = HeaderProbe.Mp3BitrateAt((b(i + 2) >> 4) & 0xf)
+        if (rate < 0) rate = HeaderProbe.Mp3RateAt((b(i + 2) >> 2) & 3)
+        n += 1
+        if (kbps < minK) minK = kbps
+        if (kbps > maxK) maxK = kbps
+        i += HeaderProbe.mp3FrameLenAt(b, i)
+      }
+      if (n == 0) None
+      else Some(Mp3Stats(n, rate,
+        n * SamplesPerFrame * 1000L / rate, minK, maxK, minK != maxK))
+    }
+  }
+
   /** REAL header decode for self-describing formats — PNG (IHDR), BMP, WAV
     * (RIFF) and PPM (P6) are plain byte arithmetic, no codec library needed.
     * Formats that require an actual codec the JDK lacks (MP3/H.264) stay
@@ -327,6 +402,8 @@ object Multimodal {
     private val Mp3Bitrates =
       Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
     private val Mp3Rates = Array(44100, 48000, 32000)
+    private[multimodal] def Mp3BitrateAt(idx: Int): Int = Mp3Bitrates(idx)
+    private[multimodal] def Mp3RateAt(idx: Int): Int = Mp3Rates(idx)
 
     /** MP3 sample rate + CBR duration estimate from the first valid sync
       * frame header — 32 bits of documented bit-fields, no entropy decode
@@ -341,7 +418,7 @@ object Multimodal {
 
     /** MPEG-1 Layer III header test at offset `i` (sync bits + legal
       * bitrate/sample-rate indices). Returns the frame byte length, or -1. */
-    private def mp3FrameLenAt(b: Array[Byte], i: Int): Int = {
+    private[multimodal] def mp3FrameLenAt(b: Array[Byte], i: Int): Int = {
       if (i + 4 > b.length ||
           (b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return -1
       val version = (b(i + 1) >> 3) & 3 // 3 = MPEG-1
@@ -568,6 +645,48 @@ object Multimodal {
           Row(r.getLong(0), "audio", WavCodec.encodePcm16(samples, sampleRate))
         }
       }(enc)
+  }
+
+  /** Deterministic synthetic MP3 media from a text corpus: each document's
+    * UTF-8 bytes ride the frame bodies of a REAL VBR MPEG-1 Layer III
+    * stream ([[Mp3Codec.encode]] — legal headers, exact frame lengths).
+    * Pairs with [[mp3FrameStats]] for an encode→frame-walk cycle whose
+    * outputs a SQL oracle reproduces from the byte length alone. */
+  def mp3Synth(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map(r => Row(r.getLong(0), "audio",
+          Mp3Codec.encode(r.getAs[Array[Byte]]("payload"))))
+      }(enc)
+  }
+
+  /** Frame-walk every MP3 payload ([[Mp3Codec.frameWalk]]): frame count,
+    * sample rate, frame-exact duration, bitrate band, VBR flag. Unparseable
+    * payloads yield NULL stats (one row per input either way). */
+  def mp3FrameStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("min_kbps", IntegerType),
+      StructField("max_kbps", IntegerType),
+      StructField("vbr", BooleanType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        Mp3Codec.frameWalk(r.getAs[Array[Byte]]("payload")) match {
+          case Some(s) => Row(r.getLong(0), s.nFrames, s.sampleRate,
+            s.durationMs, s.minKbps, s.maxKbps, s.vbr)
+          case None => Row(r.getLong(0), null, null, null, null, null, null)
+        }
+      }
+    }(enc)
   }
 
   /** Animated-GIF round-trip probe over a text corpus — the multi-frame

@@ -1190,6 +1190,29 @@ object TextQueries {
     // pure arithmetic over the byte length (UTF-8 text has no NUL bytes),
     // so the oracle proves a genuine multi-frame codec cycle preserved
     // both frames.
+    // MP3 FRAME-layer cycle: docs' bytes ride the frame bodies of a real
+    // VBR MPEG-1 Layer III stream (legal headers, exact frame lengths),
+    // then a frame walk re-derives frame count / bitrate band / frame-exact
+    // duration — all arithmetic over octet_length, so the oracle proves a
+    // genuine header walk (the 128→160→192 bitrate cycle means frame
+    // lengths differ per frame; a first-frame-only probe cannot pass).
+    // Only the entropy-coded sample decode remains stubbed.
+    QueryDef("q_x_mp3_frames",
+      (s, d) => graft.multimodal.Multimodal.mp3FrameStats(
+        graft.multimodal.Multimodal.mp3Synth(t(s, d, "documents"))),
+      Some("""SELECT doc_id,
+              CAST(greatest(1, (octet_length(CAST(text AS BLOB)) + 63) // 64) AS BIGINT)
+                AS n_frames,
+              CAST(44100 AS INT) AS sample_rate,
+              CAST(greatest(1, (octet_length(CAST(text AS BLOB)) + 63) // 64)
+                   * 1152000 // 44100 AS BIGINT) AS duration_ms,
+              CAST(128 AS INT) AS min_kbps,
+              CAST(CASE WHEN greatest(1, (octet_length(CAST(text AS BLOB)) + 63) // 64) >= 3 THEN 192
+                        WHEN greatest(1, (octet_length(CAST(text AS BLOB)) + 63) // 64) = 2 THEN 160
+                        ELSE 128 END AS INT) AS max_kbps,
+              greatest(1, (octet_length(CAST(text AS BLOB)) + 63) // 64) > 1 AS vbr
+              FROM documents""")),
+
     QueryDef("q_x_gif_frames",
       (s, d) => graft.multimodal.Multimodal.gifRoundTrip(t(s, d, "documents")),
       Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_frames,

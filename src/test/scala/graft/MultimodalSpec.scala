@@ -260,6 +260,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) == Seq(3L, 4000, 2, 8L, 1L, 1000L, 8000000L, 1000.0, 7L))
   }
 
+  test("MP3 frame layer: synth stream walks back frame-exact; VBR lengths differ") {
+    import graft.multimodal.Multimodal.Mp3Codec
+    // 3 frames → bitrates 128/160/192, frame lengths 417/522/626
+    val payload = Array.tabulate(150)(_.toByte)
+    val b = Mp3Codec.encode(payload)
+    assert(b.length == 417 + 522 + 626, "VBR frame lengths must differ per frame")
+    val s = Mp3Codec.frameWalk(b).get
+    assert(s.nFrames == 3 && s.sampleRate == 44100 && s.vbr)
+    assert(s.minKbps == 128 && s.maxKbps == 192)
+    assert(s.durationMs == 3L * 1152 * 1000 / 44100) // 78 ms, frame-exact
+    // single-frame stream: CBR, no VBR flag
+    val one = Mp3Codec.frameWalk(Mp3Codec.encode(Array[Byte](1, 2, 3))).get
+    assert(one.nFrames == 1 && !one.vbr && one.minKbps == 128)
+    // junk is rejected, and the existing first-frame probe still accepts
+    assert(Mp3Codec.frameWalk("not an mp3 stream at all".getBytes).isEmpty)
+    val probed = graft.multimodal.Multimodal.HeaderProbe.probe(b)
+    assert(probed.format == "mp3" && probed.sampleRate.contains(44100))
+  }
+
   test("stub decoder: deterministic, resize bounds size, frames cover bytes") {
     val bytes = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
     val f1 = Multimodal.StubDecoder.features(bytes)
