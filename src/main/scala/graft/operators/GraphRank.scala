@@ -52,14 +52,26 @@ object GraphRank {
     * acceptable for ranking; eliminate them via [[undirected]]. */
   def pageRank(edges: DataFrame, iters: Int = 3, dampNum: Int = 85): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    // materialize the (often distinct-heavy) edge build ONCE: it feeds
+    // nodes + outdeg + every iteration's join, and without truncation each
+    // iteration's plan re-runs the whole upstream pipeline (measured ~2×
+    // end-to-end on the co-purchase gates). Same localCheckpoint device as
+    // TextDedup.clusters' rounds.
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    // nodes/outdeg are node-cardinality frames referenced by EVERY
+    // iteration level of the lazy rank plan — truncate them too, or each
+    // level re-runs their distinct/agg shuffles
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // 1-row node count riding every row as a broadcast scalar (the same
     // no-collect pattern as the salted-join census)
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the edge⋈outdeg join is STATIC across iterations — hoist it out of
+    // the loop and materialize once; each iteration then pays exactly one
+    // rank-side join + one dst aggregation
+    val eDeg = e.join(outdeg, "src").localCheckpoint()
 
     // SQL `div` (IntegralDivide) — the Column API has no integral-divide
     // operator, and float `/` + floor would be off-by-one in the last ulp
@@ -68,9 +80,8 @@ object GraphRank {
       .select(col("node"), expr(s"$Scale div n_nodes").as("rank"))
     val base = (100L - dampNum) * Scale / 100L // driver-side exact constant
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(outdeg.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
       rank = nodes.crossJoin(broadcast(n))
@@ -94,14 +105,16 @@ object GraphRank {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
       dampNum: Int = 85): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    // one edge materialization for nodes/outdeg/all iterations (see pageRank)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+      col("dst").cast("long").as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("is_seed", lit(1L))
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
-    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+      "src").localCheckpoint() // static across iterations, see pageRank
     val base = (100L - dampNum) * Scale / 100L
     // greatest(n_seeds, 1): an EMPTY seed set means is_seed = 0 on every
     // row, so the numerator is already 0 — the floor only prevents the
@@ -113,9 +126,8 @@ object GraphRank {
     var rank = withSeed.select(col("node"),
       expr(s"(is_seed * $Scale) div n_seeds").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(outdeg.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
       rank = withSeed.join(contrib, Seq("node"), "left")
