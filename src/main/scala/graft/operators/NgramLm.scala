@@ -42,17 +42,19 @@ object NgramLm {
   val MicroScale: Long = 1000000L
 
   /** Adjacent-token pairs of `textCol`, one row per OCCURRENCE:
-    * (doc_id, w1, w2). Whitespace tokens keep empty fields (Q.tokens
-    * convention), so token indices agree with DuckDB's `string_split`. */
+    * (doc_id [, extraCols], w1, w2). Whitespace tokens keep empty fields
+    * (Q.tokens convention), so token indices agree with DuckDB's
+    * `string_split`. */
   def bigrams(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", extraCols: Seq[String] = Nil): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), posexplode(slice(col("toks"), lit(1),
+    val keys = ("doc_id" +: extraCols).map(col)
+    docs.select(col(idCol).as("doc_id") +: extraCols.map(col) :+ toks.as("toks"): _*)
+      .select(keys ++ Seq(posexplode(slice(col("toks"), lit(1),
         greatest(size(col("toks")) - 1, lit(0)))).as(Seq("pos", "w1")),
-        col("toks"))
-      .select(col("doc_id"), col("w1"),
-        element_at(col("toks"), col("pos") + 2).as("w2"))
+        col("toks")): _*)
+      .select(keys ++ Seq(col("w1"),
+        element_at(col("toks"), col("pos") + 2).as("w2")): _*)
   }
 
   /** Bigram LM "model": exact integer pair counts c(w1,w2), context counts
@@ -72,6 +74,48 @@ object NgramLm {
       .select(explode(Text.tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok"))).head.getLong(0)
     BigramModel(pairs, contexts, vocab)
+  }
+
+  /** Per-GROUP bigram models in one pass — the published CCNet shape: one
+    * reference LM PER LANGUAGE, because a single pooled model scores every
+    * non-majority language as "surprising" and a perplexity gate would gut
+    * them. Model tables are keyed by the group column ((group,w1,w2) pairs,
+    * (group,w1) contexts, (group, vocab_size)); scoring joins on the
+    * grouped keys — same shapes and costs as the ungrouped form, the group
+    * key just rides the shuffle keys. Docs whose group never appeared in
+    * training score NULL (no model — a gate treats that as reject/route,
+    * never silently 1/V). */
+  final case class GroupedBigramModel(pairs: DataFrame, contexts: DataFrame, vocab: DataFrame)
+
+  def trainBigramGrouped(trainDocs: DataFrame, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): GroupedBigramModel = {
+    val bg = bigrams(trainDocs, idCol, textCol, Seq(groupCol))
+    GroupedBigramModel(
+      bg.groupBy(groupCol, "w1", "w2").agg(count(lit(1)).as("c12")),
+      bg.groupBy(groupCol, "w1").agg(count(lit(1)).as("c1")),
+      trainDocs.select(col(groupCol), explode(Text.tokens(col(textCol))).as("tok"))
+        .groupBy(groupCol).agg(count_distinct(col("tok")).as("vs")))
+  }
+
+  def crossEntropyGrouped(docs: DataFrame, model: GroupedBigramModel,
+      groupCol: String, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol, Seq(groupCol))
+    val logpMicro = round(
+      log((coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("vs")).cast("double"))
+        * MicroScale, 0).cast("long")
+    val scored = bg
+      .join(model.pairs, Seq(groupCol, "w1", "w2"), "left")
+      .join(model.contexts, Seq(groupCol, "w1"), "left")
+      .join(broadcast(model.vocab), Seq(groupCol), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(-logpMicro).as("nll_micro"))
+    docs.select(col(idCol).as("doc_id"), col(groupCol)).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(groupCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_micro"),
+        (col("nll_micro").cast("double") / (col("n_bigrams") * MicroScale))
+          .as("xent_nats"))
   }
 
   /** Persist a trained model through the versioned catalog (pairs +

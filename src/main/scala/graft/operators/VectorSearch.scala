@@ -59,6 +59,57 @@ object VectorSearch {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** 1-bit-per-dimension SIGN signature, packed into ceil(dim/32) BIGINT
+    * words of 32 bits each (32-bit halves, not 64, so no word ever touches
+    * the sign bit — the packed values stay identical non-negative integers
+    * on every engine). bit i of word w = (embedding[32w+i] > 0). The
+    * coarsest tier of the compression ladder (float32 → 32× smaller,
+    * below int8's 4× and PQ's 16×): Hamming distance on sign bits is the
+    * classic first-stage filter (Charikar's SimHash for vectors). */
+  def binarySignature(embedding: String, dim: Int): Column = {
+    require(dim % 32 == 0, s"dim must be a multiple of 32: $dim")
+    expr(s"""transform(sequence(0, ${dim / 32 - 1}, 1), w ->
+      aggregate(transform(slice($embedding, w * 32 + 1, 32),
+        (x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+        CAST(0 AS BIGINT), (a, b) -> a + b))""")
+  }
+
+  /** Σ popcount(xor) over the signature words — exact integer Hamming. */
+  def hammingDistance(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> bit_count(x ^ y)), 0, (s, v) -> s + v)")
+      .cast("long")
+
+  /** Two-stage binary ANN: Hamming-on-sign-bits shortlist (`shortlist`
+    * nearest signatures per query, ties on nid), then exact
+    * integer-quantized cosine re-rank of the shortlist to top-`k` — the
+    * standard coarse-filter/exact-verify ladder at 32× compression. At
+    * index scale the corpus side carries ONLY the signature words
+    * (2 BIGINTs per 64-dim vector); the full vectors join back just for
+    * the shortlist re-rank. Every number is exact (integer Hamming,
+    * integer dots) so the result is engine-reproducible. */
+  def binaryHammingTopK(emb: DataFrame, queryPred: Column, shortlist: Int,
+      k: Int, dim: Int = 64): DataFrame = {
+    require(shortlist >= k && k >= 1)
+    val sig = emb.select(col("vec_id"), quantize("embedding").as("q"),
+        binarySignature("embedding", dim).as("sig"))
+      .withColumn("nn", dot("q", "q"))
+    val qs = broadcast(sig.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"),
+        col("q").as("qv"), col("nn").as("qn")))
+    qs.join(sig.select(col("vec_id").as("nid"), col("sig").as("csig"),
+        col("q").as("cv"), col("nn").as("cn")), col("qid") =!= col("nid"))
+      .withColumn("hamming", hammingDistance("qsig", "csig"))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("hamming"), col("nid"))))
+      .filter(col("hrank") <= shortlist)
+      .withColumn("dp", dot("qv", "cv"))
+      .withColumn("sim", cosine("dp", "qn", "cn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("hamming"), col("sim"), col("rank"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
     * the diversity pass a retrieval stack runs AFTER top-N: greedily pick k
     * results maximizing `λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)`, so

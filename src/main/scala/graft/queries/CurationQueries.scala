@@ -94,6 +94,39 @@ object CurationQueries {
                       COALESCE(xent_nats <= cutoff, false) AS keep
                FROM xent, cut""")),
 
+    // The published CCNet shape: one reference LM PER LANGUAGE (a pooled
+    // model scores every minority language as "surprising" and a gate
+    // would gut them). Model tables keyed by lang; scoring joins ride the
+    // same shuffles with lang in the key.
+    QueryDef("q_x_lm_xent_per_lang",
+      (s, d) => graft.operators.NgramLm.crossEntropyGrouped(docs(s, d),
+        graft.operators.NgramLm.trainBigramGrouped(
+          docs(s, d).filter(col("doc_id") % 2 === 0), "lang"), "lang"),
+      Some(s"""WITH $bigramSql,
+               bl AS (SELECT bg.doc_id, d.lang, w1, w2
+                      FROM bg JOIN documents d ON bg.doc_id = d.doc_id),
+               tbg AS (SELECT lang, w1, w2 FROM bl WHERE doc_id % 2 = 0),
+               pc AS (SELECT lang, w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2, 3),
+               cc AS (SELECT lang, w1, count(*) AS c1 FROM tbg GROUP BY 1, 2),
+               vv AS (SELECT lang, count(DISTINCT tok) AS vs
+                      FROM (SELECT d.lang, unnest(tk.toks) AS tok
+                            FROM tk JOIN documents d ON tk.doc_id = d.doc_id
+                            WHERE tk.doc_id % 2 = 0)
+                      GROUP BY 1),
+               sc AS (SELECT bl.doc_id, count(*) AS n_bigrams,
+                        sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
+                            CAST(COALESCE(c1, 0) + vs AS DOUBLE)) * $micro, 0) AS BIGINT))
+                          AS nll_micro
+                      FROM bl LEFT JOIN pc USING (lang, w1, w2)
+                              LEFT JOIN cc USING (lang, w1)
+                              LEFT JOIN vv USING (lang)
+                      GROUP BY 1),
+               res AS (SELECT d.doc_id, d.lang, COALESCE(n_bigrams, 0) AS n_bigrams,
+                         nll_micro,
+                         CAST(nll_micro AS DOUBLE) / (n_bigrams * $micro) AS xent_nats
+                       FROM documents d LEFT JOIN sc USING (doc_id))
+               SELECT doc_id, lang, n_bigrams, nll_micro, xent_nats FROM res""")),
+
     // DSIR importance weights toward the lang='en' slice: hashed-unigram
     // bag models (dim=256) for target and raw corpus, per-doc exact integer
     // log-likelihood-ratio dot product. Rank by weight_micro and you have

@@ -675,6 +675,35 @@ object VectorQueries {
                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
                  FROM p) WHERE rank <= 5""")),
 
+    // Binary (sign-bit) tier of the compression ladder: 1 bit/dim packed
+    // into 32-bit words (float32 → 32×), Hamming shortlist of 50 per
+    // query, exact integer-cosine re-rank to top-5. Exact integer Hamming
+    // + exact dots → fully hash-checked ranking.
+    QueryDef("q_x_ann_binary",
+      (s, d) => graft.operators.VectorSearch.binaryHammingTopK(
+        t(s, d, "embeddings"), col("vec_id") < 10, shortlist = 50, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $quantSql AS q,
+                 list_transform(generate_series(0, 1), w ->
+                   CAST(list_sum(list_transform(generate_series(1, 32), i ->
+                     CASE WHEN embedding[w * 32 + i] > 0
+                          THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+                     AS BIGINT)) AS sig
+               FROM embeddings),
+               n AS (SELECT vec_id, q, sig, list_dot_product(q, q) AS nn FROM e),
+               h AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                       CAST(bit_count(xor(a.sig[1], b.sig[1]))
+                          + bit_count(xor(a.sig[2], b.sig[2])) AS BIGINT) AS hamming,
+                       list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                     FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+               s AS (SELECT *, row_number() OVER
+                       (PARTITION BY qid ORDER BY hamming, nid) AS hrank FROM h)
+               SELECT qid, nid, hamming, sim, rank
+               FROM (SELECT qid, nid, hamming, sim,
+                       CAST(row_number() OVER
+                         (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+                     FROM s WHERE hrank <= 50)
+               WHERE rank <= 5""")),
+
     // IVF-style ANN: rank neighbors only within the query's LSH bucket —
     // the scan-pruned scale path next to the exact brute-force baseline.
     QueryDef("q_x_ann_ivf",

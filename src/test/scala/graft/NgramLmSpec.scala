@@ -109,6 +109,48 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1).isNullAt(got(1).fieldIndex("slope_cents")))
   }
 
+  test("binarySignature packs sign bits into 32-bit words; Hamming shortlist finds the near-dup") {
+    import graft.operators.VectorSearch
+    // 64-dim vector: positives exactly at dims 1 and 33 (1-based) → word0
+    // bit0, word1 bit0
+    val v = Array.tabulate(64)(i => if (i == 0 || i == 32) 1.0f else -1.0f)
+    val df = Seq((0L, v.toSeq)).toDF("vec_id", "embedding")
+    val sig = df.select(VectorSearch.binarySignature("embedding", 64).as("s"))
+      .head.getSeq[Long](0)
+    assert(sig == Seq(1L, 1L))
+    // planted near-identical vector must Hamming-shortlist and re-rank #1
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(5) = near(5) + 0.01f // same signs
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq),
+      (3L, base.map(-_).toSeq)).toDF("vec_id", "embedding")
+    val got = VectorSearch.binaryHammingTopK(emb, col("vec_id") === 0, 3, 1)
+      .select("nid", "hamming").as[(Long, Long)].collect()
+    assert(got.head._1 == 1L && got.head._2 == 0L,
+      s"same-sign near-dup must rank first at Hamming 0: ${got.toSeq}")
+  }
+
+  test("per-language LM: minority-language docs score fluent under their own model") {
+    // French docs are a minority; a pooled model would make them
+    // high-xent, the per-lang model must not.
+    val en = (0L until 20L).map(i => (i, "the cat sat on the mat again and again", "en"))
+    val fr = (100L until 106L).map(i => (i, "le chat dort sur le tapis encore et encore", "fr"))
+    val docs = (en ++ fr).toDF("doc_id", "text", "lang")
+    val grouped = NgramLm.crossEntropyGrouped(docs,
+      NgramLm.trainBigramGrouped(docs, "lang"), "lang")
+      .select("doc_id", "xent_nats").as[(Long, Double)].collect().toMap
+    val pooled = NgramLm.crossEntropy(docs, NgramLm.trainBigram(docs))
+      .select("doc_id", "xent_nats").as[(Long, Double)].collect().toMap
+    assert(grouped(100L) < pooled(100L),
+      s"own-language model must score French lower-xent than the pooled model: " +
+        s"grouped ${grouped(100L)} pooled ${pooled(100L)}")
+    // unseen group scores NULL, not a fake 1/V
+    val unseen = NgramLm.crossEntropyGrouped(
+      Seq((999L, "hola mundo bueno", "es")).toDF("doc_id", "text", "lang"),
+      NgramLm.trainBigramGrouped(docs, "lang"), "lang").collect().head
+    assert(unseen.isNullAt(unseen.fieldIndex("nll_micro")))
+  }
+
   test("pmiCollocations: an exclusive pair outranks a frequent independent pair") {
     // "san francisco" always co-occur (exclusive); "the dog" share "the"
     // with many other pairs → lower PMI despite equal pair count.
