@@ -742,6 +742,21 @@ object ParityQueries {
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
 
+    // Columnar-format interop: the corpus written as ORC (Spark's second
+    // built-in columnar format) and read back — the cross-team handoff
+    // path when a consumer stack is ORC/Hive-native. Round-trip must be
+    // lossless: the oracle reads the ORIGINAL parquet.
+    QueryDef("q_x_orc_roundtrip",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val out = tempRoot(jsonlRoots, s, d, "graft-orc") + "/docs_orc"
+        if (!new java.io.File(out).exists)
+          docs.write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .select(docs.schema.fieldNames.map(col).toIndexedSeq: _*)
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
     // S2 — TRUNCATE (validate_data.py:139) made oracle-visible, not just
     // spec-visible: write → truncate → reload (append). The audit row pins
     // the post-truncate count at 0 (atomic with the run, replayed on every
