@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Text
+
+/** Multinomial Naive Bayes text classification — the model-based curation
+  * classifier tier: public large-corpus pipelines gate documents with a
+  * cheap linear text classifier (a fastText-style quality/domain model in
+  * the GPT-3 and LLaMA data recipes; CCNet's language filter is the same
+  * silhouette). Naive Bayes over unigram counts IS that linear model with a
+  * closed-form, exactly-reproducible fit: per-class log-probabilities are
+  * token-count ratios, so training is one aggregate and there is no SGD
+  * ordering nondeterminism anywhere.
+  *
+  * Reference scope: the reference pipeline (Redshift SQL, ~572 LoC) has no
+  * model-based curation; this extends the training-data surface alongside
+  * [[NgramLm]] (SURVEY.md §7.8).
+  *
+  * == Exactness contract ==
+  * [[NgramLm]]'s micro-nat device: every ln is rounded ONCE to integer
+  * micro-nats as it enters (smoothed token log-probs, per-class floors,
+  * class priors), so a document score is an exact BIGINT dot product and
+  * argmax/ties are deterministic integer comparisons (ties break on the
+  * lexically smallest label). Magnitude: |logp| < 40 nats → 4e7 micro-nats;
+  * 1e5 tokens/doc → 4e12 ≪ 2^63.
+  *
+  * == 100 TB shape ==
+  * Training is one (label, token)-count aggregate over the labeled slice —
+  * the model is class-vocab-sized (a plain table), never collected. Scoring
+  * decomposes score(d,l) = prior_l + n_tokens(d)·floor_l + Σ_seen f·(lp−floor_l):
+  * the unseen-token mass is folded into the closed-form n·floor term, so the
+  * only join is doc-token-counts ⋈ model on the token key (N:1 lookup,
+  * ≤ K rows out per distinct doc token — never class-crossed over the full
+  * token stream) followed by one (doc,label) aggregate and one top-1 window.
+  * AQE broadcasts the model when it fits; otherwise it shuffles on the token
+  * key like any word-count.
+  */
+object NaiveBayes {
+
+  val MicroScale: Long = NgramLm.MicroScale
+
+  /** Trained model: `tokenProbs` (label, tok, lp_micro) — add-one-smoothed
+    * log p(tok|label) in micro-nats; `labels` (label, prior_micro,
+    * floor_micro) — smoothed class prior round(ln((n_l+1)/(n+K))·1e6) and
+    * the per-class unseen-token floor round(ln(1/(N_l+V))·1e6). */
+  final case class NbModel(tokenProbs: DataFrame, labels: DataFrame)
+
+  private def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Fit on `labeled` (must carry `labelCol`): one token-count aggregate +
+    * class-cardinality bookkeeping, all exact integers until the single
+    * quantized ln per model row. */
+  def train(labeled: DataFrame, labelCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): NbModel = {
+    val lt = labeled.select(col(labelCol).as("label"), col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val tokens = docTokens(lt, "doc_id", "text")
+      .join(lt.select(col("doc_id"), col("label")), Seq("doc_id"))
+    val counts = tokens.groupBy("label", "tok").agg(count(lit(1)).as("c"))
+    // vocab = distinct tokens across the WHOLE training slice (shared
+    // denominator V, the standard multinomial-NB smoothing base)
+    val vocab = counts.agg(count_distinct(col("tok")).as("v"))
+    val classTotals = counts.groupBy("label").agg(sum("c").as("n_l"))
+    val docCounts = lt.groupBy("label").agg(count(lit(1)).as("nd_l"))
+    val totals = lt.agg(count(lit(1)).as("nd"), count_distinct(col("label")).as("k"))
+    val labels = docCounts.join(classTotals, Seq("label"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .select(col("label"),
+        round(log((col("nd_l") + 1L).cast("double") / (col("nd") + col("k")).cast("double"))
+          * MicroScale, 0).cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (coalesce(col("n_l"), lit(0L)) + col("v")).cast("double"))
+          * MicroScale, 0).cast("long").as("floor_micro"))
+    val tokenProbs = counts
+      .join(classTotals, Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("tok"),
+        round(log((col("c") + 1L).cast("double") / (col("n_l") + col("v")).cast("double"))
+          * MicroScale, 0).cast("long").as("lp_micro"))
+    NbModel(tokenProbs, labels)
+  }
+
+  /** Per-(doc, label) exact integer scores:
+    * score = prior + n_tokens·floor + Σ_{tokens seen by the class} f·(lp−floor). */
+  def scores(docs: DataFrame, model: NbModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val f = docTokens(docs, idCol, textCol)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+    val nTok = f.groupBy("doc_id").agg(sum("f").as("n_tokens"))
+    val seen = f.join(model.tokenProbs, Seq("tok"))
+      .join(model.labels.select(col("label"), col("floor_micro")), Seq("label"))
+      .groupBy("doc_id", "label")
+      .agg(sum(col("f") * (col("lp_micro") - col("floor_micro"))).as("delta_micro"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(nTok, Seq("doc_id"), "left")
+      .crossJoin(broadcast(model.labels))
+      .join(seen, Seq("doc_id", "label"), "left")
+      .select(col("doc_id"), col("label"),
+        (col("prior_micro") + coalesce(col("n_tokens"), lit(0L)) * col("floor_micro")
+          + coalesce(col("delta_micro"), lit(0L))).as("score_micro"))
+  }
+
+  /** Top-1 prediction per document (deterministic: score desc, label asc). */
+  def classify(docs: DataFrame, model: NbModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scores(docs, model, idCol, textCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("label").as("predicted"), col("score_micro"))
+
+  /** Confusion matrix of [[classify]] against a gold label column — the
+    * classifier-eval surface (per-(gold, predicted) counts, K²-bounded). */
+  def confusion(docs: DataFrame, model: NbModel, goldCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(goldCol).as("gold"))
+      .join(classify(docs, model, idCol, textCol), Seq("doc_id"))
+      .groupBy("gold", "predicted").agg(count(lit(1)).as("n_docs"))
+}

@@ -49,6 +49,49 @@ object CurationQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "documents")
 
+  /** Naive Bayes CTEs (model on even doc_ids, label = lang): add-one-
+    * smoothed token log-probs / class floors / priors, all micro-nat
+    * quantized; per-(doc,label) scores via the n·floor decomposition; `pred`
+    * carries the (score desc, label asc) argmax rank. */
+  private val nbSql: String =
+    s"""tka AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        tk AS (SELECT doc_id, tok FROM tka WHERE tok <> ''),
+        tr AS (SELECT t.doc_id, d.lang AS label, t.tok
+               FROM tk t JOIN documents d USING (doc_id) WHERE t.doc_id % 2 = 0),
+        cnt AS (SELECT label, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+        vv AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+        ctot AS (SELECT label, sum(c) AS n_l FROM cnt GROUP BY 1),
+        dc AS (SELECT lang AS label, count(*) AS nd_l FROM documents
+               WHERE doc_id % 2 = 0 GROUP BY 1),
+        tt AS (SELECT count(*) AS nd, count(DISTINCT lang) AS k FROM documents
+               WHERE doc_id % 2 = 0),
+        lab AS (SELECT dc.label,
+                  CAST(round(ln((nd_l + 1) / CAST(nd + k AS DOUBLE)) * $micro, 0)
+                    AS BIGINT) AS prior_micro,
+                  CAST(round(ln(1.0 / CAST(COALESCE(n_l, 0) + v AS DOUBLE)) * $micro, 0)
+                    AS BIGINT) AS floor_micro
+                FROM dc LEFT JOIN ctot USING (label), tt, vv),
+        tp AS (SELECT label, tok,
+                 CAST(round(ln((c + 1) / CAST(n_l + v AS DOUBLE)) * $micro, 0)
+                   AS BIGINT) AS lp_micro
+               FROM cnt JOIN ctot USING (label), vv),
+        fq AS (SELECT doc_id, tok, count(*) AS f FROM tk GROUP BY 1, 2),
+        ntk AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens FROM fq GROUP BY 1),
+        seen AS (SELECT fq.doc_id, tp.label,
+                   sum(f * (lp_micro - floor_micro)) AS delta_micro
+                 FROM fq JOIN tp USING (tok) JOIN lab ON tp.label = lab.label
+                 GROUP BY 1, 2),
+        sc AS (SELECT d.doc_id, lab.label,
+                 CAST(prior_micro + COALESCE(n_tokens, 0) * floor_micro
+                      + COALESCE(delta_micro, 0) AS BIGINT) AS score_micro
+               FROM documents d CROSS JOIN lab
+                    LEFT JOIN ntk ON d.doc_id = ntk.doc_id
+                    LEFT JOIN seen ON d.doc_id = seen.doc_id AND lab.label = seen.label),
+        pred AS (SELECT doc_id, label AS predicted, score_micro,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_micro DESC, label) AS rk
+                 FROM sc)"""
+
   /** Per-(session, sfDir) catalog root for the stored-LM gate. */
   private val lmRoots =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
@@ -186,6 +229,31 @@ object CurationQueries {
                        (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT) AS rank
                      FROM sc)
                WHERE rank <= 50""")),
+
+    // Multinomial Naive Bayes classifier (the fastText-style model-based
+    // curation tier: closed-form linear text classifier, no SGD ordering
+    // nondeterminism). Trained on the even-doc_id half with lang as the
+    // label; every document then gets an exact-integer argmax prediction.
+    // Unseen-token mass folds into the closed-form n_tokens·floor term, so
+    // scoring's only join is doc-token-counts ⋈ model on the token key.
+    QueryDef("q_x_nb_classify",
+      (s, d) => graft.operators.NaiveBayes.classify(docs(s, d),
+        graft.operators.NaiveBayes.train(
+          docs(s, d).filter(col("doc_id") % 2 === 0), "lang")),
+      Some(s"""WITH $nbSql
+               SELECT doc_id, predicted, score_micro FROM pred WHERE rk = 1""")),
+
+    // Confusion matrix of the NB classifier against the gold lang labels —
+    // the classifier-eval surface (K²-bounded output).
+    QueryDef("q_x_nb_confusion",
+      (s, d) => graft.operators.NaiveBayes.confusion(docs(s, d),
+        graft.operators.NaiveBayes.train(
+          docs(s, d).filter(col("doc_id") % 2 === 0), "lang"), "lang"),
+      Some(s"""WITH $nbSql
+               SELECT d.lang AS gold, p.predicted, count(*) AS n_docs
+               FROM (SELECT doc_id, predicted FROM pred WHERE rk = 1) p
+               JOIN documents d USING (doc_id)
+               GROUP BY 1, 2""")),
 
     // Unigram Shannon entropy per document (micro-nat-exact): the
     // distribution-shape quality signal — catches shuffled repetition that

@@ -369,6 +369,26 @@ object ParityQueries {
               string_split(n_name, ' ')[1] AS first_word
               FROM nation""")),
 
+    // Fuzzy record linkage (operators.RecordLinkage): all customer-name
+    // pairs within edit distance 1, found via FastSS deletion-neighborhood
+    // blocking — candidates come from an equi-join on {self}∪{deletions}
+    // variant keys (map-side linear blow-up, no block² comparisons), then
+    // one codegen'd levenshtein verify per candidate.
+    QueryDef("q_x_fuzzy_pairs",
+      (s, d) => graft.operators.RecordLinkage.editNeighborPairs(
+          t(s, d, "customer"), "c_custkey", "c_name")
+        .select(col("id1"), col("id2"), col("dist")),
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+              v AS (SELECT id, nm, unnest(list_prepend(nm,
+                      list_transform(generate_series(1, len(nm)),
+                        i -> substr(nm, 1, i-1) || substr(nm, i+1)))) AS variant
+                    FROM c),
+              cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+                         a.nm AS k1, b.nm AS k2
+                       FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+              SELECT id1, id2, CAST(levenshtein(k1, k2) AS BIGINT) AS dist
+              FROM cand WHERE levenshtein(k1, k2) <= 1""")),
+
     // Salted big-big join (operators.Skew): semantics-preserving — the
     // result multiset equals the PLAIN join, which is exactly what the
     // oracle runs. The salt splits each hot key across `salts` tasks; the
@@ -843,6 +863,70 @@ object ParityQueries {
       Some(s"""SELECT o_orderdate, count(*) AS n_rows,
                CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
                FROM orders GROUP BY o_orderdate""")),
+
+    // Declarative expectation suite (ops.Expectations): the data-quality
+    // battery as data — six row-level constraints evaluated in ONE scan of
+    // orders (single conditional-count aggregate), plus key-uniqueness and
+    // referential-integrity rows. One monitoring constraint
+    // (price_above_400k) deliberately fires so nonzero counts are exercised.
+    QueryDef("q_x_expectations",
+      (s, d) => {
+        import graft.ops.Expectations._
+        val orders = t(s, d, "orders")
+        val rowLevel = check(orders, Seq(
+          notNull("nn_orderkey", col("o_orderkey")),
+          inSet("status_domain", col("o_orderstatus"), Seq("O", "F", "P")),
+          inRange("price_range", col("o_totalprice"), lit(1.0), lit(600000.0)),
+          inRange("price_above_400k", col("o_totalprice"), lit(0.0), lit(400000.0)),
+          matches("priority_format", col("o_orderpriority"), "^[1-5]-[A-Z ]+$"),
+          inRange("date_range", col("o_orderdate"),
+            lit("1990-01-01").cast("timestamp"), lit("2005-12-31").cast("timestamp"))))
+        suite(rowLevel, Seq(
+          unique(orders, "unique_orderkey", Seq("o_orderkey")),
+          foreignKey(orders, "fk_custkey", "o_custkey",
+            t(s, d, "customer"), "c_custkey")))
+      },
+      Some("""SELECT 'nn_orderkey' AS "constraint",
+                CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations,
+                count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS pass FROM orders
+              UNION ALL
+              SELECT 'status_domain',
+                CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                  OR o_orderstatus IS NULL) AS BIGINT),
+                count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                  OR o_orderstatus IS NULL) = 0 FROM orders
+              UNION ALL
+              SELECT 'price_range',
+                CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 1 AND o_totalprice <= 600000)
+                  OR o_totalprice IS NULL) AS BIGINT),
+                count(*) FILTER (WHERE NOT (o_totalprice >= 1 AND o_totalprice <= 600000)
+                  OR o_totalprice IS NULL) = 0 FROM orders
+              UNION ALL
+              SELECT 'price_above_400k',
+                CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0 AND o_totalprice <= 400000)
+                  OR o_totalprice IS NULL) AS BIGINT),
+                count(*) FILTER (WHERE NOT (o_totalprice >= 0 AND o_totalprice <= 400000)
+                  OR o_totalprice IS NULL) = 0 FROM orders
+              UNION ALL
+              SELECT 'priority_format',
+                CAST(count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                  OR o_orderpriority IS NULL) AS BIGINT),
+                count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                  OR o_orderpriority IS NULL) = 0 FROM orders
+              UNION ALL
+              SELECT 'date_range',
+                CAST(count(*) FILTER (WHERE NOT (o_orderdate >= TIMESTAMP '1990-01-01'
+                  AND o_orderdate <= TIMESTAMP '2005-12-31') OR o_orderdate IS NULL) AS BIGINT),
+                count(*) FILTER (WHERE NOT (o_orderdate >= TIMESTAMP '1990-01-01'
+                  AND o_orderdate <= TIMESTAMP '2005-12-31') OR o_orderdate IS NULL) = 0 FROM orders
+              UNION ALL
+              SELECT 'unique_orderkey',
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+                count(*) = count(DISTINCT o_orderkey) FROM orders
+              UNION ALL
+              SELECT 'fk_custkey', CAST(count(*) AS BIGINT), count(*) = 0
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL""")),
 
     // F12 — identifier lower-casing (dynamic_upsert.py:92): the table is
     // WRITTEN under a mixed-case name and columns are read back with

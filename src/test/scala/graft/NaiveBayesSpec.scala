@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NaiveBayes
+
+/** Multinomial NB classifier: hand-checked micro-nat scores, deterministic
+  * argmax/tie-break, separable-corpus sanity, confusion bookkeeping. */
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val micro = NaiveBayes.MicroScale
+  private def mn(x: Double): Long = math.round(math.log(x) * micro)
+
+  test("scores: hand-checked on a 2-class corpus") {
+    // class x: "a a b" (N_x=3), class y: "c c" (N_y=2); V=3, nd=2, k=2.
+    val train = Seq((0L, "a a b", "x"), (1L, "c c", "y")).toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(train, "lang")
+    // score doc "a c": n_tokens=2
+    val docs = Seq((10L, "a c")).toDF("doc_id", "text")
+    val got = NaiveBayes.scores(docs, model)
+      .select("label", "score_micro").as[(String, Long)].collect().toMap
+
+    val priorX = mn(2.0 / 4.0); val floorX = mn(1.0 / 6.0)
+    val lpXa = mn(3.0 / 6.0)
+    val expX = priorX + 2 * floorX + (lpXa - floorX) // c unseen in x
+    val priorY = mn(2.0 / 4.0); val floorY = mn(1.0 / 5.0)
+    val lpYc = mn(3.0 / 5.0)
+    val expY = priorY + 2 * floorY + (lpYc - floorY) // a unseen in y
+    assert(got == Map("x" -> expX, "y" -> expY))
+  }
+
+  test("classify: tokenless doc scores pure prior; ties break label-asc") {
+    val train = Seq((0L, "a", "x"), (1L, "b", "y")).toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(train, "lang")
+    // "" tokenizes to one empty token which is filtered → n_tokens 0 →
+    // score = prior for both classes (equal priors) → tie → "x" (label asc)
+    val got = NaiveBayes.classify(Seq((9L, "")).toDF("doc_id", "text"), model)
+      .select("predicted").as[String].head()
+    assert(got == "x")
+  }
+
+  test("classify: separable corpus predicts the right class everywhere") {
+    val mk = (lang: String, word: String) => (0L until 10L).map(i =>
+      (lang.hashCode.toLong * 100 + i, s"$word $word $word common", lang))
+    val docs = (mk("en", "hello") ++ mk("fr", "bonjour") ++ mk("de", "hallo"))
+      .toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(docs, "lang")
+    val conf = NaiveBayes.confusion(docs, model, "lang")
+      .select("gold", "predicted", "n_docs").as[(String, String, Long)].collect()
+    assert(conf.toSet == Set(("en", "en", 10L), ("fr", "fr", 10L), ("de", "de", 10L)))
+  }
+
+  test("confusion: row counts cover every scored doc exactly once") {
+    val docs = Seq((0L, "a b", "x"), (1L, "b c", "y"), (2L, "q", "x"))
+      .toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(docs, "lang")
+    val total = NaiveBayes.confusion(docs, model, "lang")
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(total == 3L)
+  }
+
+  test("train: label absent from training is never predicted") {
+    val train = Seq((0L, "a a", "x"), (1L, "b b", "y")).toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(train, "lang")
+    val preds = NaiveBayes.classify(
+        Seq((5L, "zz zz"), (6L, "a b")).toDF("doc_id", "text"), model)
+      .select("predicted").as[String].collect().toSet
+    assert(preds.subsetOf(Set("x", "y")))
+  }
+}
