@@ -26,6 +26,58 @@ object DevProbe {
       println(f"[probe] $label: $s%.2fs"); s
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
+    if (names == Seq("graph-dissect")) {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def t[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
+      for (i <- 1 to 2) {
+        val edges = li.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+        val und = t(s"undirected build run$i")(
+          graft.operators.GraphRank.undirected(edges).localCheckpoint())
+        t(s"pagerank-iters run$i")(
+          graft.operators.GraphRank.pageRank(und, iters = 3).count())
+      }
+      for (i <- 1 to 2) {
+        t(s"cooccur run$i")(graft.operators.GraphRank.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey", 2L).count())
+      }
+      return
+    }
+    if (names == Seq("pq-dissect")) {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      val model = graft.operators.ProductQuantizer.fit(emb, m = 4, ksub = 8, iters = 2, dim = 64)
+      println(f"[probe] pq fit: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      for (i <- 1 to 3) {
+        val t1 = System.nanoTime()
+        graft.operators.ProductQuantizer.encode(emb, model).count()
+        println(f"[probe] pq encode run$i: ${(System.nanoTime() - t1) / 1e9}%.2fs")
+      }
+      for (i <- 1 to 3) {
+        val t2 = System.nanoTime()
+        graft.operators.ProductQuantizer.adcTopK(emb, model, col("vec_id") < 10, 5).count()
+        println(f"[probe] pq adcTopK run$i: ${(System.nanoTime() - t2) / 1e9}%.2fs")
+      }
+      // narrow: encode+join+score without the window
+      val codes = graft.operators.ProductQuantizer.encode(emb, model)
+      for (i <- 1 to 2) {
+        val t3 = System.nanoTime()
+        codes.select(expr("codes[0]+codes[1]+codes[2]+codes[3]")).agg(sum("*")).collect()
+        println(f"[probe] codes-only run$i: ${(System.nanoTime() - t3) / 1e9}%.2fs")
+      }
+      for (i <- 1 to 2) {
+        val t3 = System.nanoTime()
+        graft.operators.ProductQuantizer.adcTopK(emb, model, col("vec_id") < 10, 5,
+          encoded = codes.localCheckpoint()).count()
+        println(f"[probe] adcTopK precomputed-codes run$i: ${(System.nanoTime() - t3) / 1e9}%.2fs")
+      }
+      return
+    }
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       val ts = (1 to 3).map(i => time(s"$n run$i")(fn(spark, sfDir).count()))

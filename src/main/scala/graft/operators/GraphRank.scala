@@ -52,45 +52,54 @@ object GraphRank {
     * acceptable for ranking; eliminate them via [[undirected]]. */
   def pageRank(edges: DataFrame, iters: Int = 3, dampNum: Int = 85): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
-    // materialize the (often distinct-heavy) edge build ONCE: it feeds
-    // nodes + outdeg + every iteration's join, and without truncation each
-    // iteration's plan re-runs the whole upstream pipeline (measured ~2×
-    // end-to-end on the co-purchase gates). Same localCheckpoint device as
+    // materialize the (often distinct-heavy) edge build ONCE,
+    // pre-partitioned on the join key: the checkpointed layout is reused by
+    // EVERY iteration's rank join, so the edge list — the only
+    // data-proportional frame — never crosses the wire again (the Pregel
+    // static-edge-partitioning shape). Same localCheckpoint device as
     // TextDedup.clusters' rounds.
+    // persist (not localCheckpoint): the cached plan KEEPS its
+    // hashpartitioning(src) metadata, so every iteration's shuffled-hash
+    // join sees the edge side already laid out and only moves ranks — a
+    // checkpoint would erase the partitioning and re-exchange the edges
+    // per iteration (verified in the physical plan).
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
-    // nodes/outdeg are node-cardinality frames referenced by EVERY
-    // iteration level of the lazy rank plan — truncate them too, or each
-    // level re-runs their distinct/agg shuffles
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      col("dst").cast("long").as("dst")).repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // (node, outdeg) carrier: node-cardinality, referenced by every
+    // iteration level — truncate it too, or each level re-runs its shuffles.
+    // LEFT join so dst-only (dangling) nodes survive with NULL outdeg; they
+    // never appear as a join src, so the NULL never reaches `div`.
+    val ndeg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .localCheckpoint()
     // 1-row node count riding every row as a broadcast scalar (the same
     // no-collect pattern as the salted-join census)
-    val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // the edge⋈outdeg join is STATIC across iterations — hoist it out of
-    // the loop and materialize once; each iteration then pays exactly one
-    // rank-side join + one dst aggregation
-    val eDeg = e.join(outdeg, "src").localCheckpoint()
+    val n = ndeg.agg(count(lit(1)).as("n_nodes"))
 
     // SQL `div` (IntegralDivide) — the Column API has no integral-divide
     // operator, and float `/` + floor would be off-by-one in the last ulp
     // on long operands; `div` truncation on non-negative values ≡ DuckDB `//`.
-    var rank = nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr(s"$Scale div n_nodes").as("rank"))
+    var rank = ndeg.crossJoin(broadcast(n))
+      .select(col("node"), col("outdeg"), expr(s"$Scale div n_nodes").as("rank"))
     val base = (100L - dampNum) * Scale / 100L // driver-side exact constant
     for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(rank.withColumnRenamed("node", "src"), "src")
+      // shuffle_hash on the node-sized rank side: only it moves (to e's
+      // static layout) and it hash-builds without sorting the edge stream —
+      // SMJ would re-sort O(edges) every iteration for no benefit.
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
-      rank = nodes.crossJoin(broadcast(n))
+      rank = ndeg.crossJoin(broadcast(n))
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           expr(s"($base div n_nodes) + (($dampNum * coalesce(inflow, 0)) div 100)")
             .as("rank"))
     }
-    rank
+    rank.select(col("node"), col("rank"))
   }
 
   /** Personalized PageRank (random-walk-with-restart): the restart mass
@@ -105,37 +114,47 @@ object GraphRank {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
       dampNum: Int = 85): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
-    // one edge materialization for nodes/outdeg/all iterations (see pageRank)
+    // one edge materialization, pre-partitioned on the join key and
+    // persisted WITH its partitioning metadata (see pageRank — the
+    // static-edge-layout Pregel shape)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      col("dst").cast("long").as("dst")).repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("is_seed", lit(1L))
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
-    val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-      "src").localCheckpoint() // static across iterations, see pageRank
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val base = (100L - dampNum) * Scale / 100L
+    // (node, outdeg, is_seed, n_seeds) carrier, checkpointed ONCE — every
+    // iteration level of the lazy rank plan references it, and without
+    // truncation each level re-runs the distinct + seed/outdeg joins.
     // greatest(n_seeds, 1): an EMPTY seed set means is_seed = 0 on every
     // row, so the numerator is already 0 — the floor only prevents the
     // 0-div-0 ANSI error and yields the correct all-zero ranks
-    val withSeed = nodes.join(broadcast(sd), Seq("node"), "left")
+    val withSeed = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(broadcast(sd), Seq("node"), "left")
       .crossJoin(broadcast(ns))
-      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"),
+      .select(col("node"), col("outdeg"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"),
         greatest(col("n_seeds"), lit(1L)).as("n_seeds"))
-    var rank = withSeed.select(col("node"),
+      .localCheckpoint()
+    var rank = withSeed.select(col("node"), col("outdeg"),
       expr(s"(is_seed * $Scale) div n_seeds").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(rank.withColumnRenamed("node", "src"), "src")
+      // node-sized rank side shuffles to e's static layout and hash-builds
+      // — the edge stream is never re-sorted or re-shuffled (see pageRank)
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
       rank = withSeed.join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           expr(s"((is_seed * $base) div n_seeds) + " +
             s"(($dampNum * coalesce(inflow, 0)) div 100)").as("rank"))
     }
-    rank
+    rank.select(col("node"), col("rank"))
   }
 
   /** Co-occurrence edge list from (group, item) memberships: an edge (a, b),
@@ -147,11 +166,20 @@ object GraphRank {
     * one shared basket is noise, repeat co-occurrence is signal. */
   def coOccurrenceEdges(memberships: DataFrame, groupCol: String, itemCol: String,
       minShared: Long = 2L): DataFrame = {
-    val m = memberships.select(col(groupCol).cast("long").as("g"),
-      col(itemCol).cast("long").as("i")).distinct()
-    m.as("x").join(m.as("y"),
-        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+    // One grouped collect_set per group (map-side partial sets ≤ group
+    // size), then the k² pair expansion happens MAP-SIDE over the sorted
+    // member array — vs the equivalent self-join, this drops a whole
+    // distinct shuffle and never moves the membership table twice. The
+    // sorted array gives a < b for free.
+    memberships.select(col(groupCol).cast("long").as("g"),
+        col(itemCol).cast("long").as("i"))
+      .groupBy(col("g")).agg(array_sort(collect_set(col("i"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, ix) -> " +
+          "transform(slice(items, ix + 2, size(items)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("a"), col("b"))

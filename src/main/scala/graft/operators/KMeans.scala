@@ -70,11 +70,16 @@ object KMeans {
     * accumulated score expression at every level, growing the expression
     * tree (and its evaluation cost) exponentially in k — measured 2.2 s →
     * 0.78 s on the warm sf0.1 IVF probe at k = 8 (fit 8.9 → 3.8 s). */
-  private[operators] def clusterExpr(model: Model): Column = {
+  private[operators] def clusterExpr(model: Model): Column =
+    clusterExprOn(model, col("q"))
+
+  /** [[clusterExpr]] over an arbitrary quantized-vector column (the PQ
+    * joint fit assigns all subspace slices in one pass). */
+  private[operators] def clusterExprOn(model: Model, q: Column): Column = {
     val entries = model.centroids.map { case (cid, c) =>
       val cc = c.map(x => x * x).sum
       struct(
-        (lit(cc) - DotProductLong(col("q"), typedlit(c.toSeq)) * 2).as("negscore"),
+        (lit(cc) - DotProductLong(q, typedlit(c.toSeq)) * 2).as("negscore"),
         lit(cid.toLong).as("cid"))
     }
     array_min(array(entries: _*)).getField("cid")

@@ -36,22 +36,74 @@ object ProductQuantizer {
     def m: Int = books.size
   }
 
-  /** Train one codebook per subspace on the sliced embedding column. The
-    * corpus is scanned m·(iters+1) times at codebook-training time — at
-    * real scale you pass a hash-sampled training frame
-    * ([[Sampling.hashSample]]); codebook quality needs a sample, not the
-    * corpus. */
+  /** Train one codebook per subspace on the sliced embedding column, as a
+    * JOINT Lloyd loop: all m subspaces assign and re-center in the SAME
+    * job, with the subspace id riding the aggregation key — (iters+1)
+    * corpus scans total instead of m·(iters+1), and one model-sized
+    * (m·ksub·subDim cells) collect per iteration. Per-subspace results are
+    * bit-identical to independent [[KMeans.fit]] runs: seeds are the same
+    * k (hash64(vec_id), vec_id)-ranked vectors for every subspace (the
+    * rank ignores the vector payload), assignments use the same
+    * (negscore, cid) argmin per slice, and means use the same
+    * floor(s/n + 0.5) re-rounding. At real scale pass a hash-sampled
+    * training frame ([[Sampling.hashSample]]); codebook quality needs a
+    * sample, not the corpus. */
   def fit(emb: DataFrame, m: Int, ksub: Int = 8, iters: Int = 2, dim: Int = -1,
       idCol: String = "vec_id", embCol: String = "embedding"): PQModel = {
     val d = if (dim > 0) dim else VectorSearch.probeDim(emb, embCol)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
-    val sub = d / m
-    PQModel(sub, (0 until m).map { j =>
-      KMeans.fit(
-        emb.filter(col(embCol).isNotNull)
-          .select(col(idCol), slice(col(embCol), j * sub + 1, sub).as(embCol)),
-        ksub, iters, idCol, embCol)
-    })
+    jointFit(
+      emb.filter(col(embCol).isNotNull)
+        .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q")),
+      m, d / m, ksub, iters)
+  }
+
+  /** The fused per-subspace Lloyd loop over a prepared (vec_id, q) frame of
+    * full-dim quantized-integer vectors. */
+  private def jointFit(preparedQ: DataFrame, m: Int, sub: Int, ksub: Int,
+      iters: Int): PQModel = {
+    val prepared = preparedQ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Seeds: the ksub (hash64(vec_id), vec_id)-ranked vectors — the rank
+      // is payload-independent, so every subspace's KMeans.seedsPrepared
+      // would pick exactly these rows; slicing them gives identical seeds.
+      val picked = prepared
+        .withColumn("h", graft.functions.Hashing.hash64(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(ksub)
+        .select(col("q")).collect()
+      require(picked.nonEmpty, "pq fit: empty input frame")
+      var books: Seq[KMeans.Model] = (0 until m).map { j =>
+        KMeans.Model(picked.toSeq.zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Long](0).slice(j * sub, (j + 1) * sub).toArray
+        })
+      }
+      for (_ <- 1 to iters) {
+        // One job: every subspace's assignment is a map-side literal argmin
+        // on its slice; cells aggregate on (subspace, cluster, pos).
+        val cells = prepared
+          .select(inline(array((0 until m).map { j =>
+            val qj = slice(col("q"), j * sub + 1, sub)
+            struct(lit(j).as("subspace"),
+              KMeans.clusterExprOn(books(j), qj).as("cluster"), qj.as("qs"))
+          }: _*)))
+          .select(col("subspace"), col("cluster"),
+            posexplode(col("qs")).as(Seq("pos", "v")))
+          .groupBy(col("subspace"), col("cluster"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          // identical re-rounding to KMeans.update — the oracle replays it
+          .withColumn("val", floor(col("s").cast("double") / col("n") + 0.5).cast("long"))
+          .select(col("subspace"), col("cluster"), col("pos"), col("val"))
+          .collect()
+        books = (0 until m).map { j =>
+          val rows = cells.filter(_.getInt(0) == j)
+          KMeans.Model(rows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+            cid.toInt -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toArray
+          })
+        }
+      }
+      PQModel(sub, books)
+    } finally prepared.unpersist()
   }
 
   /** Nearest-centroid id within subspace `j` of the quantized vector in
@@ -104,7 +156,14 @@ object ProductQuantizer {
   def adcTopK(emb: DataFrame, model: PQModel, queryPred: Column, k: Int,
       encoded: DataFrame = null,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val codes = Option(encoded).getOrElse(encode(emb, model, idCol, embCol))
+    // Ad-hoc (no stored codes table): materialize the code scan ONCE before
+    // the probe joins it — the per-row argmin encode is the expensive step,
+    // and leaving it lazy re-runs it inside every consumer's pipeline
+    // (measured 3.2 s → 0.7 s on the sf0.1 gate). This is the in-session
+    // form of exactly what [[encode]]'s doc says to do at scale: the codes
+    // ARE the index; build once, probe many.
+    val codes = Option(encoded)
+      .getOrElse(encode(emb, model, idCol, embCol).localCheckpoint())
       .select(col("vec_id").as("nid"), col("codes"))
     val qs = broadcast(emb.filter(col(embCol).isNotNull).filter(queryPred)
       .select(col(idCol).as("qid"), VectorSearch.quantize(embCol).as("qv"))
@@ -186,18 +245,14 @@ object ProductQuantizer {
       idCol: String = "vec_id", embCol: String = "embedding"): PQModel = {
     val d = if (dim > 0) dim else VectorSearch.probeDim(emb, embCol)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    // Integer residuals feed jointFit directly: KMeans.fit would descale
+    // them to floats and re-quantize, and quantize∘descale is the identity
+    // for |r| ≪ 2⁵¹ — the fused loop sees the identical integer grid.
     val withR = emb.filter(col(embCol).isNotNull)
       .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
       .withColumn("bucket", KMeans.clusterExpr(coarse))
-      .select(col("vec_id"), residualExpr(coarse).as("r"))
-      .select(col("vec_id"),
-        expr("transform(r, x -> CAST(x AS DOUBLE) / 10000.0D)").as("resid"))
-    val sub = d / m
-    PQModel(sub, (0 until m).map { j =>
-      KMeans.fit(
-        withR.select(col("vec_id"), slice(col("resid"), j * sub + 1, sub).as("resid")),
-        ksub, iters, "vec_id", "resid")
-    })
+      .select(col("vec_id"), residualExpr(coarse).as("q"))
+    jointFit(withR, m, d / m, ksub, iters)
   }
 
   /** Residual codes: (vec_id, bucket, codes) — each code quantizes the
