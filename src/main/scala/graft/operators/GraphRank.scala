@@ -185,6 +185,60 @@ object GraphRank {
       .select(col("a"), col("b"))
   }
 
+  /** Association rules over (group, item) memberships — the market-basket
+    * mining classic (Agrawal & Srikant 1994's support/confidence frame plus
+    * lift), and the co-occurrence statistics a corpus pipeline uses for
+    * tag/domain affinity. Both directed rules per co-occurring pair with
+    *   support    = n_ab / N            (pair frequency),
+    *   confidence = n_ab / n_a          (P(b|a)),
+    *   lift       = n_ab·N / (n_a·n_b)  (association vs independence),
+    * each a SINGLE IEEE division (or one division of two exact integer
+    * products), so values are bit-identical cross-engine — no float
+    * accumulation anywhere.
+    *
+    * Shape: the [[coOccurrenceEdges]] pair expansion (bucket-bounded by the
+    * largest group, never corpus²) + one item-count aggregate joined in, +
+    * one top-k window ordered (lift desc, conf desc, a, b) — all
+    * equi-joins on item keys. */
+  def associationRules(memberships: DataFrame, groupCol: String, itemCol: String,
+      minShared: Long = 2L, k: Int = 50): DataFrame = {
+    val m = memberships.select(col(groupCol).cast("long").as("g"),
+      col(itemCol).cast("long").as("i")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGroups = m.agg(count_distinct(col("g")).as("n_groups"))
+    val itemCounts = m.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairCounts = m.groupBy(col("g")).agg(array_sort(collect_set(col("i"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, ix) -> " +
+          "transform(slice(items, ix + 2, size(items)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minShared)
+    // both rule directions ride the same pair row; the item-count join is
+    // item-cardinality-sized (AQE broadcasts when it fits)
+    val directed = pairCounts
+      .join(itemCounts.select(col("i").as("a"), col("n_i").as("n_a")), Seq("a"))
+      .join(itemCounts.select(col("i").as("b"), col("n_i").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nGroups))
+    val rules = directed.select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_ab"), col("n_a").as("n_ante"), col("n_groups"))
+      .unionByName(directed.select(col("b").as("antecedent"), col("a").as("consequent"),
+        col("n_ab"), col("n_b").as("n_ante"), col("n_groups")))
+      .join(itemCounts.select(col("i").as("consequent"), col("n_i").as("n_cons")),
+        Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_groups").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_ante").cast("double")).as("confidence"),
+        ((col("n_ab") * col("n_groups")).cast("double") /
+          (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+    rules.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("lift").desc, col("confidence").desc,
+          col("antecedent"), col("consequent"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact triangle count over an ordered edge list (a < b on every row) —
     * the clustering-coefficient numerator, and the classic test that a
     * relational engine can do graph analytics without an adjacency-matrix

@@ -88,4 +88,49 @@ object Trend {
         when(det =!= 0L,
           (m("sy") * m("sxx") - m("sx") * m("sxy")).cast("double") / det))
   }
+
+  /** Pearson correlation of INTEGER column pairs from exact moments, in one
+    * pass over the table: for every requested (x, y) pair the five sums
+    * n, Σx, Σy, Σxy, Σx², Σy² accumulate as DECIMAL(38,0) (order-independent
+    * exact integers — engine-native `corr()` sums doubles and is not
+    * reproducible across engines), and
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ᵗᵒᵗ)(n·Σy² − Σy²ᵗᵒᵗ))
+    * is evaluated with each exact decimal cast to double ONCE and a pinned
+    * association — bit-identical cross-engine. Output: one row per pair
+    * (x_col, y_col, n, r; r NULL when either variance is 0).
+    *
+    * Shape: ONE aggregate scan regardless of pair count (the moment columns
+    * all ride the same hash-agg), then a driver-side unpivot of the 1-row
+    * result — nothing data-proportional is collected. */
+  def correlation(df: DataFrame, pairs: Seq[(Column, String, Column, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val aggs = count(lit(1)).as("n") +: pairs.zipWithIndex.flatMap { case ((x, _, y, _), i) =>
+      Seq(sum(dec(x)).as(s"sx$i"), sum(dec(y)).as(s"sy$i"),
+        sum(dec(x) * dec(y)).as(s"sxy$i"),
+        sum(dec(x) * dec(x)).as(s"sxx$i"), sum(dec(y) * dec(y)).as(s"syy$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val out = pairs.zipWithIndex.map { case ((_, xn, _, yn), i) =>
+      // empty input: count 0, every sum NULL → treat as exact zero
+      def d(j: Int): BigDecimal = {
+        val v = row.getDecimal(1 + 5 * i + j)
+        if (v == null) BigDecimal(0) else BigDecimal(v)
+      }
+      val (sx, sy, sxy, sxx, syy) = (d(0), d(1), d(2), d(3), d(4))
+      val num = (BigDecimal(n) * sxy - sx * sy).toDouble
+      val dx = (BigDecimal(n) * sxx - sx * sx).toDouble
+      val dy = (BigDecimal(n) * syy - sy * sy).toDouble
+      val r: java.lang.Double =
+        if (n == 0 || dx == 0.0 || dy == 0.0) null
+        else num / math.sqrt(dx * dy)
+      Row(xn, yn, n, r)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("x_col", StringType), StructField("y_col", StringType),
+        StructField("n", LongType), StructField("r", DoubleType))))
+  }
 }

@@ -137,6 +137,39 @@ object GraphQueries {
               SELECT n_nodes, n_edges, n_triangles
               FROM nodes CROSS JOIN ne CROSS JOIN tri""")),
 
+    // Market-basket association rules over order→part memberships: both
+    // directed rules per co-purchased pair with support/confidence/lift,
+    // each a single IEEE division of exact integer counts (bit-identical
+    // cross-engine), top-50 by (lift, confidence, a, b).
+    QueryDef("q_x_assoc_rules",
+      (s, d) => graft.operators.GraphRank.associationRules(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minShared = 2L, k = 50),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+              ng AS (SELECT count(DISTINCT g) AS n_groups FROM m),
+              ic AS (SELECT i, count(*) AS n_i FROM m GROUP BY 1),
+              pc AS (SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+                     FROM m x JOIN m y ON x.g = y.g AND x.i < y.i
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+              dir AS (SELECT a AS antecedent, b AS consequent, n_ab,
+                             ia.n_i AS n_ante, ib.n_i AS n_cons, ng.n_groups
+                      FROM pc JOIN ic ia ON pc.a = ia.i
+                              JOIN ic ib ON pc.b = ib.i, ng
+                      UNION ALL
+                      SELECT b, a, n_ab, ib.n_i, ia.n_i, ng.n_groups
+                      FROM pc JOIN ic ia ON pc.a = ia.i
+                              JOIN ic ib ON pc.b = ib.i, ng),
+              r AS (SELECT antecedent, consequent, n_ab,
+                           CAST(n_ab AS DOUBLE) / n_groups AS support,
+                           CAST(n_ab AS DOUBLE) / n_ante AS confidence,
+                           CAST(n_ab * n_groups AS DOUBLE) /
+                             CAST(n_ante * n_cons AS DOUBLE) AS lift
+                    FROM dir)
+              SELECT antecedent, consequent, n_ab, support, confidence, lift, rank
+              FROM (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC,
+                      confidence DESC, antecedent, consequent) AS BIGINT) AS rank
+                    FROM r)
+              WHERE rank <= 50""")),
+
     // Degree distribution of the same co-purchase graph: how many nodes
     // have each undirected degree — the scale-freeness probe that decides
     // whether a graph needs skew handling. Node degrees from one union +

@@ -864,6 +864,73 @@ object ParityQueries {
                CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
                FROM orders GROUP BY o_orderdate""")),
 
+    // Unpivot/melt (the relational wide→long reshape, Spark's native
+    // Dataset.unpivot): the pricing-summary wide aggregate melted into
+    // (l_returnflag, metric, value) rows — exact integer cents so the
+    // value column hash-matches.
+    QueryDef("q_x_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty_cents"), col("price_cents")), "metric", "value"),
+      Some(s"""WITH w AS (SELECT l_returnflag,
+                CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,
+                CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents
+              FROM lineitem GROUP BY 1)
+              SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value FROM w
+              UNION ALL
+              SELECT l_returnflag, 'price_cents', price_cents FROM w""")),
+
+    // Pearson correlation from EXACT integer moments (operators.Trend): one
+    // aggregate scan accumulates decimal(38,0) sums for all three column
+    // pairs; r is assembled driver-side with each exact moment cast to
+    // double once and a pinned association — engine-native corr() sums
+    // doubles and is not cross-engine reproducible, this is.
+    QueryDef("q_x_correlation",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        graft.operators.Trend.correlation(li.select(
+            cents(col("l_quantity")).as("q"),
+            cents(col("l_extendedprice")).as("p"),
+            cents(col("l_discount")).as("disc")),
+          Seq((col("q"), "l_quantity", col("p"), "l_extendedprice"),
+            (col("q"), "l_quantity", col("disc"), "l_discount"),
+            (col("p"), "l_extendedprice", col("disc"), "l_discount")))
+      },
+      Some(s"""WITH b AS (SELECT ${centsSql("l_quantity")} AS q,
+                 ${centsSql("l_extendedprice")} AS p,
+                 ${centsSql("l_discount")} AS disc FROM lineitem),
+               m AS (SELECT count(*) AS n,
+                 sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
+                 sum(CAST(disc AS HUGEINT)) AS sd,
+                 sum(CAST(q AS HUGEINT)*q) AS sqq, sum(CAST(p AS HUGEINT)*p) AS spp,
+                 sum(CAST(disc AS HUGEINT)*disc) AS sdd,
+                 sum(CAST(q AS HUGEINT)*p) AS sqp, sum(CAST(q AS HUGEINT)*disc) AS sqd,
+                 sum(CAST(p AS HUGEINT)*disc) AS spd
+                 FROM b),
+               r AS (SELECT n,
+                 CAST(n*sqp - sq*sp AS DOUBLE) AS nqp,
+                 CAST(n*sqd - sq*sd AS DOUBLE) AS nqd,
+                 CAST(n*spd - sp*sd AS DOUBLE) AS npd,
+                 CAST(n*sqq - sq*sq AS DOUBLE) AS dq,
+                 CAST(n*spp - sp*sp AS DOUBLE) AS dp,
+                 CAST(n*sdd - sd*sd AS DOUBLE) AS dd
+                 FROM m)
+               SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+                 CAST(n AS BIGINT) AS n,
+                 CASE WHEN n = 0 OR dq = 0 OR dp = 0 THEN NULL
+                      ELSE nqp / sqrt(dq * dp) END AS r FROM r
+               UNION ALL
+               SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+                 CASE WHEN n = 0 OR dq = 0 OR dd = 0 THEN NULL
+                      ELSE nqd / sqrt(dq * dd) END FROM r
+               UNION ALL
+               SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+                 CASE WHEN n = 0 OR dp = 0 OR dd = 0 THEN NULL
+                      ELSE npd / sqrt(dp * dd) END FROM r""")),
+
     // Declarative expectation suite (ops.Expectations): the data-quality
     // battery as data — six row-level constraints evaluated in ONE scan of
     // orders (single conditional-count aggregate), plus key-uniqueness and

@@ -87,6 +87,12 @@ final case class TrainingPipelineConfig(
     // (post-exact-dedup — duplicate copies would otherwise dominate the
     // model's counts); docs too short to score pass through
     perplexityQuantile: Option[Double] = None,
+    // model-based label-consistency gate: train a Naive Bayes classifier on
+    // the surviving corpus's OWN labels in this column (e.g. "lang") and
+    // drop documents the classifier disagrees with — the CCNet-style
+    // language-verification step (a doc whose text reads as another class
+    // than its metadata claims is mislabeled or misrouted)
+    nbLabelCol: Option[String] = None,
     dedupExact: Boolean = true,
     nearDupJaccard: Option[Double] = None, // e.g. Some(0.8): drop near-dup non-keepers
     // when set with nearDupJaccard, each near-dup cluster keeps the doc
@@ -227,20 +233,36 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
               .filter(col("xent_nats").isNull || col("xent_nats") <= col("cutoff"))
               .select(col("doc_id")), Seq("doc_id"))
       }
-      val nearDeduped = cfg.nearDupJaccard match {
+      // label-consistency gate: the classifier trains on the corpus that
+      // survived every cheaper gate (its label statistics are the cleanest
+      // available); classify scans the same frame → persist. Runs AFTER the
+      // perplexity gate so both model-based stages see identical inputs in
+      // either-order configs.
+      val nbGated = cfg.nbLabelCol match {
         case None => ppxGated
+        case Some(lc) =>
+          val p = ppxGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          statPersists += p
+          val model = graft.operators.NaiveBayes.train(p, lc)
+          p.join(graft.operators.NaiveBayes.classify(p, model)
+              .select(col("doc_id"), col("predicted")), Seq("doc_id"))
+            .filter(col("predicted") === col(lc))
+            .drop("predicted")
+      }
+      val nearDeduped = cfg.nearDupJaccard match {
+        case None => nbGated
         case Some(t) =>
           // near-dup clusters over the exact-deduped set; keep each
           // cluster's canonical doc — min id, or best (priority, id) when
           // a priority column is configured — and drop the rest
-          val clustered = TextDedup.clusters(TextDedup.ngramJaccard(ppxGated, t))
+          val clustered = TextDedup.clusters(TextDedup.ngramJaccard(nbGated, t))
           val drop = cfg.nearDupPriorityCol match {
             case None => clustered.filter(col("doc_id") =!= col("cluster_id"))
               .select(col("doc_id"))
-            case Some(pc) => TextDedup.clusterKeepersByPriority(clustered, ppxGated, pc)
+            case Some(pc) => TextDedup.clusterKeepersByPriority(clustered, nbGated, pc)
               .filter(!col("is_keeper")).select(col("doc_id"))
           }
-          ppxGated.join(drop, Seq("doc_id"), "left_anti")
+          nbGated.join(drop, Seq("doc_id"), "left_anti")
       }
       // the scrub REWRITES text (keep-one, order-deterministic keeper) and
       // refreshes n_tokens, so every downstream stage — token budget,

@@ -89,6 +89,29 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(s.afterDedup == 21)
   }
 
+  test("NB label-consistency gate drops the mislabeled doc, keeps agreeing ones") {
+    import spark.implicits._
+    // 10 clearly-"en" docs, 10 clearly-"fr" docs, and one doc whose text is
+    // the fr distribution but whose label claims en — the classifier must
+    // disagree with exactly that doc.
+    val en = (1L to 10L).map(i => (i, s"hello world common text number $i", "en"))
+    val fr = (21L to 30L).map(i => (i, s"bonjour monde texte commun numero $i", "fr"))
+    val mislabeled = Seq((99L, "bonjour monde texte commun numero extra", "en"))
+    val input = (en ++ fr ++ mislabeled).map { case (id, t, l) =>
+      (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val cfg = TrainingPipelineConfig(
+      quality = graft.operators.QualityFilter.Thresholds(
+        minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0),
+      nbLabelCol = Some("lang"), seqTokens = 256, shards = 1)
+    val s = new TrainingPipeline(spark, cat).run(input, cfg)
+    val kept = rows(cat.read("training_corpus").select("doc_id")).flatten.toSet
+    assert(!kept.contains(99L), "label-inconsistent doc must drop")
+    assert(kept.size == 20, "all label-consistent docs must survive")
+    assert(s.afterSample == 20)
+  }
+
   test("near-dup removal drops cluster non-keepers") {
     import spark.implicits._
     val base = (1 to 30).map(i => "tok" + i).mkString(" ")
