@@ -59,8 +59,9 @@ object NaiveBayes {
       idCol: String = "doc_id", textCol: String = "text"): NbModel = {
     val lt = labeled.select(col(labelCol).as("label"), col(idCol).as("doc_id"),
       col(textCol).as("text"))
-    val tokens = docTokens(lt, "doc_id", "text")
-      .join(lt.select(col("doc_id"), col("label")), Seq("doc_id"))
+    // label rides the explode scan directly — no token⋈doc_id join
+    val tokens = lt.select(col("label"), explode(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
     val counts = tokens.groupBy("label", "tok").agg(count(lit(1)).as("c"))
     // vocab = distinct tokens across the WHOLE training slice (shared
     // denominator V, the standard multinomial-NB smoothing base)

@@ -175,6 +175,26 @@ object QualityFilter {
       .withColumn("keep", keepVerdict(metricCol))
   }
 
+  /** Equal-frequency (quantile) binning — the classic numeric-feature
+    * discretization for ML feature engineering and histogram-equalized
+    * monitoring: k−1 EXACT percentile cutoffs (one aggregate, broadcast)
+    * turn the metric into a map-side bin id `1 + |{cuts < value}|`, so a
+    * value at or below the first cutoff lands in bin 1 and ties share a
+    * bin (the scale-safe form — a global ntile would sort the corpus on
+    * one task, and its arbitrary tie-splitting is not reproducible).
+    * NULL metrics bin NULL. Same two-scan silhouette as [[quantileGate]]
+    * at any corpus size. */
+  def equalFrequencyBins(df: DataFrame, metricCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val qs = (1 until k).map(i => i.toDouble / k).mkString(", ")
+    val cuts = df.agg(expr(s"percentile($metricCol, array($qs))").as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        expr(s"CASE WHEN $metricCol IS NULL THEN NULL ELSE " +
+          s"CAST(size(filter(__cuts, c -> $metricCol > c)) + 1 AS BIGINT) END"))
+      .drop("__cuts")
+  }
+
   /** The published Gopher document-quality rule set (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", App. A1.1) — the standard
     * heuristic battery run BEFORE any model-based filtering:

@@ -864,6 +864,60 @@ object ParityQueries {
                CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
                FROM orders GROUP BY o_orderdate""")),
 
+    // ANALYZE-style column statistics (ops.Validator.columnStats): one
+    // aggregate scan → per-column min/max/nulls/exact-NDV rows — the
+    // optimizer-stats surface (NDVs feed join sizing, min/max feed
+    // zone-map pruning). String/bigint/timestamp columns only: float
+    // min/max would hit engine text-format differences.
+    QueryDef("q_x_column_stats",
+      (s, d) => graft.ops.Validator.columnStats(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")),
+      Some("""SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+                CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+                CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*), CAST(min(o_custkey) AS VARCHAR),
+                CAST(max(o_custkey) AS VARCHAR),
+                CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+                CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', count(*), CAST(min(o_orderstatus) AS VARCHAR),
+                CAST(max(o_orderstatus) AS VARCHAR),
+                CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'o_orderdate', count(*), CAST(min(o_orderdate) AS VARCHAR),
+                CAST(max(o_orderdate) AS VARCHAR),
+                CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+                CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders""")),
+
+    // Equal-frequency decile binning (QualityFilter.equalFrequencyBins):
+    // 9 exact percentile cutoffs broadcast into a map-side bin id — the
+    // scale-safe feature discretization (a global ntile would sort the
+    // corpus on one task and split ties irreproducibly). Binned on exact
+    // integer cents; per-bin count/min/max out.
+    QueryDef("q_x_feature_binning",
+      (s, d) => graft.operators.QualityFilter.equalFrequencyBins(
+          t(s, d, "orders").select(cents(col("o_totalprice")).as("price_cents")),
+          "price_cents", 10)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("price_cents")).as("min_cents"),
+          max(col("price_cents")).as("max_cents")),
+      Some(s"""WITH b AS (SELECT ${centsSql("o_totalprice")} AS p FROM orders),
+               c AS (SELECT quantile_cont(p, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                              0.6, 0.7, 0.8, 0.9]) AS cuts FROM b),
+               binned AS (SELECT p,
+                 CAST(1 + len(list_filter(cuts, x -> p > x)) AS BIGINT) AS bin
+                 FROM b, c)
+               SELECT bin, count(*) AS n_orders,
+                 CAST(min(p) AS BIGINT) AS min_cents,
+                 CAST(max(p) AS BIGINT) AS max_cents
+               FROM binned GROUP BY 1""")),
+
     // Unpivot/melt (the relational wide→long reshape, Spark's native
     // Dataset.unpivot): the pricing-summary wide aggregate melted into
     // (l_returnflag, metric, value) rows — exact integer cents so the
