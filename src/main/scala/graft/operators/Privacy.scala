@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity auditing and enforcement over quasi-identifier columns
+  * (Sweeney 2002) — the record-level privacy companion to text-level PII
+  * redaction ([[graft.functions.Text.redactPii]]): a row is re-identifiable
+  * when its quasi-identifier combination (nation × segment × coarse
+  * balance, ...) is shared by fewer than k rows, REGARDLESS of any direct
+  * identifiers having been scrubbed. Training-data releases audit this
+  * before shipping structured metadata next to text.
+  *
+  * == Shape ==
+  * One grouped count over the quasi-identifier key per call — equivalence
+  * classes are group-cardinality-sized; the audit summary is a second
+  * aggregate OVER THE CLASSES (class-count-sized, not data-sized).
+  * Enforcement is the same grouped count joined back as a keep-filter
+  * (broadcast when classes fit). Nothing driver-side, no all-pairs.
+  */
+object Privacy {
+
+  private def classes(df: DataFrame, quasiCols: Seq[String]): DataFrame =
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+
+  /** One-row audit: number of equivalence classes, classes below k, rows at
+    * risk (in sub-k classes), and the minimum class size (the dataset's
+    * actual anonymity level). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    classes(df, quasiCols).agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("class_size") < k, 1L).otherwise(0L)).as("n_small_classes"),
+      coalesce(sum(when(col("class_size") < k, col("class_size"))), lit(0L))
+        .as("n_rows_at_risk"),
+      min(col("class_size")).as("k_actual"))
+
+  /** Suppression enforcement: drop every row whose quasi-identifier class
+    * holds fewer than k rows — the surviving table IS k-anonymous on
+    * `quasiCols` (the standard release step when generalization isn't
+    * wanted). */
+  def suppressSmallClasses(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    // NULL-safe semi join: groupBy put the all-NULL quasi-identifier rows
+    // in ONE class, so a large-enough NULL class must survive — a plain
+    // equi-join would silently drop every NULL-keyed row instead
+    val keep = classes(df, quasiCols).filter(col("class_size") >= k)
+      .drop("class_size")
+    val cond = quasiCols.map(c => df(c) <=> keep(c)).reduce(_ && _)
+    df.join(keep, cond, "left_semi")
+  }
+}

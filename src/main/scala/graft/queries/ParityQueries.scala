@@ -864,6 +864,41 @@ object ParityQueries {
                CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
                FROM orders GROUP BY o_orderdate""")),
 
+    // k-anonymity audit (operators.Privacy): equivalence-class census over
+    // the (nation, segment, coarse-balance) quasi-identifiers — classes
+    // below k=5, rows at risk, and the dataset's actual anonymity level.
+    // The record-level privacy companion to text PII redaction.
+    QueryDef("q_x_k_anonymity",
+      (s, d) => graft.operators.Privacy.kAnonymityAudit(
+        t(s, d, "customer").withColumn("bal_band",
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), 5L),
+      Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_band,
+                count(*) AS class_size
+                FROM customer GROUP BY 1, 2, 3)
+              SELECT count(*) AS n_classes,
+                CAST(count(*) FILTER (WHERE class_size < 5) AS BIGINT) AS n_small_classes,
+                CAST(COALESCE(sum(class_size) FILTER (WHERE class_size < 5), 0) AS BIGINT)
+                  AS n_rows_at_risk,
+                min(class_size) AS k_actual
+              FROM cls""")),
+
+    // Suppression enforcement: the surviving keys after dropping every row
+    // in a sub-k class — the released table is k-anonymous by construction
+    // (NULL-safe class membership; a large all-NULL class survives).
+    QueryDef("q_x_k_anon_suppress",
+      (s, d) => graft.operators.Privacy.suppressSmallClasses(
+          t(s, d, "customer").withColumn("bal_band",
+            expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")),
+          Seq("c_nationkey", "c_mktsegment", "bal_band"), 5L)
+        .select(col("c_custkey")),
+      Some("""SELECT c_custkey FROM (
+                SELECT c_custkey, count(*) OVER (PARTITION BY c_nationkey,
+                  c_mktsegment, CAST(floor(c_acctbal/1000) AS BIGINT)) AS cs
+                FROM customer)
+              WHERE cs >= 5""")),
+
     // ANALYZE-style column statistics (ops.Validator.columnStats): one
     // aggregate scan → per-column min/max/nulls/exact-NDV rows — the
     // optimizer-stats surface (NDVs feed join sizing, min/max feed

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Privacy
+
+/** k-anonymity: audit arithmetic, suppression postcondition (the released
+  * table IS k-anonymous), NULL-class survival. */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // classes: (A,1)×4, (A,2)×2, (B,1)×1 → k=3: two small classes, 3 rows at risk
+  private def df = Seq(
+    ("A", 1L), ("A", 1L), ("A", 1L), ("A", 1L),
+    ("A", 2L), ("A", 2L), ("B", 1L)
+  ).toDF("qa", "qb")
+
+  test("audit: class census, rows at risk, actual k") {
+    val r = Privacy.kAnonymityAudit(df, Seq("qa", "qb"), 3L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 3L, 1L)))
+  }
+
+  test("suppression: survivors form a k-anonymous table, nothing else dropped") {
+    val kept = Privacy.suppressSmallClasses(df, Seq("qa", "qb"), 3L)
+    assert(kept.count() == 4L)
+    // postcondition: every surviving class has size >= k
+    val minClass = Privacy.kAnonymityAudit(kept, Seq("qa", "qb"), 3L)
+      .head().getLong(3)
+    assert(minClass >= 3L)
+  }
+
+  test("NULL quasi-identifiers form ONE class and survive when large enough") {
+    val withNulls = Seq[(Option[String], Option[Long])](
+      (None, None), (None, None), (None, None), (Some("A"), Some(1L))
+    ).toDF("qa", "qb")
+    val kept = Privacy.suppressSmallClasses(withNulls, Seq("qa", "qb"), 2L)
+    assert(kept.count() == 3L, "the 3-row NULL class must survive k=2")
+    assert(kept.filter(col("qa").isNotNull).count() == 0L)
+  }
+
+  test("k=1 keeps everything; k above max class size drops everything") {
+    assert(Privacy.suppressSmallClasses(df, Seq("qa", "qb"), 1L).count() == 7L)
+    assert(Privacy.suppressSmallClasses(df, Seq("qa", "qb"), 5L).count() == 0L)
+  }
+}
