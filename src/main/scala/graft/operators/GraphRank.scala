@@ -202,12 +202,18 @@ object GraphRank {
     * equi-joins on item keys. */
   def associationRules(memberships: DataFrame, groupCol: String, itemCol: String,
       minShared: Long = 2L, k: Int = 50): DataFrame = {
-    val m = memberships.select(col(groupCol).cast("long").as("g"),
-      col(itemCol).cast("long").as("i")).distinct()
+    // ONE data-sized shuffle: collect_set dedups (g, i) while grouping, so
+    // the distinct-membership census, per-item counts, and pair expansion
+    // all derive from the group-count-sized items frame (three scans of the
+    // raw memberships collapse into one)
+    val grp = memberships.select(col(groupCol).cast("long").as("g"),
+        col(itemCol).cast("long").as("i"))
+      .groupBy(col("g")).agg(array_sort(collect_set(col("i"))).as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nGroups = m.agg(count_distinct(col("g")).as("n_groups"))
-    val itemCounts = m.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val pairCounts = m.groupBy(col("g")).agg(array_sort(collect_set(col("i"))).as("items"))
+    val nGroups = grp.agg(count(lit(1)).as("n_groups"))
+    val itemCounts = grp.select(explode(col("items")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairCounts = grp
       .select(explode(expr(
         "flatten(transform(items, (x, ix) -> " +
           "transform(slice(items, ix + 2, size(items)), y -> struct(x AS a, y AS b))))"

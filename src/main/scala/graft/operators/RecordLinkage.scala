@@ -28,18 +28,25 @@ object RecordLinkage {
     // {self} ∪ {delete char i}: substitution-1 pairs share a deletion at the
     // differing position; insertion/deletion-1 pairs match the shorter
     // string itself against a deletion variant of the longer.
+    // the join key is the 64-bit hash of the variant, not the string — the
+    // shuffle carries fixed-width keys, and any hash-collision candidate is
+    // killed by the exact levenshtein verify below
     val v = records.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
       .select(col("id"), col("key"), explode(array_union(
         array(col("key")),
         expr("transform(sequence(1, length(key)), i -> concat(substring(key, 1, i-1), substring(key, i+1, length(key))))")
       )).as("variant"))
-    v.select(col("id").as("id1"), col("key").as("key1"), col("variant"))
-      .join(v.select(col("id").as("id2"), col("key").as("key2"), col("variant")),
-        Seq("variant"))
+      .select(col("id"), col("key"), xxhash64(col("variant")).as("vh"))
+    v.select(col("id").as("id1"), col("key").as("key1"), col("vh"))
+      .join(v.select(col("id").as("id2"), col("key").as("key2"), col("vh")),
+        Seq("vh"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("key1"), col("key2"))
-      .distinct()
+      // verify BEFORE the distinct: shared-variant candidates reach edit
+      // distance 2 (and hash collisions anywhere), so the dedup only has to
+      // hold the true near-matches, not the candidate volume
       .withColumn("dist", levenshtein(col("key1"), col("key2")).cast("long"))
       .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("key1"), col("key2"), col("dist"))
+      .distinct()
   }
 }
