@@ -34,6 +34,25 @@ object Privacy {
         .as("n_rows_at_risk"),
       min(col("class_size")).as("k_actual"))
 
+  /** l-diversity audit (Machanavalhala et al. 2007): k-anonymity alone
+    * still leaks when every member of a class SHARES the sensitive value
+    * (the homogeneity attack — knowing someone's class reveals their value
+    * even though k rows share it). One grouped count-distinct over
+    * (quasi-key → sensitive) per class; summary is class-count-sized.
+    * Output: n_classes, classes with < l distinct sensitive values, rows in
+    * those classes, and the dataset's actual diversity level. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("n_homogeneous"),
+        coalesce(sum(when(col("n_sensitive") < l, col("class_size"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("n_sensitive")).as("l_actual"))
+
   /** Suppression enforcement: drop every row whose quasi-identifier class
     * holds fewer than k rows — the surviving table IS k-anonymous on
     * `quasiCols` (the standard release step when generalization isn't

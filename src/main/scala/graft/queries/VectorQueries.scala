@@ -539,7 +539,98 @@ object VectorQueries {
       s" SELECT qid, nid, CAST(pick AS BIGINT) AS pick, sim FROM selall$k"
   }
 
+  /** Per-(session, sfDir) fitted PCA model (gram moments + dominant
+    * direction): the three PCA gates share ONE corpus scan + power fit. */
+  private val pcaModels = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.operators.Pca.GramStats, Array[Long])]()
+
+  private def pcaModel(s: SparkSession, d: String)
+      : (graft.operators.Pca.GramStats, Array[Long]) = {
+    pcaModels.keySet.removeIf(_._1.sparkContext.isStopped)
+    pcaModels.computeIfAbsent((s, d), _ => {
+      val g = graft.operators.Pca.gramStats(t(s, d, "embeddings"))
+      (g, graft.operators.Pca.principalDirection(graft.operators.Pca.covNumerator(g)))
+    })
+  }
+
+  /** Shared oracle CTEs: exact-integer moments (BIGINT gram — products stay
+    * under 2⁶³ through sf1), HUGEINT covariance numerator M = n·G − s·sᵀ. */
+  private val pcaBaseSql: String =
+    s"""e AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE)*10000, 0) AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL),
+        tot AS MATERIALIZED (SELECT count(*) AS n FROM e),
+        dims AS MATERIALIZED (SELECT unnest(generate_series(1, (SELECT max(len(q)) FROM e))) AS di),
+        sm AS MATERIALIZED (SELECT di, sum(q[di]) AS sd FROM e, dims GROUP BY di),
+        g AS MATERIALIZED (SELECT a.di, b.di AS dj, sum(e.q[a.di]*e.q[b.di]) AS gg
+              FROM e, dims a, dims b WHERE a.di <= b.di GROUP BY 1, 2),
+        mu AS MATERIALIZED (SELECT g.di, g.dj,
+                 CAST(tot.n AS HUGEINT)*g.gg
+                   - CAST(sa.sd AS HUGEINT)*CAST(sb.sd AS HUGEINT) AS m
+               FROM g, tot, sm sa, sm sb WHERE sa.di = g.di AND sb.di = g.dj)"""
+
+  /** Power-iteration replay: `iters` unrolled (matvec → max-abs →
+    * round-half-away quantize) CTE triples over the full-symmetric matrix,
+    * then the first-nonzero-positive sign convention. Ends with CTE `vv`
+    * holding (i, v) — the signed micro-unit direction. */
+  private def pcaPowerSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT mf.di AS i, sum(mf.m * v${k - 1}.v) AS w
+                  FROM mf JOIN v${k - 1} ON mf.dj = v${k - 1}.i GROUP BY 1),
+          x$k AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$k),
+          v$k AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+                    * ((abs(w)*2000000 + mx) // (2*mx)) AS v
+                  FROM w$k, x$k)"""
+    }.mkString(",\n")
+    s"""$pcaBaseSql,
+        mf AS MATERIALIZED (SELECT di, dj, m FROM mu UNION ALL SELECT dj, di, m FROM mu WHERE di < dj),
+        d0 AS (SELECT di FROM mf WHERE di = dj ORDER BY m DESC, di LIMIT 1),
+        v0 AS MATERIALIZED (SELECT di AS i, CAST(CASE WHEN di = (SELECT di FROM d0)
+                 THEN 1000000 ELSE 0 END AS HUGEINT) AS v FROM dims),
+        $steps,
+        sg AS (SELECT CASE WHEN (SELECT v FROM v$iters WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+                 THEN -1 ELSE 1 END AS s),
+        vv AS MATERIALIZED (SELECT i, v * sg.s AS v FROM v$iters, sg)"""
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
+
+    // PCA covariance structure (operators.Pca): the exact covariance
+    // NUMERATOR matrix n·G − s·sᵀ (n²× covariance, never divided) over the
+    // quantized corpus — the embedding-diagnostics surface (anisotropy,
+    // collapsed dims) computed in ONE treeAggregate corpus scan.
+    QueryDef("q_x_pca_gram",
+      (s, d) => graft.operators.Pca.covNumeratorDF(s, pcaModel(s, d)._1),
+      Some(s"""WITH $pcaBaseSql
+               SELECT di, dj, CAST(m AS DECIMAL(38,0)) AS m FROM mu""")),
+
+    // Dominant eigendirection by 12 quantized power iterations — every
+    // iterate renormalized to integer micro-units with ONE rounding per
+    // component, so the oracle replays the entire fit cell-by-cell as
+    // chained CTEs (the SemDeDup-style projection axis, exactly derivable
+    // on any exact-integer engine).
+    QueryDef("q_x_pca_power",
+      (s, d) => graft.operators.Pca.directionDF(s, pcaModel(s, d)._2),
+      Some(s"""WITH ${pcaPowerSql(12)}
+               SELECT i AS dim, CAST(v AS BIGINT) AS v_micro FROM vv""")),
+
+    // Per-vector centered principal score n·(q·v) − (s·v) — exact integers,
+    // pure map against the broadcast direction; Σ over the corpus is
+    // EXACTLY zero (centering never divides).
+    QueryDef("q_x_pca_project",
+      (s, d) => {
+        val (g, v) = pcaModel(s, d)
+        graft.operators.Pca.project(t(s, d, "embeddings"), g, v)
+      },
+      Some(s"""WITH ${pcaPowerSql(12)},
+               sv AS (SELECT sum(CAST(sm.sd AS HUGEINT) * vv.v) AS sv
+                      FROM sm JOIN vv ON sm.di = vv.i),
+               qv AS (SELECT e.vec_id, sum(CAST(e.q[vv.i] AS HUGEINT) * vv.v) AS qv
+                      FROM e, vv GROUP BY 1)
+               SELECT qv.vec_id,
+                 CAST(CAST(tot.n AS HUGEINT)*qv.qv - sv.sv AS DECIMAL(38,0)) AS pc1_num
+               FROM qv, tot, sv""")),
+
 
     // Product-quantization ANN (Jégou et al.): 64-dim corpus compressed to
     // 4 codebook ids per vector; ADC ranks full-precision queries against
