@@ -102,6 +102,50 @@ object Trend {
     * Shape: ONE aggregate scan regardless of pair count (the moment columns
     * all ride the same hash-agg), then a driver-side unpivot of the 1-row
     * result — nothing data-proportional is collected. */
+  /** Global two-regressor OLS `y = b0 + b1·x1 + b2·x2` via exact normal
+    * equations: one aggregate scan collects the 1-row integer moment vector
+    * (decimal(38,0) — nothing data-proportional), the driver solves the 3×3
+    * system by Cramer's rule in exact BigDecimal, each determinant rounds to
+    * double ONCE, and every coefficient is a single IEEE division — exactly
+    * replayable in any 128-bit-integer engine (the oracle re-derives the
+    * same determinants in HUGEINT). Inputs must already be exact integers
+    * (cents / basis points / counts). Returns one row
+    * (n, b0, b1, b2; NULL coefficients when the system is singular). */
+  def olsFit2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      sum(dec(y)).as("sy"), sum(dec(x1)).as("s1"), sum(dec(x2)).as("s2"),
+      sum(dec(x1) * dec(x1)).as("s11"), sum(dec(x2) * dec(x2)).as("s22"),
+      sum(dec(x1) * dec(x2)).as("s12"),
+      sum(dec(x1) * dec(y)).as("s1y"), sum(dec(x2) * dec(y)).as("s2y")).head()
+    val n = row.getLong(0)
+    def d(i: Int): BigDecimal = {
+      val v = row.getDecimal(i); if (v == null) BigDecimal(0) else BigDecimal(v)
+    }
+    val (sy, s1, s2, s11, s22, s12, s1y, s2y) =
+      (d(1), d(2), d(3), d(4), d(5), d(6), d(7), d(8))
+    val nn = BigDecimal(n)
+    // det of [[n s1 s2][s1 s11 s12][s2 s12 s22]] and its Cramer numerators
+    def det3(a: BigDecimal, b: BigDecimal, c: BigDecimal,
+        p: BigDecimal, q: BigDecimal, r: BigDecimal,
+        u: BigDecimal, v: BigDecimal, w: BigDecimal): BigDecimal =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    val dd = det3(nn, s1, s2, s1, s11, s12, s2, s12, s22).toDouble
+    val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22).toDouble
+    val d1 = det3(nn, sy, s2, s1, s1y, s12, s2, s2y, s22).toDouble
+    val d2 = det3(nn, s1, sy, s1, s11, s1y, s2, s12, s2y).toDouble
+    def coef(num: Double): java.lang.Double =
+      if (n == 0 || dd == 0.0) null else num / dd
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(n, coef(d0), coef(d1), coef(d2))),
+      StructType(Seq(StructField("n", LongType), StructField("b0", DoubleType),
+        StructField("b1", DoubleType), StructField("b2", DoubleType))))
+  }
+
   def correlation(df: DataFrame, pairs: Seq[(Column, String, Column, String)]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}

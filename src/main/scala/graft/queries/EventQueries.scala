@@ -21,6 +21,22 @@ object EventQueries {
 
   lazy val all: Seq[QueryDef] = Seq(
 
+    // Conversation-transcript assembly (operators.Dialog): each user's
+    // event stream rendered as ONE ordered chat-format document, capped at
+    // 20 turns — the interaction-log → training-sequence export shape.
+    // Order pinned by the unique (ts_us, event_id) tuple on both engines.
+    QueryDef("q_x_dialog_render",
+      (s, d) => graft.operators.Dialog.renderTranscripts(
+        events(s, d), "user_id", Seq("ts_us", "event_id"),
+        concat(col("event_type"), lit("@"), col("ts_us").cast("string")), 20),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                          event_type FROM events)
+              SELECT user_id, LEAST(count(*), 20) AS n_turns,
+                array_to_string(
+                  (list(event_type || '@' || CAST(tus AS VARCHAR)
+                        ORDER BY tus, event_id))[1:20], chr(10)) AS transcript
+              FROM e GROUP BY user_id""")),
+
     // Tumbling 1-hour window per event type; measures in exact cents.
     QueryDef("q_x_events_hourly",
       (s, d) => events(s, d)

@@ -884,6 +884,27 @@ object ParityQueries {
                 min(class_size) AS k_actual
               FROM cls""")),
 
+    // l-diversity audit: k-anonymity's homogeneity-attack companion —
+    // classes whose members all share the sensitive value leak it even at
+    // class size ≥ k. Census over (nation, balance-band) classes against
+    // the market-segment sensitive column.
+    QueryDef("q_x_l_diversity",
+      (s, d) => graft.operators.Privacy.lDiversityAudit(
+        t(s, d, "customer").withColumn("bal_band",
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", 3L),
+      Some("""WITH cls AS (SELECT c_nationkey,
+                CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_band,
+                count(*) AS class_size,
+                count(DISTINCT c_mktsegment) AS n_sensitive
+                FROM customer GROUP BY 1, 2)
+              SELECT count(*) AS n_classes,
+                CAST(count(*) FILTER (WHERE n_sensitive < 3) AS BIGINT) AS n_homogeneous,
+                CAST(COALESCE(sum(class_size) FILTER (WHERE n_sensitive < 3), 0) AS BIGINT)
+                  AS n_rows_at_risk,
+                min(n_sensitive) AS l_actual
+              FROM cls""")),
+
     // Suppression enforcement: the surviving keys after dropping every row
     // in a sub-k class — the released table is k-anonymous by construction
     // (NULL-safe class membership; a large all-NULL class survives).
@@ -977,6 +998,43 @@ object ParityQueries {
     // pairs; r is assembled driver-side with each exact moment cast to
     // double once and a pinned association — engine-native corr() sums
     // doubles and is not cross-engine reproducible, this is.
+    // Two-regressor OLS fit (Trend.olsFit2): price ~ quantity + discount
+    // via exact normal equations — 1-row integer moment vector, Cramer
+    // determinants in exact 128-bit arithmetic, one double rounding per
+    // determinant, one IEEE division per coefficient (the multi-feature
+    // sibling of q_x_trend's per-key slope).
+    QueryDef("q_x_ols_fit",
+      (s, d) => graft.operators.Trend.olsFit2(
+        t(s, d, "lineitem"),
+        cents(col("l_extendedprice")),
+        expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(round(l_discount*100, 0) AS BIGINT)")),
+      Some(s"""WITH b AS (SELECT ${centsSql("l_extendedprice")} AS y,
+                 CAST(l_quantity AS BIGINT) AS x1,
+                 CAST(round(l_discount*100, 0) AS BIGINT) AS x2 FROM lineitem),
+               m AS (SELECT count(*) AS n,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+                 sum(CAST(x1 AS HUGEINT)*x1) AS s11, sum(CAST(x2 AS HUGEINT)*x2) AS s22,
+                 sum(CAST(x1 AS HUGEINT)*x2) AS s12,
+                 sum(CAST(x1 AS HUGEINT)*y) AS s1y, sum(CAST(x2 AS HUGEINT)*y) AS s2y
+                 FROM b),
+               dets AS (SELECT n,
+                 CAST(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                   + s2*(s1*s12 - s11*s2) AS DOUBLE) AS dd,
+                 CAST(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                   + s2*(s1y*s12 - s11*s2y) AS DOUBLE) AS d0,
+                 CAST(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                   + s2*(s1*s2y - s1y*s2) AS DOUBLE) AS d1,
+                 CAST(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                   + sy*(s1*s12 - s11*s2) AS DOUBLE) AS d2
+                 FROM m)
+               SELECT n,
+                 CASE WHEN dd <> 0 THEN d0/dd END AS b0,
+                 CASE WHEN dd <> 0 THEN d1/dd END AS b1,
+                 CASE WHEN dd <> 0 THEN d2/dd END AS b2
+               FROM dets""")),
+
     QueryDef("q_x_correlation",
       (s, d) => {
         val li = t(s, d, "lineitem")

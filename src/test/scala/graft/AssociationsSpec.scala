@@ -60,4 +60,22 @@ class AssociationsSpec extends SparkSpec {
       Seq((col("x"), "x", col("y"), "y"))).head()
     assert(empty.getLong(2) == 0L && empty.isNullAt(3))
   }
+
+  test("olsFit2: exact recovery of a zero-residual plane") {
+    // y = 7 + 3·x1 − 2·x2 exactly, over a non-degenerate design
+    val pts = Seq((1L, 0L), (2L, 1L), (3L, 5L), (4L, 2L), (6L, 9L), (8L, 3L))
+    val df = pts.map { case (x1, x2) => (7L + 3 * x1 - 2 * x2, x1, x2) }
+      .toDF("y", "x1", "x2")
+    val r = Trend.olsFit2(df, col("y"), col("x1"), col("x2")).head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == 7.0 && r.getDouble(2) == 3.0 && r.getDouble(3) == -2.0)
+  }
+
+  test("olsFit2: collinear regressors yield NULL coefficients, empty input n=0") {
+    val df = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 6L)).toDF("y", "x1", "x2")
+    val r = Trend.olsFit2(df, col("y"), col("x1"), col("x2")).head()
+    assert(r.getLong(0) == 3L && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    val e = Trend.olsFit2(df.filter(lit(false)), col("y"), col("x1"), col("x2")).head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+  }
 }

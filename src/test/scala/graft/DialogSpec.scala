@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dialog
+
+/** Transcript assembly: order pinning, turn cap, arrival-order invariance. */
+class DialogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev = Seq(
+    (1L, 30L, 103L, "c"), (1L, 10L, 101L, "a"), (1L, 20L, 102L, "b"),
+    (2L, 10L, 201L, "x")
+  ).toDF("user_id", "ts_us", "event_id", "event_type")
+
+  test("turns render in (ts, event_id) order regardless of input order") {
+    val r = Dialog.renderTranscripts(ev, "user_id", Seq("ts_us", "event_id"),
+        col("event_type"), 20)
+      .orderBy("user_id").collect()
+    assert(r(0).getString(2) == "a\nb\nc" && r(0).getLong(1) == 3L)
+    assert(r(1).getString(2) == "x" && r(1).getLong(1) == 1L)
+  }
+
+  test("maxTurns caps the transcript to the FIRST turns") {
+    val r = Dialog.renderTranscripts(ev.filter(col("user_id") === 1),
+      "user_id", Seq("ts_us", "event_id"), col("event_type"), 2).head()
+    assert(r.getString(2) == "a\nb" && r.getLong(1) == 2L)
+  }
+
+  test("same-timestamp turns break ties on event_id deterministically") {
+    val tie = Seq((1L, 10L, 2L, "second"), (1L, 10L, 1L, "first"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val r = Dialog.renderTranscripts(tie, "user_id", Seq("ts_us", "event_id"),
+      col("event_type"), 20).head()
+    assert(r.getString(2) == "first\nsecond")
+  }
+}

@@ -38,6 +38,18 @@ class PrivacySpec extends SparkSpec {
     assert(kept.filter(col("qa").isNotNull).count() == 0L)
   }
 
+  test("l-diversity: homogeneous classes flagged even when k-anonymous") {
+    // class (A): 4 rows but all share sensitive 's1' → homogeneous at l=2;
+    // class (B): 2 rows, 2 distinct sensitive values → diverse
+    val df = Seq(
+      ("A", "s1"), ("A", "s1"), ("A", "s1"), ("A", "s1"),
+      ("B", "s1"), ("B", "s2")
+    ).toDF("qa", "sens")
+    val r = Privacy.lDiversityAudit(df, Seq("qa"), "sens", 2L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 4L, 1L)))
+  }
+
   test("k=1 keeps everything; k above max class size drops everything") {
     assert(Privacy.suppressSmallClasses(df, Seq("qa", "qb"), 1L).count() == 7L)
     assert(Privacy.suppressSmallClasses(df, Seq("qa", "qb"), 5L).count() == 0L)
