@@ -185,7 +185,8 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * stream high-water mark. */
   private def writeVersion(name: String, df: DataFrame, meta: Map[String, String],
       inherit: Boolean = true, carryFiles: Boolean = false,
-      expected: Option[Long] = None, partitionCols: Seq[String] = Nil): Unit = {
+      expected: Option[Long] = None, partitionCols: Seq[String] = Nil,
+      keepFiles: Seq[String] = Nil): Unit = {
     // A file-level append's flat manifest cannot reference files nested in
     // partition directories — carrying a partitioned version by pointer
     // would resolve to ZERO files and silently drop the table's data.
@@ -236,10 +237,11 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     val writer = if (partitionCols.isEmpty) df.write
       else df.write.partitionBy(partitionCols: _*)
     writer.mode("append").parquet(dir.resolve(next).toString)
-    if (carryFiles && cur.isDefined) {
+    if ((carryFiles && cur.isDefined) || keepFiles.nonEmpty) {
       val fresh = localDataFiles(dir.resolve(next)).map(p => s"$next/${p.getFileName}")
+      val head = if (carryFiles && cur.isDefined) Seq(s"$PrevMarker${cur.get}") else Nil
       Files.writeString(dir.resolve(next).resolve(ManifestFile),
-        (s"$PrevMarker${cur.get}" +: fresh).mkString("\n"),
+        (head ++ keepFiles ++ fresh).mkString("\n"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
     (inherited ++ meta).foreach { case (file, content) =>
@@ -354,9 +356,17 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   private def chainDirs(name: String, version: String): Set[String] = {
     val mf = tableDir(name).resolve(version).resolve(ManifestFile)
     if (!Files.isRegularFile(mf)) Set(version)
-    else manifestEntries(mf).filter(_.startsWith(PrevMarker))
-      .map(_.stripPrefix(PrevMarker).trim)
-      .foldLeft(Set(version))((acc, p) => acc ++ chainDirs(name, p))
+    else {
+      val entries = manifestEntries(mf)
+      val viaPrev = entries.filter(_.startsWith(PrevMarker))
+        .map(_.stripPrefix(PrevMarker).trim)
+        .foldLeft(Set(version))((acc, p) => acc ++ chainDirs(name, p))
+      // a deleteWhere manifest carries untouched files by PLAIN path into
+      // older version directories — those directories are load-bearing too
+      val viaFiles = entries.filterNot(_.startsWith(PrevMarker))
+        .map(_.takeWhile(_ != '/')).toSet
+      viaPrev ++ viaFiles
+    }
   }
 
   /** Idempotent micro-batch append for Structured Streaming `foreachBatch`
@@ -477,6 +487,57 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * (footer reads + task scheduling per file). */
   def compact(name: String, numFiles: Int): Unit =
     write(name, read(name).coalesce(numFiles))
+
+  /** Copy-on-write row deletion — the right-to-be-forgotten / bad-record
+    * purge verb (SQL `DELETE WHERE` with Delta/Iceberg semantics). ONE
+    * predicate-pruned scan finds the data files that actually contain
+    * matches (parquet row-group stats skip the rest); only THOSE files are
+    * rewritten without their matching rows, every untouched file is carried
+    * into the new version by plain manifest reference — a delete of one
+    * user's rows from a 100 TB table rewrites the few files holding them,
+    * not the table. Committed as a normal CAS version (atomic pointer flip,
+    * auditable in [[history]], undoable via [[rollback]] until pruned).
+    *
+    * SQL DELETE semantics on NULLs: rows where the predicate is NULL are
+    * NOT deleted (survivors = NOT TRUE, not = FALSE). Returns the number of
+    * rows deleted; a no-match delete commits nothing. Partition-laid-out
+    * versions are refused (delete partition-wise via [[writePartitioned]]
+    * — the same restriction as file-level appends, and for the same flat-
+    * manifest reason). */
+  def deleteWhere(name: String, pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit, not}
+    val cur = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"catalog: no such table '$name'"))
+    currentPath(name).map(Paths.get(_)).filter(isPartitionedVersion).foreach { _ =>
+      throw new IllegalStateException(
+        s"catalog: '$name' is partition-laid-out — deleteWhere is not " +
+          "supported on partitioned versions; delete partition-wise and " +
+          "rewrite with writePartitioned()")
+    }
+    val base = cur.stripPrefix("v_").toLong
+    val rels = versionDataFiles(name, cur)
+    val absToRel = rels.map { r =>
+      tableDir(name).resolve(r).toAbsolutePath.normalize.toString -> r
+    }.toMap
+    val perFile = readVersionDir(name, cur).filter(pred)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    if (perFile.isEmpty) return 0L
+    val deleted = perFile.map(_.getLong(1)).sum
+    val touched = perFile.map { r =>
+      val p = Paths.get(java.net.URI.create(r.getString(0)))
+        .toAbsolutePath.normalize.toString
+      absToRel.getOrElse(p, throw new IllegalStateException(
+        s"catalog: matched file $p is not part of version $cur of '$name'"))
+    }.toSet
+    val untouched = rels.filterNot(touched)
+    val remaining = spark.read
+      .parquet(touched.toSeq.sorted.map(r => tableDir(name).resolve(r).toString): _*)
+      .filter(coalesce(not(pred), lit(true)))
+    writeVersion(name, remaining, Map.empty, expected = Some(base),
+      keepFiles = untouched)
+    deleted
+  }
 
   /** Roll the table back to a retained earlier version — the bad-deploy /
     * bad-batch undo. Implemented as a pointer flip to the old version

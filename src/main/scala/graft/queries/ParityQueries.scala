@@ -55,6 +55,10 @@ object ParityQueries {
   private val jsonlRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Per-(session, sfDir) root for the copy-on-write DELETE gate. */
+  private val deleteRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // S3+P1 — table scan with column projection (pruned at the parquet scan).
@@ -883,6 +887,30 @@ object ParityQueries {
                   AS n_rows_at_risk,
                 min(class_size) AS k_actual
               FROM cls""")),
+
+    // Copy-on-write DELETE (Catalog.deleteWhere): the right-to-be-forgotten
+    // verb — ONE predicate-pruned scan finds the files holding matches,
+    // only those rewrite, untouched files carry into the new version by
+    // manifest reference. Gate reads the surviving table back; the oracle
+    // re-derives the survivors from the source (NULL predicates survive).
+    QueryDef("q_x_delete_where",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(deleteRoots, s, d, "graft-del"))
+        if (!cat.exists("customers_gdpr")) {
+          cat.write("customers_gdpr",
+            t(s, d, "customer")
+              .select(col("c_custkey"), col("c_mktsegment"),
+                cents(col("c_acctbal")).as("bal_cents"))
+              .repartitionByRange(8, col("c_custkey")))
+          cat.deleteWhere("customers_gdpr",
+            col("c_mktsegment") === "BUILDING" && col("c_custkey") % 10 === 3)
+        }
+        cat.read("customers_gdpr").select(col("c_custkey"), col("bal_cents"))
+      },
+      Some(s"""SELECT c_custkey, ${centsSql("c_acctbal")} AS bal_cents
+               FROM customer
+               WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3)
+                  OR (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3) IS NULL""")),
 
     // l-diversity audit: k-anonymity's homogeneity-attack companion —
     // classes whose members all share the sensitive value leak it even at

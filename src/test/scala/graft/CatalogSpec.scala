@@ -404,4 +404,50 @@ class CatalogSpec extends SparkSpec {
     cat.write("dim", Seq((5, "e")).toDF("k", "v"))
     intercept[IllegalArgumentException](snap.read("dim").collect())
   }
+
+  test("deleteWhere: rewrites ONLY files containing matches, carries the rest") {
+    val cat = freshCatalog()
+    // 4 files with disjoint id ranges — matches live in exactly one
+    cat.write("t", (0 until 40).map(i => (i.toLong, s"u$i")).toDF("id", "owner")
+      .repartitionByRange(4, col("id")))
+    val deleted = cat.deleteWhere("t", col("id") >= 35)
+    assert(deleted == 5L)
+    assert(cat.read("t").count() == 35L)
+    assert(cat.read("t").filter(col("id") >= 35).count() == 0L)
+    // untouched files carried by reference: the new version's history row
+    // reports carried files from the old directory
+    val h = cat.history("t").find(_.isCurrent).get
+    assert(h.nCarried >= 3, s"expected >=3 carried files, got $h")
+    // old version still time-travelable until pruned
+    assert(cat.readVersion("t", 0).count() == 40L)
+  }
+
+  test("deleteWhere: NULL predicate rows SURVIVE (SQL DELETE semantics)") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, Some("x")), (2L, None), (3L, Some("kill")))
+      .toDF("id", "tag"))
+    val deleted = cat.deleteWhere("t", col("tag") === "kill")
+    assert(deleted == 1L)
+    assert(cat.read("t").select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("deleteWhere: no match commits nothing; delete-all leaves empty table") {
+    val cat = freshCatalog()
+    cat.write("t", Seq(1L, 2L).toDF("id"))
+    val v0 = cat.currentVersionNumber("t").get
+    assert(cat.deleteWhere("t", col("id") > 99) == 0L)
+    assert(cat.currentVersionNumber("t").get == v0, "no-op must not commit")
+    assert(cat.deleteWhere("t", lit(true)) == 2L)
+    assert(cat.read("t").count() == 0L)
+  }
+
+  test("deleteWhere composes with append chains and survives compaction") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.append("t", Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    assert(cat.deleteWhere("t", col("id") === 3L) == 1L)
+    assert(cat.read("t").select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    cat.compact("t", 1)
+    assert(cat.read("t").select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
 }
