@@ -115,6 +115,33 @@ object NaiveBayes {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("label").as("predicted"), col("score_micro"))
 
+  /** Per-class precision / recall / F1 from a [[confusion]] matrix — the
+    * standard classifier-eval report. All counts stay exact integers; each
+    * metric is ONE IEEE division (F1 as 2·tp/(n_gold+n_pred), never the
+    * p·r composition — one rounding, cross-engine exact). Classes that are
+    * gold-only or predicted-only still get a row (full join); a zero
+    * denominator yields NULL. K-bounded output. */
+  def metrics(conf: DataFrame): DataFrame = {
+    val byGold = conf.groupBy(col("gold").as("label")).agg(sum("n_docs").as("n_gold"))
+    val byPred = conf.groupBy(col("predicted").as("label")).agg(sum("n_docs").as("n_pred"))
+    val tps = conf.filter(col("gold") === col("predicted"))
+      .select(col("gold").as("label"), col("n_docs").as("tp"))
+    byGold.join(byPred, Seq("label"), "full")
+      .join(tps, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .select(col("label"), col("tp"), col("n_gold"), col("n_pred"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")).as("prec"),
+        when(col("n_gold") > 0,
+          col("tp").cast("double") / col("n_gold").cast("double")).as("recall"),
+        when(col("n_gold") + col("n_pred") > 0,
+          (lit(2.0) * col("tp").cast("double"))
+            / (col("n_gold") + col("n_pred")).cast("double")).as("f1"))
+  }
+
   /** Confusion matrix of [[classify]] against a gold label column — the
     * classifier-eval surface (per-(gold, predicted) counts, K²-bounded). */
   def confusion(docs: DataFrame, model: NbModel, goldCol: String,

@@ -271,6 +271,36 @@ object CurationQueries {
                JOIN documents d USING (doc_id)
                GROUP BY 1, 2""")),
 
+    // Per-class precision/recall/F1 of the NB classifier — the eval report
+    // over the confusion counts (exact integers; each metric ONE IEEE
+    // division, F1 as 2·tp/(n_gold+n_pred) so it never composes roundings).
+    QueryDef("q_x_nb_metrics",
+      (s, d) => graft.operators.NaiveBayes.metrics(
+        graft.operators.NaiveBayes.confusion(docs(s, d), nbModel(s, d), "lang")),
+      Some(s"""WITH $nbSql,
+               cf AS (SELECT d.lang AS gold, p.predicted, count(*) AS n
+                      FROM (SELECT doc_id, predicted FROM pred WHERE rk = 1) p
+                      JOIN documents d USING (doc_id) GROUP BY 1, 2),
+               bg AS (SELECT gold AS label, sum(n) AS n_gold FROM cf GROUP BY 1),
+               bp AS (SELECT predicted AS label, sum(n) AS n_pred FROM cf GROUP BY 1),
+               tps AS (SELECT gold AS label, sum(n) AS tp FROM cf
+                       WHERE gold = predicted GROUP BY 1),
+               j AS (SELECT COALESCE(bg.label, bp.label) AS label,
+                       CAST(COALESCE(tps.tp, 0) AS BIGINT) AS tp,
+                       CAST(COALESCE(bg.n_gold, 0) AS BIGINT) AS n_gold,
+                       CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred
+                     FROM bg FULL JOIN bp ON bg.label = bp.label
+                     LEFT JOIN tps ON tps.label = COALESCE(bg.label, bp.label))
+               SELECT label, tp, n_gold, n_pred,
+                 CASE WHEN n_pred > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS prec,
+                 CASE WHEN n_gold > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END AS recall,
+                 CASE WHEN n_gold + n_pred > 0
+                   THEN 2.0 * CAST(tp AS DOUBLE)
+                        / CAST(n_gold + n_pred AS DOUBLE) END AS f1
+               FROM j""")),
+
     // Unigram Shannon entropy per document (micro-nat-exact): the
     // distribution-shape quality signal — catches shuffled repetition that
     // exact-shingle repetition scoring misses.

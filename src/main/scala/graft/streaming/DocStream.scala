@@ -98,4 +98,39 @@ object DocStream {
       Iterator.single(Kept(minId, hash))
     }
   }
+
+  /** [[firstSeen]] with BOUNDED state: each content key's marker expires
+    * after `ttlMs` of processing-time inactivity (sliding — every arrival
+    * of the key, duplicate or not, re-arms it). For feeds whose identity
+    * has a natural horizon — re-delivery windows, session-scoped dedup,
+    * retention-capped crawls — this caps the store at (keys active within
+    * one TTL) instead of (keys ever seen): the knob that keeps a
+    * year-running dedup stream from accreting a corpus-sized store. The
+    * documented trade: a duplicate arriving AFTER its key expired is
+    * re-emitted (exactly the [[EventStream.dedupByEventId]]
+    * watermark-bounds-state trade, on the content axis). */
+  def firstSeenTtl(docs: Dataset[Doc], ttlMs: Long): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => md5Hex(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout)(firstSeenTtlFn(ttlMs))
+  }
+
+  private[graft] def firstSeenTtlFn(ttlMs: Long)(hash: String, docs: Iterator[Doc],
+      state: GroupState[Seen]): Iterator[Kept] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out =
+        if (state.exists) Iterator.empty
+        else {
+          var minId = Long.MaxValue
+          docs.foreach(d => if (d.doc_id < minId) minId = d.doc_id)
+          state.update(Seen(true))
+          Iterator.single(Kept(minId, hash))
+        }
+      // re-arm on EVERY arrival: the TTL is inactivity, not age
+      state.setTimeoutDuration(ttlMs)
+      out
+    }
+  }
 }

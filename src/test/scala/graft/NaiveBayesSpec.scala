@@ -59,6 +59,23 @@ class NaiveBayesSpec extends SparkSpec {
     assert(total == 3L)
   }
 
+  test("metrics: hand-checked precision/recall/F1, gold-only class included") {
+    // confusion: gold a→pred a ×3, gold a→pred b ×1, gold b→pred b ×2,
+    // gold c→pred a ×1 (c never predicted)
+    val conf = Seq(("a", "a", 3L), ("a", "b", 1L), ("b", "b", 2L), ("c", "a", 1L))
+      .toDF("gold", "predicted", "n_docs")
+    val m = NaiveBayes.metrics(conf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = m("a") // tp=3, n_gold=4, n_pred=4
+    assert(a.getLong(1) == 3 && a.getDouble(4) == 0.75 && a.getDouble(5) == 0.75
+      && a.getDouble(6) == 0.75)
+    val b = m("b") // tp=2, n_gold=2, n_pred=3
+    assert(b.getDouble(4) == 2.0 / 3.0 && b.getDouble(5) == 1.0
+      && b.getDouble(6) == 4.0 / 5.0)
+    val c = m("c") // never predicted: precision NULL, recall 0
+    assert(c.isNullAt(4) && c.getDouble(5) == 0.0 && c.getDouble(6) == 0.0)
+  }
+
   test("train: label absent from training is never predicted") {
     val train = Seq((0L, "a a", "x"), (1L, "b b", "y")).toDF("doc_id", "text", "lang")
     val model = NaiveBayes.train(train, "lang")

@@ -199,6 +199,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL first-seen dedup: end-to-end stream dedups a batch (poll sink)") {
+    // NOTE: a ProcessingTimeTimeout stream neither quiesces under
+    // processAllAvailable nor terminates under AvailableNow — wall-clock
+    // timeouts keep it scheduling batches (verified live; that IS the
+    // operator's continuous nature). So this end-to-end case POLLS the
+    // sink for the expected keepers instead of awaiting quiescence.
+    // Cross-batch TTL semantics (suppress / re-arm / expire / re-emit)
+    // are pinned by the state-machine test below.
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft-docttl").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema("doc_id bigint, text string")
+      .parquet(dir).as[DocStream.Doc]
+    val q = DocStream.firstSeenTtl(stream, ttlMs = 3600 * 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("docttl").start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def kept() = rows(spark.table("docttl").select("doc_id").orderBy("doc_id")).flatten
+      while (kept() != Seq(1L, 2L) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(kept() == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("TTL first-seen state machine: suppress, re-arm, expire, re-emit") {
+    import graft.streaming.{DocStream}
+    import graft.streaming.DocStream.{Doc, Seen}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def st(existing: Option[Seen], timedOut: Boolean) =
+      TestGroupState.create[Seen](
+        existing.map(Optional.of[Seen]).getOrElse(Optional.empty[Seen]),
+        GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+        Optional.empty[Long], timedOut)
+    val fn = DocStream.firstSeenTtlFn(5000L) _
+    // fresh key: emits min id, arms the TTL
+    val s1 = st(None, timedOut = false)
+    assert(fn("h", Iterator(Doc(7, "x"), Doc(3, "x")), s1).toSeq
+      .map(_.doc_id) == Seq(3L))
+    assert(s1.exists && s1.getTimeoutTimestampMs.isPresent)
+    // duplicate while alive: suppressed but the TTL RE-ARMS (sliding)
+    val s2 = st(Some(Seen(true)), timedOut = false)
+    assert(fn("h", Iterator(Doc(9, "x")), s2).isEmpty)
+    assert(s2.getTimeoutTimestampMs.isPresent, "inactivity TTL must re-arm")
+    // expiry: state removed — the NEXT arrival of this content re-emits
+    val s3 = st(Some(Seen(true)), timedOut = true)
+    assert(fn("h", Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved)
+    val s4 = st(None, timedOut = false)
+    assert(fn("h", Iterator(Doc(11, "x")), s4).toSeq.map(_.doc_id) == Seq(11L))
+  }
+
   test("streaming span inventory matches batch spanStats across micro-batches") {
     import graft.streaming.DocStream
     val dir = Files.createTempDirectory("graft-spanstream").toString
