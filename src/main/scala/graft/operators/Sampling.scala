@@ -159,4 +159,36 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .withColumn("keep", col("cum_tokens") <= budget)
   }
+
+  /** Temperature-flattened source mixing at α = 1/2 — the multilingual /
+    * multi-source rebalancing rule (sample source s ∝ p_s^α, the mT5 /
+    * XLM-R recipe): kept counts become ∝ √n_s, so minority sources gain
+    * share without duplication (the smallest source keeps ~everything,
+    * a 100× bigger one keeps ~10×, not 100×). Per-source keep-rates
+    * r_s = √(n_min/n_s) are derived from ONE group-count aggregate
+    * (source-cardinality collect, model-sized) and applied map-side by
+    * salted identity-hash bucket — deterministic, engine-portable,
+    * independent of every other sampling stage.
+    *
+    * α is pinned to 1/2 because IEEE-754 sqrt is CORRECTLY ROUNDED on
+    * every platform — the rates replay bit-exactly in any engine. An
+    * arbitrary α needs libm `pow`, whose rounding is platform-defined;
+    * route that through the micro-nat quantization device ([[NgramLm]]) if
+    * ever needed. NULL group rows are dropped (no defined rate). */
+  def temperatureSampleHalf(df: DataFrame, groupCol: String, keyCol: String,
+      buckets: Int = 10000): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureSampleHalf: no non-null groups")
+    val nMin = counts.map(_._2).min
+    val rate = counts.foldLeft(lit(0L)) { case (acc, (g, n)) =>
+      when(col(groupCol) === lit(g),
+        lit(math.floor(math.sqrt(nMin.toDouble / n.toDouble) * buckets).toLong))
+        .otherwise(acc)
+    }
+    df.filter(
+      Hashing.hash64(concat(col(keyCol).cast("string"), lit("|temp"))) % buckets
+        < rate)
+  }
 }

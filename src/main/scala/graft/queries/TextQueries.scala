@@ -899,6 +899,24 @@ object TextQueries {
             $bandJoins"""
       }),
 
+    // Temperature-flattened language mixing at α = 1/2 (the mT5/XLM-R
+    // rebalancing rule): kept counts ∝ √n_lang, minority languages gain
+    // share without duplication. Rates replay exactly because IEEE sqrt is
+    // correctly rounded on both engines; selection is the salted portable
+    // hash, independent of every other sampling stage.
+    QueryDef("q_x_mix_temperature",
+      (s, d) => graft.operators.Sampling.temperatureSampleHalf(
+        t(s, d, "documents").select(col("doc_id"), col("lang")), "lang", "doc_id"),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+                          WHERE lang IS NOT NULL GROUP BY 1),
+               mn AS (SELECT min(n) AS nmin FROM c),
+               r AS (SELECT lang, CAST(floor(sqrt(CAST(mn.nmin AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS rate
+                     FROM c, mn)
+               SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+               WHERE ${hash64Sql("CAST(doc_id AS VARCHAR) || '|temp'")} % 10000
+                     < r.rate""")),
+
     // Deterministic corpus sampling: selection is a pure function of the
     // document id (portable hash bucket), never RNG/partition state — the
     // same 10% of a 100 TB corpus is selected on every rerun and engine.

@@ -191,4 +191,27 @@ class SamplingSpec extends SparkSpec {
       .select(graft.functions.Text.redactPii(col("text")))).head.head
     assert(got == "mail <EMAIL> or call <NUM> <NUM> now")
   }
+
+  test("temperatureSampleHalf: kept counts flatten toward sqrt(n), smallest kept whole") {
+    // sources sized 100 / 400 / 10000: α=1/2 keep-rates 1, 1/2, 1/10
+    val df = ((0 until 100).map(i => (i.toLong, "tiny"))
+      ++ (0 until 400).map(i => (1000L + i, "mid"))
+      ++ (0 until 10000).map(i => (100000L + i, "big"))).toDF("doc_id", "src")
+    val kept = graft.operators.Sampling.temperatureSampleHalf(df, "src", "doc_id")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("tiny") == 100L, "smallest source keeps everything (rate = 1)")
+    // hash buckets are uniform: expect ~200 of mid (rate 1/2), ~1000 of big
+    assert(math.abs(kept("mid") - 200L) <= 40, s"mid: ${kept("mid")}")
+    assert(math.abs(kept("big") - 1000L) <= 150, s"big: ${kept("big")}")
+    // deterministic: identical rerun, identical selection
+    val again = graft.operators.Sampling.temperatureSampleHalf(df, "src", "doc_id")
+      .agg(sum(col("doc_id"))).head.getLong(0)
+    val first = graft.operators.Sampling.temperatureSampleHalf(df, "src", "doc_id")
+      .agg(sum(col("doc_id"))).head.getLong(0)
+    assert(again == first)
+    // NULL groups drop
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "a")).toDF("doc_id", "src")
+    assert(graft.operators.Sampling.temperatureSampleHalf(withNull, "src", "doc_id")
+      .filter(col("src").isNull).count() == 0L)
+  }
 }
