@@ -105,6 +105,11 @@ final case class TrainingPipelineConfig(
     // count so packing budgets the text that actually ships
     scrubSpans: Option[Int] = None,        // e.g. Some(8): scrub width-8 dup spans
     mix: Option[MixtureConfig] = None,     // per-group keep rates (data mixing)
+    // temperature-flatten a grouping column at α = 1/2 BEFORE explicit
+    // rates ([[Sampling.temperatureSampleHalf]] — kept counts ∝ √n_group,
+    // the mT5/XLM-R minority-language rebalance); composes with `mix`
+    // (flatten languages, then apply hand-set source rates)
+    temperatureGroupCol: Option[String] = None,
     tokenBudget: Option[TokenBudgetConfig] = None, // absolute per-group token cap
     split: Option[SplitConfig] = None,     // train/val/test stamp + train-only packing
     healthCheck: Option[HealthCheckConfig] = None, // per-group metric anomaly monitor
@@ -284,10 +289,14 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
       try {
         val afterDedup = deduped.count()
 
-        val mixed = cfg.mix match {
+        val tempered = cfg.temperatureGroupCol match {
           case None => deduped
+          case Some(g) => Sampling.temperatureSampleHalf(deduped, g, "doc_id")
+        }
+        val mixed = cfg.mix match {
+          case None => tempered
           case Some(m) =>
-            Sampling.mixtureSample(deduped, m.groupCol, m.ratesPct, "doc_id", m.defaultPct)
+            Sampling.mixtureSample(tempered, m.groupCol, m.ratesPct, "doc_id", m.defaultPct)
         }
         val budgeted = cfg.tokenBudget match {
           case None => mixed

@@ -319,6 +319,26 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(_.head) == Seq(1L, 2L))
   }
 
+  test("temperature stage flattens the majority language, keeps the minority whole") {
+    import spark.implicits._
+    def doc(lang: String, i: Int) =
+      ((if (lang == "en") 0L else 100000L) + i,
+        (1 to 30).map(t => s"${lang}w${i}t$t").mkString(" "), lang)
+    // 4000 en vs 40 fr: α=1/2 keep-rates 1/10 and 1
+    val docs = ((1 to 4000).map(doc("en", _)) ++ (1 to 40).map(doc("fr", _)))
+      .toDF("doc_id", "text", "lang")
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    new TrainingPipeline(spark, cat).run(docs, TrainingPipelineConfig(
+      quality = open, seqTokens = 64, shards = 1,
+      temperatureGroupCol = Some("lang")))
+    val kept = rows(cat.read("training_corpus").groupBy("lang").count()
+      .orderBy("lang")).map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+    assert(kept("fr") == 40L, "minority language must keep everything")
+    assert(math.abs(kept("en") - 400L) <= 80, s"majority ~sqrt-flattened, got $kept")
+  }
+
   test("health check: collapsed source flags after history warms up") {
     import spark.implicits._
     val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
