@@ -25,9 +25,11 @@ def main(sf_dir, out_dir, only=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    checked = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        checked += 1
         res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):
             failures.append((name, "NO SPARK OUTPUT"))
@@ -57,8 +59,17 @@ def main(sf_dir, out_dir, only=None):
             print("  exp:", e[diff] if diff < len(e) else "<none>")
         else:
             print(f"OK   {name} ({len(g)} rows)")
-    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle-checked queries match")
+    print(f"\n{checked - len(failures)}/{checked} oracle-checked queries match"
+          + (f" ({len(oracles) - checked} filtered out)" if checked < len(oracles) else ""))
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None)
+    # accept space- AND comma-separated query filters; refuse names that
+    # match no oracle (a typo'd filter must not silently check nothing)
+    only = {n for a in sys.argv[3:] for n in a.split(",") if n} or None
+    if only:
+        oracle_names = set(json.load(open(f"{sys.argv[2]}/oracle_sql.json")))
+        unknown = only - oracle_names
+        if unknown:
+            sys.exit(f"unknown query names in filter: {sorted(unknown)}")
+    main(sys.argv[1], sys.argv[2], only)
