@@ -105,15 +105,18 @@ object NaiveBayes {
           + coalesce(col("delta_micro"), lit(0L))).as("score_micro"))
   }
 
-  /** Top-1 prediction per document (deterministic: score desc, label asc). */
+  /** Top-1 prediction per document (deterministic: score desc, label asc).
+    * The argmax is a HASH AGGREGATE over a (−score, label) struct min —
+    * scores are exact integers so the negation is lossless and the struct
+    * ordering reproduces (score desc, label asc) without the sort a
+    * row_number window would pay per doc group. */
   def classify(docs: DataFrame, model: NbModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     scores(docs, model, idCol, textCol)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score_micro").desc, col("label"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("label").as("predicted"), col("score_micro"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score_micro")).as("ns"), col("label"))).as("top"))
+      .select(col("doc_id"), col("top.label").as("predicted"),
+        (-col("top.ns")).as("score_micro"))
 
   /** Per-class precision / recall / F1 from a [[confusion]] matrix — the
     * standard classifier-eval report. All counts stay exact integers; each
