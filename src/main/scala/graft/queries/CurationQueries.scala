@@ -37,6 +37,20 @@ object CurationQueries {
     m
   }
 
+  /** Shared persisted confusion frame (K²-sized) — the confusion and
+    * metrics gates consume the same classify run. */
+  private val nbConfusions = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def nbConfusion(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    nbConfusions.keySet.removeIf(_._1.sparkContext.isStopped)
+    val c = nbConfusions.computeIfAbsent((s, d), _ =>
+      graft.operators.NaiveBayes.confusion(docs(s, d), nbModel(s, d), "lang"))
+    c.persist()
+    c
+  }
+
   /** Shared DuckDB CTEs: whitespace tokens and the zipped bigram stream
     * (aligned unnests — DuckDB zips parallel unnests of equal length). */
   private val bigramSql: String =
@@ -263,8 +277,7 @@ object CurationQueries {
     // Confusion matrix of the NB classifier against the gold lang labels —
     // the classifier-eval surface (K²-bounded output).
     QueryDef("q_x_nb_confusion",
-      (s, d) => graft.operators.NaiveBayes.confusion(docs(s, d),
-        nbModel(s, d), "lang"),
+      (s, d) => nbConfusion(s, d),
       Some(s"""WITH $nbSql
                SELECT d.lang AS gold, p.predicted, count(*) AS n_docs
                FROM (SELECT doc_id, predicted FROM pred WHERE rk = 1) p
@@ -275,8 +288,7 @@ object CurationQueries {
     // over the confusion counts (exact integers; each metric ONE IEEE
     // division, F1 as 2·tp/(n_gold+n_pred) so it never composes roundings).
     QueryDef("q_x_nb_metrics",
-      (s, d) => graft.operators.NaiveBayes.metrics(
-        graft.operators.NaiveBayes.confusion(docs(s, d), nbModel(s, d), "lang")),
+      (s, d) => graft.operators.NaiveBayes.metrics(nbConfusion(s, d)),
       Some(s"""WITH $nbSql,
                cf AS (SELECT d.lang AS gold, p.predicted, count(*) AS n
                       FROM (SELECT doc_id, predicted FROM pred WHERE rk = 1) p
