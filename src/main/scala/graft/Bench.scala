@@ -104,7 +104,15 @@ object Bench {
     // the two runs disagree by >3× (a transient GC/IO stall hit one of
     // them — observed in driver environments), a third run breaks the tie
     // so one stall can't publish as the query's cost.
-    val results = SparkEntry.allQueries.zipWithIndex.map { case (q, i) =>
+    // Dev filter for warm in-session A/B timing of a few queries
+    // (comma-separated names); the official artifact always runs unfiltered.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.allQueries
+      else SparkEntry.allQueries.filter(q => only(q.name))
+    val results = selected.zipWithIndex.map { case (q, i) =>
       def run(): (Double, Boolean) = timeOnce(q.fn)
       val times = Seq(run(), run())
       val all = if (times.map(_._1).max > 3 * times.map(_._1).min &&

@@ -32,31 +32,44 @@ object Validator {
     * constraints violation") and :85 (duplicate key). */
   final class ValidationException(msg: String) extends RuntimeException(msg)
 
-  /** ANALYZE-style column statistics in ONE aggregate scan: per column the
-    * min/max (rendered through each engine's canonical string cast — avoid
-    * float columns, whose text formats differ), NULL count, and EXACT
-    * distinct count. The optimizer-stats surface of a warehouse (NDVs feed
-    * join sizing, min/max feed zone-map pruning). Multiple exact
-    * count_distincts expand the scan k+1-way (Spark's standard rewrite) —
-    * still one pass over the table, no second read; swap in
-    * approx_count_distinct when ±2% NDVs are acceptable at the 100 TB tier.
-    * Output: one row per column (column_name, n_rows, min_value, max_value,
-    * n_nulls, n_distinct). */
+  /** ANALYZE-style column statistics: per column the min/max (rendered
+    * through each engine's canonical string cast — avoid float columns,
+    * whose text formats differ), NULL count, and EXACT distinct count. The
+    * optimizer-stats surface of a warehouse (NDVs feed join sizing, min/max
+    * feed zone-map pruning).
+    *
+    * Shape: one SINGLE-distinct aggregate job per column, submitted
+    * concurrently. k exact count_distincts in one aggregate would trigger
+    * Spark's Expand rewrite — (k+1)× row duplication through the first
+    * aggregate — whereas a lone distinct column plans as a partial
+    * aggregate keyed on the value (map-side dedup, no duplication), and
+    * each job's scan is column-pruned to exactly its one column, so total
+    * bytes read equal the single wide scan. Concurrent scheduling makes
+    * wall-time ≈ one column; on a cluster the jobs share executors the
+    * same way. Swap in approx_count_distinct when ±2% NDVs are acceptable
+    * at the 100 TB tier. Output: one row per column (column_name, n_rows,
+    * min_value, max_value, n_nulls, n_distinct). */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val spark = df.sparkSession
-    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      count_distinct(col(c)).as(s"${c}__ndv")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = row.getLong(0)
-    val out = cols.zipWithIndex.map { case (c, i) =>
-      val b = 1 + 4 * i
-      Row(c, n, row.getString(b), row.getString(b + 1),
-        if (row.isNullAt(b + 2)) 0L else row.getLong(b + 2), row.getLong(b + 3))
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(cols.size max 1, 8))
+    val ec = ExecutionContext.fromExecutorService(pool)
+    val out = try {
+      val futures = cols.map { c =>
+        Future {
+          val r = df.select(col(c)).agg(
+            count(lit(1)).as("n"),
+            min(col(c)).cast("string").as("mn"),
+            max(col(c)).cast("string").as("mx"),
+            count(when(col(c).isNull, 1)).as("nulls"),
+            count_distinct(col(c)).as("ndv")).head()
+          Row(c, r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+        }(ec)
+      }
+      futures.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       StructType(Seq(StructField("column_name", StringType),
         StructField("n_rows", LongType), StructField("min_value", StringType),
