@@ -539,6 +539,100 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     deleted
   }
 
+  /** Copy-on-write MERGE — the SQL `MERGE INTO target USING source ON
+    * target.key = source.key` upsert verb with Delta/Iceberg file-pruning
+    * semantics: matched target rows are replaced by their source row (or
+    * dropped when `whenMatchedDelete` holds), unmatched source rows are
+    * inserted, unmatched target rows carry forward. Only the data files
+    * that actually CONTAIN matched keys rewrite; every untouched file is
+    * carried by plain manifest reference and the inserts land as fresh
+    * files — an upsert of one day's batch into a 100 TB table rewrites the
+    * few files its keys live in, not the table. The key-bearing side of the
+    * probe is the source (batch-sized, broadcastable); the only full-table
+    * work is ONE column-pruned key scan for the insert anti-join plus the
+    * semi-join probe, both O(table scan) with no wide shuffle of the table.
+    *
+    * Ambiguity guard (same rule as Delta): a source with two rows for one
+    * key has no well-defined merge result — refused loudly before any
+    * write. Returns (n_updated, n_deleted, n_inserted). CAS-committed,
+    * time-travelable, composes with append chains like [[deleteWhere]]. */
+  def merge(name: String, source: DataFrame, key: String,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None)
+      : (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit}
+    val cur = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"catalog: no such table '$name'"))
+    currentPath(name).map(Paths.get(_)).filter(isPartitionedVersion).foreach { _ =>
+      throw new IllegalStateException(
+        s"catalog: '$name' is partition-laid-out — merge is not supported " +
+          "on partitioned versions; merge partition-wise and rewrite with " +
+          "writePartitioned()")
+    }
+    val src = alignedForAppend(name, source).persist()
+    try {
+      val dupKeys = src.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dupKeys.isEmpty,
+        s"catalog: merge source has duplicate key '${dupKeys.headOption.map(_.get(0))
+          .getOrElse("")}' — a key matched by two source rows has no " +
+          "well-defined merge result; dedup the source first")
+      val base = cur.stripPrefix("v_").toLong
+      val rels = versionDataFiles(name, cur)
+      val absToRel = rels.map { r =>
+        tableDir(name).resolve(r).toAbsolutePath.normalize.toString -> r
+      }.toMap
+      val target = readVersionDir(name, cur)
+      // ONE probe scan: which files hold matched keys (source side broadcast
+      // when batch-sized — AQE/stats decide; hint it since |src| ≪ |table|).
+      // input_file_name() is captured BEFORE the join: it refuses plans with
+      // more than one source.
+      val perFile = target.select(input_file_name().as("f"), col(key))
+        .join(broadcast(src.select(col(key))), Seq(key), "left_semi")
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .collect()
+      val nMatched = perFile.map(_.getLong(1)).sum
+      val touched = perFile.map { r =>
+        val p = Paths.get(java.net.URI.create(r.getString(0)))
+          .toAbsolutePath.normalize.toString
+        absToRel.getOrElse(p, throw new IllegalStateException(
+          s"catalog: matched file $p is not part of version $cur of '$name'"))
+      }.toSet
+      val untouched = rels.filterNot(touched)
+      // inserts: source keys absent from the table — ONE column-pruned key
+      // scan of the target (the matched keys all live in touched files, so
+      // the key scan could prune to them; kept whole-table for correctness
+      // under key duplication across files)
+      val inserts = src.join(target.select(col(key)), Seq(key), "left_anti")
+        .select(src.columns.map(col).toIndexedSeq: _*)
+      val nInserted = inserts.count()
+      val deletePred = org.apache.spark.sql.functions
+        .coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
+      // rewrite of touched files: unmatched rows keep, matched rows either
+      // drop (delete predicate TRUE on the source row) or take source
+      // values — per TARGET row, so a key duplicated in the target updates
+      // (or deletes) every copy, exactly like SQL MERGE
+      val survivors: DataFrame = if (touched.isEmpty) inserts else {
+        val touchedRows = spark.read.parquet(
+          touched.toSeq.sorted.map(r => tableDir(name).resolve(r).toString): _*)
+        val keepSrc = src.filter(!deletePred)
+        val kept = touchedRows.join(broadcast(src.select(col(key))), Seq(key), "left_anti")
+          .select(touchedRows.columns.map(col).toIndexedSeq: _*)
+        val updated = touchedRows.select(col(key))
+          .join(broadcast(keepSrc), Seq(key), "inner")
+          .select(src.columns.map(col).toIndexedSeq: _*)
+        kept.unionByName(updated).unionByName(inserts)
+      }
+      val nDeleted = whenMatchedDelete.map { _ =>
+        target.select(col(key)).join(
+          broadcast(src.filter(deletePred).select(col(key))), Seq(key), "left_semi")
+          .count()
+      }.getOrElse(0L)
+      writeVersion(name, survivors, Map.empty, expected = Some(base),
+        keepFiles = untouched)
+      (nMatched - nDeleted, nDeleted, nInserted)
+    } finally { src.unpersist(); () }
+  }
+
   /** Roll the table back to a retained earlier version — the bad-deploy /
     * bad-batch undo. Implemented as a pointer flip to the old version
     * directory (data is never copied or deleted; the rolled-back-from

@@ -59,6 +59,10 @@ object ParityQueries {
   private val deleteRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Per-(session, sfDir) root for the MERGE upsert gate. */
+  private val mergeRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // S3+P1 — table scan with column projection (pruned at the parquet scan).
@@ -911,6 +915,50 @@ object ParityQueries {
                FROM customer
                WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3)
                   OR (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3) IS NULL""")),
+
+    // Copy-on-write MERGE upsert (Catalog.merge): one batch updates every
+    // key ≡0 mod 5 (matched rows whose key ≡0 mod 20 DELETE instead —
+    // SQL MERGE's WHEN MATCHED AND pred THEN DELETE arm), and inserts
+    // shifted keys for ≡0 mod 50. Inserts land regardless of the delete
+    // predicate (it guards the MATCHED arm only). Only files holding
+    // matched keys rewrite; the rest carry by manifest reference.
+    QueryDef("q_x_merge_upsert",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(mergeRoots, s, d, "graft-mrg"))
+        if (!cat.exists("customers_merge")) {
+          val base = t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"),
+              cents(col("c_acctbal")).as("bal_cents"))
+          cat.write("customers_merge", base.repartitionByRange(8, col("c_custkey")))
+          val src = base.filter(col("c_custkey") % 5 === 0)
+            .select(col("c_custkey"), lit("MERGED").as("c_mktsegment"),
+              (col("bal_cents") + 111L).as("bal_cents"))
+            .unionByName(base.filter(col("c_custkey") % 50 === 0)
+              .select((col("c_custkey") + 1000000L).as("c_custkey"),
+                lit("INSERTED").as("c_mktsegment"), lit(4242L).as("bal_cents")))
+          cat.merge("customers_merge", src, "c_custkey",
+            whenMatchedDelete = Some(col("c_custkey") % 20 === 0))
+        }
+        cat.read("customers_merge")
+      },
+      Some(s"""WITH base AS (SELECT c_custkey, c_mktsegment,
+                 ${centsSql("c_acctbal")} AS bal_cents FROM customer),
+               src AS (
+                 SELECT c_custkey, 'MERGED' AS c_mktsegment,
+                        bal_cents + 111 AS bal_cents
+                 FROM base WHERE c_custkey % 5 = 0
+                 UNION ALL
+                 SELECT c_custkey + 1000000, 'INSERTED', 4242
+                 FROM base WHERE c_custkey % 50 = 0)
+               SELECT b.* FROM base b
+               WHERE b.c_custkey NOT IN (SELECT c_custkey FROM src)
+               UNION ALL
+               SELECT s.* FROM src s
+               WHERE s.c_custkey IN (SELECT c_custkey FROM base)
+                 AND NOT s.c_custkey % 20 = 0
+               UNION ALL
+               SELECT s.* FROM src s
+               WHERE s.c_custkey NOT IN (SELECT c_custkey FROM base)""")),
 
     // l-diversity audit: k-anonymity's homogeneity-attack companion —
     // classes whose members all share the sensitive value leak it even at

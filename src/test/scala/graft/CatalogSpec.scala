@@ -441,6 +441,56 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 0L)
   }
 
+  test("merge: updates matched, inserts unmatched, carries untouched files") {
+    val cat = freshCatalog()
+    cat.write("t", (0 until 40).map(i => (i.toLong, s"old$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    val (nUpd, nDel, nIns) = cat.merge("t",
+      Seq((35L, "new35"), (38L, "new38"), (100L, "new100")).toDF("id", "v"), "id")
+    assert((nUpd, nDel, nIns) == (2L, 0L, 1L))
+    val m = cat.read("t").as[(Long, String)].collect().toMap
+    assert(m.size == 41 && m(35L) == "new35" && m(38L) == "new38" &&
+      m(100L) == "new100" && m(0L) == "old0")
+    // matches lived in one range file: the other 3 carried by reference
+    assert(cat.history("t").find(_.isCurrent).get.nCarried >= 3)
+    assert(cat.readVersion("t", 0).count() == 40L) // time-travel intact
+  }
+
+  test("merge: whenMatchedDelete drops matched rows; NULL pred means keep") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val (nUpd, nDel, nIns) = cat.merge("t",
+      Seq((2L, Option.empty[String]), (3L, Some("c2")), (9L, Some("i")))
+        .toDF("id", "v"),
+      "id", whenMatchedDelete = Some(col("v").isNull))
+    assert((nUpd, nDel, nIns) == (1L, 1L, 1L))
+    val m = cat.read("t").as[(Long, Option[String])].collect().toMap
+    assert(m == Map(1L -> Some("a"), 3L -> Some("c2"), 9L -> Some("i")))
+  }
+
+  test("merge: duplicate source keys refused; duplicate TARGET keys each update") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("id", "v"))
+    intercept[IllegalArgumentException](
+      cat.merge("t", Seq((1L, "x"), (1L, "y")).toDF("id", "v"), "id"))
+    val (nUpd, _, _) = cat.merge("t", Seq((1L, "upd")).toDF("id", "v"), "id")
+    assert(nUpd == 2L) // both copies of key 1 updated (SQL MERGE per-row)
+    assert(cat.read("t").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "upd"), (1L, "upd"), (2L, "b")))
+  }
+
+  test("merge: insert-only batch touches no existing file; composes with append") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, "a")).toDF("id", "v"))
+    cat.append("t", Seq((2L, "b")).toDF("id", "v"))
+    val (nUpd, nDel, nIns) = cat.merge("t", Seq((3L, "c")).toDF("id", "v"), "id")
+    assert((nUpd, nDel, nIns) == (0L, 0L, 1L))
+    assert(cat.read("t").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    cat.compact("t", 1)
+    assert(cat.read("t").count() == 3L)
+  }
+
   test("deleteWhere composes with append chains and survives compaction") {
     val cat = freshCatalog()
     cat.write("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
