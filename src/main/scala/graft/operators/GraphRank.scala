@@ -253,6 +253,46 @@ object GraphRank {
     * node-cardinality collect, no cross join; wedge volume is Σ deg(b)²
     * over middle nodes, the standard bound. Returns one row
     * (n_nodes, n_edges, n_triangles). */
+  /** k-core decomposition by synchronous peeling: each round recomputes
+    * undirected degrees and drops every node below `k`, until either a
+    * fixed point (no node dropped) or `rounds` rounds have run — whichever
+    * comes first. Running extra rounds past convergence is the identity,
+    * so an oracle that replays EXACTLY `rounds` rounds as chained CTEs
+    * agrees with the early-exiting loop whenever the graph converges
+    * within the budget (spec-checked; the gate uses a budget the fixture
+    * converges well inside).
+    *
+    * Scale shape: per round one node-keyed degree aggregation + two
+    * semi-joins of the edge list against the (node-sized) survivor set —
+    * the same O(E) per-round cost as connected components, with
+    * localCheckpoint truncating lineage so round N's plan doesn't replay
+    * rounds 1..N−1. Peel rounds needed in practice is the graph's
+    * degeneracy ordering depth, ≪ diameter on web-ish graphs. Input:
+    * one-directional undirected edges (a < b); output survivors with their
+    * in-core degree. */
+  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint()
+    var prevCount = e.count()
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val survivors = deg.filter(col("dg") >= k).select(col("n"))
+      val next = e.join(survivors.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(survivors.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+      val nextCount = next.count()
+      done = nextCount == prevCount
+      prevCount = nextCount
+      e = next
+      r += 1
+    }
+    e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_degree"))
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))

@@ -28,6 +28,27 @@ object GraphQueries {
     e
   }
 
+  /** DuckDB replay of [[graft.operators.GraphRank.kCore]]: `rounds` peel
+    * rounds as chained MATERIALIZED CTEs (default-inlined CTEs would
+    * re-expand e(i−1) exponentially — each round references its
+    * predecessor three times). */
+  private def kCoreOracle(k: Long, rounds: Int): String = {
+    val head =
+      """WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         e0 AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+              ON x.g = y.g AND x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS dg FROM
+            (SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+          e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+            WHERE a IN (SELECT n FROM d$i WHERE dg >= $k)
+              AND b IN (SELECT n FROM d$i WHERE dg >= $k))"""
+    }
+    (head +: peels).mkString(",\n") +
+      s"""\nSELECT n, count(*) AS core_degree FROM
+          (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1"""
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // 3 damped PageRank iterations over the undirected part↔supplier graph
@@ -184,6 +205,17 @@ object GraphQueries {
                       confidence DESC, antecedent, consequent) AS BIGINT) AS rank
                     FROM r)
               WHERE rank <= 50""")),
+
+    // 3-core of the co-purchase graph: peel nodes of degree <3 for exactly
+    // 12 synchronous rounds (the sf0.01 graph converges in 10; rounds past
+    // convergence are the identity on BOTH sides, so the fixed budget keeps
+    // Spark's early-exit loop and the oracle's chained MATERIALIZED CTEs in
+    // exact agreement at any sf). The dense-community extractor: nodes that
+    // survive are in a subgraph where everyone has ≥3 in-subgraph partners.
+    QueryDef("q_x_k_core",
+      (s, d) => graft.operators.GraphRank.kCore(coPurchaseEdges(s, d), 3L, 12),
+      Some(kCoreOracle(3, 12)),
+    ),
 
     // Degree distribution of the same co-purchase graph: how many nodes
     // have each undirected degree — the scale-freeness probe that decides

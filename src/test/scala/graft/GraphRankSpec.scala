@@ -99,6 +99,34 @@ class GraphRankSpec extends SparkSpec {
     assert(GraphRank.triangleStats(k4).as[(Long, Long, Long)].head() == ((4L, 6L, 4L)))
   }
 
+  test("kCore: peels a dangling chain off a K4; brute-force parity; extra rounds identity") {
+    // K4 on {1..4} plus chain 4-5-6: 3-core = the K4 exactly (5,6 peel in 2 rounds)
+    val edges = ((for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val core = ranks(GraphRank.kCore(edges, 3L, 10))
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // rounds beyond convergence are the identity (the oracle-agreement
+    // contract: fixed-budget replay ≡ early-exit loop)
+    assert(ranks(GraphRank.kCore(edges, 3L, 25)) == core)
+    // brute-force reference on a random-ish graph for k=2
+    val es = (0 until 40).map(i => (i.toLong % 13, (i * 7L + 3) % 17 + 13))
+      .distinct.filter(p => p._1 != p._2)
+    val ref = {
+      var e = es.toSet
+      var stable = false
+      while (!stable) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+          .map { case (n, xs) => n -> xs.size }
+        val surv = deg.filter(_._2 >= 2).keySet
+        val ne = e.filter(p => surv(p._1) && surv(p._2))
+        stable = ne == e; e = ne
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+    }
+    assert(ranks(GraphRank.kCore(es.toDF("a", "b"), 2L, 30)) == ref)
+  }
+
   test("determinism: identical ranks across repeated runs and partitionings") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
       .toDF("src", "dst")
