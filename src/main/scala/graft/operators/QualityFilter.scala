@@ -195,6 +195,44 @@ object QualityFilter {
       .drop("__cuts")
   }
 
+  /** Two-sided winsorization at exact type-1 (ceiling) order statistics:
+    * clamp `metricCol` into [v_(⌈n·lo⌉), v_(⌈n·hi⌉)] where v_(k) is the
+    * k-th smallest value. The outlier-taming transform for reward/weight
+    * columns feeding a training mix — unlike dropping, every row survives;
+    * unlike interpolated percentiles, the cut points ARE data values, so
+    * on integer metrics the whole op is exact integer arithmetic with no
+    * IEEE interpolation to disagree across engines (quantile fractions are
+    * exact rationals loNum/den, hiNum/den; cut ranks use ceiling division
+    * (n·q + den−1) div den).
+    *
+    * Shape: one value-keyed histogram aggregate, a cumulative sum over the
+    * VALUE-CARDINALITY-sized histogram (single-partition window — bounded
+    * by distinct metric values, not rows, the same silhouette as the exact
+    * percentile scans), one 1-row cut aggregate broadcast into a map-side
+    * clamp. NULL metrics pass through NULL and do not shift the ranks. */
+  def winsorize(df: DataFrame, metricCol: String,
+      loNum: Long, hiNum: Long, den: Long): DataFrame = {
+    require(0 <= loNum && loNum <= hiNum && hiNum <= den,
+      s"need 0 <= lo <= hi <= 1, got $loNum/$den..$hiNum/$den")
+    val m = col(metricCol)
+    val hist = df.filter(m.isNotNull).groupBy(m.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val n = df.filter(m.isNotNull).agg(count(lit(1)).as("__n"))
+    val cuts = cum.crossJoin(broadcast(n)).agg(
+      min(when(col("__cum") >= expr(s"(__n * $loNum + ${den - 1}) div $den"),
+        col("__v"))).as("lo_cut"),
+      min(when(col("__cum") >= expr(s"(__n * $hiNum + ${den - 1}) div $den"),
+        col("__v"))).as("hi_cut"))
+    // least/greatest SKIP nulls in both engines (greatest(NULL, lo) = lo),
+    // so NULL pass-through needs the explicit branch
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${metricCol}_w", when(m.isNull, lit(null))
+        .otherwise(least(greatest(m, col("lo_cut")), col("hi_cut"))))
+  }
+
   /** The published Gopher document-quality rule set (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", App. A1.1) — the standard
     * heuristic battery run BEFORE any model-based filtering:

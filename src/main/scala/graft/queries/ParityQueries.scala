@@ -1050,6 +1050,34 @@ object ParityQueries {
                  CAST(max(p) AS BIGINT) AS max_cents
                FROM binned GROUP BY 1""")),
 
+    // Winsorization at exact [P1, P99] type-1 order statistics
+    // (QualityFilter.winsorize): outliers clamp to data-valued cut points
+    // (ceiling-rank ⌈n·q⌉-th smallest — pure integer arithmetic end to
+    // end, no interpolated percentile to disagree in the last ulp). Every
+    // row survives with its clamped value + the cuts it was clamped to.
+    QueryDef("q_x_winsorize",
+      (s, d) => graft.operators.QualityFilter.winsorize(
+          t(s, d, "orders").select(col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents")),
+          "price_cents", 1L, 99L, 100L)
+        .select(col("o_orderkey"), col("price_cents"),
+          col("lo_cut"), col("hi_cut"), col("price_cents_w")),
+      Some(s"""WITH v AS (SELECT o_orderkey,
+                 ${centsSql("o_totalprice")} AS price_cents FROM orders),
+               n AS (SELECT count(*) AS n FROM v WHERE price_cents IS NOT NULL),
+               h AS (SELECT price_cents AS val, count(*) AS c FROM v
+                     WHERE price_cents IS NOT NULL GROUP BY 1),
+               cum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM h),
+               cuts AS (SELECT
+                 min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN val END) AS lo_cut,
+                 min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN val END) AS hi_cut
+                 FROM cum, n)
+               SELECT o_orderkey, price_cents, lo_cut, hi_cut,
+                 CASE WHEN price_cents IS NULL THEN NULL
+                      ELSE least(greatest(price_cents, lo_cut), hi_cut)
+                 END AS price_cents_w
+               FROM v, cuts""")),
+
     // Unpivot/melt (the relational wide→long reshape, Spark's native
     // Dataset.unpivot): the pricing-summary wide aggregate melted into
     // (l_returnflag, metric, value) rows — exact integer cents so the

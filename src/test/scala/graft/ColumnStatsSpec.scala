@@ -39,6 +39,27 @@ class ColumnStatsSpec extends SparkSpec {
       3L -> ((25L, 51L, 75L)), 4L -> ((25L, 76L, 100L))))
   }
 
+  test("winsorize: clamps to exact ceiling-rank order statistics; NULLs pass through") {
+    // 1..100, [P10, P90]: kLo = ceil(100·10/100) = 10 → cut 10;
+    // kHi = ceil(100·90/100) = 90 → cut 90
+    val df = ((1L to 100L).map(Some(_)) :+ None).toDF("v")
+    val got = QualityFilter.winsorize(df, "v", 10L, 90L, 100L)
+      .select("v", "lo_cut", "hi_cut", "v_w").collect()
+    assert(got.forall(r => r.getLong(1) == 10L && r.getLong(2) == 90L))
+    got.filterNot(_.isNullAt(0)).foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getLong(3) == math.max(10L, math.min(90L, v)), s"v=$v")
+    }
+    val nullRow = got.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(3), "NULL metric must winsorize to NULL")
+    // ties: heavy mass below the cut rank pulls the cut onto the tied value
+    val tied = (Seq.fill(50)(1L) ++ (2L to 51L)).toDF("v")
+    val cuts = QualityFilter.winsorize(tied, "v", 25L, 75L, 100L)
+      .select("lo_cut", "hi_cut").head()
+    // n=100: kLo=25 → cum(1)=50 ≥ 25 → lo=1; kHi=75 → value at rank 75 = 26
+    assert((cuts.getLong(0), cuts.getLong(1)) == ((1L, 26L)))
+  }
+
   test("equalFrequencyBins: ties share a bin; NULL metric bins NULL") {
     val df = (Seq.fill(90)(Some(5L)) ++ Seq(Some(99L)) ++ Seq(None)).toDF("v")
     val got = QualityFilter.equalFrequencyBins(df, "v", 3)
