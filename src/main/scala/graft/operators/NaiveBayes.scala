@@ -145,6 +145,34 @@ object NaiveBayes {
             / (col("n_gold") + col("n_pred")).cast("double")).as("f1"))
   }
 
+  /** Cohen's kappa over a confusion frame — chance-corrected agreement
+    * between the two labelings (predicted vs gold, or any two raters):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate and
+    * p_e = Σ_k marginal_a(k)·marginal_b(k)/n² the rate two independent
+    * raters with these marginals would agree by chance. The standard
+    * label-quality audit before trusting crowd/model labels for training.
+    *
+    * Computed as ONE IEEE division of exact integers:
+    * κ = (n·agree − Σ_k rowₖ·colₖ) / (n² − Σ_k rowₖ·colₖ) — never the
+    * p_o/p_e composition, which would stack three roundings. All work is
+    * over the K²-bounded confusion frame (model-sized). NULL when the
+    * denominator is 0 (both raters constant and identical — κ undefined). */
+  def cohenKappa(conf: DataFrame): DataFrame = {
+    val byGold = conf.groupBy(col("gold").as("label")).agg(sum("n_docs").as("n_gold"))
+    val byPred = conf.groupBy(col("predicted").as("label")).agg(sum("n_docs").as("n_pred"))
+    val peNum = byGold.join(byPred, Seq("label"), "inner")
+      .agg(coalesce(sum(col("n_gold") * col("n_pred")), lit(0L)).as("pe_num"))
+    conf.agg(sum("n_docs").as("n_items"),
+        coalesce(sum(when(col("gold") === col("predicted"), col("n_docs"))
+          .otherwise(0L)), lit(0L)).as("n_agree"))
+      .crossJoin(broadcast(peNum))
+      .select(col("n_items"), col("n_agree"), col("pe_num"),
+        when(col("n_items") * col("n_items") - col("pe_num") =!= 0L,
+          (col("n_items") * col("n_agree") - col("pe_num")).cast("double") /
+            (col("n_items") * col("n_items") - col("pe_num")).cast("double"))
+          .as("kappa"))
+  }
+
   /** Confusion matrix of [[classify]] against a gold label column — the
     * classifier-eval surface (per-(gold, predicted) counts, K²-bounded). */
   def confusion(docs: DataFrame, model: NbModel, goldCol: String,

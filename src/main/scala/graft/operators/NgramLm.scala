@@ -209,6 +209,33 @@ object NgramLm {
       .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"), col("rank"))
   }
 
+  /** word2vec-style skip-gram training pairs: every (center, context) token
+    * pair within `window` positions, aggregated to exact occurrence counts —
+    * the co-occurrence table embedding trainers consume (and the input to
+    * SGNS/GloVe-style factorizations). Pair generation is ONE map-side
+    * codegen'd HOF chain (sequence → filter → struct, flattened and
+    * exploded) — no positional self-join, so the only shuffle is the final
+    * (center, context)-keyed count, and pair volume is 2·window·tokens by
+    * construction. Windows clip at document boundaries; documents shorter
+    * than 2 tokens contribute nothing. */
+  def skipGramPairs(docs: DataFrame, window: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    // sequence(1, 0) would DESCEND in Spark (step inferred -1) — greatest()
+    // guards the empty-token edge so the outer sequence is never inverted
+    docs.select(Text.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, greatest(size(toks), 1)), i ->
+              transform(
+                filter(sequence(greatest(1, i - $window),
+                                least(size(toks), i + $window)), j -> j != i),
+                j -> struct(element_at(toks, i) AS center,
+                            element_at(toks, j) AS context))))""")).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): hash unigrams into `dim` buckets,
     * fit smoothed bag-of-buckets models on a TARGET slice and on the RAW

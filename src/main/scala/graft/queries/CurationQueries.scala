@@ -263,6 +263,35 @@ object CurationQueries {
                      FROM sc)
                WHERE rank <= 50""")),
 
+    // Skip-gram pair extraction (window=2): the word2vec/GloVe co-occurrence
+    // table as exact counts — pair generation is one map-side HOF chain
+    // (no positional self-join), the only shuffle the pair-keyed count.
+    // Top-100 by (count, center, context) keeps the gate output bounded.
+    QueryDef("q_x_skipgrams",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_pairs").desc, col("center"), col("context"))
+        graft.operators.NgramLm.skipGramPairs(docs(s, d), window = 2)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 100)
+      },
+      Some(s"""WITH tk AS (SELECT $tokensSql AS toks FROM documents),
+               p AS (SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(toks)), i ->
+                       list_transform(
+                         list_filter(generate_series(greatest(1, i - 2),
+                                                     least(len(toks), i + 2)),
+                                     j -> j != i),
+                         j -> {'center': toks[i], 'context': toks[j]})))) AS s
+                     FROM tk WHERE len(toks) >= 2),
+               cnt AS (SELECT s.center AS center, s.context AS context,
+                              count(*) AS n_pairs
+                       FROM p GROUP BY 1, 2)
+               SELECT center, context, n_pairs, rank
+               FROM (SELECT *, CAST(row_number() OVER (ORDER BY n_pairs DESC,
+                       center, context) AS BIGINT) AS rank FROM cnt)
+               WHERE rank <= 100""")),
+
     // Multinomial Naive Bayes classifier (the fastText-style model-based
     // curation tier: closed-form linear text classifier, no SGD ordering
     // nondeterminism). Trained on the even-doc_id half with lang as the
@@ -312,6 +341,30 @@ object CurationQueries {
                    THEN 2.0 * CAST(tp AS DOUBLE)
                         / CAST(n_gold + n_pred AS DOUBLE) END AS f1
                FROM j""")),
+
+    // Cohen's kappa of the NB classifier vs the gold labels —
+    // chance-corrected agreement (the label-quality audit run before any
+    // crowd/model labels feed training). One IEEE division of exact
+    // integers: (n·agree − Σ rowₖ·colₖ) / (n² − Σ rowₖ·colₖ).
+    QueryDef("q_x_kappa",
+      (s, d) => graft.operators.NaiveBayes.cohenKappa(nbConfusion(s, d)),
+      Some(s"""WITH $nbSql,
+               cf AS (SELECT d.lang AS gold, p.predicted, count(*) AS n
+                      FROM (SELECT doc_id, predicted FROM pred WHERE rk = 1) p
+                      JOIN documents d USING (doc_id) GROUP BY 1, 2),
+               bg AS (SELECT gold AS label, sum(n) AS n_gold FROM cf GROUP BY 1),
+               bp AS (SELECT predicted AS label, sum(n) AS n_pred FROM cf GROUP BY 1),
+               pe AS (SELECT CAST(COALESCE(sum(n_gold * n_pred), 0) AS BIGINT)
+                        AS pe_num FROM bg JOIN bp USING (label)),
+               ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+                        CAST(COALESCE(sum(n) FILTER (WHERE gold = predicted), 0)
+                          AS BIGINT) AS n_agree FROM cf)
+               SELECT n_items, n_agree, pe_num,
+                 CASE WHEN n_items * n_items - pe_num <> 0
+                   THEN CAST(n_items * n_agree - pe_num AS DOUBLE)
+                        / CAST(n_items * n_items - pe_num AS DOUBLE)
+                 END AS kappa
+               FROM ag, pe""")),
 
     // Unigram Shannon entropy per document (micro-nat-exact): the
     // distribution-shape quality signal — catches shuffled repetition that

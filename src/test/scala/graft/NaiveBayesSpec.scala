@@ -76,6 +76,23 @@ class NaiveBayesSpec extends SparkSpec {
     assert(c.isNullAt(4) && c.getDouble(5) == 0.0 && c.getDouble(6) == 0.0)
   }
 
+  test("cohenKappa: hand-checked; perfect agreement = 1; constant raters NULL") {
+    // classic 2×2: a→a 20, a→b 5, b→a 10, b→b 15; n=50, agree=35
+    // pe_num = rowa·cola + rowb·colb = 25·30 + 25·20 = 1250
+    // κ = (50·35 − 1250)/(2500 − 1250) = 500/1250 = 0.4
+    val conf = Seq(("a", "a", 20L), ("a", "b", 5L), ("b", "a", 10L), ("b", "b", 15L))
+      .toDF("gold", "predicted", "n_docs")
+    val r = NaiveBayes.cohenKappa(conf).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((50L, 35L, 1250L)))
+    assert(r.getDouble(3) == 0.4)
+    // diagonal-only confusion with >1 class: κ = 1 exactly
+    val perfect = Seq(("a", "a", 7L), ("b", "b", 3L)).toDF("gold", "predicted", "n_docs")
+    assert(NaiveBayes.cohenKappa(perfect).head().getDouble(3) == 1.0)
+    // both raters constant and identical: denominator 0 → κ NULL
+    val const = Seq(("a", "a", 9L)).toDF("gold", "predicted", "n_docs")
+    assert(NaiveBayes.cohenKappa(const).head().isNullAt(3))
+  }
+
   test("train: label absent from training is never predicted") {
     val train = Seq((0L, "a a", "x"), (1L, "b b", "y")).toDF("doc_id", "text", "lang")
     val model = NaiveBayes.train(train, "lang")

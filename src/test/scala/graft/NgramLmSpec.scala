@@ -62,6 +62,26 @@ class NgramLmSpec extends SparkSpec {
       s"target doc weight ${w(0L)} must exceed off-target ${w(100L)}")
   }
 
+  test("skipGramPairs: window clips at boundaries; counts match brute force") {
+    val docs = Seq((0L, "a b c d"), (1L, "x"), (2L, "p q")).toDF("doc_id", "text")
+    val got = NgramLm.skipGramPairs(docs, window = 2)
+      .as[(String, String, Long)].collect()
+      .map { case (c, x, n) => (c, x) -> n }.toMap
+    // brute-force reference over each doc's token positions
+    val ref = Seq("a b c d", "x", "p q").flatMap { t =>
+      val tk = t.split(" ", -1)
+      if (tk.length < 2) Nil
+      else for {
+        i <- tk.indices; j <- tk.indices
+        if j != i && math.abs(j - i) <= 2
+      } yield (tk(i), tk(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    assert(got == ref)
+    // "a" sees b (d=1) and c (d=2) but NOT d (d=3)
+    assert(got.contains(("a", "c")) && !got.contains(("a", "d")))
+    intercept[IllegalArgumentException](NgramLm.skipGramPairs(docs, window = 0))
+  }
+
   test("tokenEntropy: all-distinct doc ≈ ln(N); constant doc = 0") {
     val docs = Seq((0L, "a b c d"), (1L, "x x x x")).toDF("doc_id", "text")
     val got = QualityFilter.tokenEntropy(docs).orderBy("doc_id")
