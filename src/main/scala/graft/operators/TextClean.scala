@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Map-side text hygiene for web-crawled corpora: markup stripping and PII
+  * redaction — the first transforms a crawl pipeline applies, ahead of any
+  * dedup/quality stage (tags and boilerplate would otherwise poison shingle
+  * and token statistics; PII must not survive into a released training set).
+  *
+  * Everything here is a chain of codegen'd `regexp_replace` /
+  * `regexp_extract_all` column expressions — zero shuffles, whole-stage
+  * codegen, embarrassingly parallel at 100 TB. Patterns are deliberately
+  * restricted to syntax Java regex and RE2 interpret identically (no
+  * backreferences, no lookaround; `(?s)` dot-all and `\b` word boundaries
+  * are common to both), so every op is DuckDB-oracle-replayable verbatim.
+  */
+object TextClean {
+
+  /** Strip HTML/XML markup down to visible text: script/style blocks go
+    * first (their CONTENT is not text — a tag-only strip would leak
+    * JavaScript into the corpus), then comments, then tags, then the
+    * common entities, then whitespace collapse+trim (tag removal leaves
+    * runs of spaces that would corrupt whitespace tokenization). */
+  def stripMarkupCol(c: Column): Column = {
+    val noBlocks = regexp_replace(c, "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noTags) { case (col0, (ent, ch)) =>
+      regexp_replace(col0, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[stripMarkupCol]] over a frame: adds `text_clean` + its length. */
+  def stripMarkup(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("text_clean", stripMarkupCol(col(textCol)))
+      .withColumn("clean_chars", length(col("text_clean")).cast("long"))
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{7,15}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails / international-format phone numbers / IPv4 addresses to
+    * typed placeholder tokens, and surface per-document match counts (the
+    * release-hygiene audit columns: "how much PII did this shard carry").
+    * Order matters: emails redact FIRST, and the IP count is taken AFTER
+    * email removal — a dotted host inside an already-redacted email must
+    * not ALSO count as an IP. An address with a bare-IP host (`a@10.0.0.1`
+    * — no alphabetic TLD) is not an email by pattern; its host still
+    * redacts as an IP, so the sensitive part never survives. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val noEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    val noIp = regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(noEmail, lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(noPhone, lit(Ipv4Pattern), lit(0))).cast("long"))
+      .withColumn("text_redacted", noIp)
+  }
+}

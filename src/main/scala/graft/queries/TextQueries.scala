@@ -592,6 +592,80 @@ object TextQueries {
                length(nfc_normalize(text || ' café über piña')) AS len_nfc
                FROM documents""")),
 
+    // Markup strip (TextClean.stripMarkup): each document is wrapped in a
+    // deterministic HTML shell (tags, a style block, a comment, a script
+    // whose BODY must vanish — not just its tags — and entities), then
+    // stripped back to visible text. Both engines run the identical
+    // RE2∩Java regex chain independently; whitespace collapses so the
+    // cleaned text tokenizes like the original. Pure map-side codegen.
+    QueryDef("q_x_html_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><style>p{color:red}</style></head><body><!-- nav -->" +
+            "<h1>Doc "), col("doc_id"),
+          lit("</h1><script type=\"a\">var x=1&&2;</script><p>"), col("text"),
+          lit(" &amp; more&nbsp;tail</p></body></html>"))
+        graft.operators.TextClean.stripMarkup(
+            t(s, d, "documents").select(col("doc_id"), html.as("text")))
+          .select(col("doc_id"), col("text_clean"), col("clean_chars"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                '<html><head><style>p{color:red}</style></head><body><!-- nav --><h1>Doc '
+                || CAST(doc_id AS VARCHAR)
+                || '</h1><script type="a">var x=1&&2;</script><p>' || text
+                || ' &amp; more&nbsp;tail</p></body></html>' AS html
+                FROM documents),
+              s1 AS (SELECT doc_id, regexp_replace(html,
+                '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+              s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+              s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+              s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+                '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' ') AS t FROM s3),
+              s5 AS (SELECT doc_id,
+                trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM s4)
+              SELECT doc_id, text_clean,
+                CAST(length(text_clean) AS BIGINT) AS clean_chars FROM s5""")),
+
+    // PII redaction (TextClean.redactPii): deterministic email / phone /
+    // IPv4 injections redact to typed placeholders with per-doc audit
+    // counts. Emails redact before IPs so `u@host` can't leave a host
+    // behind to double-count. The corpus itself is PII-free (probed), so
+    // the injected occurrences are exactly what must be found.
+    QueryDef("q_x_pii_redact",
+      (s, d) => {
+        val withPii = concat(lit("Contact u"), col("doc_id"),
+          lit("@example.com or +1415555"), col("doc_id") % 1000,
+          lit(" node 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
+          lit(" says "), col("text"))
+        graft.operators.TextClean.redactPii(
+            t(s, d, "documents").select(col("doc_id"), withPii.as("text")))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            col("n_ips"), col("text_redacted"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+                 'Contact u' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or +1415555' || CAST(doc_id % 1000 AS VARCHAR)
+                 || ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 || ' says ' || text AS t FROM documents),
+               r1 AS (SELECT doc_id, t,
+                 regexp_replace(t, '${graft.operators.TextClean.EmailPattern}',
+                   '<EMAIL>', 'g') AS t1 FROM p),
+               r2 AS (SELECT doc_id, t, t1,
+                 regexp_replace(t1, '\\+[0-9]{7,15}', '<PHONE>', 'g') AS t2 FROM r1),
+               r3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2,
+                 '${graft.operators.TextClean.Ipv4Pattern}', '<IP>', 'g') AS t3 FROM r2)
+               SELECT doc_id,
+                 CAST(len(regexp_extract_all(t,
+                   '${graft.operators.TextClean.EmailPattern}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(t1,
+                   '\\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(t2,
+                   '${graft.operators.TextClean.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+                 t3 AS text_redacted
+               FROM r3""")),
+
     // Token-rarity features from the corpus's own frequency table — the
     // unigram frequency-filtering signal (docs whose rarest token is
     // corpus-unique carry noise; all-integer outputs, cross-engine exact).

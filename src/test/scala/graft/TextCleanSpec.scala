@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextClean
+
+/** Markup strip + PII redaction: script/style bodies vanish, entities
+  * decode, whitespace collapses; redaction order prevents double counting. */
+class TextCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(s: String): String =
+    TextClean.stripMarkup(Seq((0L, s)).toDF("doc_id", "text"))
+      .select("text_clean").as[String].head()
+
+  test("stripMarkup: tags go, script/style BODIES go, text survives") {
+    assert(clean("<p>hello <b>world</b></p>") == "hello world")
+    assert(clean("a<script>var x='<b>not text</b>';</script>b") == "a b")
+    assert(clean("a<style type=\"x\">p { color: red }</style>b") == "a b")
+    assert(clean("keep<!-- secret comment -->going") == "keep going")
+  }
+
+  test("stripMarkup: entities decode after tag removal; whitespace collapses") {
+    assert(clean("x &amp; y &lt;z&gt; &quot;q&quot; &#39;a&#39;&nbsp;end")
+      == "x & y <z> \"q\" 'a' end")
+    assert(clean("  a\n\n<br/>\t b  ") == "a b")
+    // decoded '<' must NOT re-trigger tag stripping (entities decode last)
+    assert(clean("&lt;p&gt;literal&lt;/p&gt;") == "<p>literal</p>")
+  }
+
+  test("redactPii: typed placeholders, audit counts, email-before-ip order") {
+    val df = Seq(
+      (0L, "mail a.b+c@ex-1.org and bob@10.0.0.1 now"),
+      (1L, "call +4915712345678 twice +123456789"),
+      (2L, "hosts 192.168.0.1 and 8.8.8.8"),
+      (3L, "nothing to hide")).toDF("doc_id", "text")
+    val got = TextClean.redactPii(df)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "text_redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    // bare-IP host is not an email by pattern — but its host (the
+    // sensitive part) still redacts as an IP
+    assert(got(0) == ((0L, 1L, 0L, 1L, "mail <EMAIL> and bob@<IP> now")))
+    assert(got(1) == ((1L, 0L, 2L, 0L, "call <PHONE> twice <PHONE>")))
+    assert(got(2) == ((2L, 0L, 0L, 2L, "hosts <IP> and <IP>")))
+    assert(got(3) == ((3L, 0L, 0L, 0L, "nothing to hide")))
+  }
+}
