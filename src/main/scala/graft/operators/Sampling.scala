@@ -132,6 +132,20 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold =
+    * identity-hash(key) mod k over a salted domain ("|fold" — independent
+    * of every other hash-derived sampling/split decision in the pipeline,
+    * like [[stratifiedSplit]]'s salt). Zero shuffles, reproducible at any
+    * parallelism, re-derivable row-by-row by any engine (the audit
+    * property CV assignments need: fold membership must survive recompute,
+    * re-partitioning, and engine migration). Folds are hash-uniform, not
+    * exactly equal-sized — the standard trade for a stateless stamp. */
+  def kFoldAssign(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    df.withColumn("fold",
+      Hashing.hash64(concat(col(keyCol).cast("string"), lit("|fold"))) % k)
+  }
+
   /** Top-`k` rows per group by (scoreCol desc, keyCol) — the quota/mixing
     * step of a training-data pipeline (e.g. best N documents per language or
     * per source). One shuffle on the group key; Spark's WindowGroupLimit

@@ -46,6 +46,10 @@ object TextClean {
   /** Redact emails / international-format phone numbers / IPv4 addresses to
     * typed placeholder tokens, and surface per-document match counts (the
     * release-hygiene audit columns: "how much PII did this shard carry").
+    * The AUDITED companion to [[graft.functions.Text.redactPii]] — that one
+    * is the aggressive blanket scrub (emails + every digit run); this one
+    * identifies typed entities and reports what it found, the form a
+    * release-review process consumes.
     * Order matters: emails redact FIRST, and the IP count is taken AFTER
     * email removal — a dotted host inside an already-redacted email must
     * not ALSO count as an IP. An address with a bare-IP host (`a@10.0.0.1`

@@ -1050,6 +1050,28 @@ object ParityQueries {
                  CAST(max(p) AS BIGINT) AS max_cents
                FROM binned GROUP BY 1""")),
 
+    // Leave-one-out target encoding (Encoders.targetEncodeLoo): each
+    // order's priority encoded as the category's mean price EXCLUDING the
+    // order itself — the leakage-safe categorical encoder (numerator/
+    // denominator exact BIGINTs, one IEEE division per row; singleton
+    // categories encode NULL). One category-sized aggregate broadcast back.
+    QueryDef("q_x_target_encode",
+      (s, d) => graft.operators.Encoders.targetEncodeLoo(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+            cents(col("o_totalprice")).as("price_cents")),
+          "o_orderpriority", "price_cents")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("price_cents"), col("loo_mean")),
+      Some(s"""WITH v AS (SELECT o_orderkey, o_orderpriority,
+                 ${centsSql("o_totalprice")} AS price_cents FROM orders),
+               st AS (SELECT o_orderpriority, sum(price_cents) AS s,
+                        count(price_cents) AS n FROM v GROUP BY 1)
+               SELECT o_orderkey, o_orderpriority, price_cents,
+                 CASE WHEN n > 1 AND price_cents IS NOT NULL
+                   THEN CAST(s - price_cents AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                 END AS loo_mean
+               FROM v JOIN st USING (o_orderpriority)""")),
+
     // Winsorization at exact [P1, P99] type-1 order statistics
     // (QualityFilter.winsorize): outliers clamp to data-valued cut points
     // (ceiling-rank ⌈n·q⌉-th smallest — pure integer arithmetic end to

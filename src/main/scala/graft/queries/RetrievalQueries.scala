@@ -327,6 +327,19 @@ object RetrievalQueries {
                            FROM documents))
                GROUP BY 1, 2""")),
 
+    // Deterministic 5-fold CV assignment: fold = salted identity hash mod 5,
+    // stamped per document AND censused per (lang, fold) — the oracle
+    // re-derives every fold from the portable hash, proving assignments
+    // survive engine migration; the census shows hash-uniformity.
+    QueryDef("q_x_kfold",
+      (s, d) => graft.operators.Sampling.kFoldAssign(
+          t(s, d, "documents"), "doc_id", k = 5)
+        .groupBy("lang", "fold").agg(count(lit(1)).as("n")),
+      Some(s"""SELECT lang,
+                 ${hash64Sql("(CAST(doc_id AS VARCHAR) || '|fold')")} % 5 AS fold,
+                 count(*) AS n
+               FROM documents GROUP BY 1, 2""")),
+
     // Gap-fill resampling: every user's event stream projected onto a daily
     // grid with the latest event forward-filled — grid explode + the NATIVE
     // as-of join, oracled against DuckDB's own ASOF JOIN (no (user, ts)

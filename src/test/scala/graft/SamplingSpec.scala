@@ -192,6 +192,47 @@ class SamplingSpec extends SparkSpec {
     assert(got == "mail <EMAIL> or call <NUM> <NUM> now")
   }
 
+  test("kFoldAssign: deterministic, partition-independent, disjoint hash domain from split") {
+    val df = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Sampling.kFoldAssign(df, "doc_id", 5)
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    val b = Sampling.kFoldAssign(df.repartition(7), "doc_id", 5)
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    assert(a == b, "fold stamp must be partition-independent")
+    assert(a.values.toSet.subsetOf((0L until 5L).toSet))
+    // every fold populated and roughly uniform on 500 keys
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 5 && sizes.min > 50, s"fold sizes $sizes")
+    // salted domain: fold is NOT a function of the split bucket (they'd
+    // correlate perfectly if both hashed the bare key)
+    val split = Sampling.stratifiedSplit(df, "doc_id", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val trainFolds = a.filter { case (k, _) => split(k) == "train" }.values.toSet
+    assert(trainFolds == (0L until 5L).toSet, "train slice must span all folds")
+    intercept[IllegalArgumentException](Sampling.kFoldAssign(df, "doc_id", 1))
+  }
+
+  test("targetEncodeLoo: self excluded, singleton NULL, null target NULL") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 7L), ("c", 1L), ("c", 3L))
+      .toDF("cat", "t")
+    val got = graft.operators.Encoders.targetEncodeLoo(df, "cat", "t")
+      .select("cat", "t", "loo_mean").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("a", 10L)) == Some(25.0)) // (20+30)/2
+    assert(got(("a", 20L)) == Some(20.0)) // (10+30)/2
+    assert(got(("b", 7L)) == None)        // singleton: no peers
+    assert(got(("c", 1L)) == Some(3.0))
+    // null target: encodes NULL, and peers ignore it in sum AND count
+    val withNull = Seq(("x", Some(4L)), ("x", Some(8L)), ("x", Option.empty[Long]))
+      .toDF("cat", "t")
+    val g2 = graft.operators.Encoders.targetEncodeLoo(withNull, "cat", "t")
+      .select("t", "loo_mean").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(g2(Some(4L)) == Some(8.0) && g2(Some(8L)) == Some(4.0) && g2(None) == None)
+  }
+
   test("temperatureSampleHalf: kept counts flatten toward sqrt(n), smallest kept whole") {
     // sources sized 100 / 400 / 10000: α=1/2 keep-rates 1, 1/2, 1/10
     val df = ((0 until 100).map(i => (i.toLong, "tiny"))
