@@ -116,6 +116,35 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
   }
 
+  /** Primary-key change-data-feed between two versions: each key present
+    * in exactly one version is an `insert`/`delete`; a key in both whose
+    * row CHANGED is an `update` (null-safe field compare — a NULL→value
+    * flip is a change, not a no-op). Unchanged keys are absent from the
+    * feed. Rows carry the NEW values for insert/update and the old values
+    * for delete — the shape downstream sinks replay. Requires `key` to be
+    * unique within each version (PK semantics — a duplicated key would
+    * cross-multiply in the join); the multiset companion for non-keyed
+    * tables is [[diffVersions]]. One key-shuffle per side, output
+    * bounded by the true change volume. */
+  def diffVersionsKeyed(name: String, from: Long, to: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not, struct, when}
+    val a = readVersion(name, from)
+    val b = readVersion(name, to)
+    val cols = b.columns.toSeq
+    val aS = a.select(col(key).as("__k"), struct(cols.map(col): _*).as("__old"))
+    val bS = b.select(col(key).as("__k"), struct(cols.map(col): _*).as("__new"))
+    aS.join(bS, Seq("__k"), "full")
+      .withColumn("op", when(col("__old").isNull, "insert")
+        .when(col("__new").isNull, "delete")
+        .when(not(col("__old") <=> col("__new")), "update"))
+      .filter(col("op").isNotNull)
+      // branch on op, NOT coalesce per field: an update that sets a field
+      // to NULL must ship NULL, not resurrect the old value
+      .select(col("op") +: cols.map(c =>
+        when(col("op") === "delete", col(s"__old.$c"))
+          .otherwise(col(s"__new.$c")).as(c)): _*)
+  }
+
   /** A version is either self-contained (plain directory scan) or, after a
     * file-level append, a `_MANIFEST` whose chain resolves to table-dir-
     * relative data files that may live in OLDER version directories

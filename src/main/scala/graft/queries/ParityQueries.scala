@@ -63,6 +63,11 @@ object ParityQueries {
   private val mergeRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Per-(session, sfDir) root for the keyed-CDC gate (its fixture needs
+    * UPDATES between versions, which the shared cdcCatalog lacks). */
+  private val cdcKeyedRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // S3+P1 — table scan with column projection (pruned at the parquet scan).
@@ -829,6 +834,37 @@ object ParityQueries {
                SELECT o_orderkey, ${centsSql("o_totalprice")} AS rev_cents,
                       'removed' AS change
                FROM orders WHERE o_orderkey % 3 = 2""")),
+
+    // Primary-key CDC between versions (Catalog.diffVersionsKeyed): v0
+    // holds %3 ∈ {0,2}, v1 holds %3 ∈ {0,1} with shared keys ≡0 mod 9
+    // repriced (+77) — so the feed must classify inserts (%3=1), deletes
+    // (%3=2) AND updates (%3=0 ∧ %9=0, shipping NEW values), and emit
+    // nothing for unchanged keys. The row-level shape sinks replay.
+    QueryDef("q_x_cdc_keyed",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(cdcKeyedRoots, s, d, "graft-cdck"))
+        if (!cat.exists("orders_cdck")) {
+          val o = t(s, d, "orders")
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("rev_cents"))
+          cat.write("orders_cdck",
+            o.filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 3 === 2))
+          cat.write("orders_cdck",
+            o.filter(col("o_orderkey") % 3 <= 1)
+              .withColumn("rev_cents", when(col("o_orderkey") % 9 === 0,
+                col("rev_cents") + 77L).otherwise(col("rev_cents"))))
+        }
+        cat.diffVersionsKeyed("orders_cdck", 0, 1, "o_orderkey")
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey,
+                 ${centsSql("o_totalprice")} AS rev_cents FROM orders)
+               SELECT 'insert' AS op, o_orderkey, rev_cents FROM o
+               WHERE o_orderkey % 3 = 1
+               UNION ALL
+               SELECT 'delete', o_orderkey, rev_cents FROM o
+               WHERE o_orderkey % 3 = 2
+               UNION ALL
+               SELECT 'update', o_orderkey, rev_cents + 77 FROM o
+               WHERE o_orderkey % 9 = 0""")),
 
     // Time travel: the CURRENT table and a pinned historical version read
     // side by side in one result — the as-of-yesterday audit query. The

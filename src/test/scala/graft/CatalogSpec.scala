@@ -441,6 +441,25 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 0L)
   }
 
+  test("diffVersionsKeyed: insert/delete/update classified; NULL flips are changes") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+      (4L, Some("d"))).toDF("id", "v"))
+    // v1: 1 unchanged, 2 value→NULL (update shipping NULL), 3 NULL→value,
+    // 4 deleted, 5 inserted
+    cat.write("t", Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Some("c")),
+      (5L, Some("e"))).toDF("id", "v"))
+    val feed = cat.diffVersionsKeyed("t", 0, 1, "id").collect()
+      .map(r => r.getLong(1) -> ((r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))).toMap
+    assert(feed == Map(
+      2L -> (("update", None)),       // NULL ships, old value must NOT resurrect
+      3L -> (("update", Some("c"))),  // NULL→value is a change, not <=> equal
+      4L -> (("delete", Some("d"))),
+      5L -> (("insert", Some("e")))))
+    assert(!feed.contains(1L), "unchanged keys must be absent from the feed")
+  }
+
   test("merge: updates matched, inserts unmatched, carries untouched files") {
     val cat = freshCatalog()
     cat.write("t", (0 until 40).map(i => (i.toLong, s"old$i")).toDF("id", "v")
