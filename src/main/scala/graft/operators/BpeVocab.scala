@@ -347,4 +347,22 @@ object BpeVocab {
       .join(broadcast(encodedVocab(docs, merges, textCol)), Seq("word"))
       .select(col("doc_id"), (size(split(col("sym"), Sep))).cast("long").as("n"))
       .groupBy(col("doc_id")).agg(sum(col("n")).as("n_bpe_symbols"))
+
+  /** Tokenizer fertility audit: per-document BPE symbols per word — the
+    * standard tokenizer-fit metric (fertility ≈ 1 means the vocab covers
+    * the text in whole words; high fertility flags domains/languages the
+    * tokenizer fragments, which inflates training cost and starves their
+    * effective context). Same encode plan as [[encodedLength]] (merge
+    * literals folded per DISTINCT word, broadcast back over the word
+    * stream) plus an exact word count; the ratio is ONE IEEE division of
+    * exact BIGINTs. */
+  def fertility(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    wordStream(docs, idCol, textCol)
+      .join(broadcast(encodedVocab(docs, merges, textCol)), Seq("word"))
+      .select(col("doc_id"), (size(split(col("sym"), Sep))).cast("long").as("n"))
+      .groupBy(col("doc_id")).agg(sum(col("n")).as("n_bpe_symbols"),
+        count(lit(1)).as("n_words"))
+      .withColumn("fertility",
+        col("n_bpe_symbols").cast("double") / col("n_words").cast("double"))
 }

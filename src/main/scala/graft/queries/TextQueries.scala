@@ -409,6 +409,30 @@ object TextQueries {
         t(s, d, "documents"), learnedMerges(s, d)),
       Some(bpeEncodeOracleSql)),
 
+    // Tokenizer fertility: BPE symbols per word, per document — the
+    // tokenizer-fit audit (high fertility = the vocab fragments this
+    // document's domain; the per-language form is how real pipelines
+    // catch under-served languages). Ratio of exact BIGINTs, one IEEE
+    // division; the encode side is q_x_bpe_encode's plan verbatim.
+    QueryDef("q_x_bpe_fertility",
+      (s, d) => graft.operators.BpeVocab.fertility(
+        t(s, d, "documents"), learnedMerges(s, d)),
+      Some(s"""WITH $bpeCtes,
+        dw AS (SELECT doc_id, array_to_string(list_transform(
+                 generate_series(1, length(word)), i -> word[i]), chr(1)) AS sym
+               FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+               WHERE length(word) > 0 AND NOT contains(word, chr(1))),
+        enc1 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM dw CROSS JOIN m1),
+        enc2 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc1 CROSS JOIN m2),
+        enc3 AS (SELECT doc_id, ${bpeFoldSql("sym")} AS sym FROM enc2 CROSS JOIN m3),
+        agg AS (SELECT doc_id,
+                  CAST(sum(len(string_split(sym, chr(1)))) AS BIGINT) AS n_bpe_symbols,
+                  CAST(count(*) AS BIGINT) AS n_words
+                FROM enc3 GROUP BY doc_id)
+        SELECT doc_id, n_bpe_symbols, n_words,
+               CAST(n_bpe_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+        FROM agg""")),
+
     // Encoding under a STORED merge table: learn → Catalog.write (versioned
     // artifact) → loadMerges → encode — the tokenizer-as-artifact production
     // shape (train once, every later job encodes from the stored table).

@@ -79,6 +79,20 @@ class BpeVocabSpec extends SparkSpec {
       Seq(Seq(1L, 5L), Seq(2L, 1L)))
   }
 
+  test("fertility: chars-per-word with no merges; merges reduce it toward 1") {
+    val docs = Seq((1L, "ab cde"), (2L, "x")).toDF("doc_id", "text")
+    val noMerges = BpeVocab.fertility(docs, Nil).orderBy("doc_id")
+      .select("doc_id", "n_bpe_symbols", "n_words", "fertility")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(noMerges(0) == ((1L, 5L, 2L, 2.5)))
+    assert(noMerges(1) == ((2L, 1L, 1L, 1.0)))
+    // a corpus of one repeated word: enough merges fuse it whole → fertility 1
+    val rep = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = BpeVocab.learn(rep, 1)
+    val f = BpeVocab.fertility(rep, merges).select("fertility").as[Double].head()
+    assert(f == 1.0, s"fully merged word must reach fertility 1, got $f")
+  }
+
   test("learn is deterministic across runs") {
     val docs = graft.queries.Q.t(spark, sf0001, "documents")
     assert(BpeVocab.learn(docs, 3) == BpeVocab.learn(docs, 3))
