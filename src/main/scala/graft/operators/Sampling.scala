@@ -46,6 +46,31 @@ object Sampling {
       .withColumn("offset", (col("cum_before") % tokenBudget).cast("long"))
   }
 
+  /** Curriculum-ordered sequence packing: documents are staged into
+    * `phases` difficulty tiers (exact equal-frequency bins of
+    * `difficultyCol` — [[QualityFilter.equalFrequencyBins]], broadcast
+    * cutoffs, map-side stamp) and packed WITHIN (phase, shard), so a
+    * trainer consuming sequences in (phase, shard, seq_id) order sees
+    * easy→hard — curriculum learning's data layout — while each phase
+    * keeps [[packSequences]]'s exact deterministic offsets. Same 100 TB
+    * shape: phases×shards independent pack windows, one shuffle. No
+    * global rank is materialized — (phase, shard, seq_id) IS the order
+    * key, so nothing ever sorts on one task. NULL-difficulty docs land in
+    * phase NULL (binning convention) for the caller to route. */
+  def packSequencesCurriculum(docs: DataFrame, tokenCount: Column, idCol: String,
+      difficultyCol: String, phases: Int, tokenBudget: Int,
+      shards: Int = 64): DataFrame = {
+    val binned = QualityFilter.equalFrequencyBins(docs, difficultyCol, phases)
+      .withColumnRenamed("bin", "phase")
+    val w = Window.partitionBy(col("phase"), col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned.select(col(idCol), tokenCount.cast("long").as("n_tokens"),
+        col("phase"), hashBucket(col(idCol), shards).as("shard"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $tokenBudget"))
+      .withColumn("offset", (col("cum_before") % tokenBudget).cast("long"))
+  }
+
   /** Document chunking: split long documents into `maxTokens`-token windows
     * overlapping by `overlap` tokens (stride = maxTokens − overlap) — the
     * long-document half of sequence shaping (chunk first, then pack). Pure

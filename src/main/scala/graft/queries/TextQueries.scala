@@ -1206,6 +1206,35 @@ object TextQueries {
                      ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
                      FROM documents)""")),
 
+    // Curriculum-ordered packing: 4 equal-frequency difficulty phases on
+    // n_chars (short = easy), sequences packed within (phase, shard) —
+    // consuming in (phase, shard, seq_id) order is the easy→hard
+    // curriculum layout. No global rank: the tuple IS the order key.
+    QueryDef("q_x_curriculum",
+      (s, d) => graft.operators.Sampling.packSequencesCurriculum(
+        t(s, d, "documents"), size(tokens(col("text"))), "doc_id",
+        "n_chars", phases = 4, tokenBudget = 4096, shards = 8),
+      Some(s"""WITH b AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+                 n_chars, ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+                 FROM documents),
+               c AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS cuts
+                     FROM documents),
+               p AS (SELECT doc_id, n_tokens, shard,
+                       CAST(1 + len(list_filter(cuts, x -> n_chars > x)) AS BIGINT)
+                         AS phase
+                     FROM b, c)
+               SELECT doc_id, n_tokens, phase, shard,
+                 CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY phase, shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum_before,
+                 CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY phase, shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // 4096 AS BIGINT) AS seq_id,
+                 CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY phase, shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) % 4096 AS BIGINT) AS offset
+               FROM p""")),
+
     // Document chunking: long docs split into 50-token windows overlapping
     // by 10 (stride 40) — map-side flatMap (explode over a sequence), one
     // row per chunk with its token range, no shuffle.

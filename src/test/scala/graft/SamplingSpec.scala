@@ -192,6 +192,30 @@ class SamplingSpec extends SparkSpec {
     assert(got == "mail <EMAIL> or call <NUM> <NUM> now")
   }
 
+  test("packSequencesCurriculum: phases order by difficulty; per-phase packing ≡ packSequences") {
+    val docs = (1L to 120L).map(i => (i, i % 40 + 1, s"t$i"))
+      .toDF("doc_id", "difficulty", "text")
+    val got = Sampling.packSequencesCurriculum(
+        docs, lit(10L), "doc_id", "difficulty", phases = 4, tokenBudget = 64, shards = 2)
+      .select("doc_id", "phase", "shard", "cum_before", "seq_id", "offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // phase is monotone in difficulty: every phase-1 doc is easier than
+    // every phase-4 doc
+    val diff = docs.select("doc_id", "difficulty").as[(Long, Long)].collect().toMap
+    val byPhase = got.groupBy(_._2).map { case (p, xs) => p -> xs.map(x => diff(x._1)) }
+    assert(byPhase.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byPhase(1L).max <= byPhase(4L).min)
+    // within each phase, the layout IS packSequences of that slice
+    for (p <- 1L to 4L) {
+      val slice = docs.filter(col("difficulty").isin(byPhase(p).distinct: _*))
+      val ref = Sampling.packSequences(slice, lit(10L), "doc_id", 64, 2)
+        .select("doc_id", "shard", "cum_before", "seq_id", "offset")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val cur = got.filter(_._2 == p).map(x => (x._1, x._3, x._4, x._5, x._6)).toSet
+      assert(cur == ref, s"phase $p layout differs from plain packing of its slice")
+    }
+  }
+
   test("kFoldAssign: deterministic, partition-independent, disjoint hash domain from split") {
     val df = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val a = Sampling.kFoldAssign(df, "doc_id", 5)
