@@ -118,6 +118,12 @@ final case class TrainingPipelineConfig(
     // sequences in real tokenizer units (n_bpe_symbols) instead of
     // whitespace tokens — training budgets are BPE tokens
     packByBpe: Option[Int] = None,
+    // when set, pack into this many curriculum phases staged by n_tokens
+    // (short = easy): sequences carry a `phase` column and consuming them
+    // in (phase, shard, seq_id) order is the easy→hard curriculum layout
+    // ([[Sampling.packSequencesCurriculum]]). Mutually exclusive with
+    // packByBpe (each replaces the packing step)
+    curriculumPhases: Option[Int] = None,
     seqTokens: Int = 4096,
     shards: Int = 64,
     corpusTable: String = "training_corpus",
@@ -317,9 +323,16 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
         val healthAnomalies = cfg.healthCheck.map(hc => runHealthCheck(hc, selected))
         val packInput =
           if (cfg.split.isDefined) selected.filter(col("split") === "train") else selected
+        require(cfg.packByBpe.isEmpty || cfg.curriculumPhases.isEmpty,
+          "packByBpe and curriculumPhases both replace the packing step — pick one")
         val packed = cfg.packByBpe match {
-          case None => Sampling.packSequences(
-            packInput, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
+          case None => cfg.curriculumPhases match {
+            case Some(phases) => Sampling.packSequencesCurriculum(
+              packInput, col("n_tokens"), "doc_id", "n_tokens", phases,
+              cfg.seqTokens, cfg.shards)
+            case None => Sampling.packSequences(
+              packInput, col("n_tokens"), "doc_id", cfg.seqTokens, cfg.shards)
+          }
           case Some(steps) =>
             val merges = graft.operators.BpeVocab.learn(packInput, steps)
             // LEFT join: a doc whose every word the BPE vocab dropped

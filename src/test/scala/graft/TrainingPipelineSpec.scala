@@ -296,6 +296,27 @@ class TrainingPipelineSpec extends SparkSpec {
       .filter(col("offset") < 0 || col("offset") >= 8).count() == 0)
   }
 
+  test("curriculumPhases stages sequences easy→hard; exclusive with packByBpe") {
+    import spark.implicits._
+    val tiny = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+      quality = open, curriculumPhases = Some(4), seqTokens = 64, shards = 2))
+    val seqs = cat.read("training_sequences")
+      .select("doc_id", "phase", "n_tokens").as[(Long, Long, Long)].collect()
+    assert(seqs.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    // phase monotone in difficulty (n_tokens = doc_id here)
+    val byPhase = seqs.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._3) }
+    assert(byPhase(1L).max <= byPhase(2L).min && byPhase(3L).max <= byPhase(4L).min)
+    intercept[IllegalArgumentException] {
+      new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+        quality = open, curriculumPhases = Some(4), packByBpe = Some(1)))
+    }
+  }
+
   test("repetition gate drops boilerplate; mixture applies per-group rates") {
     import spark.implicits._
     val varied = (1 to 40).map(i => "tok" + i).mkString(" ")
