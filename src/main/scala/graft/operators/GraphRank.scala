@@ -253,6 +253,40 @@ object GraphRank {
     * node-cardinality collect, no cross join; wedge volume is Σ deg(b)²
     * over middle nodes, the standard bound. Returns one row
     * (n_nodes, n_edges, n_triangles). */
+  /** Synchronous label-propagation communities (LPA): labels start as node
+    * ids; each round EVERY node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by smallest label — fully
+    * deterministic (the classic async LPA depends on visit order; the
+    * synchronous form with a pinned tie-break has one possible trajectory,
+    * which is what lets an oracle replay it round by round). Runs exactly
+    * `rounds` rounds: synchronous LPA can 2-cycle on bipartite-ish
+    * structure rather than converge, so a fixed budget is the SPEC, not a
+    * fallback, and both engines agree at any sf by construction.
+    *
+    * Per round: one edge⋈label equi-join (label side is node-sized) + a
+    * (node, label)-keyed count + a node-keyed struct-min argmax — O(E)
+    * per round with localCheckpoint truncating lineage, the same
+    * silhouette as connected components / k-core. Input: one-directional
+    * undirected edges (a < b); output (node, community). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("n")).distinct()
+      .select(col("n"), col("n").as("community")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val counts = und.join(labels.withColumnRenamed("n", "src"), Seq("src"))
+        .groupBy(col("dst").as("n"), col("community"))
+        .agg(count(lit(1)).as("c"))
+      labels = counts
+        .groupBy(col("n"))
+        .agg(min(struct((-col("c")).as("nc"), col("community").as("l"))).as("best"))
+        .select(col("n"), col("best.l").as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** k-core decomposition by synchronous peeling: each round recomputes
     * undirected degrees and drops every node below `k`, until either a
     * fixed point (no node dropped) or `rounds` rounds have run — whichever

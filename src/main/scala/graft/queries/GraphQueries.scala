@@ -49,6 +49,30 @@ object GraphQueries {
           (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1"""
   }
 
+  /** DuckDB replay of [[graft.operators.GraphRank.labelPropagation]]:
+    * `rounds` synchronous adopt-the-majority-neighbor-label rounds as
+    * chained MATERIALIZED CTEs (argmax = row_number over (count DESC,
+    * label) — the same (−count, label) struct-min order as the Spark
+    * side). */
+  private def lpaOracle(rounds: Int): String = {
+    val head =
+      """WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         e AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+              ON x.g = y.g AND x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS community FROM und)"""
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT und.dst AS n, l${i - 1}.community, count(*) AS c
+            FROM und JOIN l${i - 1} ON und.src = l${i - 1}.n GROUP BY 1, 2),
+          l$i AS MATERIALIZED (SELECT n, community FROM
+            (SELECT n, community, row_number() OVER
+               (PARTITION BY n ORDER BY c DESC, community) AS rk FROM c$i)
+            WHERE rk = 1)"""
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT n, community FROM l$rounds"
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // 3 damped PageRank iterations over the undirected part↔supplier graph
@@ -216,6 +240,14 @@ object GraphQueries {
       (s, d) => graft.operators.GraphRank.kCore(coPurchaseEdges(s, d), 3L, 12),
       Some(kCoreOracle(3, 12)),
     ),
+
+    // Synchronous label-propagation communities, 4 rounds, deterministic
+    // (−count, label) argmax tie-break — the corpus-clustering companion
+    // to connected components (CC merges everything touching; LPA finds
+    // dense cores inside one component). Fixed round budget IS the spec.
+    QueryDef("q_x_lpa_communities",
+      (s, d) => graft.operators.GraphRank.labelPropagation(coPurchaseEdges(s, d), 4),
+      Some(lpaOracle(4))),
 
     // Degree distribution of the same co-purchase graph: how many nodes
     // have each undirected degree — the scale-freeness probe that decides

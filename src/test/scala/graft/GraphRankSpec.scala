@@ -127,6 +127,23 @@ class GraphRankSpec extends SparkSpec {
     assert(ranks(GraphRank.kCore(es.toDF("a", "b"), 2L, 30)) == ref)
   }
 
+  test("labelPropagation: two dense cliques bridge into two communities; deterministic") {
+    // K4 on {1..4} + K4 on {11..14} + one bridge 4-11
+    val k4a = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- a + 1 to 14L) yield (a, b)
+    val edges = (k4a ++ k4b :+ ((4L, 11L))).toDF("a", "b")
+    val com = ranks(GraphRank.labelPropagation(edges, 4))
+    assert(com.size == 8)
+    // each clique converges to ONE community; the two differ
+    val ca = (1L to 3L).map(com).toSet
+    val cb = (12L to 14L).map(com).toSet
+    assert(ca.size == 1 && cb.size == 1 && ca != cb,
+      s"cliques must settle to distinct communities, got $com")
+    // deterministic under repartitioning (sync rounds + pinned tie-break)
+    val again = ranks(GraphRank.labelPropagation(edges.repartition(5), 4))
+    assert(again == com)
+  }
+
   test("determinism: identical ranks across repeated runs and partitionings") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
       .toDF("src", "dst")
