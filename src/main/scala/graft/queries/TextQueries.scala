@@ -1365,6 +1365,32 @@ object TextQueries {
               CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT) AS f1_nonzero
               FROM documents""")),
 
+    // Nearest-neighbor resize through TWO real codec cycles (encode→decode
+    // source, resize, encode→decode result): the 16×16 thumbnail's exact
+    // pixel sum is re-derived by the oracle from the text alone via the
+    // identical integer source-index map — a stubbed decode or a float
+    // resampler cannot match it. Same ASCII/non-empty enforcement as the
+    // audio gate (byte ≡ char code on both sides, filtered identically).
+    QueryDef("q_x_image_resize",
+      (s, d) => graft.multimodal.Multimodal.imageResizeProbe(
+        t(s, d, "documents")
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            col("text") =!= "")),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+                WHERE octet_length(CAST(text AS BLOB)) = length(text) AND text <> ''),
+              dims AS (SELECT doc_id, text, n,
+                greatest(1, (n + 63) // 64) AS srch FROM d),
+              idx AS (SELECT doc_id, text, n,
+                flatten(list_transform(generate_series(0, 15), y ->
+                  list_transform(generate_series(0, 15), x ->
+                    ((y * srch) // 16) * 64 + ((x * 64) // 16)))) AS ids
+                FROM dims)
+              SELECT doc_id, CAST(16 AS BIGINT) AS dst_w, CAST(16 AS BIGINT) AS dst_h,
+                CAST(list_sum(list_transform(ids, i ->
+                  CASE WHEN i < n THEN ord(text[i+1]) ELSE 0 END)) AS BIGINT) AS pixel_sum,
+                CAST(len(list_filter(ids, i -> i < n)) AS BIGINT) AS n_nonzero
+              FROM idx""")),
+
     // The oracle derives samples from CHARACTERS (split + ord) while
     // wavSynth packs BYTES — equal only for pure-ASCII, non-empty text.
     // That assumption is ENFORCED, not assumed: both sides filter to

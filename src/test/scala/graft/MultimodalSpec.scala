@@ -132,6 +132,19 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == direct)
   }
 
+  test("imageResizeProbe: nearest-neighbor index map, hand-checked on a known raster") {
+    import spark.implicits._
+    // 128 'A's: source raster 64×2, every in-payload pixel = 65. 16×16 dst:
+    // srcY = y*2/16 ∈ {0,1} (rows 0-7 → 0, 8-15 → 1), srcX = x*4 — all
+    // sampled indices < 128, so every dst pixel is 65.
+    val docs = Seq((1L, "A" * 128), (2L, "B" * 10)).toDF("doc_id", "text")
+    val got = rows(Multimodal.imageResizeProbe(docs).orderBy("doc_id"))
+    assert(got(0) == Seq(1L, 16L, 16L, 256L * 65L, 256L))
+    // 10 'B's: srcH = 1, srcX = x*4 → indices 0,4,8 < 10 hit 'B' (66) in
+    // each of the 16 identical rows; the rest are zero padding
+    assert(got(1) == Seq(2L, 16L, 16L, 16L * 3L * 66L, 16L * 3L))
+  }
+
   test("JPEG: real JDK decode — SOF header probe, tolerance round-trip, routed features") {
     import Multimodal.PngCodec
     val bytes = Array.tabulate[Byte](96)(i => (i * 2).toByte)
