@@ -39,6 +39,40 @@ object TextClean {
     df.withColumn("text_clean", stripMarkupCol(col(textCol)))
       .withColumn("clean_chars", length(col("text_clean")).cast("long"))
 
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+
+  /** Extract every http(s) URL as its own row (doc_id, url, host,
+    * domain): host = the authority part, domain = the last two
+    * dot-labels (the registrable-domain approximation a blocklist keys
+    * on — a real eTLD+1 needs the public-suffix list; two labels is the
+    * standard engine-side stand-in and is exactly replayable in SQL).
+    * One map-side explode of `regexp_extract_all`; volume is
+    * URL-occurrence-shaped. The census/blocklist primitive of crawl
+    * curation (domain-level spam/seo filtering à la RefinedWeb). */
+  def extractUrls(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val url = explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+    val host = regexp_extract(col("url"), "^https?://([A-Za-z0-9.-]+)", 1)
+    df.select(col(idCol).as("doc_id"), url.as("url"))
+      .withColumn("host", host)
+      // regex, not split+slice: both engines return '' for a single-label
+      // host, so the two sides cannot diverge on the degenerate case
+      .withColumn("domain",
+        regexp_extract(col("host"), "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
+  }
+
+  /** Drop every document that links into a blocked domain — the
+    * domain-blocklist gate. The blocklist is a (domain) frame, broadcast
+    * into a left-anti join against the distinct (doc, domain) link set;
+    * docs with no URLs survive (nothing to match). */
+  def filterBlockedDomains(df: DataFrame, blocklist: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val offenders = extractUrls(df, idCol, textCol)
+      .join(broadcast(blocklist), Seq("domain"), "left_semi")
+      .select(col("doc_id")).distinct()
+    df.join(offenders.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{7,15}"
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

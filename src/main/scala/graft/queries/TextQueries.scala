@@ -690,6 +690,51 @@ object TextQueries {
                  t3 AS text_redacted
                FROM r3""")),
 
+    // URL census (TextClean.extractUrls): deterministic URL injections
+    // exploded to (doc, url, host, registrable-domain) rows and censused
+    // per domain — the crawl-curation census a domain blocklist keys on.
+    QueryDef("q_x_url_census",
+      (s, d) => {
+        val withUrls = concat(lit("visit https://w"), col("doc_id") % 5,
+          lit(".site"), col("doc_id") % 11, lit(".org/p/"), col("doc_id"),
+          lit(" and http://ads.tracker"), col("doc_id") % 2, lit(".io plus "),
+          col("text"))
+        graft.operators.TextClean.extractUrls(
+            t(s, d, "documents").select(col("doc_id"), withUrls.as("text")))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_urls"), count_distinct(col("doc_id")).as("n_docs"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+                 'visit https://w' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.site' || CAST(doc_id % 11 AS VARCHAR)
+                 || '.org/p/' || CAST(doc_id AS VARCHAR)
+                 || ' and http://ads.tracker' || CAST(doc_id % 2 AS VARCHAR)
+                 || '.io plus ' || text AS t FROM documents),
+               u AS (SELECT doc_id, unnest(regexp_extract_all(t,
+                 '${graft.operators.TextClean.UrlPattern}', 0)) AS url FROM p),
+               h AS (SELECT doc_id,
+                 regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS host FROM u)
+               SELECT regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1)
+                   AS domain,
+                 count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+               FROM h GROUP BY 1""")),
+
+    // Domain blocklist: documents linking into a blocked registrable
+    // domain drop (distinct offender set, broadcast semi-join); URL-free
+    // and clean-linking docs survive. RefinedWeb-style crawl hygiene.
+    QueryDef("q_x_domain_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val withUrls = concat(lit("see http://ads.tracker"), col("doc_id") % 2,
+          lit(".io plus "), col("text"))
+        graft.operators.TextClean.filterBlockedDomains(
+            t(s, d, "documents").select(col("doc_id"), withUrls.as("text"),
+              col("lang")),
+            Seq("tracker0.io", "never-linked.example").toDF("domain"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1""")),
+
     // Token-rarity features from the corpus's own frequency table — the
     // unigram frequency-filtering signal (docs whose rarest token is
     // corpus-unique carry noise; all-integer outputs, cross-engine exact).

@@ -27,6 +27,31 @@ class TextCleanSpec extends SparkSpec {
     assert(clean("&lt;p&gt;literal&lt;/p&gt;") == "<p>literal</p>")
   }
 
+  test("extractUrls: host/domain split; single-label hosts give empty domain") {
+    val df = Seq(
+      (1L, "go https://a.b.example.org/x?q=1 or http://plain.io now"),
+      (2L, "bare http://localhost/admin here"),
+      (3L, "no links at all")).toDF("doc_id", "text")
+    val got = TextClean.extractUrls(df)
+      .select("doc_id", "url", "host", "domain")
+      .as[(Long, String, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, "http://plain.io", "plain.io", "plain.io"),
+      (1L, "https://a.b.example.org/x?q=1", "a.b.example.org", "example.org"),
+      (2L, "http://localhost/admin", "localhost", "")))
+  }
+
+  test("filterBlockedDomains: offenders drop, URL-free docs survive") {
+    val df = Seq(
+      (1L, "see http://ads.bad.net/x"),
+      (2L, "see https://fine.org/y"),
+      (3L, "no urls")).toDF("doc_id", "text")
+    val block = Seq("bad.net").toDF("domain")
+    val kept = TextClean.filterBlockedDomains(df, block)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("redactPii: typed placeholders, audit counts, email-before-ip order") {
     val df = Seq(
       (0L, "mail a.b+c@ex-1.org and bob@10.0.0.1 now"),
