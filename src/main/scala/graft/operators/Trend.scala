@@ -111,6 +111,26 @@ object Trend {
     * same determinants in HUGEINT). Inputs must already be exact integers
     * (cents / basis points / counts). Returns one row
     * (n, b0, b1, b2; NULL coefficients when the system is singular). */
+  /** Inter-arrival burstiness profile: per-key event gaps (each key's
+    * stream ordered by (ts, tie)) censused into power-of-two buckets,
+    * where bucket = length of the gap's binary rendering (⌊log₂ gap⌋+1
+    * for gap > 0, 1 for gap 0) — an INTEGER log scale with no IEEE log
+    * to disagree at bucket boundaries. The arrival-process shape signal:
+    * human traffic is heavy-tailed across many buckets, bot/replay
+    * traffic spikes one or two. One key-partitioned lag window + one
+    * bucket-keyed aggregate; output is bucket-cardinality-sized (≤ 64). */
+  def interArrivalBuckets(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("gap", col(tsCol) - col("__prev"))
+      .withColumn("bucket", length(bin(col("gap"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+  }
+
   def olsFit2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}

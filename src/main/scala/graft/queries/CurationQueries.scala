@@ -269,6 +269,10 @@ object CurationQueries {
     // Top-100 by (count, center, context) keeps the gate output bounded.
     QueryDef("q_x_skipgrams",
       (s, d) => {
+        // rank-filter form: Spark's WindowGroupLimit rewrites the
+        // row_number <= k filter into a per-partition top-k before the
+        // single-partition merge (measured faster than an explicit
+        // orderBy+limit+re-rank, which pays an extra sort exchange)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("n_pairs").desc, col("center"), col("context"))
         graft.operators.NgramLm.skipGramPairs(docs(s, d), window = 2)

@@ -454,6 +454,22 @@ object EventQueries {
     // it stays one window over one (user,type)-keyed shuffle and is
     // engine-portable; the output pins every keep decision via kept-side
     // aggregates. Integer-µs arithmetic throughout.
+    // Inter-arrival burstiness census (Trend.interArrivalBuckets): per-user
+    // event gaps in integer power-of-two buckets (length of bin(gap) — no
+    // IEEE log at bucket edges). Bot-vs-human arrival-shape audit.
+    QueryDef("q_x_interarrival",
+      (s, d) => graft.operators.Trend.interArrivalBuckets(
+        events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        "user_id", "ts_us", "event_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                         FROM events WHERE user_id IS NOT NULL),
+              g AS (SELECT tus - lag(tus) OVER (PARTITION BY user_id
+                      ORDER BY tus, event_id) AS gap FROM e)
+              SELECT CAST(length(bin(gap)) AS BIGINT) AS bucket,
+                     count(*) AS n_gaps, min(gap) AS min_gap, max(gap) AS max_gap
+              FROM g WHERE gap IS NOT NULL GROUP BY 1""")),
+
     QueryDef("q_x_event_debounce",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))
