@@ -92,6 +92,17 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1)._4 == 0.0 && got(1)._3 == 1L)
   }
 
+  test("interArrivalBuckets: integer log2 buckets, per-key gaps, zero-gap edge") {
+    // user 7 gaps: 1 (bucket 1), 7 (bucket 3), 0 (bucket 1: bin(0)='0');
+    // user 8 contributes no gap (single event)
+    val ev = Seq((1L, 7L, 10L), (2L, 7L, 11L), (3L, 7L, 18L), (4L, 7L, 18L),
+      (5L, 8L, 99L)).toDF("event_id", "user_id", "ts_us")
+    val got = Trend.interArrivalBuckets(ev, "user_id", "ts_us", "event_id")
+      .select("bucket", "n_gaps", "min_gap", "max_gap")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 0L, 1L), (3L, 1L, 7L, 7L)))
+  }
+
   test("ewmaHalf matches the renormalized EWMA recurrence per key") {
     val ev = Seq(
       (1L, 7L, 10L, 1.00), (2L, 7L, 20L, 2.00), (3L, 7L, 30L, 4.00),
