@@ -304,9 +304,10 @@ object BpeVocab {
   }
 
   /** The corpus word stream: (doc_id, word) per occurrence, Sep-safe. */
-  private def wordStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.Text.tokens(col(textCol))).as("word"))
+  private def wordStream(docs: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol).as("doc_id") +: extraCols.map(col) :+
+      explode(graft.functions.Text.tokens(col(textCol))).as("word"): _*)
       .filter(length(col("word")) > 0 && !col("word").contains(Sep))
 
   /** Token-id view of the encoded corpus: (doc_id, id, n) — each document's
@@ -356,6 +357,24 @@ object BpeVocab {
     * literals folded per DISTINCT word, broadcast back over the word
     * stream) plus an exact word count; the ratio is ONE IEEE division of
     * exact BIGINTs. */
+  /** [[fertility]] aggregated per group (language / source / shard):
+    * corpus-level symbols-per-word per group from the SAME one-encode
+    * plan — the multilingual audit that catches a tokenizer starving its
+    * minority languages (the per-doc form can't show a group-level skew
+    * at a glance). Group ratio = Σsymbols/Σwords, one IEEE division per
+    * group row. */
+  def fertilityPerGroup(docs: DataFrame, merges: Seq[Merge], groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    wordStream(docs.withColumn("__grp", col(groupCol)), idCol, textCol,
+        extraCols = Seq("__grp"))
+      .join(broadcast(encodedVocab(docs, merges, textCol)), Seq("word"))
+      .select(col("__grp").as(groupCol),
+        (size(split(col("sym"), Sep))).cast("long").as("n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_bpe_symbols"), count(lit(1)).as("n_words"))
+      .withColumn("fertility",
+        col("n_bpe_symbols").cast("double") / col("n_words").cast("double"))
+
   def fertility(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     wordStream(docs, idCol, textCol)

@@ -433,6 +433,29 @@ object TextQueries {
                CAST(n_bpe_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
         FROM agg""")),
 
+    // Per-language fertility: corpus-level symbols-per-word per lang from
+    // the same one-encode plan — the multilingual tokenizer audit (a vocab
+    // fit on the majority language shows up as elevated minority-language
+    // fertility here, invisible in per-doc rows).
+    QueryDef("q_x_bpe_fertility_per_lang",
+      (s, d) => graft.operators.BpeVocab.fertilityPerGroup(
+        t(s, d, "documents"), learnedMerges(s, d), "lang"),
+      Some(s"""WITH $bpeCtes,
+        dw AS (SELECT doc_id, lang, array_to_string(list_transform(
+                 generate_series(1, length(word)), i -> word[i]), chr(1)) AS sym
+               FROM (SELECT doc_id, lang, unnest($tokensSql) AS word FROM documents)
+               WHERE length(word) > 0 AND NOT contains(word, chr(1))),
+        enc1 AS (SELECT doc_id, lang, ${bpeFoldSql("sym")} AS sym FROM dw CROSS JOIN m1),
+        enc2 AS (SELECT doc_id, lang, ${bpeFoldSql("sym")} AS sym FROM enc1 CROSS JOIN m2),
+        enc3 AS (SELECT doc_id, lang, ${bpeFoldSql("sym")} AS sym FROM enc2 CROSS JOIN m3),
+        agg AS (SELECT lang,
+                  CAST(sum(len(string_split(sym, chr(1)))) AS BIGINT) AS n_bpe_symbols,
+                  CAST(count(*) AS BIGINT) AS n_words
+                FROM enc3 GROUP BY lang)
+        SELECT lang, n_bpe_symbols, n_words,
+               CAST(n_bpe_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+        FROM agg""")),
+
     // Encoding under a STORED merge table: learn → Catalog.write (versioned
     // artifact) → loadMerges → encode — the tokenizer-as-artifact production
     // shape (train once, every later job encodes from the stored table).
