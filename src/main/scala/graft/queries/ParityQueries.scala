@@ -970,7 +970,7 @@ object ParityQueries {
             .select(col("c_custkey"), lit("MERGED").as("c_mktsegment"),
               (col("bal_cents") + 111L).as("bal_cents"))
             .unionByName(base.filter(col("c_custkey") % 50 === 0)
-              .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              .select((col("c_custkey") + 1000000000L).as("c_custkey"),
                 lit("INSERTED").as("c_mktsegment"), lit(4242L).as("bal_cents")))
           cat.merge("customers_merge", src, "c_custkey",
             whenMatchedDelete = Some(col("c_custkey") % 20 === 0))
@@ -984,7 +984,7 @@ object ParityQueries {
                         bal_cents + 111 AS bal_cents
                  FROM base WHERE c_custkey % 5 = 0
                  UNION ALL
-                 SELECT c_custkey + 1000000, 'INSERTED', 4242
+                 SELECT c_custkey + 1000000000, 'INSERTED', 4242
                  FROM base WHERE c_custkey % 50 = 0)
                SELECT b.* FROM base b
                WHERE b.c_custkey NOT IN (SELECT c_custkey FROM src)
