@@ -38,6 +38,35 @@ object TextIndex {
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings: one row per term OCCURRENCE with its 0-based
+    * token position — the index layout phrase and proximity queries need
+    * (the bag-of-words [[postings]] can't see adjacency). Same
+    * word-count shape, one explode, no shuffle until a consumer groups. */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.Text.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search over positional postings: a k-term phrase matches
+    * where term_i sits at anchor+i for every i — k−1 equi-joins on
+    * (doc_id, position), each join side pre-filtered to ONE term's
+    * postings (term-frequency-sized, not corpus-sized; with the
+    * term-sorted stored index those filters are file-pruned seeks).
+    * Returns per-doc phrase occurrence counts — the "exact quote" lookup
+    * of contamination forensics and boilerplate hunting. Plans as a
+    * chain of shuffled equi-joins on (doc_id, anchor): volume is bounded
+    * by the rarest term's postings list. */
+  def phraseSearch(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val anchored = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    }
+    anchored.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Per-term document frequency over a postings frame. */
   def docFrequencies(post: DataFrame): DataFrame =
     post.groupBy("term").agg(count(lit(1)).as("df"))

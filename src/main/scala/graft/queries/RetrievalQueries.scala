@@ -97,6 +97,25 @@ object RetrievalQueries {
                 ON c.c_lo <= s.s_hi AND s.s_lo <= c.c_hi
               GROUP BY 1""")),
 
+    // Exact phrase search over POSITIONAL postings: the 3-term phrase
+    // matches where term_i sits at anchor+i — two (doc, anchor)
+    // equi-joins, each side pre-filtered to one term's postings (bounded
+    // by the rarest term's list). The "exact quote" lookup of
+    // contamination forensics; the oracle scans every window directly.
+    QueryDef("q_x_phrase_search",
+      (s, d) => graft.operators.TextIndex.phraseSearch(
+        graft.operators.TextIndex.positionalPostings(
+          t(s, d, "documents"), "doc_id", "text"),
+        Seq("slow", "hash", "batch")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+               m AS (SELECT doc_id,
+                       len(list_filter(generate_series(1, greatest(len(toks) - 2, 0)),
+                         i -> toks[i] = 'slow' AND toks[i+1] = 'hash'
+                              AND toks[i+2] = 'batch')) AS n
+                     FROM tk)
+               SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+               FROM m WHERE n > 0""")),
+
     // Inverted-index search, integer-exact scoring: top-10 documents for a
     // 4-term query by sum(tf · (10^6 div df)) — rare terms dominate. The
     // engine path touches only the query terms' postings; the oracle

@@ -27,6 +27,22 @@ class TextIndexSpec extends SparkSpec {
     assert(got == naiveIndex)
   }
 
+  test("phraseSearch: adjacency-exact, overlapping matches count, boundaries hold") {
+    val post = TextIndex.positionalPostings(docs, "doc_id", "text")
+    // "merge sort merge" occurs once in doc 1; "sort merge" once
+    def hits(p: String*) = TextIndex.phraseSearch(post, p)
+      .as[(Long, Long)].collect().toMap
+    assert(hits("merge", "sort", "merge") == Map(1L -> 1L))
+    assert(hits("sort", "merge") == Map(1L -> 1L))
+    // overlapping occurrences each count: "spark spark" in doc 5 (4 sparks) = 3
+    assert(hits("spark", "spark") == Map(5L -> 3L))
+    // single-term phrase = term frequency per doc
+    assert(hits("window") == Map(2L -> 1L, 3L -> 2L))
+    // order matters: reversed phrase does not match
+    assert(hits("sort", "spark").isEmpty)
+    intercept[IllegalArgumentException](TextIndex.phraseSearch(post, Nil))
+  }
+
   test("searchWeighted scores are the exact integer formula, ranked with doc_id tie-break") {
     val post = TextIndex.postings(docs, "doc_id", "text")
     val dfm = naiveIndex.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
