@@ -233,6 +233,38 @@ object QualityFilter {
         .otherwise(least(greatest(m, col("lo_cut")), col("hi_cut"))))
   }
 
+  /** Per-GROUP winsorization: each group (language / source / shard)
+    * clamps at its OWN exact ceiling-rank order statistics — the grouped
+    * companion to [[winsorize]], for the same reason [[quantileGateGrouped]]
+    * exists: a global clamp is majority-group-dominated and mangles the
+    * minority groups' tails. Cut derivation is one (group, value)
+    * histogram + a group-partitioned cumulative window (value-cardinality
+    * sized per group, never row-sized) + a group-keyed 1-row-per-group cut
+    * aggregate joined back map-side. All integer arithmetic. */
+  def winsorizeGrouped(df: DataFrame, groupCol: String, metricCol: String,
+      loNum: Long, hiNum: Long, den: Long): DataFrame = {
+    require(0 <= loNum && loNum <= hiNum && hiNum <= den,
+      s"need 0 <= lo <= hi <= 1, got $loNum/$den..$hiNum/$den")
+    val m = col(metricCol)
+    val g = col(groupCol)
+    val hist = df.filter(m.isNotNull).groupBy(g.as("__g"), m.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+        .orderBy(col("__v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+    val cuts = cum.groupBy(col("__g").as(groupCol)).agg(
+      min(when(col("__cum") >= expr(s"(__n * $loNum + ${den - 1}) div $den"),
+        col("__v"))).as("lo_cut"),
+      min(when(col("__cum") >= expr(s"(__n * $hiNum + ${den - 1}) div $den"),
+        col("__v"))).as("hi_cut"))
+    df.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn(s"${metricCol}_w", when(m.isNull, lit(null))
+        .otherwise(least(greatest(m, col("lo_cut")), col("hi_cut"))))
+  }
+
   /** The published Gopher document-quality rule set (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", App. A1.1) — the standard
     * heuristic battery run BEFORE any model-based filtering:

@@ -1136,6 +1136,35 @@ object ParityQueries {
                  END AS price_cents_w
                FROM v, cuts""")),
 
+    // Per-group winsorization: each order priority clamps at its OWN
+    // [P5, P95] ceiling-rank order statistics (a global clamp would be
+    // majority-class-dominated) — all integer arithmetic, group cuts
+    // derived in one histogram + grouped cumulative window.
+    QueryDef("q_x_winsorize_grouped",
+      (s, d) => graft.operators.QualityFilter.winsorizeGrouped(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+            cents(col("o_totalprice")).as("price_cents")),
+          "o_orderpriority", "price_cents", 5L, 95L, 100L)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("price_cents"), col("lo_cut"), col("hi_cut"),
+          col("price_cents_w")),
+      Some(s"""WITH v AS (SELECT o_orderkey, o_orderpriority,
+                 ${centsSql("o_totalprice")} AS m FROM orders),
+               h AS (SELECT o_orderpriority, m AS val, count(*) AS c FROM v
+                     WHERE m IS NOT NULL GROUP BY 1, 2),
+               cum AS (SELECT o_orderpriority, val,
+                 sum(c) OVER (PARTITION BY o_orderpriority ORDER BY val) AS cum,
+                 sum(c) OVER (PARTITION BY o_orderpriority) AS n FROM h),
+               cuts AS (SELECT o_orderpriority,
+                 min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN val END) AS lo_cut,
+                 min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN val END) AS hi_cut
+                 FROM cum GROUP BY 1)
+               SELECT o_orderkey, o_orderpriority, m AS price_cents,
+                 lo_cut, hi_cut,
+                 CASE WHEN m IS NULL THEN NULL
+                      ELSE least(greatest(m, lo_cut), hi_cut) END AS price_cents_w
+               FROM v JOIN cuts USING (o_orderpriority)""")),
+
     // Unpivot/melt (the relational wide→long reshape, Spark's native
     // Dataset.unpivot): the pricing-summary wide aggregate melted into
     // (l_returnflag, metric, value) rows — exact integer cents so the

@@ -60,6 +60,25 @@ class ColumnStatsSpec extends SparkSpec {
     assert((cuts.getLong(0), cuts.getLong(1)) == ((1L, 26L)))
   }
 
+  test("winsorizeGrouped: per-group cuts ≡ per-slice winsorize; groups independent") {
+    val df = ((1L to 100L).map(v => ("a", v)) ++ (1L to 10L).map(v => ("b", v * 1000)))
+      .toDF("g", "v")
+    val got = QualityFilter.winsorizeGrouped(df, "g", "v", 10L, 90L, 100L)
+      .select("g", "v", "lo_cut", "hi_cut", "v_w").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // group a: cuts (10, 90) as in the global spec; group b: n=10,
+    // kLo=ceil(10·10/100)=1 → 1000, kHi=ceil(10·90/100)=9 → 9000
+    assert(got(("a", 5L)) == ((10L, 90L, 10L)))
+    assert(got(("a", 95L)) == ((10L, 90L, 90L)))
+    assert(got(("b", 1000L)) == ((1000L, 9000L, 1000L)))
+    assert(got(("b", 10000L)) == ((1000L, 9000L, 9000L)))
+    // slice-equivalence: grouped result on each group's slice == global form
+    val aOnly = QualityFilter.winsorize(df.filter(col("g") === "a"), "v", 10L, 90L, 100L)
+      .select("v", "v_w").as[(Long, Long)].collect().toMap
+    got.collect { case (("a", v), (_, _, w)) => assert(aOnly(v) == w) }
+  }
+
   test("equalFrequencyBins: ties share a bin; NULL metric bins NULL") {
     val df = (Seq.fill(90)(Some(5L)) ++ Seq(Some(99L)) ++ Seq(None)).toDF("v")
     val got = QualityFilter.equalFrequencyBins(df, "v", 3)
