@@ -50,6 +50,10 @@ object RetrievalQueries {
   private val textIndexRoots =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
 
+  /** Per-(session, sfDir) roots for the stored POSITIONAL index. */
+  private val posIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Point-in-interval range join as a bucketed equi-join: each supplier
@@ -107,6 +111,32 @@ object RetrievalQueries {
         graft.operators.TextIndex.positionalPostings(
           t(s, d, "documents"), "doc_id", "text"),
         Seq("slow", "hash", "batch")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+               m AS (SELECT doc_id,
+                       len(list_filter(generate_series(1, greatest(len(toks) - 2, 0)),
+                         i -> toks[i] = 'slow' AND toks[i+1] = 'hash'
+                              AND toks[i+2] = 'batch')) AS n
+                     FROM tk)
+               SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+               FROM m WHERE n > 0""")),
+
+    // Phrase search through a PERSISTED positional index: positional
+    // postings written once term-sorted (term-range file pruning, the
+    // posting-list-seek analogue), the same phrase query reads the stored
+    // table. Same oracle as q_x_phrase_search — the stored layout must
+    // not change one count.
+    QueryDef("q_x_phrase_search_indexed",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(posIndexRoots, s, d, "graft-pos-index"))
+        if (!cat.exists("pos_postings"))
+          cat.writeSorted("pos_postings",
+            graft.operators.TextIndex.positionalPostings(
+              t(s, d, "documents"), "doc_id", "text"),
+            8, "term")
+        graft.operators.TextIndex.phraseSearch(cat.read("pos_postings"),
+          Seq("slow", "hash", "batch"))
+      },
       Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
                m AS (SELECT doc_id,
                        len(list_filter(generate_series(1, greatest(len(toks) - 2, 0)),
