@@ -111,6 +111,25 @@ object Trend {
     * same determinants in HUGEINT). Inputs must already be exact integers
     * (cents / basis points / counts). Returns one row
     * (n, b0, b1, b2; NULL coefficients when the system is singular). */
+  /** Day-of-week seasonality profile per key: event counts and share per
+    * (key, dow) — the weekly-shape baseline that turns raw volume into a
+    * comparable fingerprint (weekday-heavy API traffic vs flat bot
+    * traffic), and the profile table a seasonal anomaly check scores
+    * residuals against. dow is pure integer arithmetic on µs-since-epoch
+    * ((epoch_day + 3) mod 7, 0 = Monday — epoch day 0 was a Thursday), so
+    * no engine's timezone/locale DOW convention is involved (the classic
+    * cross-engine DOW off-by-one is arithmetic here, not calendar). Share
+    * is one IEEE division of exact counts. One aggregate, key×7 rows. */
+  def dowProfile(events: DataFrame, keyCol: String, tsUsCol: String): DataFrame = {
+    val dow = expr(s"(($tsUsCol div 86400000000) + 3) % 7")
+    events.groupBy(col(keyCol), dow.cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("key_total", sum(col("n_events")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      .withColumn("share",
+        col("n_events").cast("double") / col("key_total").cast("double"))
+  }
+
   /** Inter-arrival burstiness profile: per-key event gaps (each key's
     * stream ordered by (ts, tie)) censused into power-of-two buckets,
     * where bucket = length of the gap's binary rendering (⌊log₂ gap⌋+1

@@ -454,6 +454,24 @@ object EventQueries {
     // it stays one window over one (user,type)-keyed shuffle and is
     // engine-portable; the output pins every keep decision via kept-side
     // aggregates. Integer-µs arithmetic throughout.
+    // Day-of-week seasonality per event type (Trend.dowProfile): counts
+    // and shares per (type, dow), dow as pure µs arithmetic (no calendar
+    // function, no cross-engine DOW convention) — the weekly-shape
+    // fingerprint seasonal anomaly checks score against.
+    QueryDef("q_x_dow_profile",
+      (s, d) => graft.operators.Trend.dowProfile(
+        events(s, d).select(col("event_type"), col("ts_us")),
+        "event_type", "ts_us"),
+      Some("""WITH e AS (SELECT event_type,
+                ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow FROM events),
+              c AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                      count(*) AS n_events FROM e GROUP BY 1, 2),
+              t AS (SELECT event_type, sum(n_events) AS key_total FROM c GROUP BY 1)
+              SELECT c.event_type, dow, n_events,
+                CAST(key_total AS BIGINT) AS key_total,
+                CAST(n_events AS DOUBLE) / CAST(key_total AS DOUBLE) AS share
+              FROM c JOIN t USING (event_type)""")),
+
     // Inter-arrival burstiness census (Trend.interArrivalBuckets): per-user
     // event gaps in integer power-of-two buckets (length of bin(gap) — no
     // IEEE log at bucket edges). Bot-vs-human arrival-shape audit.

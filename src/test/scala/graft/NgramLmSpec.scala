@@ -103,6 +103,20 @@ class NgramLmSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0L, 1L), (3L, 1L, 7L, 7L)))
   }
 
+  test("dowProfile: epoch-day arithmetic pins Monday=0; shares sum to 1 per key") {
+    // epoch day 0 (1970-01-01) was a THURSDAY → dow 3; day 4 = Monday → 0
+    val us = 86400000000L
+    val ev = Seq(("a", 0L * us), ("a", 4L * us), ("a", 4L * us + 5L), ("b", 11L * us))
+      .toDF("k", "ts_us")
+    val got = Trend.dowProfile(ev, "k", "ts_us")
+      .select("k", "dow", "n_events", "key_total", "share")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 2L, 3L, 2.0 / 3.0), // day 4 + same-day event: Monday
+      ("a", 3L, 1L, 3L, 1.0 / 3.0), // day 0: Thursday
+      ("b", 0L, 1L, 1L, 1.0)))      // day 11 = Monday again
+  }
+
   test("ewmaHalf matches the renormalized EWMA recurrence per key") {
     val ev = Seq(
       (1L, 7L, 10L, 1.00), (2L, 7L, 20L, 2.00), (3L, 7L, 30L, 4.00),
