@@ -265,6 +265,35 @@ object QualityFilter {
         .otherwise(least(greatest(m, col("lo_cut")), col("hi_cut"))))
   }
 
+  /** Exact per-group order statistics: one row per group with the
+    * ⌈n·q⌉-th smallest metric value for each requested quantile
+    * (numerator/den exact rationals) — the p50/p95/p99 SLA report, in
+    * the same pure-integer type-1 form as [[winsorize]] (data-valued
+    * results, no interpolation, NULLs excluded from ranks). One
+    * (group, value) histogram + a grouped cumulative window
+    * (value-cardinality-sized) + one cut aggregate. */
+  def groupOrderStats(df: DataFrame, groupCol: String, metricCol: String,
+      numerators: Seq[Long], den: Long): DataFrame = {
+    require(numerators.nonEmpty && numerators.forall(n => n >= 0 && n <= den),
+      s"quantile numerators must lie in [0, $den]")
+    val m = col(metricCol)
+    val g = col(groupCol)
+    val cum = df.filter(m.isNotNull).groupBy(g.as("__g"), m.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+          .orderBy(col("__v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+    val aggs = numerators.map { q =>
+      min(when(col("__cum") >= expr(s"(__n * $q + ${den - 1}) div $den"),
+        col("__v"))).as(s"p_$q")
+    }
+    cum.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n")).as("n_values"), aggs: _*)
+  }
+
   /** The published Gopher document-quality rule set (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", App. A1.1) — the standard
     * heuristic battery run BEFORE any model-based filtering:

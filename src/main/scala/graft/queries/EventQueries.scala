@@ -454,6 +454,24 @@ object EventQueries {
     // it stays one window over one (user,type)-keyed shuffle and is
     // engine-portable; the output pins every keep decision via kept-side
     // aggregates. Integer-µs arithmetic throughout.
+    // Exact per-type value percentiles (p50/p95/p99 as ceiling-rank order
+    // statistics — data-valued, pure integer, the SLA-report shape).
+    QueryDef("q_x_group_percentiles",
+      (s, d) => graft.operators.QualityFilter.groupOrderStats(
+        events(s, d).select(col("event_type"), cents(col("value")).as("v_cents")),
+        "event_type", "v_cents", Seq(50L, 95L, 99L), 100L),
+      Some(s"""WITH v AS (SELECT event_type, ${centsSql("value")} AS m FROM events),
+               h AS (SELECT event_type, m AS val, count(*) AS c FROM v
+                     WHERE m IS NOT NULL GROUP BY 1, 2),
+               cum AS (SELECT event_type, val,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY val) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+               SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+                 min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN val END) AS p_50,
+                 min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN val END) AS p_95,
+                 min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN val END) AS p_99
+               FROM cum GROUP BY 1""")),
+
     // Day-of-week seasonality per event type (Trend.dowProfile): counts
     // and shares per (type, dow), dow as pure µs arithmetic (no calendar
     // function, no cross-engine DOW convention) — the weekly-shape

@@ -79,6 +79,19 @@ class ColumnStatsSpec extends SparkSpec {
     got.collect { case (("a", v), (_, _, w)) => assert(aOnly(v) == w) }
   }
 
+  test("groupOrderStats: ceiling-rank percentiles per group, hand-checked") {
+    val df = ((1L to 100L).map(v => ("a", v)) ++ Seq(("b", 5L), ("b", 7L)))
+      .toDF("g", "v")
+    val got = QualityFilter.groupOrderStats(df, "g", "v", Seq(50L, 95L, 99L), 100L)
+      .select("g", "n_values", "p_50", "p_95", "p_99").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // group a: v_(⌈50⌉)=50, v_(95)=95, v_(99)=99
+    assert(got("a") == ((100L, 50L, 95L, 99L)))
+    // group b (n=2): ⌈2·q⌉ = 1, 2, 2 → 5, 7, 7
+    assert(got("b") == ((2L, 5L, 7L, 7L)))
+  }
+
   test("equalFrequencyBins: ties share a bin; NULL metric bins NULL") {
     val df = (Seq.fill(90)(Some(5L)) ++ Seq(Some(99L)) ++ Seq(None)).toDF("v")
     val got = QualityFilter.equalFrequencyBins(df, "v", 3)
