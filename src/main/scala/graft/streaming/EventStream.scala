@@ -118,6 +118,45 @@ object EventStream {
   private[graft] def tsMicros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  // ---- Stateful streaming debounce ----
+
+  final case class TypedEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String)
+  final case class DebounceState(lastUs: Long)
+  final case class KeptEvent(user_id: Long, event_type: String,
+      event_id: Long, ts_us: Long)
+
+  /** Streaming twin of the batch burst-suppression rule (q_x_event_debounce):
+    * per (user, type), an event is kept iff ≥ `minGapUs` has passed since
+    * the PREVIOUS event of that key (kept or not — the trailing-debounce
+    * rule, so a sustained burst stays suppressed instead of re-arming every
+    * minGap). State is ONE long per live key (last-seen µs) — the minimal
+    * bounded-state contract; a stream fed in event-time order reproduces
+    * the batch keep column exactly (spec-pinned across micro-batches). */
+  def debounceStream(events: Dataset[TypedEvent],
+      minGapUs: Long = 60000000L): Dataset[KeptEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        debounceFn(minGapUs))
+  }
+
+  private[graft] def debounceFn(minGapUs: Long)(
+      key: (Long, String), events: Iterator[TypedEvent],
+      state: GroupState[DebounceState]): Iterator[KeptEvent] = {
+    var last = state.getOption.map(_.lastUs)
+    val out = events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).flatMap { e =>
+      val us = tsMicros(e.ts)
+      val keep = last.forall(us - _ >= minGapUs)
+      last = Some(us)
+      if (keep) Some(KeptEvent(key._1, key._2, e.event_id, us)) else None
+    }
+    last.foreach(us => state.update(DebounceState(us)))
+    out.iterator
+  }
+
   // ---- Stateful streaming EWMA ----
 
   final case class EwmaState(recentCents: Seq[Long])

@@ -430,6 +430,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming debounce matches the batch keep rule across micro-batches") {
+    import EventStream._
+    val ev = graft.queries.Q.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("ts_us"))
+    val bounds = rows(ev.agg(expr("percentile(ts_us, 0.5)"))).head
+      .map(v => math.ceil(v.toString.toDouble).toLong)
+    val dir = Files.createTempDirectory("graft-debounce-stream").toString
+    def stage(from: Long, until: Long): Unit =
+      ev.filter(col("ts_us") >= from && col("ts_us") < until)
+        .select("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+    stage(Long.MinValue, bounds(0))
+    val q = EventStream.debounceStream(
+        spark.readStream
+          .schema("event_id bigint, ts timestamp, user_id bigint, event_type string")
+          .parquet(dir).as[TypedEvent])
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("debounce_stream").start()
+    try {
+      q.processAllAvailable()
+      stage(bounds(0), Long.MaxValue)
+      q.processAllAvailable()
+      val streamed = spark.table("debounce_stream").select("event_id").as[Long]
+        .collect().toSet
+      // batch twin: keep iff gap from PREVIOUS event of the key >= 60s
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val batch = graft.queries.Q.events(spark, sf0001)
+        .filter(col("user_id").isNotNull)
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev").isNull || col("ts_us") - col("prev") >= 60000000L)
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"streaming debounce must equal the batch rule (${streamed.size} vs ${batch.size})")
+    } finally q.stop()
+  }
+
   test("catalog sink: micro-batches append effectively-once (replays skipped)") {
     val cat = new graft.catalog.Catalog(spark,
       Files.createTempDirectory("graft-cat-sink").toString)
