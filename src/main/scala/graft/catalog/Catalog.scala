@@ -634,6 +634,9 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
       val inserts = src.join(target.select(col(key)), Seq(key), "left_anti")
         .select(src.columns.map(col).toIndexedSeq: _*)
       val nInserted = inserts.count()
+      // a fully-no-op merge (no matches, nothing to insert) commits
+      // nothing — same contract as a no-match deleteWhere
+      if (nMatched == 0 && nInserted == 0) return (0L, 0L, 0L)
       val deletePred = org.apache.spark.sql.functions
         .coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
       // rewrite of touched files: unmatched rows keep, matched rows either

@@ -220,7 +220,9 @@ object QualityFilter {
     val cum = hist.withColumn("__cum", sum(col("__c")).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val n = df.filter(m.isNotNull).agg(count(lit(1)).as("__n"))
+    // n from the (value-cardinality-sized) histogram — a df.count() here
+    // would re-scan the table
+    val n = hist.agg(sum(col("__c")).as("__n"))
     val cuts = cum.crossJoin(broadcast(n)).agg(
       min(when(col("__cum") >= expr(s"(__n * $loNum + ${den - 1}) div $den"),
         col("__v"))).as("lo_cut"),

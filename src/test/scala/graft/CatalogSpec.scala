@@ -498,6 +498,16 @@ class CatalogSpec extends SparkSpec {
       Seq((1L, "upd"), (1L, "upd"), (2L, "b")))
   }
 
+  test("merge: fully-no-op batch commits nothing") {
+    val cat = freshCatalog()
+    cat.write("t", Seq((1L, "a")).toDF("id", "v"))
+    val v0 = cat.currentVersionNumber("t").get
+    // absent keys would INSERT, so the only fully-no-op source is empty
+    val empty = Seq((1L, "a")).toDF("id", "v").filter(lit(false))
+    assert(cat.merge("t", empty, "id") == ((0L, 0L, 0L)))
+    assert(cat.currentVersionNumber("t").get == v0, "no-op merge must not commit")
+  }
+
   test("merge: insert-only batch touches no existing file; composes with append") {
     val cat = freshCatalog()
     cat.write("t", Seq((1L, "a")).toDF("id", "v"))
