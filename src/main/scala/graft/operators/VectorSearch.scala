@@ -59,6 +59,44 @@ object VectorSearch {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Matryoshka (prefix-dimension) two-stage search: stage 1 ranks by
+    * cosine over only the FIRST `prefixDim` coordinates (MRL-trained
+    * embeddings front-load information, so a 16-dim prefix is a real
+    * ranking signal at dim/4 of the arithmetic — the nesting-doll
+    * compression tier beside sign-bit/int8/PQ); stage 2 re-ranks the
+    * shortlist by exact full-dimension cosine. Both stages are exact
+    * integer dots + one IEEE division, so the whole cascade is
+    * oracle-replayable. At serving scale the prefix slice is what a
+    * stored index would materialize — stage 1's compute (and, with a
+    * prefix-only index, its I/O) is prefixDim/dim of a full scan. */
+  def matryoshkaTopK(emb: DataFrame, queryPred: Column, prefixDim: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1 && shortlist >= k,
+      s"need prefixDim >= 1 and shortlist >= k, got $prefixDim, $shortlist < $k")
+    val e = prepared(emb)
+      .withColumn("qp", slice(col("q"), 1, prefixDim))
+      .withColumn("np", dot("qp", "qp"))
+    val qs = broadcast(e.filter(queryPred).select(col("vec_id").as("qid"),
+      col("q").as("qv"), col("nn").as("qn"),
+      col("qp").as("qpv"), col("np").as("qpn")))
+    val cand = qs
+      .join(e.select(col("vec_id").as("nid"), col("q").as("cv"),
+        col("nn").as("cn"), col("qp").as("cpv"), col("np").as("cpn")),
+        col("qid") =!= col("nid"))
+      .withColumn("pdp", dot("qpv", "cpv"))
+      .withColumn("psim", cosine("pdp", "qpn", "cpn"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("nid"))).cast("long"))
+      .filter(col("prank") <= shortlist)
+    cand
+      .withColumn("dp", dot("qv", "cv"))
+      .withColumn("sim", cosine("dp", "qn", "cn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** 1-bit-per-dimension SIGN signature, packed into ceil(dim/32) BIGINT
     * words of 32 bits each (32-bit halves, not 64, so no word ever touches
     * the sign bit — the packed values stay identical non-negative integers

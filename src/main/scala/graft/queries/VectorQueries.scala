@@ -678,6 +678,33 @@ object VectorQueries {
         shortlist = 20, k = 5),
       Some(pqRerankOracleSql)),
 
+    // Matryoshka cascade: 16-dim-prefix cosine shortlist (top-50) → exact
+    // full-dim re-rank (top-5). The MRL nesting-doll tier of the
+    // compression ladder — stage 1 does dim/4 of the arithmetic (and with
+    // a prefix-only index, dim/4 of the bytes).
+    QueryDef("q_x_ann_matryoshka",
+      (s, d) => graft.operators.VectorSearch.matryoshkaTopK(
+        t(s, d, "embeddings"), col("vec_id") < 10,
+        prefixDim = 16, shortlist = 50, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+               f AS (SELECT vec_id, q, q[1:16] AS qp FROM e),
+               n AS (SELECT vec_id, q, qp, list_dot_product(q, q) AS nn,
+                       list_dot_product(qp, qp) AS np FROM f),
+               p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                       a.q AS aq, b.q AS bq, a.nn AS ann, b.nn AS bnn,
+                       list_dot_product(a.qp, b.qp) / sqrt(a.np * b.np) AS psim
+                     FROM n a JOIN n b
+                     ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+               s AS (SELECT *, row_number() OVER
+                       (PARTITION BY qid ORDER BY psim DESC, nid) AS prank FROM p),
+               c AS (SELECT qid, nid,
+                       list_dot_product(aq, bq) / sqrt(ann * bnn) AS sim
+                     FROM s WHERE prank <= 50)
+               SELECT qid, nid, sim, rank FROM (
+                 SELECT qid, nid, sim, row_number() OVER
+                   (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM c)
+               WHERE rank <= 5""")),
+
     // Metadata-filtered exact search: the candidate predicate (label = 1)
     // applies BEFORE ranking, so k survivors are guaranteed — pre-filter,
     // the recall-safe half of the filtered-ANN trade.

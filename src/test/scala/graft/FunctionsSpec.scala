@@ -695,6 +695,28 @@ class FunctionsSpec extends SparkSpec {
     ps.foreach { case Seq(nid, sim) => assert(bf(nid) == sim) }
   }
 
+  test("matryoshkaTopK: full-coverage shortlist ≡ brute force; narrow prefix can differ") {
+    // 4-dim embeddings on the sf fixture style: prefix = first 2 dims
+    val emb = (0L until 30L).map { i =>
+      (i, Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+        math.sin(i * 0.31 + 1).toFloat, math.cos(i * 2.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    // shortlist covering the whole corpus → the re-rank IS brute force
+    val mx = rows(VectorSearch.matryoshkaTopK(emb, col("vec_id") < 3,
+      prefixDim = 2, shortlist = 29, k = 5).orderBy("qid", "rank"))
+    val bf = rows(VectorSearch.bruteForceTopK(emb, col("vec_id") < 3, 5)
+      .orderBy("qid", "rank"))
+    assert(mx == bf)
+    // shortlist=k (no slack): ranks come from the prefix ordering's picks —
+    // output is k rows per query regardless
+    val tight = VectorSearch.matryoshkaTopK(emb, col("vec_id") < 3,
+      prefixDim = 2, shortlist = 5, k = 5)
+    assert(tight.groupBy("qid").count().select("count").as[Long].collect()
+      .forall(_ == 5L))
+    intercept[IllegalArgumentException](VectorSearch.matryoshkaTopK(
+      emb, col("vec_id") < 3, prefixDim = 2, shortlist = 3, k = 5))
+  }
+
   test("filtered search pre-filters: k survivors where post-filter would starve") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f), 0),
