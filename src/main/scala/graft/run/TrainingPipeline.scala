@@ -68,6 +68,15 @@ final case class TrainingPipelineConfig(
     // and decomposed spellings of the same glyph must hash/join as one key
     // before any byte-keyed stage (exact dedup, span hashes, BPE)
     normalizeNfc: Boolean = false,
+    // strip HTML/XML markup FIRST (script/style bodies, tags, entities,
+    // whitespace collapse — [[graft.operators.TextClean.stripMarkup]]):
+    // crawled HTML must shed boilerplate bytes before ANY text statistic,
+    // hash, or shingle sees them
+    stripMarkup: Boolean = false,
+    // drop documents linking into these registrable domains
+    // ([[graft.operators.TextClean.filterBlockedDomains]]) — the crawl
+    // blocklist gate, before quality scoring spends anything on spam
+    blockedDomains: Seq[String] = Nil,
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
     maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
     // the published Gopher rule battery as an extra map-side gate (word
@@ -141,10 +150,22 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
 
   def run(docs0: DataFrame, cfg: TrainingPipelineConfig = TrainingPipelineConfig()):
       TrainingPipelineSummary = {
+    // markup strip → blocklist → NFC: all pure maps / one broadcast
+    // semi-join riding the first scan, before any statistic sees the text
+    val stripped = if (!cfg.stripMarkup) docs0
+      else docs0.withColumn("text",
+        graft.operators.TextClean.stripMarkupCol(col("text")))
+    val unblocked =
+      if (cfg.blockedDomains.isEmpty) stripped
+      else {
+        import spark.implicits._
+        graft.operators.TextClean.filterBlockedDomains(stripped,
+          cfg.blockedDomains.toDF("domain"))
+      }
     // canonicalization is a pure map riding the first scan — zero cost to
     // every ASCII row via the isNormalized fast path
-    val docs = if (!cfg.normalizeNfc) docs0
-      else docs0.withColumn("text", graft.functions.Text.nfc(col("text")))
+    val docs = if (!cfg.normalizeNfc) unblocked
+      else unblocked.withColumn("text", graft.functions.Text.nfc(col("text")))
     val inputDocs = docs.count()
 
     // Persisted: each stage frame feeds its count AND the next stage (and

@@ -296,6 +296,24 @@ class TrainingPipelineSpec extends SparkSpec {
       .filter(col("offset") < 0 || col("offset") >= 8).count() == 0)
   }
 
+  test("stripMarkup and blockedDomains stages clean before any statistic") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "<p>the plain good text stays here entirely</p><script>var spam=1;</script>"),
+      (2L, "fine doc http://ads.bad.net/x linking into a blocked domain"),
+      (3L, "another clean document with enough plain words")).toDF("doc_id", "text")
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+      quality = open, stripMarkup = true, blockedDomains = Seq("bad.net")))
+    val corpus = cat.read("training_corpus").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(corpus.keySet == Set(1L, 3L), s"blocked doc must drop: ${corpus.keySet}")
+    assert(corpus(1L) == "the plain good text stays here entirely",
+      s"markup and script body must strip: '${corpus(1L)}'")
+  }
+
   test("curriculumPhases stages sequences easy→hard; exclusive with packByBpe") {
     import spark.implicits._
     val tiny = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("tok").mkString(" ")))
