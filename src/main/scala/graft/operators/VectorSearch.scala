@@ -472,6 +472,30 @@ object VectorSearch {
       .select(col("id1"), col("id2"), col("sim"))
   }
 
+  /** Similarity histogram over LSH candidate pairs: the threshold-
+    * calibration tool — before committing to "drop at cosine ≥ X", look at
+    * where the candidate mass actually sits (a clean corpus shows a
+    * near-1 dup spike well separated from the background bulk; a smeared
+    * histogram means the threshold will trade precision for recall and
+    * the cut deserves a manual audit). Same bucket-join candidate
+    * generation as [[nearDuplicates]] (never all-pairs); sims bin at
+    * floor(sim·scale) — the sim doubles are bit-identical cross-engine
+    * (integer dots + one IEEE divide), so even bin-edge values land
+    * identically. Output is bin-cardinality-sized. */
+  def similarityHistogram(emb: DataFrame, numPlanes: Int = 8, dim: Int = -1,
+      scale: Int = 20): DataFrame = {
+    val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
+    val a = e.select(col("vec_id").as("id1"), col("q").as("q1"), col("nn").as("n1"), col("bucket"))
+    val b = e.select(col("vec_id").as("id2"), col("q").as("q2"), col("nn").as("n2"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("dp", dot("q1", "q2"))
+      .withColumn("sim", cosine("dp", "n1", "n2"))
+      .withColumn("bin", floor(col("sim") * scale).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("sim")).as("min_sim"),
+        max(col("sim")).as("max_sim"))
+  }
+
   /** Incremental embedding near-dup: each NEW batch vector against an
     * EXISTING corpus of raw embeddings — the recurring-ingest shape the
     * MinHash family has ([[graft.operators.TextDedup.minhashLshIncremental]]),

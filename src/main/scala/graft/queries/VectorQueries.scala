@@ -1017,6 +1017,27 @@ object VectorQueries {
             WHERE list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) >= 0.3"""
       }),
 
+    // Similarity histogram over the SAME LSH candidate pairs — the
+    // threshold-calibration audit ("where does candidate mass sit before
+    // I commit to cosine ≥ X"). Bins at floor(sim·20); sims are
+    // bit-identical cross-engine so bin edges cannot disagree.
+    QueryDef("q_x_sim_histogram",
+      (s, d) => graft.operators.VectorSearch.similarityHistogram(
+        t(s, d, "embeddings"), numPlanes, dim = 64),
+      Some {
+        val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+            n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn, $bucketSql AS bucket FROM e),
+            p AS (SELECT list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT CAST(floor(sim * 20) AS BIGINT) AS bin, count(*) AS n_pairs,
+                   min(sim) AS min_sim, max(sim) AS max_sim
+            FROM p GROUP BY 1"""
+      }),
+
     // Incremental embedding near-dup (the recurring-ingest shape on the
     // vector side, mirroring minhash's incremental form): odd vec_ids are
     // the batch, even the corpus — batch buckets equi-join corpus buckets,
