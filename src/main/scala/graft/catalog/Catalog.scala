@@ -124,8 +124,11 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * for delete — the shape downstream sinks replay. Requires `key` to be
     * unique within each version (PK semantics — a duplicated key would
     * cross-multiply in the join); the multiset companion for non-keyed
-    * tables is [[diffVersions]]. One key-shuffle per side, output
-    * bounded by the true change volume. */
+    * tables is [[diffVersions]]. Both versions must share one schema —
+    * diffing across an [[appendEvolve]] schema change is a migration
+    * event, not row CDC (the field-struct compare would throw on the
+    * missing column, loudly). One key-shuffle per side, output bounded
+    * by the true change volume. */
   def diffVersionsKeyed(name: String, from: Long, to: Long, key: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, not, struct, when}
     val a = readVersion(name, from)

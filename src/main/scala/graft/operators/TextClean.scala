@@ -48,7 +48,11 @@ object TextClean {
     * standard engine-side stand-in and is exactly replayable in SQL).
     * One map-side explode of `regexp_extract_all`; volume is
     * URL-occurrence-shaped. The census/blocklist primitive of crawl
-    * curation (domain-level spam/seo filtering à la RefinedWeb). */
+    * curation (domain-level spam/seo filtering à la RefinedWeb).
+    * Known edge: a URL butted against sentence punctuation ("see x.com.")
+    * keeps the trailing dot in its host, and the domain regex then
+    * yields '' — prose-embedded URLs should be comma/period-tokenized
+    * upstream if that matters for the census. */
   def extractUrls(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val url = explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
