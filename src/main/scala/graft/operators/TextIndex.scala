@@ -67,6 +67,41 @@ object TextIndex {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Micro-quantized DCG discount weights 1/log2(i+1) for ranks 1..k —
+    * computed ONCE on the driver and baked into both engines' plans as
+    * integer literals, so NDCG needs no runtime transcendental anywhere. */
+  def dcgWeightsMicro(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(i => i -> math.round(1e6 * math.log(2) / math.log(i + 1)))
+
+  /** NDCG@k of a ranking against graded gold relevance — the standard
+    * retrieval-eval metric (position-discounted gain over the ideal
+    * ordering's gain). `ranked` carries (nid, rank 1..); `gold` carries
+    * (nid, rel ≥ 0, integer grades). DCG = Σ rel·w(rank) with the
+    * driver-baked micro weights (exact integer sum); IDCG takes the top-k
+    * gold grades by (rel desc, nid) — a distributed TakeOrdered, never a
+    * full sort; NDCG is ONE IEEE division. NULL when IDCG = 0 (no
+    * relevant documents — the metric is undefined, not 0). One row out. */
+  def ndcgAtK(ranked: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = typedlit(dcgWeightsMicro(k).toMap)
+    val dcg = ranked.filter(col("rank") <= k)
+      .join(gold, Seq("nid"), "left")
+      .agg(coalesce(sum(coalesce(col("rel"), lit(0L)) *
+        element_at(w, col("rank").cast("int"))), lit(0L)).as("dcg_micro"))
+    val idcg = gold.filter(col("rel") > 0)
+      .orderBy(col("rel").desc, col("nid")).limit(k)
+      .withColumn("irank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rel").desc, col("nid"))).cast("int"))
+      .agg(coalesce(sum(col("rel") * element_at(w, col("irank"))), lit(0L))
+        .as("idcg_micro"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+          .as("ndcg"))
+  }
+
   /** Per-term document frequency over a postings frame. */
   def docFrequencies(post: DataFrame): DataFrame =
     post.groupBy("term").agg(count(lit(1)).as("df"))

@@ -120,6 +120,52 @@ object RetrievalQueries {
                SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
                FROM m WHERE n > 0""")),
 
+    // NDCG@10 of the weighted-term ranking against graded gold relevance
+    // (rel = tf of 'vector') — the retrieval-eval metric. Discount
+    // weights 1/log2(rank+1) are micro-quantized ONCE on the driver and
+    // baked into BOTH plans as integer literals, so no engine evaluates a
+    // transcendental; DCG/IDCG are exact integer sums, NDCG one IEEE
+    // division.
+    QueryDef("q_x_ndcg",
+      (s, d) => {
+        val post = graft.operators.TextIndex.postings(
+          t(s, d, "documents"), "doc_id", "text")
+        val ranked = graft.operators.TextIndex.searchWeighted(post, searchTerms, 10)
+          .select(col("doc_id").as("nid"), col("rank"))
+        val gold = post.filter(col("term") === "vector")
+          .select(col("doc_id").as("nid"), col("tf").as("rel"))
+        graft.operators.TextIndex.ndcgAtK(ranked, gold, 10)
+      },
+      Some {
+        val wl = graft.operators.TextIndex.dcgWeightsMicro(10)
+          .map(_._2).mkString("[", ", ", "]")
+        s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+            p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                  WHERE term <> '' GROUP BY 1, 2),
+            dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+            m AS (SELECT doc_id, sum(tf * (1000000 // df)) AS score
+                  FROM p JOIN dfs USING (term)
+                  WHERE term IN ($searchTermsSql) GROUP BY 1),
+            r AS (SELECT doc_id, rank FROM
+                    (SELECT doc_id, row_number() OVER
+                       (ORDER BY score DESC, doc_id) AS rank FROM m)
+                  WHERE rank <= 10),
+            g AS (SELECT doc_id, tf AS rel FROM p WHERE term = 'vector'),
+            dcg AS (SELECT CAST(COALESCE(sum(COALESCE(g.rel, 0) * ($wl)[r.rank]), 0)
+                      AS BIGINT) AS dcg_micro
+                    FROM r LEFT JOIN g USING (doc_id)),
+            ig AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS irank
+                   FROM g WHERE rel > 0),
+            idcg AS (SELECT CAST(COALESCE(sum(rel * ($wl)[irank]), 0) AS BIGINT)
+                       AS idcg_micro
+                     FROM ig WHERE irank <= 10)
+            SELECT dcg_micro, idcg_micro,
+                   CASE WHEN idcg_micro > 0
+                     THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+                   END AS ndcg
+            FROM dcg, idcg"""
+      }),
+
     // Phrase search through a PERSISTED positional index: positional
     // postings written once term-sorted (term-range file pruning, the
     // posting-list-seek analogue), the same phrase query reads the stored

@@ -43,6 +43,30 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextIndex.phraseSearch(post, Nil))
   }
 
+  test("ndcgAtK: perfect ranking scores 1; reversal scores less; no gold is NULL") {
+    val gold = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("nid", "rel")
+    def ndcg(order: Seq[Long]): Option[Double] = {
+      val ranked = order.zipWithIndex.map { case (n, i) => (n, (i + 1).toLong) }
+        .toDF("nid", "rank")
+      val r = TextIndex.ndcgAtK(ranked, gold, 3).head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(ndcg(Seq(1L, 2L, 3L)) == Some(1.0))
+    val rev = ndcg(Seq(3L, 2L, 1L)).get
+    assert(rev > 0 && rev < 1.0, s"reversed order must lose: $rev")
+    // hand-check: w = micro 1/log2(i+1) baked weights
+    val w = TextIndex.dcgWeightsMicro(3).toMap
+    val dcgRev = 1L * w(1) + 2L * w(2) + 3L * w(3)
+    val idcg = 3L * w(1) + 2L * w(2) + 1L * w(3)
+    assert(rev == dcgRev.toDouble / idcg.toDouble)
+    // unjudged docs in the ranking contribute 0, not an error
+    assert(ndcg(Seq(9L, 1L, 2L)).get < 1.0)
+    // empty gold: NDCG undefined → NULL
+    val r0 = TextIndex.ndcgAtK(Seq((1L, 1L)).toDF("nid", "rank"),
+      gold.filter(lit(false)), 3).head()
+    assert(r0.isNullAt(2))
+  }
+
   test("searchWeighted scores are the exact integer formula, ranked with doc_id tie-break") {
     val post = TextIndex.postings(docs, "doc_id", "text")
     val dfm = naiveIndex.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
