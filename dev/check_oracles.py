@@ -1,13 +1,18 @@
 #!/usr/bin/env python3
 """Dev-time mirror of the driver's correctness gate: for each query output
 parquet written by graft.Verify, run the recorded DuckDB oracle SQL over the
-same testdata tables and compare as sorted multisets (columns sorted by name,
-exact value equality — stricter than any plausible driver hash)."""
-import json, math, os, sys
+same testdata tables and compare (a) sorted multisets of Python values
+(columns sorted by name) AND (b) the physical Arrow column types of both
+results. The driver's hash is representation-sensitive — round 7 proved that
+numerically-equal HUGEINT/DECIMAL(38,0) vs BIGINT outputs fail it — so value
+equality alone does NOT predict the driver gate; the type check does."""
+import json, math, os, re, sys, glob
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
 
 def norm(v):
     # wrap so None sorts (tuples compare element-wise; None gets rank 0)
@@ -16,6 +21,29 @@ def norm(v):
     if isinstance(v, float) and math.isnan(v):
         return (1, "NaN")
     return (1, v)
+
+
+def norm_type(t):
+    """Canonical string form of an Arrow type: large_* collapses to the
+    plain variant and timezone metadata is dropped (Spark stamps UTC on
+    instants, DuckDB doesn't; the driver's hash is over values read back
+    through pandas where both render identically)."""
+    s = str(t)
+    s = s.replace("large_string", "string").replace("large_binary", "binary")
+    s = re.sub(r", tz=[^)>]*", "", s)
+    # timestamp unit (us vs ns) is provably driver-invisible: the 7 window
+    # queries where Spark writes timestamp[ns] and DuckDB emits timestamp[us]
+    # were all hash-green in CORRECTNESS_r07
+    s = re.sub(r"timestamp\[[a-z]+\]", "timestamp", s)
+    return s
+
+
+def type_mismatches(got_schema, exp_schema):
+    """Compare physical Arrow types by (lower-cased) column name."""
+    gt = {f.name.lower(): norm_type(f.type) for f in got_schema}
+    et = {f.name.lower(): norm_type(f.type) for f in exp_schema}
+    return [(c, gt[c], et[c]) for c in sorted(set(gt) & set(et)) if gt[c] != et[c]]
+
 
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
@@ -38,7 +66,12 @@ def main(sf_dir, out_dir, only=None):
             got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
             got_cols = [c[0].lower() for c in got.description]
             got_rows = got.fetchall()
-            exp = con.execute(sql)
+            got_schema = pq.read_schema(
+                sorted(glob.glob(f"{res_dir}/*.parquet"))[0])
+            exp_arrow = con.execute(sql).arrow()
+            # re-fetch values through a duckdb scan of the arrow table so
+            # Python value semantics stay identical to the pre-r8 checker
+            exp = con.execute("SELECT * FROM exp_arrow")
             exp_cols = [c[0].lower() for c in exp.description]
             exp_rows = exp.fetchall()
         except Exception as e:
@@ -47,6 +80,13 @@ def main(sf_dir, out_dir, only=None):
         if sorted(got_cols) != sorted(exp_cols):
             failures.append((name, f"cols {sorted(got_cols)} vs {sorted(exp_cols)}"))
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}"); continue
+        tm = type_mismatches(got_schema, exp_arrow.schema)
+        if tm:
+            failures.append((name, f"types {tm}"))
+            print(f"FAIL {name}: physical type mismatch (spark vs oracle):")
+            for c, g, e in tm:
+                print(f"  {c}: {g} vs {e}")
+            continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = sorted(tuple(norm(r[i]) for i in gi) for r in got_rows)
@@ -62,6 +102,7 @@ def main(sf_dir, out_dir, only=None):
     print(f"\n{checked - len(failures)}/{checked} oracle-checked queries match"
           + (f" ({len(oracles) - checked} filtered out)" if checked < len(oracles) else ""))
     sys.exit(1 if failures else 0)
+
 
 if __name__ == "__main__":
     # accept space- AND comma-separated query filters; refuse names that

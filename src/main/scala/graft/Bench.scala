@@ -139,8 +139,13 @@ object Bench {
     val hostDegraded = maxDrift > 3.0 || canaryBase > 0.35
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // A leftover SPARK_GRAFT_BENCH_ONLY must never let a partial run pass
+    // for an official artifact: stamp the filter into every emitted line.
+    val filtered =
+      if (only.isEmpty) ""
+      else s""""filtered":true,"filter":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"""
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+      f"""{$filtered"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
       f""""n_failed":$failed,"host_degraded":$hostDegraded,"canary_base_sec":$canaryBase%.4f,""" +
       f""""canary_max_drift":$maxDrift%.2f,"detail":"$outPath"}"""
 
@@ -153,7 +158,7 @@ object Bench {
     // Summary first AND last (around the full map) so any single contiguous
     // capture window — head-limited or tail-limited — holds a complete copy.
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{$filtered"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(summary)
     spark.stop()
   }

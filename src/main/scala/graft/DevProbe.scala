@@ -67,7 +67,8 @@ object DevProbe {
       val codes = graft.operators.ProductQuantizer.encode(emb, model)
       for (i <- 1 to 2) {
         val t3 = System.nanoTime()
-        codes.select(expr("codes[0]+codes[1]+codes[2]+codes[3]")).agg(sum("*")).collect()
+        codes.select(expr("codes[0]+codes[1]+codes[2]+codes[3]").as("s"))
+          .agg(sum("s")).collect()
         println(f"[probe] codes-only run$i: ${(System.nanoTime() - t3) / 1e9}%.2fs")
       }
       for (i <- 1 to 2) {

@@ -269,13 +269,23 @@ object GraphRank {
     * silhouette as connected components / k-core. Input: one-directional
     * undirected edges (a < b); output (node, community). */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    // static-edge layout, same device as pageRank: persist (NOT
+    // localCheckpoint — it drops the partitioning metadata) the expanded
+    // edge set pre-partitioned on the join key, so every round's
+    // edge⋈label join sees the edge side already laid out and only the
+    // node-sized label frame crosses the wire (one exchange per round on
+    // the rank/label side, zero on the O(E) side).
     val und = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
-      .localCheckpoint() // referenced once per round — compute the edge set once
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
     (1 to rounds).foreach { r =>
-      val counts = und.join(labels.withColumnRenamed("n", "src"), Seq("src"))
+      // shuffle_hash: hash-build the node-sized label side against und's
+      // static layout instead of sort-merging the edge stream every round
+      val counts = und.join(
+          labels.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("n"), col("community"))
         .agg(count(lit(1)).as("c"))
       labels = counts
@@ -310,6 +320,16 @@ object GraphRank {
     * one-directional undirected edges (a < b); output survivors with their
     * in-core degree. */
   def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    // NOTE (r8, measured): an alternating-orientation variant that persists
+    // each round's survivor frame WITH its second-join-key layout (so the
+    // next round's first semi-join re-exchanges nothing — one edge-sized
+    // exchange per round instead of two) was tried and REVERTED: each
+    // round's cache is built once and read once, so the columnar
+    // cache-encode cost exceeded the saved exchange (2.5 s vs 1.2 s at
+    // sf0.1). That trade only pays where a cache is re-read many times —
+    // pageRank/labelPropagation's STATIC edge frame — not for a frame that
+    // shrinks and is replaced every round. localCheckpoint (raw-row
+    // materialization, lineage truncation) is the right per-round device.
     var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .localCheckpoint()
     var prevCount = e.count()

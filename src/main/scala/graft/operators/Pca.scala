@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * ([[VectorSearch.quantize]], round(x·10⁴)), so the Gram matrix and dim
   * sums are exact integers from one scan. The covariance NUMERATOR
   * `M = n·G − s·sᵀ` (n² × the covariance — never divided) stays in exact
-  * integer arithmetic (BigInt driver-side, DECIMAL(38,0) in gate output:
-  * n·G exceeds BIGINT beyond ~10⁶ vectors). The power iteration
+  * integer arithmetic (BigInt driver-side, decimal(38,0) in DataFrames;
+  * gate outputs canonicalize to sign-split base-10¹⁸ BIGINT word pairs via
+  * [[int128Words]], since n·G exceeds BIGINT beyond ~3·10⁵ vectors and
+  * int128 has no shared cross-engine physical type). The power iteration
   * renormalizes each iterate to integer micro-units via
   * round-half-away-from-zero((w·10⁶)/max|w|) — ONE integer rounding per
   * component per iteration, so the whole fit is replayable cell-by-cell in
@@ -152,6 +154,26 @@ object Pca {
       java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("di", LongType), StructField("dj", LongType),
         StructField("m", DecimalType(38, 0)))))
+  }
+
+  /** Sign-split base-10¹⁸ two-word decomposition of an exact-integer
+    * decimal column: `value = hi·10¹⁸ + lo` with `sign(hi) = sign(lo) =
+    * sign(value)` and `|lo| < 10¹⁸` — both words BIGINT for any
+    * `|value| < 9.2·10³⁶` (ANSI cast throws loudly beyond). The driver
+    * gate hashes physical column types, and int128-scale outputs (DuckDB
+    * HUGEINT / DECIMAL(38,0) vs Spark decimal) have no shared BIGINT
+    * representation — this is the canonical cross-engine form. The abs/sign
+    * split sidesteps engine-specific negative-division conventions: both
+    * words are derived from non-negative operands only. */
+  def int128Words(v: Column): (Column, Column) = {
+    val b = lit(new java.math.BigDecimal(java.math.BigInteger.TEN.pow(18)))
+    val sgn = when(v < 0, lit(-1L)).otherwise(lit(1L))
+    val a = abs(v)
+    val loAbs = a % b
+    // (a − lo) is an exact multiple of 10¹⁸, so the decimal divide is
+    // exact (zero fractional part) and the long cast is lossless
+    val hiAbs = (a - loAbs) / b
+    (sgn * hiAbs.cast(LongType), sgn * loAbs.cast(LongType))
   }
 
   /** The fitted direction as (dim, v_micro) rows. */

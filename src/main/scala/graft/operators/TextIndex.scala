@@ -165,11 +165,12 @@ object TextIndex {
       weightScale: Long): DataFrame = {
     val terms = queryTerms.distinct
     // document frequency of a term = row count of its own postings, so the
-    // QUERY terms' dfs come from the already-filtered slice — the corpus
-    // postings are scanned once, not once for tf and again for df (and on a
-    // term-sorted stored index both derivations prune to the same files)
+    // QUERY terms' dfs come from the already-filtered slice — on a
+    // term-sorted stored index both derivations prune to the same files.
+    // Not persisted (see searchBM25): the result is lazy, so an in-call
+    // persist would live for the session and leak across repeated searches;
+    // the double-reference costs one extra filtered postings scan.
     val matched = post.filter(col("term").isin(terms: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
     matched
       .join(dfs, "term") // k-term build side: broadcast hash join territory
@@ -263,11 +264,13 @@ object TextIndex {
     * WindowGroupLimit caps every partition at k rows before the merge. */
   def searchBM25(post: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // lens is needed twice (the (N, avgdl) stats probe and the per-doc
-    // normalizer join); persisting it means the full postings lineage is
-    // walked exactly ONCE per search — same persist policy as TextDedup
+    // lens is referenced twice (the (N, avgdl) stats probe here and the
+    // per-doc normalizer join in the returned plan). Deliberately NOT
+    // persisted: the returned frame is lazy, so an in-call persist could
+    // never be unpersisted without defeating itself, and repeated searches
+    // would accumulate cached RDDs for the session's lifetime. Cost of the
+    // re-walk is one extra aggregate over the postings table per search.
     val lens = docLengths(post)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     // empty corpus (e.g. a postings table bootstrapped before any doc
     // arrived): avg(dl) is null — return zero hits with the right schema
@@ -279,9 +282,10 @@ object TextIndex {
     val n = stats.getLong(0)
     val avgdl = stats.getDouble(1)
     val terms = queryTerms.distinct
-    // query-term dfs from the filtered slice (see searchWeighted)
+    // query-term dfs from the filtered slice (see searchWeighted); same
+    // no-persist policy as lens — the double-reference is a filtered
+    // postings scan ×2, not worth a session-lifetime cache entry
     val matched = post.filter(col("term").isin(terms: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1)) /
@@ -310,8 +314,7 @@ object TextIndex {
     * any practical score range (BM25 scores live in [0, ~30]). */
   def searchBM25Micro(post: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val lens = docLengths(post)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = docLengths(post) // not persisted — see searchBM25
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
     if (stats.isNullAt(1))
       return post.select(col("doc_id")).limit(0)

@@ -23,7 +23,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Trend {
 
-  /** EWMA with decay α = 1/2 over the trailing `window` (≤ 62) events of
+  /** EWMA with decay α = 1/2 over the trailing `window` (≤ 22) events of
     * each key, event-time ordered: `ewma_n = Σ_k x_{n−k}·2^{−k} / Σ_k 2^{−k}`
     * truncated at the frame edge (partial frames renormalize over the
     * weights actually present — the standard "adjusted" EWMA form).
@@ -33,10 +33,18 @@ object Trend {
     * final division is IEEE-exact — bit-identical across engines, which a
     * float-α recurrence can never be (its sum order is engine-defined).
     * The frame is W `lag` taps (codegen'd, one sort per key), not a
-    * variable-length recurrence — O(W) per row, no cross-row float state. */
+    * variable-length recurrence — O(W) per row, no cross-row float state.
+    *
+    * Overflow bound: the largest weighted term is cents·2^(W−1) and the
+    * numerator sums W of them, so exactness needs
+    * `log2(max|cents|) + window < 63`. The require pins window ≤ 22, safe
+    * for the documented cents magnitude (< 2^40); widen only with
+    * correspondingly smaller values or a decimal(38,0) numerator. */
   def ewmaHalf(events: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCents: Column, window: Int = 16): DataFrame = {
-    require(window >= 1 && window <= 62, s"window must be in [1,62]: $window")
+    require(window >= 1 && window <= 22,
+      s"window must be in [1,22] (cents·2^(window−1) must stay in BIGINT " +
+      s"for |cents| < 2^40): $window")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
     val withC = events.withColumn("__c", valueCents)
     val num = (0 until window).map { k =>

@@ -70,9 +70,9 @@ object CurationQueries {
         vv AS (SELECT count(DISTINCT tok) AS vs
                FROM (SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 2 = 0)),
         sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
-                 sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
+                 CAST(sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
                      CAST(COALESCE(c1, 0) + vs AS DOUBLE)) * $micro, 0) AS BIGINT))
-                   AS nll_micro
+                   AS BIGINT) AS nll_micro
                FROM bg LEFT JOIN pc USING (w1, w2) LEFT JOIN cc USING (w1), vv
                GROUP BY 1),
         xent AS (SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, nll_micro,
@@ -190,9 +190,9 @@ object CurationQueries {
                             WHERE tk.doc_id % 2 = 0)
                       GROUP BY 1),
                sc AS (SELECT bl.doc_id, count(*) AS n_bigrams,
-                        sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
+                        CAST(sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
                             CAST(COALESCE(c1, 0) + vs AS DOUBLE)) * $micro, 0) AS BIGINT))
-                          AS nll_micro
+                          AS BIGINT) AS nll_micro
                       FROM bl LEFT JOIN pc USING (lang, w1, w2)
                               LEFT JOIN cc USING (lang, w1)
                               LEFT JOIN vv USING (lang)

@@ -117,7 +117,7 @@ object GraphQueries {
               r3 AS (SELECT nodes.node,
                             (150000000 // nn.n_nodes) + ((85 * coalesce(c3.inflow, 0)) // 100) AS rank
                      FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
-              SELECT node, rank AS rank_fp FROM r3""")),
+              SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r3""")),
 
     // Personalized PageRank seeded on nation-0 suppliers: restart mass
     // concentrates on the seed set, so ranks measure graph proximity to it
@@ -174,7 +174,7 @@ object GraphQueries {
                             ((ws.is_seed * 150000000) // ws.n_seeds)
                             + ((85 * coalesce(c3.inflow, 0)) // 100) AS rank
                      FROM ws LEFT JOIN c3 ON ws.node = c3.node)
-              SELECT node, rank AS rank_fp FROM r3 WHERE rank > 0""")),
+              SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r3 WHERE rank > 0""")),
 
     // Exact triangle census of the part co-purchase graph (parts sharing
     // ≥2 orders). Co-occurrence pair volume is per-order k² (orders hold

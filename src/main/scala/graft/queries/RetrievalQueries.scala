@@ -346,24 +346,15 @@ object RetrievalQueries {
                      FROM m JOIN documents d USING (doc_id))
                WHERE rank <= 3""")),
 
-    // Okapi BM25 over the same index — the ranking-quality form. No DuckDB
-    // oracle BY DESIGN: idf needs ln(), and libm ln implementations (and the
-    // per-doc float summation order) differ across engines in the last ulp,
-    // which the hash compare cannot tolerate. Exactness is spec-verified
-    // in-JVM against an independent recomputation (TextIndexSpec); the gate
-    // records the rows-only check, like the two approx sketches.
-    QueryDef("q_x_bm25",
-      (s, d) => graft.operators.TextIndex.searchBM25(
-        graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),
-        searchTerms, k = 10),
-      None),
-
     // BM25 with micro-quantized per-(term,doc) contributions — the
-    // hash-exact form of the ranking above: idf's ln is quantized to an
+    // hash-exact gate form of Okapi BM25: idf's ln is quantized to an
     // integer at the one point a transcendental enters, the per-doc score
-    // becomes an exact BIGINT sum, and the whole top-10 IS oracle-checked
-    // (closing the gap that keeps q_x_bm25 rows-only). Constants and the
-    // avgdl division are interpolated/computed identically on both sides.
+    // becomes an exact BIGINT sum, and the whole top-10 IS oracle-checked.
+    // The float-scoring TextIndex.searchBM25 remains API surface (ranking
+    // spec-pinned in-JVM by TextIndexSpec) but is deliberately NOT a gate
+    // query: libm ln and float summation order differ across engines in
+    // the last ulp, which a hash compare cannot tolerate — this quantized
+    // twin supersedes the rows-only row the gate carried through round 7.
     QueryDef("q_x_bm25_exact",
       (s, d) => graft.operators.TextIndex.searchBM25Micro(
         graft.operators.TextIndex.postings(t(s, d, "documents"), "doc_id", "text"),

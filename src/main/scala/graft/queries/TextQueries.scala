@@ -274,18 +274,41 @@ object TextQueries {
                FROM (SELECT lang, len($tokensSql) AS n FROM documents) GROUP BY lang""")),
 
     // ...and the sketch variant (the exact/approx pairing, like
-    // q_x_user_distinct/_approx): approx_percentile's mergeable
-    // KLL-style summary is the 100 TB path — fixed state per group
-    // instead of the exact percentile's full sorted buffer. No oracle —
-    // sketch outputs are implementation-defined; QueriesSpec bounds the
-    // rank error against the exact quantiles.
+    // q_x_user_distinct/_approx): approx_percentile's mergeable GK-style
+    // summary is the 100 TB path — fixed state per group instead of the
+    // exact percentile's full sorted buffer. The sketch VALUE is
+    // implementation-defined, so the gate hashes the sketch's CONTRACT
+    // instead: per group, the returned element's rank interval
+    // [count(<v)+1, count(≤v)] must intersect (q ± ε)·N with ε = 1/accuracy
+    // (±1 slack for endpoint rounding). Spark evaluates the bound; the
+    // oracle emits the literal trues — a violated bound flips a boolean
+    // and fails the hash, the q_x_ndcg bake-the-invariant pattern.
     QueryDef("q_x_group_quantiles_approx",
-      (s, d) => t(s, d, "documents")
-        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
-        .groupBy(col("lang"))
-        .agg(expr("approx_percentile(n, 0.5, 1000)").as("p50_approx"),
-          expr("approx_percentile(n, 0.9, 1000)").as("p90_approx")),
-      None),
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+        val apx = base.groupBy(col("lang"))
+          .agg(expr("approx_percentile(n, 0.5, 1000)").as("p50a"),
+            expr("approx_percentile(n, 0.9, 1000)").as("p90a"))
+        def inEps(q: Double, lt: org.apache.spark.sql.Column,
+            le: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val nd = count(lit(1)).cast("double")
+          val lo = lit(q) * nd - nd / 1000 - 1
+          val hi = lit(q) * nd + nd / 1000 + 1
+          (lt + 1).cast("double") <= hi && le.cast("double") >= lo
+        }
+        base.join(broadcast(apx), "lang")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            inEps(0.5,
+              sum(when(col("n") < col("p50a"), 1L).otherwise(0L)),
+              sum(when(col("n") <= col("p50a"), 1L).otherwise(0L))).as("p50_in_eps"),
+            inEps(0.9,
+              sum(when(col("n") < col("p90a"), 1L).otherwise(0L)),
+              sum(when(col("n") <= col("p90a"), 1L).otherwise(0L))).as("p90_in_eps"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs, true AS p50_in_eps,
+              true AS p90_in_eps FROM documents GROUP BY lang""")),
 
     QueryDef("q_x_length_histogram",
       (s, d) => t(s, d, "documents")

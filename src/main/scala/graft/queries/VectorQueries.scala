@@ -569,6 +569,16 @@ object VectorQueries {
                    - CAST(sa.sd AS HUGEINT)*CAST(sb.sd AS HUGEINT) AS m
                FROM g, tot, sm sa, sm sb WHERE sa.di = g.di AND sb.di = g.dj)"""
 
+  /** DuckDB twin of [[graft.operators.Pca.int128Words]]: sign-split
+    * base-10¹⁸ BIGINT word pair of an exact-integer HUGEINT expression
+    * (abs-first so `//`/`%` only ever see non-negative operands — no
+    * negative-division convention in play). */
+  private def int128SplitSql(expr: String, hiName: String, loName: String): String =
+    s"""CAST(CASE WHEN $expr < 0 THEN -1 ELSE 1 END
+           * (abs($expr) // 1000000000000000000) AS BIGINT) AS $hiName,
+        CAST(CASE WHEN $expr < 0 THEN -1 ELSE 1 END
+           * (abs($expr) % 1000000000000000000) AS BIGINT) AS $loName"""
+
   /** Power-iteration replay: `iters` unrolled (matvec → max-abs →
     * round-half-away quantize) CTE triples over the full-symmetric matrix,
     * then the first-nonzero-positive sign convention. Ends with CTE `vv`
@@ -598,11 +608,17 @@ object VectorQueries {
     // PCA covariance structure (operators.Pca): the exact covariance
     // NUMERATOR matrix n·G − s·sᵀ (n²× covariance, never divided) over the
     // quantized corpus — the embedding-diagnostics surface (anisotropy,
-    // collapsed dims) computed in ONE treeAggregate corpus scan.
+    // collapsed dims) computed in ONE treeAggregate corpus scan. int128
+    // cells emit as sign-split base-10¹⁸ BIGINT word pairs (HUGEINT /
+    // DECIMAL(38,0) have no shared cross-engine physical representation).
     QueryDef("q_x_pca_gram",
-      (s, d) => graft.operators.Pca.covNumeratorDF(s, pcaModel(s, d)._1),
+      (s, d) => {
+        val df = graft.operators.Pca.covNumeratorDF(s, pcaModel(s, d)._1)
+        val (hi, lo) = graft.operators.Pca.int128Words(col("m"))
+        df.select(col("di"), col("dj"), hi.as("m_hi"), lo.as("m_lo"))
+      },
       Some(s"""WITH $pcaBaseSql
-               SELECT di, dj, CAST(m AS DECIMAL(38,0)) AS m FROM mu""")),
+               SELECT di, dj, ${int128SplitSql("m", "m_hi", "m_lo")} FROM mu""")),
 
     // Dominant eigendirection by 12 quantized power iterations — every
     // iterate renormalized to integer micro-units with ONE rounding per
@@ -616,20 +632,25 @@ object VectorQueries {
 
     // Per-vector centered principal score n·(q·v) − (s·v) — exact integers,
     // pure map against the broadcast direction; Σ over the corpus is
-    // EXACTLY zero (centering never divides).
+    // EXACTLY zero (centering never divides). Same two-word int128
+    // canonicalization as q_x_pca_gram.
     QueryDef("q_x_pca_project",
       (s, d) => {
         val (g, v) = pcaModel(s, d)
-        graft.operators.Pca.project(t(s, d, "embeddings"), g, v)
+        val p = graft.operators.Pca.project(t(s, d, "embeddings"), g, v)
+        val (hi, lo) = graft.operators.Pca.int128Words(col("pc1_num"))
+        p.select(col("vec_id"), hi.as("pc1_hi"), lo.as("pc1_lo"))
       },
       Some(s"""WITH ${pcaPowerSql(12)},
                sv AS (SELECT sum(CAST(sm.sd AS HUGEINT) * vv.v) AS sv
                       FROM sm JOIN vv ON sm.di = vv.i),
                qv AS (SELECT e.vec_id, sum(CAST(e.q[vv.i] AS HUGEINT) * vv.v) AS qv
-                      FROM e, vv GROUP BY 1)
-               SELECT qv.vec_id,
-                 CAST(CAST(tot.n AS HUGEINT)*qv.qv - sv.sv AS DECIMAL(38,0)) AS pc1_num
-               FROM qv, tot, sv""")),
+                      FROM e, vv GROUP BY 1),
+               pr AS (SELECT qv.vec_id,
+                        CAST(tot.n AS HUGEINT)*qv.qv - sv.sv AS m
+                      FROM qv, tot, sv)
+               SELECT vec_id, ${int128SplitSql("m", "pc1_hi", "pc1_lo")}
+               FROM pr""")),
 
 
     // Product-quantization ANN (Jégou et al.): 64-dim corpus compressed to

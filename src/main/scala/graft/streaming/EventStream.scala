@@ -175,7 +175,9 @@ object EventStream {
     * disorder and replay when it is exceeded. */
   def ewmaStream(events: Dataset[Event], window: Int = 16): Dataset[EwmaPoint] = {
     import events.sparkSession.implicits._
-    require(window >= 1 && window <= 62, s"window must be in [1,62]: $window")
+    // same overflow bound as the batch twin: cents·2^(window−1) in BIGINT
+    // with |cents| < 2^40 needs window ≤ 22
+    require(window >= 1 && window <= 22, s"window must be in [1,22]: $window")
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)

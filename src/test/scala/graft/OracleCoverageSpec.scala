@@ -13,14 +13,10 @@ class OracleCoverageSpec extends AnyFunSuite {
   /** Queries whose outputs are deliberately not SQL-portable. Additions need
     * a justification comment AND a spec pinning the behavior instead. */
   private val noOracleAllowlist: Map[String, String] = Map(
-    // BM25 scores depend on the engine's exact idf/tf smoothing; ranking is
-    // spec-pinned in TextIndexSpec instead.
-    "q_x_bm25" -> "scores not SQL-portable; ranking spec-pinned",
-    // approx_percentile's sketch is implementation-defined; the exact twin
-    // q_x_group_quantiles carries the oracle.
-    "q_x_group_quantiles_approx" -> "sketch implementation-defined; exact twin oracled",
     // HLL estimate is implementation-defined; exact twin q_x_user_distinct
-    // carries the oracle.
+    // carries the oracle. (The approx-percentile sketch left this list in
+    // round 8: its gate now hashes the ε-rank-bound contract instead of
+    // the sketch value.)
     "q_x_user_distinct_approx" -> "HLL implementation-defined; exact twin oracled"
   )
 
