@@ -302,6 +302,45 @@ object GraphRank {
     labels
   }
 
+  /** Connected components by synchronous min-label propagation: labels
+    * start as node ids; each round every node takes the minimum of its own
+    * label and its neighbors' labels. Fully deterministic (min is
+    * order-free), monotone, and converged once `rounds` ≥ the largest
+    * component's diameter — extra rounds are the identity, so a fixed
+    * budget replayed verbatim by chained oracle CTEs is exact whenever the
+    * graph converges inside it (same contract as [[kCore]]; the gate's
+    * fixture converges well inside its budget, spec-checked via a
+    * rounds vs rounds+2 equality).
+    *
+    * Scale shape: identical to [[labelPropagation]] — the expanded edge
+    * set persists pre-partitioned on the join key (static Pregel layout),
+    * each round exchanges only the node-sized label frame, min() replaces
+    * the majority argmax. At 100 TB this is HashToMin-style label
+    * propagation; for graphs whose diameter outruns the budget, raise
+    * `rounds` (cost is linear) — the budget IS the spec, not a fallback.
+    * Input: one-directional undirected edges (a < b); output
+    * (node, component) with component = min node id reached. */
+  def connectedComponents(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("n")).distinct()
+      .select(col("n"), col("n").as("component"))
+    (1 to rounds).foreach { r =>
+      val nbrMin = und.join(
+          labels.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
+        .groupBy(col("dst").as("n"))
+        .agg(min(col("component")).as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      if (r % 8 == 0 && r < rounds) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** k-core decomposition by synchronous peeling: each round recomputes
     * undirected degrees and drops every node below `k`, until either a
     * fixed point (no node dropped) or `rounds` rounds have run — whichever

@@ -118,6 +118,46 @@ object NaiveBayes {
       .select(col("doc_id"), col("top.label").as("predicted"),
         (-col("top.ns")).as("score_micro"))
 
+  /** Margin-calibration bins — the reliability-diagram primitive for a
+    * score-based gate: bucket documents by the classifier's DECISION
+    * MARGIN (top-1 minus top-2 score, exact integer micro-nats — the
+    * confidence proxy that needs no softmax/exp, so no transcendental
+    * enters) and report per-bucket accuracy against gold. A
+    * well-calibrated-enough filter shows accuracy rising monotonically
+    * with margin; routing low-margin docs to review is the standard
+    * "abstain band" play. Bins are `margin div binMicro` capped at
+    * `maxBin`; docs with a single candidate class (no runner-up) are
+    * unmeasurable and excluded. Counts exact; accuracy is ONE IEEE
+    * division per bin. Output is bin-cardinality-sized.
+    *
+    * Scale shape: one window over the (doc, K-class) score frame (same
+    * frame [[classify]] aggregates), then a bin-keyed count — nothing
+    * beyond [[scores]]' existing shuffles plus one K-bounded window. */
+  def marginBins(docs: DataFrame, model: NbModel, goldCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      binMicro: Long = 200000L, maxBin: Long = 10L): DataFrame = {
+    require(binMicro > 0 && maxBin >= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_micro").desc, col("label"))
+    val top2 = scores(docs, model, idCol, textCol)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("doc_id")
+      .agg(max(when(col("rk") === 1, col("score_micro"))).as("s1"),
+        max(when(col("rk") === 1, col("label"))).as("pred"),
+        max(when(col("rk") === 2, col("score_micro"))).as("s2"))
+    top2
+      .join(docs.select(col(idCol).as("doc_id"), col(goldCol).as("gold")), "doc_id")
+      .filter(col("s2").isNotNull)
+      .select(
+        least(expr(s"(s1 - s2) div $binMicro"), lit(maxBin)).as("margin_bin"),
+        when(col("pred") === col("gold"), 1L).otherwise(0L).as("correct"))
+      .groupBy("margin_bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_docs"))
+  }
+
   /** Per-class precision / recall / F1 from a [[confusion]] matrix — the
     * standard classifier-eval report. All counts stay exact integers; each
     * metric is ONE IEEE division (F1 as 2·tp/(n_gold+n_pred), never the

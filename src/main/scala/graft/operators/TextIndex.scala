@@ -102,6 +102,44 @@ object TextIndex {
           .as("ndcg"))
   }
 
+  /** Per-query retrieval quality — MRR, recall@k, precision@k — over a
+    * ranked result frame `(groupCol, nid, rank)` against per-group gold
+    * labels `(groupCol, nid, rel)`, one output row per query group. The
+    * standard eval battery next to [[ndcgAtK]], and like it exact by
+    * construction: the reciprocal rank is integer-quantized at the source
+    * (`1e6 div first_rel_rank` — a truncating integer divide both engines
+    * define identically), hit/relevant counts are exact BIGINTs, and each
+    * ratio is ONE final IEEE division. Groups with no relevant docs emit
+    * NULL recall (not 0 — unmeasurable, the [[QualityFilter]] NULL-metric
+    * convention); groups whose top-k holds no relevant doc emit
+    * rr_micro = 0 and NULL first_rel_rank.
+    *
+    * Scale shape: two group-keyed aggregations over frames already capped
+    * at k rows per group (ranked) or gold-sized, then group-cardinality
+    * joins — nothing corpus-proportional survives the first agg. */
+  def retrievalMetricsPerGroup(ranked: DataFrame, gold: DataFrame,
+      groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val g = gold.filter(col("rel") > 0)
+    val nrel = g.groupBy(groupCol).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(g, Seq(groupCol, "nid"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("first_rel_rank"))
+    val spine = ranked.select(col(groupCol))
+      .union(g.select(col(groupCol))).distinct()
+    spine.join(nrel, Seq(groupCol), "left").join(hits, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_micro"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_rel"))
+          .as("recall_at_k"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("precision_at_k"))
+  }
+
   /** Per-term document frequency over a postings frame. */
   def docFrequencies(post: DataFrame): DataFrame =
     post.groupBy("term").agg(count(lit(1)).as("df"))

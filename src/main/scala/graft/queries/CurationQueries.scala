@@ -346,6 +346,29 @@ object CurationQueries {
                         / CAST(n_gold + n_pred AS DOUBLE) END AS f1
                FROM j""")),
 
+    // Margin-calibration bins of the NB classifier: bucket every document
+    // by its exact-integer DECISION MARGIN (top-1 − top-2 score micro-nats
+    // — the no-softmax confidence proxy) and report per-bucket accuracy
+    // against gold. The reliability diagram a production gate reads before
+    // picking an abstain band; counts exact, accuracy one IEEE division.
+    QueryDef("q_x_nb_margin_bins",
+      (s, d) => graft.operators.NaiveBayes.marginBins(
+        docs(s, d), nbModel(s, d), "lang"),
+      Some(s"""WITH $nbSql,
+               t2 AS (SELECT doc_id,
+                        max(CASE WHEN rk = 1 THEN score_micro END) AS s1,
+                        max(CASE WHEN rk = 1 THEN predicted END) AS pred,
+                        max(CASE WHEN rk = 2 THEN score_micro END) AS s2
+                      FROM pred WHERE rk <= 2 GROUP BY 1),
+               mb AS (SELECT least((s1 - s2) // 200000, 10) AS margin_bin,
+                        CASE WHEN pred = d.lang THEN 1 ELSE 0 END AS correct
+                      FROM t2 JOIN documents d USING (doc_id)
+                      WHERE s2 IS NOT NULL)
+               SELECT margin_bin, count(*) AS n_docs,
+                 CAST(sum(correct) AS BIGINT) AS n_correct,
+                 CAST(sum(correct) AS DOUBLE) / count(*) AS accuracy
+               FROM mb GROUP BY 1""")),
+
     // Cohen's kappa of the NB classifier vs the gold labels —
     // chance-corrected agreement (the label-quality audit run before any
     // crowd/model labels feed training). One IEEE division of exact

@@ -222,15 +222,25 @@ object EventQueries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
               FROM events GROUP BY event_type""")),
 
-    // ...and the sketch variant: HLL++ approximate distinct. No oracle —
-    // sketch estimates are implementation-defined (driver records the
-    // weaker rows-only check); the ScalaTest suite bounds the error vs the
-    // exact counts instead. At 100 TB this replaces the exact count's
-    // shuffle-heavy distinct with fixed-size mergeable state.
+    // ...and the sketch variant: HLL++ approximate distinct. The estimate
+    // itself is implementation-defined, so (like q_x_group_quantiles_approx)
+    // the gate hashes the sketch's CONTRACT instead of its value: per
+    // group, |estimate − exact| must stay within 3× the requested rsd
+    // (+1 for tiny-group rounding) — Spark evaluates the bound against the
+    // exact count it also computes, the oracle emits the expected trues,
+    // and a drifting sketch flips a hashed boolean. At 100 TB the sketch
+    // side replaces the exact count's shuffle-heavy distinct with
+    // fixed-size mergeable state; computing both here is the eval harness,
+    // not the production shape.
     QueryDef("q_x_user_distinct_approx",
       (s, d) => events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx")),
-      None),
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("est"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("est") - col("n_users")).cast("double") <=
+            lit(3.0) * 0.02 * col("n_users") + 1).as("within_3rsd")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+              true AS within_3rsd FROM events GROUP BY event_type""")),
 
     // As-of join: each purchase matched to the user's most recent click at
     // or before it (graft.operators.AsOfJoin — union+window composition, one

@@ -73,6 +73,27 @@ object GraphQueries {
     (head +: steps).mkString(",\n") + s"\nSELECT n, community FROM l$rounds"
   }
 
+  /** DuckDB replay of [[graft.operators.GraphRank.connectedComponents]]:
+    * `rounds` synchronous min-label rounds as chained MATERIALIZED CTEs
+    * (same chaining discipline as [[lpaOracle]]). */
+  private def ccOracle(rounds: Int): String = {
+    val head =
+      """WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         e AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+              ON x.g = y.g AND x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM und)"""
+    val steps = (1 to rounds).map { i =>
+      s"""nm$i AS MATERIALIZED (SELECT und.dst AS n, min(l${i - 1}.component) AS nbr_min
+            FROM und JOIN l${i - 1} ON und.src = l${i - 1}.n GROUP BY 1),
+          l$i AS MATERIALIZED (SELECT l.n,
+              least(l.component, COALESCE(nm$i.nbr_min, l.component)) AS component
+            FROM l${i - 1} l LEFT JOIN nm$i USING (n))"""
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT n, component FROM l$rounds"
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // 3 damped PageRank iterations over the undirected part↔supplier graph
@@ -248,6 +269,17 @@ object GraphQueries {
     QueryDef("q_x_lpa_communities",
       (s, d) => graft.operators.GraphRank.labelPropagation(coPurchaseEdges(s, d), 4),
       Some(lpaOracle(4))),
+
+    // Connected components of the co-purchase graph by synchronous
+    // min-label propagation (HashToMin shape), 8 rounds — enough for the
+    // fixture graphs' diameters with margin (GraphRankSpec pins 8 ≡ 10 on
+    // the sf0.001 graph; rounds past convergence are the identity on both
+    // sides). The entity-resolution closure: dedup pairs → components →
+    // one keeper per component.
+    QueryDef("q_x_connected_components",
+      (s, d) => graft.operators.GraphRank.connectedComponents(
+        coPurchaseEdges(s, d), 8),
+      Some(ccOracle(8))),
 
     // Degree distribution of the same co-purchase graph: how many nodes
     // have each undirected degree — the scale-freeness probe that decides

@@ -166,6 +166,57 @@ object RetrievalQueries {
             FROM dcg, idcg"""
       }),
 
+    // The rest of the retrieval-eval battery beside q_x_ndcg: per-language
+    // MRR / recall@10 / precision@10 of the weighted-score ranking against
+    // the same tf-of-'vector' gold labels, one row per query group.
+    // Reciprocal ranks are integer-quantized at the source (1e6 div rank),
+    // counts exact, each ratio one IEEE division — hash-exact end to end.
+    QueryDef("q_x_retrieval_eval",
+      (s, d) => {
+        val post = graft.operators.TextIndex.postings(
+          t(s, d, "documents"), "doc_id", "text")
+        val groups = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        val ranked = graft.operators.TextIndex.searchWeightedPerGroup(
+            post, groups, "lang", searchTerms, kPerGroup = 10)
+          .select(col("lang"), col("doc_id").as("nid"), col("rank"))
+        val gold = post.filter(col("term") === "vector")
+          .join(groups, "doc_id")
+          .select(col("lang"), col("doc_id").as("nid"), col("tf").as("rel"))
+        graft.operators.TextIndex.retrievalMetricsPerGroup(
+          ranked, gold, "lang", 10)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+               p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                     WHERE term <> '' GROUP BY 1, 2),
+               dfs AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+               m AS (SELECT doc_id, sum(tf * (1000000 // df)) AS score
+                     FROM p JOIN dfs USING (term)
+                     WHERE term IN ($searchTermsSql) GROUP BY 1),
+               r AS (SELECT lang, doc_id, rank FROM
+                       (SELECT m.doc_id, d.lang, row_number() OVER
+                          (PARTITION BY d.lang ORDER BY score DESC, m.doc_id)
+                          AS rank
+                        FROM m JOIN documents d USING (doc_id))
+                     WHERE rank <= 10),
+               g AS (SELECT d.lang, p.doc_id, p.tf AS rel
+                     FROM p JOIN documents d USING (doc_id)
+                     WHERE p.term = 'vector' AND p.tf > 0),
+               nrel AS (SELECT lang, count(*) AS n_rel FROM g GROUP BY 1),
+               h AS (SELECT r.lang, count(*) AS n_hits,
+                       min(r.rank) AS first_rel_rank
+                     FROM r JOIN g ON r.lang = g.lang AND r.doc_id = g.doc_id
+                     GROUP BY 1),
+               langs AS (SELECT lang FROM r UNION SELECT lang FROM g)
+               SELECT l.lang, COALESCE(n_rel, 0) AS n_rel,
+                 COALESCE(n_hits, 0) AS n_hits, first_rel_rank,
+                 COALESCE(1000000 // first_rel_rank, 0) AS rr_micro,
+                 CASE WHEN COALESCE(n_rel, 0) > 0
+                   THEN CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_rel
+                 END AS recall_at_k,
+                 CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10 AS precision_at_k
+               FROM langs l LEFT JOIN nrel USING (lang)
+                    LEFT JOIN h USING (lang)""")),
+
     // Phrase search through a PERSISTED positional index: positional
     // postings written once term-sorted (term-range file pruning, the
     // posting-list-seek analogue), the same phrase query reads the stored

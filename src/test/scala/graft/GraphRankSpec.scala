@@ -144,6 +144,27 @@ class GraphRankSpec extends SparkSpec {
     assert(again == com)
   }
 
+  test("connectedComponents: two chains + isolate-free edge set, exact min labels") {
+    // chain 1-2-3-4 (diameter 3) and pair 10-11: components {1},{10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val com = ranks(GraphRank.connectedComponents(edges, 4))
+    assert(com == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // rounds past convergence are the identity (the oracle-budget contract)
+    assert(ranks(GraphRank.connectedComponents(edges, 9)) == com)
+    // deterministic under repartitioning
+    assert(ranks(GraphRank.connectedComponents(edges.repartition(5), 4)) == com)
+  }
+
+  test("connectedComponents: gate budget (8) converged on the sf0.001 graph") {
+    val edges = GraphRank.coOccurrenceEdges(
+      spark.read.parquet(s"$sf0001/lineitem.parquet"),
+      "l_orderkey", "l_partkey", minShared = 2L)
+    val at8 = ranks(GraphRank.connectedComponents(edges, 8))
+    val at10 = ranks(GraphRank.connectedComponents(edges, 10))
+    assert(at8 == at10,
+      "q_x_connected_components' 8-round budget has NOT converged — raise it")
+  }
+
   test("determinism: identical ranks across repeated runs and partitionings") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
       .toDF("src", "dst")

@@ -101,4 +101,23 @@ class NaiveBayesSpec extends SparkSpec {
       .select("predicted").as[String].collect().toSet
     assert(preds.subsetOf(Set("x", "y")))
   }
+
+  test("marginBins: separable corpus bins at accuracy 1.0; counts cover all docs") {
+    val train = Seq((0L, "a a a", "x"), (1L, "b b b", "y")).toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(train, "lang")
+    val docs = Seq((10L, "a a", "x"), (11L, "b b", "y"), (12L, "a", "x"))
+      .toDF("doc_id", "text", "lang")
+    val bins = NaiveBayes.marginBins(docs, model, "lang")
+      .select("margin_bin", "n_docs", "n_correct", "accuracy")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(bins.map(_._2).sum == 3, "every 2-class doc falls in exactly one bin")
+    bins.foreach { case (b, n, c, acc) =>
+      assert(b >= 0 && c == n && acc == 1.0, s"separable corpus must be all-correct: $bins")
+    }
+    // a wrong-gold doc lands in a bin with accuracy < 1
+    val flipped = Seq((20L, "a a a a", "y")).toDF("doc_id", "text", "lang")
+    val fb = NaiveBayes.marginBins(flipped, model, "lang")
+      .select("n_docs", "n_correct").as[(Long, Long)].collect()
+    assert(fb.toSeq == Seq((1L, 0L)))
+  }
 }

@@ -12,13 +12,12 @@ class OracleCoverageSpec extends AnyFunSuite {
 
   /** Queries whose outputs are deliberately not SQL-portable. Additions need
     * a justification comment AND a spec pinning the behavior instead. */
-  private val noOracleAllowlist: Map[String, String] = Map(
-    // HLL estimate is implementation-defined; exact twin q_x_user_distinct
-    // carries the oracle. (The approx-percentile sketch left this list in
-    // round 8: its gate now hashes the ε-rank-bound contract instead of
-    // the sketch value.)
-    "q_x_user_distinct_approx" -> "HLL implementation-defined; exact twin oracled"
-  )
+  // Empty since round 8: the two approx sketches (percentile, HLL) now
+  // hash their accuracy CONTRACTS (ε-rank window / 3×rsd band evaluated
+  // in-plan, oracle emits the expected booleans), so every gate query is
+  // oracled. Additions need a justification comment AND a spec pinning
+  // the behavior instead.
+  private val noOracleAllowlist: Map[String, String] = Map.empty
 
   test("every gate query has an oracle or an allowlisted reason") {
     val oracled = SparkEntry.oracleSql.keySet

@@ -58,14 +58,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("approx distinct users within rsd bounds of the exact counts") {
+  test("approx distinct users: 3x-rsd contract booleans hold per group") {
+    // r8 gate form: the query evaluates |estimate − exact| ≤ 3·rsd·exact+1
+    // itself and the oracle hashes the expected trues. Here: non-empty
+    // coverage, exact counts agree with the exact twin, booleans all true.
     val exact = rows(SparkEntry.queries("q_x_user_distinct")(spark, sf0001)
       .select("event_type", "n_users")).map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
-    val approx = rows(SparkEntry.queries("q_x_user_distinct_approx")(spark, sf0001))
-      .map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
-    approx.foreach { case (k, a) =>
-      val e = exact(k)
-      assert(math.abs(a - e) <= math.max(2L, (e * 0.1).toLong), s"$k: approx $a vs exact $e")
+    val bound = rows(SparkEntry.queries("q_x_user_distinct_approx")(spark, sf0001))
+    assert(bound.map(_.head).toSet == exact.keySet, "one row per event type")
+    bound.foreach { r =>
+      assert(r(1) == exact(r.head), s"${r.head}: exact count drifted: $r")
+      assert(r(2) == true, s"${r.head}: HLL estimate outside 3x rsd: $r")
     }
   }
 

@@ -216,4 +216,27 @@ class TextIndexSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("spark"), plan) // the term filter survived into the plan
   }
+
+  test("retrievalMetricsPerGroup: hand-checked MRR/recall/precision incl. edge groups") {
+    val ranked = Seq(
+      ("g1", 1L, 1L), ("g1", 2L, 2L), ("g1", 3L, 3L), // hit at rank 2
+      ("g2", 4L, 1L), ("g2", 5L, 2L)                  // no gold at all
+    ).toDF("grp", "nid", "rank")
+    val gold = Seq(
+      ("g1", 2L, 1L), ("g1", 9L, 2L), // one retrieved, one missed
+      ("g3", 7L, 1L)                  // gold-only group, empty result list
+    ).toDF("grp", "nid", "rel")
+    val got = TextIndex.retrievalMetricsPerGroup(ranked, gold, "grp", 3)
+      .orderBy("grp").collect()
+    assert(got.length == 3)
+    val g1 = got(0)
+    assert(g1.getLong(1) == 2 && g1.getLong(2) == 1, g1.toString) // n_rel, n_hits
+    assert(g1.getLong(3) == 2 && g1.getLong(4) == 500000, g1.toString) // first, rr
+    assert(g1.getDouble(5) == 0.5 && g1.getDouble(6) == 1.0 / 3, g1.toString)
+    val g2 = got(1) // no relevant docs: rr 0, recall NULL (unmeasurable)
+    assert(g2.getLong(1) == 0 && g2.getLong(4) == 0 && g2.isNullAt(5), g2.toString)
+    val g3 = got(2) // relevant exists, nothing retrieved: recall 0, rr 0
+    assert(g3.getLong(1) == 1 && g3.getLong(2) == 0 && g3.isNullAt(3), g3.toString)
+    assert(g3.getLong(4) == 0 && g3.getDouble(5) == 0.0, g3.toString)
+  }
 }
