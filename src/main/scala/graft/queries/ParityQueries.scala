@@ -424,6 +424,44 @@ object ParityQueries {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderstatus""")),
 
+    // Bloom-filter join pruning (operators.BloomJoin): build a ~10 KB
+    // filter over the selective dim keys, drop probe rows MAP-SIDE before
+    // any join shuffle — Spark's runtime row-level filtering surfaced as an
+    // explicit, stageable operator. The gate hashes the CONTRACT (no false
+    // negatives — match counts survive pruning exactly — and observed FPR
+    // within its sizing bound); the estimate-dependent pruned count stays
+    // out of the hash, like the HLL estimate.
+    QueryDef("q_x_bloom_prune",
+      (s, d) => {
+        val bj = graft.operators.BloomJoin
+        val build = t(s, d, "part").filter(col("p_size") === 1)
+          .select(col("p_partkey").as("k")).distinct()
+        val filter = bj.buildFilter(build, "k",
+          expectedItems = 10000L, numBits = 80000L)
+        val flagged = t(s, d, "lineitem").select(col("l_partkey").as("k"))
+          .join(broadcast(build.withColumn("mt", lit(true))), Seq("k"), "left")
+          .select(col("k"), coalesce(col("mt"), lit(false)).as("mt"),
+            bj.mightContain(filter, col("k")).as("mc"))
+        flagged.agg(
+          sum(when(col("mt"), 1L).otherwise(0L)).as("n_match_rows"),
+          count_distinct(when(col("mt"), col("k"))).as("n_match_keys"),
+          (sum(when(col("mt") && !col("mc"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          (count_distinct(when(col("mc") && !col("mt"), col("k"))).cast("double")
+            <= lit(0.05) * count_distinct(when(!col("mt"), col("k"))) + 1)
+            .as("fpr_below_bound"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT p_partkey AS k FROM part WHERE p_size = 1),
+              j AS (SELECT pr.k, (b.k IS NOT NULL) AS mt
+                    FROM (SELECT l_partkey AS k FROM lineitem) pr
+                    LEFT JOIN b ON pr.k = b.k)
+              SELECT CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_match_rows,
+                     CAST(count(DISTINCT CASE WHEN mt THEN k END) AS BIGINT)
+                       AS n_match_keys,
+                     true AS no_false_negatives, true AS fpr_below_bound
+              FROM j""")),
+
     // L1+L2 — deterministic top-k (ORDER BY + LIMIT with a tie-break).
     QueryDef("q_l1_topk",
       (s, d) => t(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
