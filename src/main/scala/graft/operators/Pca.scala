@@ -100,6 +100,24 @@ object Pca {
     GramStats(n, s, full)
   }
 
+  /** Exact merge of two shard moment sets — the 100 TB shard path made
+    * concrete: first+second moments are plain sums, so a corpus too large
+    * (or too freshly grown) for one scan splits into shards whose
+    * [[GramStats]] combine losslessly. `gramStats(full)` ≡
+    * `merge(gramStats(shard1), gramStats(shard2))` cell-for-cell
+    * (spec-pinned and oracle-gated via q_x_pca_gram_merged, whose oracle
+    * is IDENTICAL to q_x_pca_gram — the stored-model equivalence pattern).
+    * Also the incremental-refresh verb: yesterday's moments + today's
+    * batch moments = today's model, no recomputation. */
+  def mergeGram(a: GramStats, b: GramStats): GramStats = {
+    require(a.dim == b.dim, s"shard dims differ: ${a.dim} vs ${b.dim}")
+    val d = a.dim
+    GramStats(
+      a.n + b.n,
+      Array.tabulate(d)(i => math.addExact(a.sums(i), b.sums(i))),
+      Array.tabulate(d, d)((i, j) => math.addExact(a.gram(i)(j), b.gram(i)(j))))
+  }
+
   /** Covariance numerator `M_ij = n·G_ij − s_i·s_j` (= n² · covariance) in
     * exact BigInt — the matrix the power iteration runs on. */
   def covNumerator(g: GramStats): Array[Array[BigInt]] = {

@@ -620,6 +620,25 @@ object VectorQueries {
       Some(s"""WITH $pcaBaseSql
                SELECT di, dj, ${int128SplitSql("m", "m_hi", "m_lo")} FROM mu""")),
 
+    // The shard-merge path of the same moments: fit GramStats on the
+    // even/odd vec_id halves SEPARATELY, merge losslessly (moments are
+    // plain sums), and emit the identical covariance numerator — the
+    // oracle is byte-for-byte q_x_pca_gram's, so the gate proves
+    // shard-and-merge ≡ one-scan (the incremental-refresh verb for a
+    // corpus that outgrows a single pass).
+    QueryDef("q_x_pca_gram_merged",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val g = graft.operators.Pca.mergeGram(
+          graft.operators.Pca.gramStats(emb.filter(col("vec_id") % 2 === 0)),
+          graft.operators.Pca.gramStats(emb.filter(col("vec_id") % 2 === 1)))
+        val df = graft.operators.Pca.covNumeratorDF(s, g)
+        val (hi, lo) = graft.operators.Pca.int128Words(col("m"))
+        df.select(col("di"), col("dj"), hi.as("m_hi"), lo.as("m_lo"))
+      },
+      Some(s"""WITH $pcaBaseSql
+               SELECT di, dj, ${int128SplitSql("m", "m_hi", "m_lo")} FROM mu""")),
+
     // Dominant eigendirection by 12 quantized power iterations — every
     // iterate renormalized to integer micro-units with ONE rounding per
     // component, so the oracle replays the entire fit cell-by-cell as

@@ -52,6 +52,20 @@ class PcaSpec extends SparkSpec {
     assert(total.signum == 0, s"Σ n·(q·v) − (s·v) must cancel exactly, got $total")
   }
 
+  test("mergeGram: shard halves combine to the one-scan moments exactly") {
+    val full = Pca.gramStats(blob)
+    val even = Pca.gramStats(blob.filter(col("vec_id") % 2 === 0))
+    val odd = Pca.gramStats(blob.filter(col("vec_id") % 2 === 1))
+    val merged = Pca.mergeGram(even, odd)
+    assert(merged.n == full.n)
+    assert(merged.sums.toSeq == full.sums.toSeq)
+    assert(merged.gram.map(_.toSeq).toSeq == full.gram.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Pca.mergeGram(full, Pca.gramStats(
+        Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")))
+    }
+  }
+
   test("power iteration is deterministic and ragged dims refuse") {
     val g = Pca.gramStats(blob)
     val v1 = Pca.principalDirection(Pca.covNumerator(g))
