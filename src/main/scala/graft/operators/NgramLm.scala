@@ -214,27 +214,39 @@ object NgramLm {
     * pair within `window` positions, aggregated to exact occurrence counts —
     * the co-occurrence table embedding trainers consume (and the input to
     * SGNS/GloVe-style factorizations). Pair generation is ONE map-side
-    * codegen'd HOF chain (sequence → filter → struct, flattened and
-    * exploded) — no positional self-join, so the only shuffle is the final
-    * (center, context)-keyed count, and pair volume is 2·window·tokens by
-    * construction. Windows clip at document boundaries; documents shorter
-    * than 2 tokens contribute nothing. */
+    * codegen'd HOF chain (sequence → struct, flattened and exploded) — no
+    * positional self-join. Windows clip at document boundaries; documents
+    * shorter than 2 tokens contribute nothing.
+    *
+    * Symmetry halving: each unordered position pair {i, j} within the
+    * window yields BOTH ordered rows (toks[i], toks[j]) and
+    * (toks[j], toks[i]), so only the forward j > i pairs are generated
+    * (window·tokens rows instead of 2·window·tokens through the explode +
+    * partial agg — the occurrence-volume hot path) and the mirror is
+    * restored afterwards on the far smaller DISTINCT-pair frame. Equal
+    * tokens need no special case: cnt(x,x) rides the union twice and sums
+    * to its doubled count exactly. */
   def skipGramPairs(docs: DataFrame, window: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     // sequence(1, 0) would DESCEND in Spark (step inferred -1) — greatest()
     // guards the empty-token edge so the outer sequence is never inverted
-    docs.select(Text.tokens(col(textCol)).as("toks"))
+    // inner sequence is clamped to [i, size] then filtered to j > i so it
+    // can never invert (descend) and never pairs a position with itself
+    val half = docs.select(Text.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
         s"""flatten(transform(sequence(1, greatest(size(toks), 1)), i ->
               transform(
-                filter(sequence(greatest(1, i - $window),
-                                least(size(toks), i + $window)), j -> j != i),
-                j -> struct(element_at(toks, i) AS center,
-                            element_at(toks, j) AS context))))""")).as("p"))
-      .select(col("p.center").as("center"), col("p.context").as("context"))
-      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+                filter(sequence(i, least(size(toks), i + $window)),
+                       j -> j > i),
+                j -> struct(element_at(toks, i) AS f,
+                            element_at(toks, j) AS s))))""")).as("p"))
+      .select(col("p.f").as("f"), col("p.s").as("s"))
+      .groupBy("f", "s").agg(count(lit(1)).as("n"))
+    half.select(col("f").as("center"), col("s").as("context"), col("n"))
+      .unionAll(half.select(col("s").as("center"), col("f").as("context"), col("n")))
+      .groupBy("center", "context").agg(sum(col("n")).as("n_pairs"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
