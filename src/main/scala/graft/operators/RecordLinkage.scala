@@ -23,30 +23,57 @@ object RecordLinkage {
 
   /** All pairs (id1 < id2) whose `keyCol` values are within Levenshtein
     * distance 1 (substitution, insertion, or deletion), found via
-    * deletion-neighborhood blocking. Output: (id1, id2, key1, key2, dist). */
+    * deletion-neighborhood blocking. Output: (id1, id2, key1, key2, dist).
+    *
+    * The blocking is POSITION-KEYED, which is what keeps candidate volume
+    * near the true match density on realistic key distributions:
+    *  - a substitution-1 pair shares the deletion at the DIFFERING
+    *    position, so those candidates come from an equi-join on
+    *    (variant, position) — a flat (variant)-keyed deletion self-join
+    *    would also collide every pair of records whose deletions at
+    *    DIFFERENT positions coincide, and on keys with repeated-character
+    *    runs (zero-padded ids, "Customer#000000123") every run position
+    *    yields the same variant, inflating buckets quadratically;
+    *  - an indel-1 pair is the shorter key ITSELF equal to a deletion of
+    *    the longer, so that join keeps whole records on the probe side
+    *    (bucket cost |selfs|·|bucket|, and selfs-per-variant ≈ exact-dup
+    *    cardinality ≈ 1) instead of deletions × deletions.
+    * Join keys are 64-bit variant hashes (fixed-width shuffle rows); hash
+    * collisions and distance-2 stragglers are killed by the exact
+    * `levenshtein` verify, which runs BEFORE the distinct so the dedup
+    * only holds true near-matches. */
   def editNeighborPairs(records: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    // {self} ∪ {delete char i}: substitution-1 pairs share a deletion at the
-    // differing position; insertion/deletion-1 pairs match the shorter
-    // string itself against a deletion variant of the longer.
-    // the join key is the 64-bit hash of the variant, not the string — the
-    // shuffle carries fixed-width keys, and any hash-collision candidate is
-    // killed by the exact levenshtein verify below
-    val v = records.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
-      .select(col("id"), col("key"), explode(array_union(
-        array(col("key")),
-        expr("transform(sequence(1, length(key)), i -> concat(substring(key, 1, i-1), substring(key, i+1, length(key))))")
-      )).as("variant"))
-      .select(col("id"), col("key"), xxhash64(col("variant")).as("vh"))
-    v.select(col("id").as("id1"), col("key").as("key1"), col("vh"))
-      .join(v.select(col("id").as("id2"), col("key").as("key2"), col("vh")),
-        Seq("vh"))
-      .filter(col("id1") < col("id2"))
-      // verify BEFORE the distinct: shared-variant candidates reach edit
-      // distance 2 (and hash collisions anywhere), so the dedup only has to
-      // hold the true near-matches, not the candidate volume
+    val base = records.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
+    val dels = base.select(col("id"), col("key"),
+        posexplode(expr("transform(sequence(1, length(key)), " +
+          "i -> concat(substring(key, 1, i-1), substring(key, i+1, length(key))))")))
+      .select(col("id"), col("key"), col("pos").as("dpos"),
+        xxhash64(col("col")).as("vh"))
+    val selfs = base.select(col("id"), col("key"), xxhash64(col("key")).as("vh"))
+    // substitution candidates: same-position deletions agree
+    val subs = dels.select(col("id").as("idA"), col("key").as("keyA"),
+        col("dpos"), col("vh"))
+      .join(dels.select(col("id").as("idB"), col("key").as("keyB"),
+        col("dpos"), col("vh")), Seq("vh", "dpos"))
+    // indel + exact-dup candidates: whole key vs {self} ∪ {deletions}
+    val indel = selfs.select(col("id").as("idA"), col("key").as("keyA"), col("vh"))
+      .join(selfs.select(col("id").as("idB"), col("key").as("keyB"), col("vh"))
+        .unionByName(dels.select(col("id").as("idB"), col("key").as("keyB"),
+          col("vh"))), Seq("vh"))
+    subs.select(col("idA"), col("keyA"), col("idB"), col("keyB"))
+      .unionByName(indel.select(col("idA"), col("keyA"), col("idB"), col("keyB")))
+      .filter(col("idA") =!= col("idB"))
+      // orient id1 < id2 keeping each key with its id (the indel join sees
+      // a pair from whichever side is shorter, in either id order)
+      .select(when(col("idA") < col("idB"),
+          struct(col("idA").as("id1"), col("idB").as("id2"),
+            col("keyA").as("key1"), col("keyB").as("key2")))
+        .otherwise(struct(col("idB").as("id1"), col("idA").as("id2"),
+          col("keyB").as("key1"), col("keyA").as("key2"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.key1").as("key1"), col("p.key2").as("key2"))
       .withColumn("dist", levenshtein(col("key1"), col("key2")).cast("long"))
       .filter(col("dist") <= 1)
-      .select(col("id1"), col("id2"), col("key1"), col("key2"), col("dist"))
       .distinct()
   }
 }

@@ -230,4 +230,28 @@ object Sampling {
       Hashing.hash64(concat(col(keyCol).cast("string"), lit("|temp"))) % buckets
         < rate)
   }
+
+  /** Split-leakage audit: content values whose documents landed in MORE
+    * THAN ONE split — the train/test contamination check run after
+    * [[stratifiedSplit]] (hash-of-id splits are disjoint in IDS by
+    * construction, but nothing stops the same CONTENT from carrying two
+    * ids; an eval set leaking near-boilerplate into train inflates every
+    * benchmark it guards). `contentCol` is whatever identity matters —
+    * the raw text for exact leakage, a shingle prefix / minhash band for
+    * near-leakage. Output per leaked content hash: doc count, split
+    * count, and the sorted split list (`collect_set` order is
+    * partition-dependent; `sort_array` makes it deterministic).
+    *
+    * Scale: one hash agg on the content hash (word-count-shaped); the
+    * leaked survivor set is collision-sized, orders of magnitude smaller
+    * than the corpus. */
+  def splitLeakage(df: DataFrame, contentCol: String,
+      splitCol: String = "split"): DataFrame =
+    df.select(Hashing.hash64(col(contentCol).cast("string")).as("content_h"),
+        col(splitCol).as("__s"))
+      .groupBy("content_h")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__s")).as("n_splits"),
+        array_join(sort_array(collect_set(col("__s"))), ",").as("splits"))
+      .filter(col("n_splits") >= 2)
 }

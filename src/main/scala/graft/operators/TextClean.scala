@@ -77,6 +77,41 @@ object TextClean {
     df.join(offenders.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Domain-level quality census — the "domain trust" table crawl
+    * prioritization and blocklist REVIEW read: per registrable domain, how
+    * many documents link there and what the aggregate text quality of those
+    * documents is. The aggregation is MICRO-AVERAGED from exact integer
+    * numerators (Σ letters / Σ chars, Σ stopword hits / Σ tokens — one IEEE
+    * division per ratio at the very end), never a mean of per-doc float
+    * scores, whose summation order would differ across partitionings and
+    * engines. A doc linking a domain k times counts once in the quality
+    * sums (distinct doc attribution) and k times in `n_urls`.
+    *
+    * Scale: [[extractUrls]]' map-side explode → one (domain, doc) hash agg →
+    * join to the map-side per-doc integer stats ([[QualityFilter.scored]])
+    * on doc_id → one domain agg. Output is domain-cardinality-sized. */
+  def domainQuality(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val links = extractUrls(df, idCol, textCol)
+      .filter(col("domain") =!= "")
+      .groupBy("domain", "doc_id").agg(count(lit(1)).as("n_urls"))
+    val stats = QualityFilter.scored(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t")), "__t")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        col("n_letters"), col("n_stopwords"))
+    links.join(stats, Seq("doc_id"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_urls").as("n_urls"),
+        sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"),
+        sum("n_letters").as("n_letters"), sum("n_stopwords").as("n_stopwords"))
+      .select(col("domain"), col("n_docs"), col("n_urls"), col("n_tokens"),
+        col("n_chars"), col("n_letters"), col("n_stopwords"),
+        (col("n_letters").cast("double") / col("n_chars").cast("double"))
+          .as("alpha_ratio"),
+        (col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_ratio"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{7,15}"
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -393,6 +393,78 @@ object CurationQueries {
                  END AS kappa
                FROM ag, pe""")),
 
+    // One-vs-rest ROC-AUC of the NB scores, per language — the
+    // threshold-free ranking quality a score-based gate is tuned by.
+    // Tie-aware Mann–Whitney over EXACT integer micro-nat scores: the
+    // u2 = 2U numerator is an exact BIGINT (2 per strictly-lower negative,
+    // 1 per tied negative), auc = u2/(2·n_pos·n_neg) ONE IEEE division.
+    // Spark computes the cumulative via a two-level bucketed prefix sum
+    // (no corpus-sized window partition); the oracle's single
+    // label-partitioned cumsum is the same semantic at oracle scale.
+    QueryDef("q_x_auc",
+      (s, d) => graft.operators.Eval.aucPerLabel(
+        graft.operators.NaiveBayes.scores(docs(s, d), nbModel(s, d)),
+        docs(s, d).select(col("doc_id"), col("lang").as("gold"))),
+      Some(s"""WITH $nbSql,
+               j AS (SELECT sc.label, sc.score_micro AS s,
+                       CASE WHEN d.lang = sc.label THEN 1 ELSE 0 END AS pos
+                     FROM sc JOIN documents d USING (doc_id)),
+               ps AS (SELECT label, s, CAST(sum(pos) AS BIGINT) AS np,
+                        CAST(count(*) - sum(pos) AS BIGINT) AS nn
+                      FROM j GROUP BY 1, 2),
+               cb AS (SELECT label, np, nn,
+                        CAST(COALESCE(sum(nn) OVER (PARTITION BY label
+                          ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+                      FROM ps),
+               ag AS (SELECT label, CAST(sum(np) AS BIGINT) AS n_pos,
+                        CAST(sum(nn) AS BIGINT) AS n_neg,
+                        CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) AS u2
+                      FROM cb GROUP BY 1)
+               SELECT label, n_pos, n_neg, u2,
+                 CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+                 END AS auc
+               FROM ag""")),
+
+    // Precision/recall curve of the NB scores, per language: one row per
+    // distinct attained score s, scoring the gate "keep iff score ≥ s" —
+    // the operating-point menu (max-F1 / precision-floor pickers reduce
+    // it). tp/fp derive from the SAME cumulative frame as q_x_auc
+    // (count_{≥s} = total − count_{<s}); each ratio one IEEE division.
+    QueryDef("q_x_pr_curve",
+      (s, d) => graft.operators.Eval.prCurvePerLabel(
+        graft.operators.NaiveBayes.scores(docs(s, d), nbModel(s, d)),
+        docs(s, d).select(col("doc_id"), col("lang").as("gold"))),
+      Some(s"""WITH $nbSql,
+               j AS (SELECT sc.label, sc.score_micro AS s,
+                       CASE WHEN d.lang = sc.label THEN 1 ELSE 0 END AS pos
+                     FROM sc JOIN documents d USING (doc_id)),
+               ps AS (SELECT label, s, CAST(sum(pos) AS BIGINT) AS np,
+                        CAST(count(*) - sum(pos) AS BIGINT) AS nn
+                      FROM j GROUP BY 1, 2),
+               cb AS (SELECT label, s, np, nn,
+                        CAST(COALESCE(sum(np) OVER (PARTITION BY label
+                          ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS pos_below,
+                        CAST(COALESCE(sum(nn) OVER (PARTITION BY label
+                          ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+                      FROM ps),
+               tot AS (SELECT label, CAST(sum(np) AS BIGINT) AS n_pos,
+                         CAST(sum(nn) AS BIGINT) AS n_neg
+                       FROM ps GROUP BY 1)
+               SELECT label, s AS threshold_micro,
+                 CAST(n_pos - pos_below AS BIGINT) AS tp,
+                 CAST(n_neg - neg_below AS BIGINT) AS fp,
+                 n_pos,
+                 CAST(n_pos - pos_below AS DOUBLE)
+                   / CAST((n_pos - pos_below) + (n_neg - neg_below) AS DOUBLE)
+                   AS prec,
+                 CASE WHEN n_pos > 0 THEN CAST(n_pos - pos_below AS DOUBLE)
+                   / CAST(n_pos AS DOUBLE) END AS recall
+               FROM cb JOIN tot USING (label)""")),
+
     // Unigram Shannon entropy per document (micro-nat-exact): the
     // distribution-shape quality signal — catches shuffled repetition that
     // exact-shingle repetition scoring misses.

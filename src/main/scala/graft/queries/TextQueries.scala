@@ -781,6 +781,84 @@ object TextQueries {
       },
       Some("""SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1""")),
 
+    // Domain-level quality census (TextClean.domainQuality): the "domain
+    // trust" table a crawl prioritizer / blocklist review reads — per
+    // registrable domain, linking-doc count, URL count, and MICRO-AVERAGED
+    // text quality from exact integer numerators (Σ letters / Σ chars,
+    // Σ stopword hits / Σ tokens — one IEEE division per ratio at the end;
+    // never a float mean of per-doc scores, whose summation order is
+    // partition- and engine-dependent). Same URL injection as the census.
+    QueryDef("q_x_domain_quality",
+      (s, d) => {
+        val withUrls = concat(lit("visit https://w"), col("doc_id") % 5,
+          lit(".site"), col("doc_id") % 11, lit(".org/p/"), col("doc_id"),
+          lit(" and http://ads.tracker"), col("doc_id") % 2, lit(".io plus "),
+          col("text"))
+        graft.operators.TextClean.domainQuality(
+          t(s, d, "documents").select(col("doc_id"), withUrls.as("text")))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+                 'visit https://w' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.site' || CAST(doc_id % 11 AS VARCHAR)
+                 || '.org/p/' || CAST(doc_id AS VARCHAR)
+                 || ' and http://ads.tracker' || CAST(doc_id % 2 AS VARCHAR)
+                 || '.io plus ' || text AS t FROM documents),
+               u AS (SELECT doc_id, unnest(regexp_extract_all(t,
+                 '${graft.operators.TextClean.UrlPattern}', 0)) AS url FROM p),
+               dm AS (SELECT doc_id, regexp_extract(
+                   regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1),
+                   '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain FROM u),
+               l AS (SELECT domain, doc_id, count(*) AS n_urls FROM dm
+                     WHERE domain <> '' GROUP BY 1, 2),
+               st AS (SELECT doc_id,
+                 CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(length(t) AS BIGINT) AS n_chars,
+                 CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                   AS n_letters,
+                 CAST(len(list_filter(string_split(t, ' '),
+                   x -> x IN ($stopIn))) AS BIGINT) AS n_stopwords
+                 FROM p)
+               SELECT domain, count(*) AS n_docs,
+                 CAST(sum(n_urls) AS BIGINT) AS n_urls,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(n_letters) AS BIGINT) AS n_letters,
+                 CAST(sum(n_stopwords) AS BIGINT) AS n_stopwords,
+                 CAST(sum(n_letters) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+                   AS alpha_ratio,
+                 CAST(sum(n_stopwords) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+                   AS stop_ratio
+               FROM l JOIN st USING (doc_id) GROUP BY 1""")),
+
+    // Split-leakage audit (Sampling.splitLeakage): content keys whose
+    // documents span MORE THAN ONE train/val/test split — hash-of-id
+    // splits are id-disjoint by construction, but identical CONTENT under
+    // two ids leaks eval text into train. Content key here = the 3-token
+    // prefix (the near-boilerplate identity; the fixture has ~26 colliding
+    // prefix groups). One content-hash agg; survivors collision-sized.
+    QueryDef("q_x_split_leakage",
+      (s, d) => {
+        val withSplit = graft.operators.Sampling.stratifiedSplit(
+            t(s, d, "documents"), "doc_id", 80, 10)
+          .withColumn("content",
+            array_join(slice(graft.functions.Text.tokens(col("text")), 1, 3), " "))
+        graft.operators.Sampling.splitLeakage(withSplit, "content")
+      },
+      Some(s"""WITH sp AS (SELECT doc_id, text,
+                 CASE WHEN ${hash64Sql("CAST(doc_id AS VARCHAR) || '|split'")}
+                        % 100 < 80 THEN 'train'
+                      WHEN ${hash64Sql("CAST(doc_id AS VARCHAR) || '|split'")}
+                        % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split FROM documents),
+               c AS (SELECT ${hash64Sql(
+                 "array_to_string((string_split(text, ' '))[1:3], ' ')")}
+                   AS content_h, split FROM sp)
+               SELECT content_h, count(*) AS n_docs,
+                 CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                 string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+               FROM c GROUP BY 1
+               HAVING count(DISTINCT split) >= 2""")),
+
     // Token-rarity features from the corpus's own frequency table — the
     // unigram frequency-filtering signal (docs whose rarest token is
     // corpus-unique carry noise; all-integer outputs, cross-engine exact).

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Eval
+
+/** Threshold-free eval: hand-checked tie-aware AUC, PR-curve points,
+  * degenerate one-class labels, and bucket-boundary invariance of the
+  * two-level prefix sum. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one-vs-rest fixture: label "p" scored over 6 docs, gold p for 3.
+  // scores: pos {9, 5, 5}, neg {7, 5, 1}  (one three-way tie at 5)
+  private def scored = Seq(
+    (1L, "p", 9L), (2L, "p", 5L), (3L, "p", 5L),
+    (4L, "p", 7L), (5L, "p", 5L), (6L, "p", 1L)
+  ).toDF("doc_id", "label", "score_micro")
+  private def gold = Seq(
+    (1L, "p"), (2L, "p"), (3L, "p"),
+    (4L, "n"), (5L, "n"), (6L, "n")
+  ).toDF("doc_id", "gold")
+
+  test("aucPerLabel: hand-checked tie-aware Mann-Whitney") {
+    // pairs (pos, neg): 9 beats 7,5,1 -> 3; each 5 beats 1, ties 5,
+    // loses to 7 -> 1 + 0.5 each. U = 3 + 1.5 + 1.5 = 6; 2U = 12.
+    // AUC = 6 / 9.
+    val r = Eval.aucPerLabel(scored, gold).collect().head
+    assert(r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Long]("n_neg") == 3L)
+    assert(r.getAs[Long]("u2") == 12L)
+    assert(r.getAs[Double]("auc") == 12.0 / 18.0)
+  }
+
+  test("aucPerLabel: perfect separation gives 1.0, inverted gives 0.0") {
+    val s = Seq((1L, "p", 10L), (2L, "p", 9L), (3L, "p", 1L), (4L, "p", 0L))
+      .toDF("doc_id", "label", "score_micro")
+    val g = Seq((1L, "p"), (2L, "p"), (3L, "n"), (4L, "n")).toDF("doc_id", "gold")
+    assert(Eval.aucPerLabel(s, g).collect().head.getAs[Double]("auc") == 1.0)
+    val gInv = Seq((1L, "n"), (2L, "n"), (3L, "p"), (4L, "p")).toDF("doc_id", "gold")
+    assert(Eval.aucPerLabel(s, gInv).collect().head.getAs[Double]("auc") == 0.0)
+  }
+
+  test("aucPerLabel: single-class label yields NULL auc") {
+    val s = Seq((1L, "p", 3L), (2L, "p", 4L)).toDF("doc_id", "label", "score_micro")
+    val g = Seq((1L, "p"), (2L, "p")).toDF("doc_id", "gold")
+    val r = Eval.aucPerLabel(s, g).collect().head
+    assert(r.getAs[Long]("n_neg") == 0L && r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("aucPerLabel: invariant under bucketBits (two-level prefix == flat)") {
+    // negative and positive scores straddling bucket boundaries
+    val s = Seq((1L, "p", -1048577L), (2L, "p", -1048576L), (3L, "p", -1L),
+      (4L, "p", 0L), (5L, "p", 1048575L), (6L, "p", 1048576L))
+      .toDF("doc_id", "label", "score_micro")
+    val g = Seq((1L, "n"), (2L, "p"), (3L, "n"), (4L, "p"), (5L, "n"), (6L, "p"))
+      .toDF("doc_id", "gold")
+    val expected = Eval.aucPerLabel(s, g, bucketBits = 62).collect().head.getAs[Long]("u2")
+    for (bits <- Seq(1, 20, 40))
+      assert(Eval.aucPerLabel(s, g, bucketBits = bits)
+        .collect().head.getAs[Long]("u2") == expected)
+  }
+
+  test("prCurvePerLabel: hand-checked operating points") {
+    val pts = Eval.prCurvePerLabel(scored, gold).collect()
+      .map(r => r.getAs[Long]("threshold_micro") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Double]("prec"), r.getAs[Double]("recall")))).toMap
+    // t=9: keep {9} -> tp 1 fp 0; t=7: {9,7} -> tp 1 fp 1;
+    // t=5: {9,7,5,5,5} -> tp 3 fp 2; t=1: everything -> tp 3 fp 3
+    assert(pts(9L) == ((1L, 0L, 1.0, 1.0 / 3)))
+    assert(pts(7L) == ((1L, 1L, 0.5, 1.0 / 3)))
+    assert(pts(5L) == ((3L, 2L, 0.6, 1.0)))
+    assert(pts(1L) == ((3L, 3L, 0.5, 1.0)))
+    assert(pts.size == 4)
+  }
+
+  test("prCurvePerLabel: per-label partitioning keeps labels independent") {
+    val s = Seq((1L, "a", 5L), (2L, "a", 3L), (1L, "b", 4L), (2L, "b", 6L))
+      .toDF("doc_id", "label", "score_micro")
+    val g = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "gold")
+    val byLabel = Eval.prCurvePerLabel(s, g).collect()
+      .groupBy(_.getAs[String]("label")).view.mapValues(_.length).toMap
+    assert(byLabel == Map("a" -> 2, "b" -> 2))
+    // label a: pos has score 5 (doc1), neg 3 -> at t=5 tp=1 fp=0
+    val a5 = Eval.prCurvePerLabel(s, g).filter($"label" === "a" && $"threshold_micro" === 5)
+      .collect().head
+    assert(a5.getAs[Long]("tp") == 1L && a5.getAs[Long]("fp") == 0L)
+  }
+}

@@ -279,4 +279,20 @@ class SamplingSpec extends SparkSpec {
     assert(graft.operators.Sampling.temperatureSampleHalf(withNull, "src", "doc_id")
       .filter(col("src").isNull).count() == 0L)
   }
+
+  test("splitLeakage: flags content spanning splits; split list sorted; clean content silent") {
+    val df = Seq(
+      (1L, "dup text", "train"), (2L, "dup text", "test"),
+      (3L, "dup text", "train"),
+      (4L, "train only", "train"), (5L, "train only", "train"),
+      (6L, "unique", "val")).toDF("doc_id", "content", "split")
+    val got = graft.operators.Sampling.splitLeakage(df, "content").collect()
+    assert(got.length == 1, "only cross-split content is leakage")
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_splits") == 2L)
+    assert(r.getAs[String]("splits") == "test,train")
+    assert(r.getAs[Long]("content_h") ==
+      df.select(graft.functions.Hashing.hash64(lit("dup text"))).head.getLong(0))
+  }
 }

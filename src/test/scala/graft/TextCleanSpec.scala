@@ -68,4 +68,23 @@ class TextCleanSpec extends SparkSpec {
     assert(got(2) == ((2L, 0L, 0L, 2L, "hosts <IP> and <IP>")))
     assert(got(3) == ((3L, 0L, 0L, 0L, "nothing to hide")))
   }
+
+  test("domainQuality: micro-averaged ratios from exact sums; k-link doc counts once") {
+    val df = Seq(
+      // both docs link a.com; doc 1 links it twice (n_urls 3, n_docs 2)
+      (1L, "the fox https://a.com/x https://a.com/y jumps"),
+      (2L, "zzz 123 https://a.com/z"),
+      (3L, "no urls here at all")).toDF("doc_id", "text")
+    val r = TextClean.domainQuality(df).collect()
+      .map(x => x.getAs[String]("domain") -> x).toMap
+    assert(r.keySet == Set("a.com"), "URL-free docs contribute no domain row")
+    val a = r("a.com")
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("n_urls") == 3L)
+    // exact integer sums over the two linking docs' full text
+    val chars = "the fox https://a.com/x https://a.com/y jumps".length +
+      "zzz 123 https://a.com/z".length
+    assert(a.getAs[Long]("n_chars") == chars.toLong)
+    assert(a.getAs[Double]("alpha_ratio") ==
+      a.getAs[Long]("n_letters").toDouble / a.getAs[Long]("n_chars"))
+  }
 }
