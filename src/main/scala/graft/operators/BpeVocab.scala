@@ -325,15 +325,83 @@ object BpeVocab {
     // shape used to have is gone, and the corpus stream pays no folds at
     // all, just two broadcast joins)
     val ev = encodedVocab(docs, merges, textCol)
-    val vocab = ev.select(explode(split(col("sym"), Sep)).as("symbol")).distinct()
-      .withColumn("id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("symbol"))).cast("long"))
+    val vocab = symbolIds(ev)
     wordStream(docs, idCol, textCol)
       .join(broadcast(ev), Seq("word"))
       .select(col("doc_id"), explode(split(col("sym"), Sep)).as("symbol"))
       .join(broadcast(vocab), Seq("symbol"))
       .groupBy(col("doc_id"), col("id"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The id table itself: (symbol, id) with id = dense rank of the symbol
+    * in the sorted distinct symbol inventory — the window runs on the
+    * vocab-sized distinct frame only. */
+  private def symbolIds(ev: DataFrame): DataFrame =
+    ev.select(explode(split(col("sym"), Sep)).as("symbol")).distinct()
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("symbol"))).cast("long"))
+
+  /** ORDERED token-id stream of the encoded corpus — (doc_id, widx, sidx,
+    * id): widx = the word's position in the document, sidx = the symbol's
+    * position within the word. [[encodeIdHistogram]] emits the bag; this
+    * preserves sequence, which is what a training run actually consumes
+    * (and what [[decodeIdStream]] needs to invert). Same plan: the folds
+    * run per DISTINCT word in the vocab-sized [[encodedVocab]], the corpus
+    * stream pays two broadcast joins and two positional explodes. */
+  def encodeIdStream(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ev = encodedVocab(docs, merges, textCol)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.Text.tokens(col(textCol))).as(Seq("widx", "word")))
+      .filter(length(col("word")) > 0 && !col("word").contains(Sep))
+      .join(broadcast(ev), Seq("word"))
+      .select(col("doc_id"), col("widx"),
+        posexplode(split(col("sym"), Sep)).as(Seq("sidx", "symbol")))
+      .join(broadcast(symbolIds(ev)), Seq("symbol"))
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        col("sidx").cast("long").as("sidx"), col("id"))
+  }
+
+  /** Decode an ordered id stream back to text through an id→symbol table:
+    * symbols concatenate within a word (a BPE merge is a concatenation, so
+    * no out-of-band continuation marker exists at word level), words join
+    * with single spaces. Output (doc_id, decoded). Shape: one broadcast
+    * join on the id + two hash aggs whose collect_lists are word- and
+    * doc-bounded (a document's own tokens — the same per-row bound every
+    * tokenize step already carries). */
+  def decodeIdStream(ids: DataFrame, vocab: DataFrame): DataFrame =
+    ids.join(broadcast(vocab), Seq("id"))
+      .groupBy(col("doc_id"), col("widx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sidx"), col("symbol")))),
+        x => x("symbol")), "").as("word"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("widx"), col("word")))),
+        x => x("word")), " ").as("decoded"))
+
+  /** Tokenizer integrity gate: decode(encode(doc)) must reproduce the
+    * Sep-safe token-normalized document EXACTLY, for every document — the
+    * invariant that makes token ids a faithful storage format (a vocab
+    * table with a collided or stale id silently corrupts training text;
+    * this catches it corpus-wide). Output (doc_id, n_ids, roundtrip_ok).
+    * The expected side is map-side (filter + array_join of the doc's own
+    * tokens); the decode side is the REAL inversion through the id table,
+    * not an algebraic shortcut. */
+  def roundtrip(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ev = encodedVocab(docs, merges, textCol)
+    val ids = encodeIdStream(docs, merges, idCol, textCol)
+    val decoded = decodeIdStream(ids, symbolIds(ev))
+    val counts = ids.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ids"))
+    docs.select(col(idCol).as("doc_id"),
+        array_join(filter(graft.functions.Text.tokens(col(textCol)),
+          w => length(w) > 0 && !w.contains(Sep)), " ").as("expected"))
+      .join(decoded, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_ids"), lit(0L)).as("n_ids"),
+        (coalesce(col("decoded"), lit("")) === col("expected")).as("roundtrip_ok"))
   }
 
   /** Encode documents with a learned merge list: per doc, the BPE symbol

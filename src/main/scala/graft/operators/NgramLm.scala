@@ -178,6 +178,36 @@ object NgramLm {
       .withColumn("keep", coalesce(col("xent_nats") <= col("cutoff"), lit(false)))
   }
 
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    * score every document under ITS OWN GROUP's reference LM
+    * ([[crossEntropyGrouped]]), then bucket each group's documents at that
+    * group's exact tercile cutoffs — head = most fluent third, tail =
+    * least. Per-group cutoffs are the published point: a pooled threshold
+    * sends every minority language to the tail. Cutoffs are ⌈n·q⌉
+    * ceiling-rank order statistics of xent_nats
+    * ([[QualityFilter.groupOrderStats]] — data values, no interpolation);
+    * each doc's xent is ONE IEEE division of exact integers, so the
+    * cutoff comparisons are bit-identical cross-engine. Unscoreable docs
+    * (<2 tokens) bucket NULL, per the NULL-metric convention.
+    * Shape: the grouped-LM scoring joins + a group-cardinality cut table
+    * broadcast into a map-side CASE — no row-sized window anywhere. */
+  def perplexityBuckets(docs: DataFrame, trainDocs: DataFrame, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = crossEntropyGrouped(docs,
+      trainBigramGrouped(trainDocs, groupCol, idCol, textCol),
+      groupCol, idCol, textCol)
+    val cuts = QualityFilter
+      .groupOrderStats(scored, groupCol, "xent_nats", Seq(1L, 2L), 3L)
+      .select(col(groupCol), col("p_1").as("__t1"), col("p_2").as("__t2"))
+    scored.join(broadcast(cuts), Seq(groupCol), "left")
+      .select(col("doc_id"), col(groupCol), col("n_bigrams"),
+        col("nll_micro"), col("xent_nats"),
+        when(col("xent_nats").isNull, lit(null).cast("string"))
+          .when(col("xent_nats") <= col("__t1"), lit("head"))
+          .when(col("xent_nats") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Pointwise-mutual-information collocations: the corpus's top-`k`
     * adjacent-token pairs by PMI = ln(p(w1,w2)/(p(w1)p(w2))) among pairs
     * seen ≥ `minCount` times — the classic collocation/multi-word-unit

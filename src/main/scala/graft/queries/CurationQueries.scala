@@ -125,6 +125,34 @@ object CurationQueries {
                      ORDER BY score_micro DESC, label) AS rk
                  FROM sc)"""
 
+  /** Per-LANGUAGE bigram-LM scoring CTEs (ends in `res`): the grouped twin
+    * of [[xentSql]] — model tables keyed by lang, shared by the per-lang
+    * xent gate and the CCNet bucket gate. */
+  private val xentPerLangSql: String =
+    s"""$bigramSql,
+        bl AS (SELECT bg.doc_id, d.lang, w1, w2
+               FROM bg JOIN documents d ON bg.doc_id = d.doc_id),
+        tbg AS (SELECT lang, w1, w2 FROM bl WHERE doc_id % 2 = 0),
+        pc AS (SELECT lang, w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2, 3),
+        cc AS (SELECT lang, w1, count(*) AS c1 FROM tbg GROUP BY 1, 2),
+        vv AS (SELECT lang, count(DISTINCT tok) AS vs
+               FROM (SELECT d.lang, unnest(tk.toks) AS tok
+                     FROM tk JOIN documents d ON tk.doc_id = d.doc_id
+                     WHERE tk.doc_id % 2 = 0)
+               GROUP BY 1),
+        sc AS (SELECT bl.doc_id, count(*) AS n_bigrams,
+                 CAST(sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
+                     CAST(COALESCE(c1, 0) + vs AS DOUBLE)) * $micro, 0) AS BIGINT))
+                   AS BIGINT) AS nll_micro
+               FROM bl LEFT JOIN pc USING (lang, w1, w2)
+                       LEFT JOIN cc USING (lang, w1)
+                       LEFT JOIN vv USING (lang)
+               GROUP BY 1),
+        res AS (SELECT d.doc_id, d.lang, COALESCE(n_bigrams, 0) AS n_bigrams,
+                  nll_micro,
+                  CAST(nll_micro AS DOUBLE) / (n_bigrams * $micro) AS xent_nats
+                FROM documents d LEFT JOIN sc USING (doc_id))"""
+
   /** Per-(session, sfDir) catalog root for the stored-LM gate. */
   private val lmRoots =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
@@ -178,30 +206,35 @@ object CurationQueries {
       (s, d) => graft.operators.NgramLm.crossEntropyGrouped(docs(s, d),
         graft.operators.NgramLm.trainBigramGrouped(
           docs(s, d).filter(col("doc_id") % 2 === 0), "lang"), "lang"),
-      Some(s"""WITH $bigramSql,
-               bl AS (SELECT bg.doc_id, d.lang, w1, w2
-                      FROM bg JOIN documents d ON bg.doc_id = d.doc_id),
-               tbg AS (SELECT lang, w1, w2 FROM bl WHERE doc_id % 2 = 0),
-               pc AS (SELECT lang, w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2, 3),
-               cc AS (SELECT lang, w1, count(*) AS c1 FROM tbg GROUP BY 1, 2),
-               vv AS (SELECT lang, count(DISTINCT tok) AS vs
-                      FROM (SELECT d.lang, unnest(tk.toks) AS tok
-                            FROM tk JOIN documents d ON tk.doc_id = d.doc_id
-                            WHERE tk.doc_id % 2 = 0)
-                      GROUP BY 1),
-               sc AS (SELECT bl.doc_id, count(*) AS n_bigrams,
-                        CAST(sum(-CAST(round(ln((COALESCE(c12, 0) + 1) /
-                            CAST(COALESCE(c1, 0) + vs AS DOUBLE)) * $micro, 0) AS BIGINT))
-                          AS BIGINT) AS nll_micro
-                      FROM bl LEFT JOIN pc USING (lang, w1, w2)
-                              LEFT JOIN cc USING (lang, w1)
-                              LEFT JOIN vv USING (lang)
-                      GROUP BY 1),
-               res AS (SELECT d.doc_id, d.lang, COALESCE(n_bigrams, 0) AS n_bigrams,
-                         nll_micro,
-                         CAST(nll_micro AS DOUBLE) / (n_bigrams * $micro) AS xent_nats
-                       FROM documents d LEFT JOIN sc USING (doc_id))
+      Some(s"""WITH $xentPerLangSql
                SELECT doc_id, lang, n_bigrams, nll_micro, xent_nats FROM res""")),
+
+    // The full CCNet corpus split (Wenzek et al. 2020 §4.3): per-LANGUAGE
+    // head/middle/tail terciles of the per-lang-LM cross-entropy — head is
+    // each language's most fluent third. Cutoffs are exact ⌈n·q⌉
+    // ceiling-rank order statistics of xent (data values, no
+    // interpolation); xent itself is one IEEE division of exact integers,
+    // so every cutoff comparison agrees bitwise cross-engine.
+    QueryDef("q_x_ccnet_buckets",
+      (s, d) => graft.operators.NgramLm.perplexityBuckets(docs(s, d),
+        docs(s, d).filter(col("doc_id") % 2 === 0), "lang"),
+      Some(s"""WITH $xentPerLangSql,
+               h AS (SELECT lang, xent_nats AS v, count(*) AS c FROM res
+                     WHERE xent_nats IS NOT NULL GROUP BY 1, 2),
+               cw AS (SELECT lang, v,
+                        sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                        sum(c) OVER (PARTITION BY lang) AS n
+                      FROM h),
+               cu AS (SELECT lang,
+                        min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN v END) AS t1,
+                        min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN v END) AS t2
+                      FROM cw GROUP BY 1)
+               SELECT r.doc_id, r.lang, r.n_bigrams, r.nll_micro, r.xent_nats,
+                 CASE WHEN r.xent_nats IS NULL THEN NULL
+                      WHEN r.xent_nats <= t1 THEN 'head'
+                      WHEN r.xent_nats <= t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+               FROM res r LEFT JOIN cu USING (lang)""")),
 
     // DSIR importance weights toward the lang='en' slice: hashed-unigram
     // bag models (dim=256) for target and raw corpus, per-doc exact integer

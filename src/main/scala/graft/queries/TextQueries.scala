@@ -516,6 +516,56 @@ object TextQueries {
                SELECT doc_id, CAST(id AS BIGINT) AS id, count(*) AS n
                FROM sy JOIN vocab USING (symbol) GROUP BY 1, 2""")),
 
+    // Tokenizer integrity roundtrip: decode(encode(doc)) through the
+    // data-derived id table must reproduce the Sep-safe token-normalized
+    // text of EVERY document — the invariant that makes token ids a
+    // faithful storage format (a collided/stale vocab id silently corrupts
+    // training text; this catches it corpus-wide). The decode side really
+    // inverts the id stream (id → symbol join, positional reassembly), not
+    // an algebraic shortcut; the oracle replays encode, id assignment,
+    // decode, and the comparison.
+    QueryDef("q_x_bpe_roundtrip",
+      (s, d) => graft.operators.BpeVocab.roundtrip(
+        t(s, d, "documents"), learnedMerges(s, d)),
+      Some(s"""WITH $bpeCtes,
+               tkf AS (SELECT doc_id, list_filter($tokensSql,
+                         w -> length(w) > 0 AND NOT contains(w, chr(1))) AS toks
+                       FROM documents),
+               dw AS (SELECT doc_id, widx,
+                        array_to_string(list_transform(
+                          generate_series(1, length(toks[widx])),
+                          i -> toks[widx][i]), chr(1)) AS sym
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks))) AS widx
+                            FROM tkf)),
+               enc1 AS (SELECT doc_id, widx, ${bpeFoldSql("sym")} AS sym
+                        FROM dw CROSS JOIN m1),
+               enc2 AS (SELECT doc_id, widx, ${bpeFoldSql("sym")} AS sym
+                        FROM enc1 CROSS JOIN m2),
+               enc3 AS (SELECT doc_id, widx, ${bpeFoldSql("sym")} AS sym
+                        FROM enc2 CROSS JOIN m3),
+               sy AS (SELECT doc_id, widx, sidx, syms[sidx] AS symbol
+                      FROM (SELECT doc_id, widx, syms,
+                              unnest(generate_series(1, len(syms))) AS sidx
+                            FROM (SELECT doc_id, widx,
+                                    string_split(sym, chr(1)) AS syms
+                                  FROM enc3))),
+               vocab AS (SELECT symbol, row_number() OVER (ORDER BY symbol) AS id
+                         FROM (SELECT DISTINCT symbol FROM sy)),
+               ids AS (SELECT doc_id, widx, sidx, id FROM sy JOIN vocab USING (symbol)),
+               dec AS (SELECT doc_id, widx,
+                         string_agg(v2.symbol, '' ORDER BY sidx) AS word
+                       FROM ids JOIN vocab v2 USING (id) GROUP BY 1, 2),
+               txt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS decoded
+                       FROM dec GROUP BY 1),
+               nn AS (SELECT doc_id, count(*) AS n_ids FROM ids GROUP BY 1),
+               expd AS (SELECT doc_id, array_to_string(toks, ' ') AS expected
+                        FROM tkf)
+               SELECT e.doc_id, CAST(COALESCE(nn.n_ids, 0) AS BIGINT) AS n_ids,
+                 COALESCE(txt.decoded, '') = e.expected AS roundtrip_ok
+               FROM expd e LEFT JOIN txt USING (doc_id)
+               LEFT JOIN nn USING (doc_id)""")),
+
     // Partition-directory layout: the corpus stored hive-style by language
     // (Catalog.writePartitioned), queried with a partition filter — whole
     // lang= directories prune at file-listing time, before any I/O. The

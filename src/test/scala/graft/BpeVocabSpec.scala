@@ -118,6 +118,42 @@ class BpeVocabSpec extends SparkSpec {
     assert(pruned.map(m => (m.left, m.right, m.weight)) == Seq(("a", "a", 2L)))
   }
 
+  test("roundtrip: decode(encode(doc)) reproduces every doc; id stream ordered") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newest widest lowest"),
+      (3L, "low  low"), // double space: empty token dropped by normalization
+      (4L, "solo")).toDF("doc_id", "text")
+    val merges = BpeVocab.learn(docs, 3)
+    val rt = BpeVocab.roundtrip(docs, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ids"), r.getAs[Boolean]("roundtrip_ok")))).toMap
+    assert(rt.size == 4 && rt.values.forall(_._2), s"all docs roundtrip: $rt")
+    assert(rt(4L)._1 >= 1L)
+    // the id stream is a faithful ordered encoding: ids of doc 1 word 0
+    // and word 3 ("low" twice) are identical sequences
+    val ids = BpeVocab.encodeIdStream(docs, merges)
+      .filter(col("doc_id") === 1L).collect()
+      .groupBy(_.getAs[Long]("widx"))
+      .map { case (w, rs) =>
+        w -> rs.sortBy(_.getAs[Long]("sidx")).map(_.getAs[Long]("id")).toSeq }
+    assert(ids(0L) == ids(3L) && ids(0L) == ids(4L))
+    assert(ids(1L) != ids(0L))
+  }
+
+  test("roundtrip detects a corrupted id table") {
+    val docs = Seq((1L, "ab cd ab")).toDF("doc_id", "text")
+    val merges = BpeVocab.learn(docs, 1)
+    val ids = BpeVocab.encodeIdStream(docs, merges)
+    // swap the symbols behind two ids: decode must no longer match
+    val vocabIds = ids.select(col("id")).distinct().orderBy(col("id"))
+      .collect().map(_.getLong(0))
+    assert(vocabIds.length >= 2)
+    val corrupt = Seq((vocabIds(0), "XX"), (vocabIds(1), "YY")).toDF("id", "symbol")
+    val dec = BpeVocab.decodeIdStream(ids, corrupt).collect().head
+    assert(dec.getAs[String]("decoded") != "ab cd ab")
+  }
+
   test("merges round-trip through the catalog; stored encode ≡ live encode") {
     val docs = Seq((1L, "low low low low low lower lower lowest lowest"))
       .toDF("doc_id", "text")

@@ -52,6 +52,40 @@ class NgramLmSpec extends SparkSpec {
     assert(byId(0L), "in-distribution docs must pass")
   }
 
+  test("perplexityBuckets: per-group terciles, ordered buckets, NULL for unscoreable") {
+    // lang en: 6 scoreable docs with increasing surprise; lang xx: 3 docs.
+    // a pooled cutoff would dump all of xx into tail — per-group must not.
+    val en = (0L until 6L).map { i =>
+      val tail = Seq.fill(i.toInt)("zxq" + i).mkString(" ")
+      (i, "en", s"the cat sat on the mat $tail".trim)
+    }
+    val xx = Seq((10L, "xx", "uno dos tres uno dos"),
+      (11L, "xx", "uno dos tres cuatro"), (12L, "xx", "uno tres dos plq"))
+    val short = Seq((20L, "en", "solo")) // 1 token: no bigrams → NULL bucket
+    val docs = (en ++ xx ++ short).toDF("doc_id", "lang", "text")
+    val b = NgramLm.perplexityBuckets(docs, docs.filter($"doc_id" % 2 === 0), "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), Option(r.getAs[String]("bucket")),
+          r.getAs[Double]("xent_nats")))).toMap
+    assert(b(20L)._2.isEmpty, "unscoreable doc buckets NULL")
+    // each lang has head docs: per-group cutoffs, not pooled
+    for (lang <- Seq("en", "xx"))
+      assert(b.values.exists(v => v._1 == lang && v._2.contains("head")),
+        s"$lang must have a head bucket under per-group cutoffs")
+    // bucket order respects xent order within each lang
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    for (lang <- Seq("en", "xx")) {
+      val scored = b.values.filter(v => v._1 == lang && v._2.nonEmpty).toSeq
+      for (a <- scored; c <- scored if a._3 < c._3)
+        assert(rank(a._2.get) <= rank(c._2.get),
+          s"$lang: lower xent must never land in a later bucket")
+    }
+    // tercile sizes: en has 7 docs, 6 scoreable → head = docs with
+    // xent <= 2nd smallest (ceil(6/3)=2)
+    val enScored = b.values.filter(v => v._1 == "en" && v._2.nonEmpty)
+    assert(enScored.count(_._2.contains("head")) == 2)
+  }
+
   test("dsirWeights: target-like docs weigh higher than off-target docs") {
     val target = (0L until 10L).map(i => (i, "alpha beta gamma alpha beta"))
     val off = (100L until 110L).map(i => (i, "uno dos tres cuatro cinco"))
