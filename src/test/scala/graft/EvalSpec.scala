@@ -74,6 +74,25 @@ class EvalSpec extends SparkSpec {
     assert(pts.size == 4)
   }
 
+  test("plan shape: every window partitions on (label, bucket) or label-bucket totals — none on label alone over raw scores") {
+    // the 100 TB contract: the level-2 window runs within (label, bucket)
+    // — a single (label)-partitioned cumsum over the distinct-score frame
+    // would put one label's whole score range on one task
+    // two windows by design: the PER-SCORE cumsum must carry the bucket
+    // key (label, b) — never label alone, which would put a label's whole
+    // score range on one task; the label-only window is legal ONLY for the
+    // bucket-total prefix (bucket-cardinality-sized frame).
+    val plan = Eval.aucPerLabel(scored, gold).queryExecution.executedPlan.toString
+    // physical form: `Window [fns], [partitionCols], [orderCols]`
+    val windowSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\], \\[".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val shapes = windowSpecs.map(_.split(",").map(_.trim.takeWhile(_ != '#')).toSeq)
+    assert(shapes.contains(Seq("label", "b")),
+      s"per-score cumsum must partition on (label, bucket):\n$plan")
+    assert(shapes.forall(s => s == Seq("label", "b") || s == Seq("label")),
+      s"unexpected window partitioning in:\n$plan")
+  }
+
   test("prCurvePerLabel: per-label partitioning keeps labels independent") {
     val s = Seq((1L, "a", 5L), (2L, "a", 3L), (1L, "b", 4L), (2L, "b", 6L))
       .toDF("doc_id", "label", "score_micro")
