@@ -108,4 +108,47 @@ object Eval {
         when(col("n_pos") > 0,
           col("tp").cast("double") / col("n_pos").cast("double")).as("recall"))
   }
+
+  /** ROUGE-2-style clipped bigram overlap between (candidate, reference)
+    * document PAIRS — the reference-based generation/summarization metric,
+    * and (flipped) a targeted contamination probe between specific pairs:
+    * overlap = Σ_g min(c_cand(g), c_ref(g)) over the candidate's bigrams g
+    * (the clipped count of BLEU's modified precision). precision = o/|cand|
+    * and recall = o/|ref| are ONE IEEE division each (NULL when the side
+    * has no bigrams); their harmonic mean needs no float chain —
+    * F1 = 2PR/(P+R) = 2o/(|cand|+|ref|) — so it ships as the exact integer
+    * `f1_ppm = 2·o·10⁶ div (|cand|+|ref|)`.
+    *
+    * Shape: one corpus-sized gram-count aggregate; the clip join keys on
+    * (ref_id, gram), so candidate volume shuffles once per PAIR, never
+    * corpus² — pair selection (who is compared to whom) is the caller's
+    * blocking contract, same as [[TextDedup]] candidates. */
+  def bigramOverlap(pairs: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val g = NgramLm.bigrams(docs, idCol, textCol)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("gram"))
+      .agg(count(lit(1)).as("c"))
+    val tot = g.groupBy("doc_id").agg(sum("c").as("t"))
+    val p = pairs.select(col("cand_id").cast("long").as("cand_id"),
+      col("ref_id").cast("long").as("ref_id"))
+    val ov = p
+      .join(g.withColumnRenamed("doc_id", "cand_id"), Seq("cand_id"))
+      .join(g.select(col("doc_id").as("ref_id"), col("gram"),
+        col("c").as("rc")), Seq("ref_id", "gram"), "left")
+      .groupBy("cand_id", "ref_id")
+      .agg(sum(least(col("c"), coalesce(col("rc"), lit(0L)))).as("o"))
+    p.join(ov, Seq("cand_id", "ref_id"), "left")
+      .join(tot.select(col("doc_id").as("cand_id"), col("t").as("ct")),
+        Seq("cand_id"), "left")
+      .join(tot.select(col("doc_id").as("ref_id"), col("t").as("rt")),
+        Seq("ref_id"), "left")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(col("o"), lit(0L)).as("n_overlap"),
+        coalesce(col("ct"), lit(0L)).as("n_cand"),
+        coalesce(col("rt"), lit(0L)).as("n_ref"))
+      .withColumn("precision", expr("n_overlap / nullif(n_cand, 0)"))
+      .withColumn("recall", expr("n_overlap / nullif(n_ref, 0)"))
+      .withColumn("f1_ppm",
+        expr("(2 * n_overlap * 1000000) div greatest(n_cand + n_ref, 1)"))
+  }
 }

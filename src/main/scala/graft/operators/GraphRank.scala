@@ -391,6 +391,63 @@ object GraphRank {
       .groupBy(col("n")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** `iters` rounds of HITS (Kleinberg hubs-and-authorities) over a DIRECTED
+    * edge list — the link-quality twin of [[pageRank]]: a node is a good
+    * AUTHORITY if good hubs point at it, a good HUB if it points at good
+    * authorities. On the crawl graph this separates directories/link farms
+    * (hubs) from canonical content (authorities), a different curation
+    * signal than undirected centrality.
+    *
+    * Scores are L1-normalized to total mass [[Scale]] after every half-step
+    * (the usual L2 norm needs a sqrt — a libm call that would break the
+    * cross-engine bit-exactness contract; L1 gives the same RANKING and
+    * keeps every step in truncating BIGINT arithmetic). Overflow bound:
+    * a half-step's un-normalized total is ≤ Scale·maxDegree, and the
+    * normalizing multiply is ≤ Scale² < 2^63 — exact while
+    * maxDegree < 9.2e9.
+    *
+    * Per iteration: two node-sized score frames shuffle to the two
+    * statically-persisted edge layouts (src-partitioned for the authority
+    * half-step, dst-partitioned for the hub half-step) — the edge list
+    * itself never re-exchanges, the [[pageRank]] Pregel device doubled.
+    * Returns (node, hub_fp, auth_fp) at scale 1e9. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1)
+    val eSrc = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = eSrc.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var hub = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$Scale div n_nodes").as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // authority half-step: hub mass flows src→dst
+      val rawA = eSrc
+        .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("raw"))
+      // greatest(…, 1): an all-zero score frame (n_nodes > Scale) must not
+      // trip ANSI div-by-zero; the zero numerators stay zero either way
+      val ta = rawA.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
+      auth = nodes.join(rawA, Seq("node"), "left").crossJoin(broadcast(ta))
+        .select(col("node"),
+          expr(s"(coalesce(raw, 0) * $Scale) div total").as("auth"))
+      // hub half-step: authority mass flows dst→src
+      val rawH = eDst
+        .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("auth").as("raw"))
+      val th = rawH.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
+      hub = nodes.join(rawH, Seq("node"), "left").crossJoin(broadcast(th))
+        .select(col("node"),
+          expr(s"(coalesce(raw, 0) * $Scale) div total").as("hub"))
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub").as("hub_fp"), col("auth").as("auth_fp"))
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))

@@ -240,6 +240,54 @@ object NgramLm {
       .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"), col("rank"))
   }
 
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023, collapsed to
+    * its one-shot excess-loss form): per domain, the average reference-LM
+    * cross-entropy above the corpus-wide average — domains the reference
+    * model finds HARDER than average get up-weighted, easier ones fall back
+    * to the uniform floor. The full method trains a proxy model in the
+    * loop; the excess-loss reweighting step is the part that is a data
+    * pipeline operator, and one round of it is the widely-used static
+    * approximation.
+    *
+    * weight_ppm(d) = (10⁶ − uniformPpm)·excess(d) div Σ excess
+    *              + uniformPpm div K          (uniform when Σ excess = 0)
+    * with excess(d) = max(0, avgNll(d) − avgNll(corpus)) in micro-nats per
+    * bigram — truncating BIGINT divisions throughout, so weights are exact
+    * cross-engine and partitioning-invariant. Overflow: excess ≤ the LM's
+    * max per-bigram NLL (≈ ln(V)·10⁶ < 3·10⁷), ×10⁶ ≪ 2^63.
+    *
+    * Shape: per-doc scoring is [[crossEntropy]]'s model joins; everything
+    * after is K-sized (one domain aggregate + two 1-row broadcast scalars).
+    * Domains with no scoreable bigrams get avg 0 → excess 0 → the uniform
+    * floor. */
+  def domainExcessWeights(docs: DataFrame, model: BigramModel,
+      groupCol: String, uniformPpm: Long = 100000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(uniformPpm >= 0 && uniformPpm <= 1000000L)
+    val propPpm = 1000000L - uniformPpm
+    val dom = crossEntropy(docs, model, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(groupCol).as("__grp")), Seq("doc_id"))
+      .groupBy(col("__grp"))
+      .agg(sum("n_bigrams").as("n_bigrams"),
+        coalesce(sum("nll_micro"), lit(0L)).as("nll_micro"))
+    val tot = dom.agg(sum("n_bigrams").as("tb"), sum("nll_micro").as("tn"),
+      count(lit(1)).as("k"))
+    val ex = dom.crossJoin(broadcast(tot))
+      .select(col("__grp"), col("n_bigrams"), col("nll_micro"), col("k"),
+        expr("nll_micro div greatest(n_bigrams, 1)").as("avg_micro"),
+        expr("tn div greatest(tb, 1)").as("ref_micro"))
+      .withColumn("excess_micro",
+        greatest(col("avg_micro") - col("ref_micro"), lit(0L)))
+    val te = ex.agg(coalesce(sum("excess_micro"), lit(0L)).as("total_excess"))
+    ex.crossJoin(broadcast(te))
+      .select(col("__grp").as(groupCol), col("n_bigrams"), col("nll_micro"),
+        col("avg_micro"), col("ref_micro"), col("excess_micro"),
+        when(col("total_excess") > 0,
+          expr(s"(($propPpm * excess_micro) div total_excess) + ($uniformPpm div k)"))
+          .otherwise(expr("1000000 div k")).as("weight_ppm"))
+  }
+
   /** word2vec-style skip-gram training pairs: every (center, context) token
     * pair within `window` positions, aggregated to exact occurrence counts —
     * the co-occurrence table embedding trainers consume (and the input to

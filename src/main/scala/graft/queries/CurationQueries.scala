@@ -236,6 +236,81 @@ object CurationQueries {
                       ELSE 'tail' END AS bucket
                FROM res r LEFT JOIN cu USING (lang)""")),
 
+    // ROUGE-2 clipped bigram overlap between adjacent-doc (even candidate,
+    // odd reference) pairs: precision/recall one IEEE division each, F1 as
+    // the exact integer 2·o·10⁶ div (|cand|+|ref|) — harmonic mean without
+    // a float chain. The reference-based generation metric, and a targeted
+    // pairwise contamination probe.
+    QueryDef("q_x_rouge2",
+      (s, d) => {
+        val ds = docs(s, d)
+        val pairs = ds.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("cand_id"), (col("doc_id") + 1).as("ref_id"))
+          .join(ds.select(col("doc_id").as("ref_id")), Seq("ref_id"), "left_semi")
+        graft.operators.Eval.bigramOverlap(pairs, ds)
+      },
+      Some(s"""WITH $bigramSql,
+               g AS (SELECT doc_id, w1 || ' ' || w2 AS gram, count(*) AS c
+                     FROM bg GROUP BY 1, 2),
+               tt AS (SELECT doc_id, sum(c) AS t FROM g GROUP BY 1),
+               pr AS (SELECT a.doc_id AS cand_id, a.doc_id + 1 AS ref_id
+                      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                      WHERE a.doc_id % 2 = 0),
+               ov AS (SELECT cg.cand_id, cg.ref_id,
+                        sum(least(cg.c, COALESCE(rg.c, 0))) AS o
+                      FROM (SELECT p.cand_id, p.ref_id, g.gram, g.c FROM pr p
+                            JOIN g ON g.doc_id = p.cand_id) cg
+                      LEFT JOIN g rg ON rg.doc_id = cg.ref_id AND rg.gram = cg.gram
+                      GROUP BY 1, 2)
+               SELECT p.cand_id, p.ref_id,
+                 CAST(COALESCE(ov.o, 0) AS BIGINT) AS n_overlap,
+                 CAST(COALESCE(ct.t, 0) AS BIGINT) AS n_cand,
+                 CAST(COALESCE(rt.t, 0) AS BIGINT) AS n_ref,
+                 CAST(COALESCE(ov.o, 0) AS DOUBLE)
+                   / CAST(NULLIF(COALESCE(ct.t, 0), 0) AS DOUBLE) AS precision,
+                 CAST(COALESCE(ov.o, 0) AS DOUBLE)
+                   / CAST(NULLIF(COALESCE(rt.t, 0), 0) AS DOUBLE) AS recall,
+                 CAST((2 * COALESCE(ov.o, 0) * 1000000)
+                   // greatest(COALESCE(ct.t, 0) + COALESCE(rt.t, 0), 1)
+                   AS BIGINT) AS f1_ppm
+               FROM pr p
+               LEFT JOIN ov ON p.cand_id = ov.cand_id AND p.ref_id = ov.ref_id
+               LEFT JOIN tt ct ON ct.doc_id = p.cand_id
+               LEFT JOIN tt rt ON rt.doc_id = p.ref_id""")),
+
+    // DoReMi-style one-shot domain reweighting: per-language excess
+    // cross-entropy over the corpus average (micro-nats/bigram, truncating
+    // BIGINT divisions), mixed 90% excess-proportional + 10% uniform into
+    // ppm mixture weights. The K-sized output a mixture sampler consumes;
+    // every hashed value is an exact integer.
+    QueryDef("q_x_mix_doremi",
+      (s, d) => graft.operators.NgramLm.domainExcessWeights(docs(s, d),
+        graft.operators.NgramLm.trainBigram(docs(s, d).filter(col("doc_id") % 2 === 0)),
+        "lang"),
+      Some(s"""WITH $xentSql,
+               dom AS (SELECT d.lang,
+                         CAST(COALESCE(sum(x.n_bigrams), 0) AS BIGINT) AS n_bigrams,
+                         CAST(COALESCE(sum(x.nll_micro), 0) AS BIGINT) AS nll_micro
+                       FROM xent x JOIN documents d USING (doc_id) GROUP BY 1),
+               tot AS (SELECT sum(n_bigrams) AS tb, sum(nll_micro) AS tn,
+                              count(*) AS k FROM dom),
+               ex AS (SELECT lang, n_bigrams, nll_micro, k,
+                        nll_micro // greatest(n_bigrams, 1) AS avg_micro,
+                        tn // greatest(tb, 1) AS ref_micro
+                      FROM dom CROSS JOIN tot),
+               ex2 AS (SELECT *, greatest(avg_micro - ref_micro, 0) AS excess_micro
+                       FROM ex),
+               tx AS (SELECT COALESCE(sum(excess_micro), 0) AS total_excess FROM ex2)
+               SELECT lang, n_bigrams, nll_micro,
+                      CAST(avg_micro AS BIGINT) AS avg_micro,
+                      CAST(ref_micro AS BIGINT) AS ref_micro,
+                      CAST(excess_micro AS BIGINT) AS excess_micro,
+                      CAST(CASE WHEN total_excess > 0
+                           THEN ((900000 * excess_micro) // total_excess)
+                                + (100000 // k)
+                           ELSE 1000000 // k END AS BIGINT) AS weight_ppm
+               FROM ex2 CROSS JOIN tx""")),
+
     // DSIR importance weights toward the lang='en' slice: hashed-unigram
     // bag models (dim=256) for target and raw corpus, per-doc exact integer
     // log-likelihood-ratio dot product. Rank by weight_micro and you have

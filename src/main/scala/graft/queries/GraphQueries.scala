@@ -298,6 +298,55 @@ object GraphQueries {
                     GROUP BY 1, 2 HAVING count(*) >= 2),
               deg AS (SELECT n, count(*) AS degree FROM
                       (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
-              SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1"""))
+              SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""")),
+
+    // 2 rounds of HITS over the DIRECTED part→supplier graph: parts are pure
+    // hubs, suppliers pure authorities (bipartite), so the gate checks both
+    // score channels and the zero-score channel at once. L1-normalized
+    // fixed-point BIGINT half-steps — the oracle replays every truncating
+    // division and both normalizing totals per round verbatim.
+    QueryDef("q_x_hits",
+      (s, d) => {
+        val edges = t(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.operators.GraphRank.hits(edges, iters = 2)
+      },
+      Some(hitsOracle(2)))
   )
+
+  /** DuckDB replay of [[graft.operators.GraphRank.hits]]: per round, the
+    * authority half-step (raw inflow, L1 total, normalize) then the hub
+    * half-step, every `//` and `greatest(…,1)` guard verbatim. */
+  private def hitsOracle(iters: Int): String = {
+    val S = graft.operators.GraphRank.Scale
+    val head =
+      s"""WITH ed AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+                      FROM lineitem),
+          nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+          nn AS (SELECT count(*) AS n_nodes FROM nodes),
+          h0 AS (SELECT node, $S // n_nodes AS hub FROM nodes CROSS JOIN nn)"""
+    val rounds = (1 to iters).map { i =>
+      s"""ra$i AS (SELECT ed.dst AS node, sum(h${i - 1}.hub) AS raw
+             FROM ed JOIN h${i - 1} ON ed.src = h${i - 1}.node GROUP BY 1),
+          ta$i AS (SELECT greatest(COALESCE(sum(raw), 1), 1) AS total FROM ra$i),
+          a$i AS (SELECT nodes.node,
+                    (COALESCE(ra$i.raw, 0) * $S) // ta$i.total AS auth
+                  FROM nodes CROSS JOIN ta$i
+                       LEFT JOIN ra$i ON nodes.node = ra$i.node),
+          rh$i AS (SELECT ed.src AS node, sum(a$i.auth) AS raw
+             FROM ed JOIN a$i ON ed.dst = a$i.node GROUP BY 1),
+          th$i AS (SELECT greatest(COALESCE(sum(raw), 1), 1) AS total FROM rh$i),
+          h$i AS (SELECT nodes.node,
+                    (COALESCE(rh$i.raw, 0) * $S) // th$i.total AS hub
+                  FROM nodes CROSS JOIN th$i
+                       LEFT JOIN rh$i ON nodes.node = rh$i.node)"""
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""\nSELECT h$iters.node, CAST(h$iters.hub AS BIGINT) AS hub_fp,
+              CAST(a$iters.auth AS BIGINT) AS auth_fp
+          FROM h$iters JOIN a$iters USING (node)"""
+  }
 }

@@ -105,4 +105,23 @@ class EvalSpec extends SparkSpec {
       .collect().head
     assert(a5.getAs[Long]("tp") == 1L && a5.getAs[Long]("fp") == 0L)
   }
+
+  test("bigramOverlap: hand-checked clipped counts, exact F1 ppm, NULL on gramless sides") {
+    // cand 0 "a b a b c": bigrams (a,b)x2 (b,a) (b,c) → 4 grams
+    // ref  1 "a b c a b": bigrams (a,b)x2 (b,c) (c,a) → 4 grams
+    // clipped overlap: min(2,2)[a b] + min(1,0)[b a] + min(1,1)[b c] = 3
+    // prec = rec = 3/4; f1_ppm = 2*3*1e6 div 8 = 750000
+    // pair (2,3): cand "solo" has no bigrams → overlap 0, precision NULL
+    val docs = Seq((0L, "a b a b c"), (1L, "a b c a b"),
+      (2L, "solo"), (3L, "x y")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("cand_id", "ref_id")
+    val r = Eval.bigramOverlap(pairs, docs).orderBy("cand_id").collect()
+    assert(r(0).getAs[Long]("n_overlap") == 3L)
+    assert(r(0).getAs[Long]("n_cand") == 4L && r(0).getAs[Long]("n_ref") == 4L)
+    assert(r(0).getAs[Double]("precision") == 0.75 && r(0).getAs[Double]("recall") == 0.75)
+    assert(r(0).getAs[Long]("f1_ppm") == 750000L)
+    assert(r(1).getAs[Long]("n_overlap") == 0L)
+    assert(r(1).isNullAt(r(1).fieldIndex("precision")), "0/0 precision must be NULL")
+    assert(r(1).getAs[Long]("f1_ppm") == 0L)
+  }
 }

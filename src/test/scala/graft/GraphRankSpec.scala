@@ -165,6 +165,29 @@ class GraphRankSpec extends SparkSpec {
       "q_x_connected_components' 8-round budget has NOT converged — raise it")
   }
 
+  test("hits: hand-computed 2-round fixed point on a directed bipartite graph") {
+    // 1→10, 2→10, 2→11; N=4, h0 = 250000000 each.
+    // round 1: rawA(10)=5e8, rawA(11)=2.5e8, total 7.5e8 →
+    //   auth(10)=666666666, auth(11)=333333333;
+    //   rawH(1)=666666666, rawH(2)=999999999, total 1666666665 →
+    //   hub(1)=400000000 exact, hub(2)=600000000 exact.
+    // round 2: rawA(10)=1e9, rawA(11)=6e8, total 1.6e9 →
+    //   auth(10)=625000000, auth(11)=375000000;
+    //   rawH(1)=6.25e8, rawH(2)=1e9, total 1.625e9 →
+    //   hub(1)=384615384, hub(2)=615384615.
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val r = GraphRank.hits(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(10L) == (0L, 625000000L))
+    assert(r(11L) == (0L, 375000000L))
+    assert(r(1L) == (384615384L, 0L))
+    assert(r(2L) == (615384615L, 0L))
+    // partitioning-invariant (pure integer arithmetic)
+    val r2 = GraphRank.hits(edges.repartition(5), iters = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r2 == r)
+  }
+
   test("determinism: identical ranks across repeated runs and partitionings") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
       .toDF("src", "dst")

@@ -270,6 +270,33 @@ class NgramLmSpec extends SparkSpec {
     assert(psi("b") > 0.25, s"shifted halves must flag: ${psi("b")}")
   }
 
+  test("domainExcessWeights: hard domain gets the excess mass, easy one the uniform floor") {
+    // train on the repetitive domain-A text; domain B is unseen-bigram soup
+    // → avg(B) > ref > avg(A) → excess(A)=0, excess(B)=total_excess
+    // → weight(B) = 900000 + 50000, weight(A) = 0 + 50000
+    val docs = Seq((0L, "a b a b a b", "A"), (2L, "a b a b", "A"),
+      (1L, "q z q y x w", "B"), (3L, "m n o p q r", "B"))
+      .toDF("doc_id", "text", "lang")
+    val model = NgramLm.trainBigram(docs.filter($"doc_id" % 2 === 0))
+    val w = NgramLm.domainExcessWeights(docs, model, "lang")
+      .select("lang", "excess_micro", "weight_ppm")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(w("A")._1 == 0L, s"easy domain must carry zero excess: $w")
+    assert(w("B")._1 > 0L)
+    assert(w("A")._2 == 100000L / 2)
+    assert(w("B")._2 == 900000L + 100000L / 2)
+    // weights sum to ~1e6 (truncation may shave ulps, never exceed)
+    assert(w.values.map(_._2).sum <= 1000000L)
+  }
+
+  test("domainExcessWeights: single domain falls back to uniform") {
+    val docs = Seq((0L, "a b c", "A"), (1L, "a c b", "A")).toDF("doc_id", "text", "lang")
+    val model = NgramLm.trainBigram(docs.filter($"doc_id" % 2 === 0))
+    val w = NgramLm.domainExcessWeights(docs, model, "lang")
+      .select("lang", "weight_ppm").as[(String, Long)].collect().toMap
+    assert(w == Map("A" -> 1000000L))
+  }
+
   test("lm + trend queries plan without cartesian products") {
     val d = sf0001
     Seq("q_x_lm_xent", "q_x_dsir_weights", "q_x_ewma", "q_x_trend").foreach { q =>
