@@ -91,4 +91,58 @@ object Skew {
     if (salts == 1) skewed.join(build, Seq(key))
     else saltedJoin(skewed, build, key, salts)
   }
+
+  /** Count–min sketch of `key` occurrence counts: `depth` independent hash
+    * rows × 2^widthBits buckets, counts by portable md5 hashing
+    * ([[graft.functions.Hashing.hash64Seeded]] — rerun/engine/partitioning
+    * stable, unlike native `hash()`). The frequency sketch for streams and
+    * merges: sketches of shards ADD cell-wise (counts are sums), so a
+    * 100 TB corpus sketches per-partition and merges depth·width integers —
+    * the fixed-size complement of [[heavyHitters]]' exact scan. */
+  def cmsSketch(df: DataFrame, key: String, depth: Int = 4,
+      widthBits: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 8 && widthBits >= 4 && widthBits <= 24)
+    val width = 1L << widthBits
+    df.select(col(key).cast("string").as("k"))
+      .select(explode(lit((0 until depth).toArray)).as("s"), col("k"))
+      .select(col("s"), pmod(graft.functions.Hashing.hash64(
+        concat_ws(":", col("s"), col("k"))), lit(width)).as("b"))
+      .groupBy("s", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** The CMS point-query CONTRACT, evaluated on the data itself for the
+    * `topN` true heavy hitters: the estimate never underestimates
+    * (structural — every true occurrence increments all of a key's cells),
+    * and overestimates by at most `boundMult`·N/width (the ε·N guarantee
+    * with the min over `depth` rows driving the failure probability to
+    * e^−depth; boundMult=3 ≫ the e ≈ 2.72 of the textbook bound). Output:
+    * (rank, skey, true_n, cms_n, no_underestimate, within_bound) — a
+    * drifting sketch implementation flips a hashed boolean.
+    * Shape: two key-cardinality aggregates + a depth·topN-row probe join;
+    * the topN cut is TakeOrderedAndProject (per-partition partial top-k,
+    * no global sort). */
+  def cmsContract(df: DataFrame, key: String, depth: Int = 4,
+      widthBits: Int = 10, boundMult: Int = 3, topN: Int = 20): DataFrame = {
+    val width = 1L << widthBits
+    val it = df.select(col(key).cast("string").as("k"))
+    val sk = cmsSketch(df, key, depth, widthBits)
+    val tru = it.groupBy("k").agg(count(lit(1)).as("n"))
+    val top = tru.orderBy(col("n").desc, col("k")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("k"))).cast("long"))
+    val est = top.select(col("k"))
+      .select(col("k"), explode(lit((0 until depth).toArray)).as("s"))
+      .select(col("k"), col("s"), pmod(graft.functions.Hashing.hash64(
+        concat_ws(":", col("s"), col("k"))), lit(width)).as("b"))
+      .join(sk, Seq("s", "b"))
+      .groupBy("k").agg(min("c").as("cms_n"))
+    val tot = it.agg(count(lit(1)).as("nt"))
+    top.join(est, Seq("k")).crossJoin(broadcast(tot))
+      .select(col("rank"), col("k").as("skey"), col("n").as("true_n"),
+        col("cms_n"),
+        (col("cms_n") >= col("n")).as("no_underestimate"),
+        ((col("cms_n") - col("n")) <= expr(s"($boundMult * nt) div $width"))
+          .as("within_bound"))
+  }
 }

@@ -1322,6 +1322,37 @@ object TextQueries {
               lang, count(*) AS n_docs
               FROM documents GROUP BY lang ORDER BY 1 LIMIT 5""")),
 
+    // Count–min sketch point-query contract on the 20 hottest l_suppkey
+    // values: no-underestimate (structural) + the ε·N overestimate bound
+    // (boundMult 3 ≫ textbook e), both evaluated on the data and HASHED —
+    // a drifting sketch flips a boolean. Same contract-gating device as
+    // the HLL band and GK rank-window gates.
+    QueryDef("q_x_cms_contract",
+      (s, d) => graft.operators.Skew.cmsContract(
+        t(s, d, "lineitem").select(col("l_suppkey")), "l_suppkey",
+        depth = 4, widthBits = 10, boundMult = 3, topN = 20),
+      Some(s"""WITH it AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+               ex AS (SELECT k, unnest([0, 1, 2, 3]) AS s FROM it),
+               sk AS (SELECT s,
+                        ${hash64Sql("CAST(s AS VARCHAR) || ':' || k")} % 1024 AS b,
+                        count(*) AS c
+                      FROM ex GROUP BY 1, 2),
+               tru AS (SELECT k, count(*) AS n FROM it GROUP BY 1),
+               top AS (SELECT k, n,
+                         CAST(row_number() OVER (ORDER BY n DESC, k) AS BIGINT) AS rank
+                       FROM tru ORDER BY n DESC, k LIMIT 20),
+               eb AS (SELECT k, s,
+                        ${hash64Sql("CAST(s AS VARCHAR) || ':' || k")} % 1024 AS b
+                      FROM (SELECT k, unnest([0, 1, 2, 3]) AS s FROM top)),
+               est AS (SELECT eb.k, min(sk.c) AS cms_n
+                       FROM eb JOIN sk USING (s, b) GROUP BY 1),
+               tot AS (SELECT count(*) AS nt FROM it)
+               SELECT t.rank, t.k AS skey, CAST(t.n AS BIGINT) AS true_n,
+                 CAST(e.cms_n AS BIGINT) AS cms_n,
+                 e.cms_n >= t.n AS no_underestimate,
+                 (e.cms_n - t.n) <= ((3 * nt) // 1024) AS within_bound
+               FROM top t JOIN est e ON t.k = e.k CROSS JOIN tot""")),
+
     // Repetition scoring: duplicated-3-gram fraction per document — the
     // boilerplate/keyword-stuffing signal of a crawl-quality pipeline
     // (integer shingle counts, one exact double division; map-side).

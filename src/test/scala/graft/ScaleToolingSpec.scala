@@ -124,4 +124,27 @@ class ScaleToolingSpec extends SparkSpec {
       assert(joined.count() == 10000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("cmsContract: exact in the collision-free regime, contract booleans hold") {
+    // 3 keys into 1024 buckets × 4 rows: collision-free in practice →
+    // estimates are EXACT (and deterministic — md5 hashing, no RNG)
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("k")
+    val r = Skew.cmsContract(df, "k", depth = 4, widthBits = 10, topN = 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[String]("skey")).toSeq == Seq("a", "b", "c"))
+    assert(r.map(_.getAs[Long]("true_n")).toSeq == Seq(50L, 30L, 20L))
+    assert(r.forall(x => x.getAs[Long]("cms_n") == x.getAs[Long]("true_n")))
+    assert(r.forall(_.getAs[Boolean]("no_underestimate")))
+    assert(r.forall(_.getAs[Boolean]("within_bound")))
+  }
+
+  test("cmsSketch: shard sketches merge cell-wise to the whole-corpus sketch") {
+    val whole = (1 to 200).map(i => (i.toLong, s"k${i % 13}")).toDF("id", "k")
+    val oneScan = Skew.cmsSketch(whole, "k").collect().toSet
+    val merged = Skew.cmsSketch(whole.filter($"id" % 2 === 0), "k")
+      .union(Skew.cmsSketch(whole.filter($"id" % 2 === 1), "k"))
+      .groupBy("s", "b").agg(sum("c").as("c")).collect().toSet
+    assert(merged == oneScan, "CMS must be additive across shards")
+  }
 }
