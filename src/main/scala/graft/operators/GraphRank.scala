@@ -227,22 +227,29 @@ object GraphRank {
       .join(itemCounts.select(col("i").as("a"), col("n_i").as("n_a")), Seq("a"))
       .join(itemCounts.select(col("i").as("b"), col("n_i").as("n_b")), Seq("b"))
       .crossJoin(broadcast(nGroups))
+    // both directions' antecedent AND consequent counts are already on the
+    // row (n_a/n_b) — a third itemCounts join would re-shuffle for data
+    // the pair row carries
     val rules = directed.select(col("a").as("antecedent"), col("b").as("consequent"),
-        col("n_ab"), col("n_a").as("n_ante"), col("n_groups"))
+        col("n_ab"), col("n_a").as("n_ante"), col("n_b").as("n_cons"), col("n_groups"))
       .unionByName(directed.select(col("b").as("antecedent"), col("a").as("consequent"),
-        col("n_ab"), col("n_b").as("n_ante"), col("n_groups")))
-      .join(itemCounts.select(col("i").as("consequent"), col("n_i").as("n_cons")),
-        Seq("consequent"))
+        col("n_ab"), col("n_b").as("n_ante"), col("n_a").as("n_cons"), col("n_groups")))
       .select(col("antecedent"), col("consequent"), col("n_ab"),
         (col("n_ab").cast("double") / col("n_groups").cast("double")).as("support"),
         (col("n_ab").cast("double") / col("n_ante").cast("double")).as("confidence"),
         ((col("n_ab") * col("n_groups")).cast("double") /
           (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
-    rules.withColumn("rank", row_number().over(
+    // top-k as TakeOrderedAndProject (per-partition partial top-k, no
+    // single-partition sort of the pair-cardinality rules frame); the rank
+    // window then runs over k rows only
+    rules.orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent")).limit(k)
+      .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(
           col("lift").desc, col("confidence").desc,
           col("antecedent"), col("consequent"))).cast("long"))
-      .filter(col("rank") <= k)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("support"), col("confidence"), col("lift"), col("rank"))
   }
 
   /** Exact triangle count over an ordered edge list (a < b on every row) —
