@@ -571,6 +571,58 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     deleted
   }
 
+  private def morDeletesTable(name: String): String =
+    s"${name.toLowerCase}__deletes"
+
+  /** Merge-on-read DELETE — the deferred-cost twin of [[deleteWhere]]:
+    * instead of rewriting every data file that holds a match (copy-on-write
+    * pays O(matched files) of WRITE immediately), the matched KEYS are
+    * appended to a catalog-managed tombstone table (`<name>__deletes`,
+    * versioned and time-travelable like any table) and applied at READ time
+    * by [[readMor]]'s anti-join. At 100 TB this is the difference between a
+    * small nightly right-to-be-forgotten batch costing a key-column scan +
+    * O(keys) write, and costing a rewrite of every file a key touches;
+    * the rewrite is paid ONCE, scheduled, by [[compactMor]]. The trade is
+    * honest: every MOR read carries the anti-join until compaction (the
+    * Iceberg v2 delete-file model). Keys must identify rows (a PK —
+    * duplicates of a tombstoned key all disappear, as in SQL DELETE).
+    * Returns the number of distinct keys tombstoned this call. */
+  def deleteWhereMor(name: String, pred: org.apache.spark.sql.Column,
+      key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val keys = read(name).filter(pred).select(col(key)).distinct()
+      .localCheckpoint() // count + append must see ONE evaluation
+    val tomb = morDeletesTable(name)
+    if (!exists(tomb)) write(tomb, keys) else append(tomb, keys)
+    keys.count()
+  }
+
+  /** Read `name` with its merge-on-read tombstones applied: one left-anti
+    * join on the tombstone table's key column (batch-sized build side —
+    * AQE broadcasts it until compaction is overdue). Without tombstones
+    * this IS [[read]]. */
+  def readMor(name: String): DataFrame = {
+    val tomb = morDeletesTable(name)
+    if (!exists(tomb)) read(name)
+    else {
+      val del = read(tomb)
+      read(name).join(del, del.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** Apply accumulated merge-on-read tombstones copy-on-write and reset the
+    * tombstone table: the scheduled rewrite moment that keeps MOR reads
+    * from accreting anti-join cost forever. Full-table rewrite (compaction
+    * IS the moment the table pays its write debt); for surgically removing
+    * a few keys immediately, [[deleteWhere]] stays the targeted verb. */
+  def compactMor(name: String): Unit = {
+    val tomb = morDeletesTable(name)
+    if (exists(tomb)) {
+      write(name, readMor(name))
+      truncate(tomb)
+    }
+  }
+
   /** Copy-on-write MERGE — the SQL `MERGE INTO target USING source ON
     * target.key = source.key` upsert verb with Delta/Iceberg file-pruning
     * semantics: matched target rows are replaced by their source row (or

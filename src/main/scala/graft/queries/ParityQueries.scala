@@ -990,6 +990,37 @@ object ParityQueries {
                WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3)
                   OR (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3) IS NULL""")),
 
+    // Merge-on-read DELETE (Catalog.deleteWhereMor): tombstone the matched
+    // keys (O(keys) write, no file rewrite), apply at read time by
+    // anti-join; compactMor pays the rewrite once, scheduled. The gate
+    // tombstones one segment slice, reads THROUGH the tombstones, compacts,
+    // deletes a second slice MOR, and reads again — so the hashed result
+    // witnesses tombstone application, compaction, AND post-compaction
+    // tombstones composing on one table.
+    QueryDef("q_x_delete_mor",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s, tempRoot(deleteRoots, s, d, "graft-del"))
+        if (!cat.exists("customers_mor")) {
+          cat.write("customers_mor",
+            t(s, d, "customer")
+              .select(col("c_custkey"), col("c_mktsegment"),
+                cents(col("c_acctbal")).as("bal_cents"))
+              .repartitionByRange(8, col("c_custkey")))
+          cat.deleteWhereMor("customers_mor",
+            col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") % 10 === 7,
+            "c_custkey")
+          cat.compactMor("customers_mor")
+          cat.deleteWhereMor("customers_mor",
+            col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 10 === 1,
+            "c_custkey")
+        }
+        cat.readMor("customers_mor").select(col("c_custkey"), col("bal_cents"))
+      },
+      Some(s"""SELECT c_custkey, ${centsSql("c_acctbal")} AS bal_cents
+               FROM customer
+               WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
+                 AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 10 = 1)""")),
+
     // Copy-on-write MERGE upsert (Catalog.merge): one batch updates every
     // key ≡0 mod 5 (matched rows whose key ≡0 mod 20 DELETE instead —
     // SQL MERGE's WHEN MATCHED AND pred THEN DELETE arm), and inserts

@@ -529,4 +529,36 @@ class CatalogSpec extends SparkSpec {
     cat.compact("t", 1)
     assert(cat.read("t").select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
+
+  test("deleteWhereMor: tombstoned reads equal copy-on-write deletes; compaction pays the rewrite") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat").toString)
+    val rows = (1L to 40L).map(i => (i, if (i % 4 == 0) "kill" else "keep"))
+    cat.write("t", rows.toDF("id", "tag"))
+    val before = cat.currentVersionNumber("t").get
+
+    // MOR delete: table version UNTOUCHED (no rewrite), tombstones recorded
+    assert(cat.deleteWhereMor("t", col("tag") === "kill", "id") == 10L)
+    assert(cat.currentVersionNumber("t").get == before,
+      "MOR delete must not rewrite the data table")
+    val expect = rows.filter(_._2 == "keep").map(_._1).toSet
+    assert(cat.readMor("t").select("id").as[Long].collect().toSet == expect)
+    // plain read still sees everything (the debt is visible, not hidden)
+    assert(cat.read("t").count() == 40L)
+
+    // a second MOR delete composes via tombstone APPEND
+    assert(cat.deleteWhereMor("t", col("id") === 1L, "id") == 1L)
+    assert(cat.readMor("t").select("id").as[Long].collect().toSet == expect - 1L)
+
+    // compaction applies tombstones copy-on-write and resets them
+    cat.compactMor("t")
+    assert(cat.read("t").select("id").as[Long].collect().toSet == expect - 1L)
+    assert(cat.read("t__deletes").count() == 0L)
+    // post-compaction MOR deletes keep composing
+    assert(cat.deleteWhereMor("t", col("id") === 2L, "id") == 1L)
+    assert(cat.readMor("t").select("id").as[Long].collect().toSet == expect - 1L - 2L)
+    // no tombstones at all → readMor IS read
+    val cat2 = new Catalog(spark, Files.createTempDirectory("graft-cat").toString)
+    cat2.write("u", Seq((1L, "a")).toDF("id", "v"))
+    assert(cat2.readMor("u").count() == 1L)
+  }
 }
