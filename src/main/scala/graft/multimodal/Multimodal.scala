@@ -576,6 +576,58 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual difference-hash (dHash) of each document's image through a
+    * REAL codec cycle: bytes pack into a grayscale PNG, a genuine decode
+    * yields the raster, a 9×8 nearest-neighbor thumbnail (the standard
+    * dHash grid — 9 columns so each of the 8 rows yields 8 horizontal
+    * gradient comparisons) reduces it, and bit k = y·8+x is set iff
+    * thumb(x,y) > thumb(x+1,y). The 64 bits ship as TWO non-negative
+    * BIGINT words (`phash_lo` = bits 0–31, `phash_hi` = bits 32–63) — one
+    * int64 would put bit 63 in the sign position, where Spark wraps and
+    * DuckDB widens to HUGEINT, breaking cross-engine equality (the same
+    * word-split device as Pca.int128Words).
+    *
+    * Near-duplicate IMAGES then dedup exactly like near-duplicate text:
+    * equal words = visually-identical-up-to-thumbnail (group or join on
+    * (hi, lo)); Hamming-near variants band the words like SimHash. All
+    * integer arithmetic — an oracle re-derives every bit from the payload
+    * (ASCII corpus: byte ≡ char code, enforced by the caller's filter).
+    * mapPartitions batch shape, pure map at 100 TB. */
+  def imageDHash(docs: DataFrame, width: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash_hi", LongType, nullable = false),
+      StructField("phash_lo", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val (dstW, dstH) = (9, 8)
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val png = PngCodec.encodeGray(r.getAs[Array[Byte]]("payload"), width)
+          val img = PngCodec.decode(png).getOrElse(
+            throw new IllegalStateException("undecodable PNG emitted by encodeGray"))
+          val src = PngCodec.grayPixels(img)
+          val (srcW, srcH) = (img.getWidth, img.getHeight)
+          val thumb = Array.tabulate(dstH, dstW)((y, x) =>
+            src((y * srcH / dstH) * srcW + (x * srcW / dstW)))
+          var hi = 0L; var lo = 0L
+          var y = 0
+          while (y < dstH) {
+            var x = 0
+            while (x < dstW - 1) {
+              if (thumb(y)(x) > thumb(y)(x + 1)) {
+                val k = y * 8 + x
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), hi, lo)
+        }
+      }(enc)
+  }
+
   /** Nearest-neighbor image resize through REAL codec cycles: each
     * document's bytes pack into a grayscale PNG, a GENUINE decode yields
     * the source raster, the nearest-neighbor map (srcY = ⌊y·srcH/dstH⌋,

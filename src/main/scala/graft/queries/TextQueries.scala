@@ -1641,6 +1641,48 @@ object TextQueries {
                 CAST(len(list_filter(ids, i -> i < n)) AS BIGINT) AS n_nonzero
               FROM idx""")),
 
+    // Perceptual image dedup: dHash (9×8 nearest-neighbor thumbnail of the
+    // REAL-decoded grayscale image, 64 horizontal-gradient bits as two
+    // non-negative BIGINT words) + the exact-hash census — near-duplicate
+    // IMAGE detection with the same group-on-signature shape as text
+    // dedup. The oracle re-derives every bit from the payload arithmetic,
+    // so a stubbed decode or a float resampler cannot pass.
+    QueryDef("q_x_image_phash",
+      (s, d) => {
+        val h = graft.multimodal.Multimodal.imageDHash(
+          t(s, d, "documents")
+            .filter(octet_length(col("text")) === length(col("text")) &&
+              col("text") =!= ""))
+        h.join(h.groupBy("phash_hi", "phash_lo").agg(count(lit(1)).as("n_same")),
+          Seq("phash_hi", "phash_lo"))
+          .select(col("doc_id"), col("phash_hi"), col("phash_lo"), col("n_same"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+                WHERE octet_length(CAST(text AS BLOB)) = length(text) AND text <> ''),
+              t AS (SELECT doc_id, n, text, greatest(1, (n + 63) // 64) AS srch FROM d),
+              th AS (SELECT doc_id,
+                flatten(list_transform(generate_series(0, 7), y ->
+                  list_transform(generate_series(0, 8), x ->
+                    CASE WHEN ((y * srch) // 8) * 64 + ((x * 64) // 9) < n
+                         THEN ord(text[((y * srch) // 8) * 64 + ((x * 64) // 9) + 1])
+                         ELSE 0 END))) AS tb
+                FROM t),
+              hw AS (SELECT doc_id,
+                CAST(list_sum(flatten(list_transform(generate_series(4, 7), y ->
+                  list_transform(generate_series(0, 7), x ->
+                    CASE WHEN tb[y*9+x+1] > tb[y*9+x+2]
+                         THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END))))
+                  AS BIGINT) AS phash_hi,
+                CAST(list_sum(flatten(list_transform(generate_series(0, 3), y ->
+                  list_transform(generate_series(0, 7), x ->
+                    CASE WHEN tb[y*9+x+1] > tb[y*9+x+2]
+                         THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END))))
+                  AS BIGINT) AS phash_lo
+                FROM th)
+              SELECT doc_id, phash_hi, phash_lo,
+                CAST(count(*) OVER (PARTITION BY phash_hi, phash_lo) AS BIGINT) AS n_same
+              FROM hw""")),
+
     // The oracle derives samples from CHARACTERS (split + ord) while
     // wavSynth packs BYTES — equal only for pure-ASCII, non-empty text.
     // That assumption is ENFORCED, not assumed: both sides filter to

@@ -301,4 +301,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubDecoder.resize(bytes, 2000).length == 1000)
     assert(Multimodal.StubDecoder.sampleFrames(bytes, 4).map(_.length).sum == 1000)
   }
+
+  test("imageDHash: 32-bit words, equal images hash equal, gradient flip flips bits") {
+    import spark.implicits._
+    // doc 0 and 1 identical; doc 2 is doc 0 character-reversed (gradients
+    // flip); doc 3 is flat (all-equal pixels → no strict > → hash 0)
+    val base = "abcdefghij" * 20
+    // doc 3 is exactly 4 full 64-byte rows — a 200-byte payload would leave
+    // a padded last row whose m→0 edge sets gradient bits
+    val docs = Seq((0L, base), (1L, base), (2L, base.reverse), (3L, "m" * 256))
+      .toDF("doc_id", "text")
+    val h = Multimodal.imageDHash(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    h.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+    assert(h(0L) == h(1L), "identical payloads must hash identically")
+    assert(h(0L) != h(2L), "reversed gradients must change the hash")
+    assert(h(3L) == ((0L, 0L)), "flat image has no rising gradients")
+    assert(h(0L) != ((0L, 0L)), "a gradient image must set bits")
+  }
 }
