@@ -254,4 +254,42 @@ object Sampling {
         count_distinct(col("__s")).as("n_splits"),
         array_join(sort_array(collect_set(col("__s"))), ",").as("splits"))
       .filter(col("n_splits") >= 2)
+
+  /** Weighted sampling WITHOUT replacement by systematic (grid) selection —
+    * "sample ~k documents with probability ∝ weight" (tokens, quality
+    * score), the true ∝-weight draw the quota/budget gates approximate:
+    * rows are laid on a line in deterministic hash order, each covering an
+    * interval of its exact integer weight, and a grid of stride
+    * ⌊Σw / k⌋ picks every interval containing a grid point. Pure integer
+    * arithmetic end-to-end — no `pow`/`ln` of the Efraimidis–Spirakis
+    * exponential-race form, so the draw replays bit-exactly cross-engine
+    * and is rerun/partitioning-invariant. Rows with w ≥ stride are ALWAYS
+    * selected (their interval must contain a grid point) — the
+    * inclusion-probability-∝-weight contract, not a bug. Zero-weight rows
+    * are never selected. Returns the selected rows as (id, w, cum).
+    *
+    * Scale: the exact prefix sum is TWO-LEVEL (per-hash-bucket totals, then
+    * within-bucket) — no corpus-sized window partition, the
+    * [[graft.operators.Eval]] cumBelow device on the sampling line. */
+  def weightedSystematic(df: DataFrame, idCol: String, weightCol: String,
+      k: Long, bucketShift: Int = 44): DataFrame = {
+    require(k > 0)
+    val base = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("h", Hashing.hash64(concat(lit("ws:"), col("id").cast("string"))))
+      .withColumn("b", expr(s"h div ${1L << bucketShift}"))
+    // level 1: running totals over per-bucket sums (bucket-cardinality rows)
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = base.groupBy("b").agg(sum("w").as("bw"))
+      .select(col("b"), coalesce(sum("bw").over(wb), lit(0L)).as("bucket_below"))
+    // level 2: within-bucket running totals in (h, id) order
+    val ww = Window.partitionBy("b").orderBy(col("h"), col("id"))
+    val tot = base.agg(sum("w").as("tot"))
+    base.join(bucketPrefix, Seq("b"))
+      .withColumn("cum", col("bucket_below") + sum("w").over(ww))
+      .crossJoin(broadcast(tot))
+      .withColumn("stride", expr(s"greatest(tot div $k, 1)"))
+      .filter(expr("(cum div stride) > ((cum - w) div stride)"))
+      .select(col("id"), col("w"), col("cum"))
+  }
 }

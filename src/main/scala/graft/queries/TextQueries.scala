@@ -1246,6 +1246,31 @@ object TextQueries {
                FROM documents
                WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10""")),
 
+    // Weighted sampling WITHOUT replacement (~50 docs ∝ token count) by
+    // systematic grid selection over the exact integer cumulative-weight
+    // line in deterministic hash order — the true ∝-weight draw, pure
+    // integer end-to-end (no pow/ln race), rerun/engine/partitioning
+    // stable. The Spark side walks the line with a TWO-LEVEL prefix sum
+    // (no corpus-sized window); the oracle's single cumsum is the
+    // semantic, not the algorithm.
+    QueryDef("q_x_sample_weighted",
+      (s, d) => graft.operators.Sampling.weightedSystematic(
+          t(s, d, "documents")
+            .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", k = 50L)
+        .select(col("id").as("doc_id"), col("w").as("n_tokens"), col("cum")),
+      Some(s"""WITH b AS (SELECT doc_id,
+                 CAST(len($tokensSql) AS BIGINT) AS w,
+                 ${hash64Sql("'ws:' || CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents),
+               c AS (SELECT doc_id, w,
+                       CAST(sum(w) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum
+                     FROM b),
+               t AS (SELECT sum(w) AS tot FROM b)
+               SELECT doc_id, w AS n_tokens, cum FROM c, t
+               WHERE (cum // greatest(tot // 50, 1))
+                   > ((cum - w) // greatest(tot // 50, 1))""")),
+
     // Benchmark decontamination: per eval doc (odd ids), the fraction of
     // its 3-shingles present anywhere in the training corpus (even ids) —
     // the train/test overlap check. One corpus-shingle distinct + one

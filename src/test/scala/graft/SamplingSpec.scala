@@ -295,4 +295,28 @@ class SamplingSpec extends SparkSpec {
     assert(r.getAs[Long]("content_h") ==
       df.select(graft.functions.Hashing.hash64(lit("dup text"))).head.getLong(0))
   }
+
+  test("weightedSystematic: ~k selected, heavy rows always in, zero weight never, partition-invariant") {
+    val df = (1L to 400L).map(i => (i, if (i == 7L) 10000L else 10L))
+      .toDF("doc_id", "w")
+      .union(Seq((999L, 0L)).toDF("doc_id", "w"))
+    val sel = Sampling.weightedSystematic(df, "doc_id", "w", k = 20L)
+      .select("id").as[Long].collect().toSet
+    // total = 10000 + 399*10 + 0 = 13990, stride = 699: the w=10000 row
+    // spans ≥14 grid points → always selected; light rows fill the rest
+    assert(sel.contains(7L), "a row with w >= stride must always be selected")
+    assert(!sel.contains(999L), "zero-weight rows are never selected")
+    // 20 grid points, but ~14 land inside the heavy row's interval and
+    // collapse to ONE selection (without-replacement: a heavy row is
+    // selected once, not multiple times) → ~7 distinct rows
+    assert(sel.size >= 5 && sel.size <= 21, s"grid-point count bounds selections, got ${sel.size}")
+    val sel2 = Sampling.weightedSystematic(df.repartition(7), "doc_id", "w", k = 20L)
+      .select("id").as[Long].collect().toSet
+    assert(sel2 == sel, "selection must be partitioning-invariant")
+    // two-level prefix == flat cumsum: cum values are a permutation-free
+    // exact prefix in (h, id) order, so max(cum) == total weight
+    val cums = Sampling.weightedSystematic(df, "doc_id", "w", k = 1L)
+      .agg(max("cum")).head.getLong(0)
+    assert(cums == 13990L, s"grid stride k=1 keeps the last row; max cum = total, got $cums")
+  }
 }
