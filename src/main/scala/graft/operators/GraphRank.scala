@@ -432,10 +432,15 @@ object GraphRank {
       .select(col("node"), expr(s"$Scale div n_nodes").as("hub"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      // authority half-step: hub mass flows src→dst
+      // authority half-step: hub mass flows src→dst. Each raw-inflow frame
+      // is referenced TWICE (its L1 total and the normalize) — checkpoint
+      // it (node-sized) or the lazy plan nests exponentially in iters,
+      // recomputing the edge join once per reference (the same per-round
+      // truncation labelPropagation uses).
       val rawA = eSrc
         .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node")).agg(sum("hub").as("raw"))
+        .localCheckpoint()
       // greatest(…, 1): an all-zero score frame (n_nodes > Scale) must not
       // trip ANSI div-by-zero; the zero numerators stay zero either way
       val ta = rawA.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
@@ -446,6 +451,7 @@ object GraphRank {
       val rawH = eDst
         .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node")).agg(sum("auth").as("raw"))
+        .localCheckpoint()
       val th = rawH.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
       hub = nodes.join(rawH, Seq("node"), "left").crossJoin(broadcast(th))
         .select(col("node"),

@@ -165,6 +165,19 @@ class GraphRankSpec extends SparkSpec {
       "q_x_connected_components' 8-round budget has NOT converged — raise it")
   }
 
+  test("hits: no cartesian; scalar totals broadcast; edge side never re-sorts") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val plan = GraphRank.hits(edges, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // 4 normalizing totals + 1 node count ride as 1-row broadcast scalars
+    // ≤ 2 per round (the L1 totals) + the node count; per-half-step
+    // checkpoints keep this LINEAR in iters (the raw frames are referenced
+    // twice — un-truncated, the lazy plan nested exponentially: 46 NLJs)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 6, s"unexpected nested-loop joins ($nlj) in plan:\n$plan")
+  }
+
   test("hits: hand-computed 2-round fixed point on a directed bipartite graph") {
     // 1→10, 2→10, 2→11; N=4, h0 = 250000000 each.
     // round 1: rawA(10)=5e8, rawA(11)=2.5e8, total 7.5e8 →

@@ -285,6 +285,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch matches the batch sketch across micro-batches") {
+    val dir = Files.createTempDirectory("graft-cms-stream").toString
+    def append(keys: Seq[String]): Unit =
+      keys.toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    append((1 to 60).map(i => s"k${i % 7}"))
+    val stream = spark.readStream.schema("k string").parquet(dir)
+    // the SAME operator body runs on the stream: a streaming groupBy count
+    // in update mode — CMS cells are additive, so the sketch is a plain
+    // incremental aggregation (the reason CMS is the streaming-native
+    // frequency structure)
+    val q = graft.operators.Skew.cmsSketch(stream, "k")
+      .writeStream.outputMode("update").format("memory").queryName("cmsstream").start()
+    try {
+      q.processAllAvailable()
+      append((1 to 40).map(i => s"k${i % 11}"))
+      q.processAllAvailable()
+      val streamed = spark.table("cmsstream")
+        .groupBy("s", "b").agg(max("c").as("c")) // update-mode totals are monotone
+      val batch = graft.operators.Skew.cmsSketch(spark.read.parquet(dir), "k")
+      assert(streamed.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (r.getInt(0), r.getLong(1), r.getLong(2))) ==
+        batch.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (r.getInt(0), r.getLong(1), r.getLong(2))))
+    } finally q.stop()
+  }
+
   test("streaming anomaly scoring: live points flagged against broadcast batch stats") {
     import graft.operators.Anomaly
     val dir = Files.createTempDirectory("graft-anomaly-stream").toString
