@@ -109,6 +109,41 @@ object Eval {
           col("tp").cast("double") / col("n_pos").cast("double")).as("recall"))
   }
 
+  /** Mutual information between two CATEGORICAL columns — the dataset-bias
+    * audit ("how much does source predict language?"): MI = Σ_xy p_xy ·
+    * ln(p_xy / (p_x·p_y)), reported per cell as the exact integer
+    * `pmi_micro = round(ln((n_xy·N)/(n_x·n_y))·10⁶)` (the [[NgramLm]]
+    * quantize-at-source device, association order pinned to
+    * (n_xy·N)/(n_x·n_y) as one double ratio) plus the corpus total
+    * `mi_micro = Σ n_xy·pmi_micro` — an exact BIGINT whose single IEEE
+    * division by N·10⁶ yields MI in nats. MI = 0 ⇔ independent;
+    * high MI = a confounded dataset a mixture gate should re-balance.
+    * Shape: one joint census + two marginal censuses joined on the
+    * K-cardinality cell frame; no window, no collect. */
+  def categoricalMi(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("string").as("x"),
+      col(yCol).cast("string").as("y"))
+    val joint = base.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = base.groupBy("x").agg(count(lit(1)).as("n_x"))
+    val my = base.groupBy("y").agg(count(lit(1)).as("n_y"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val cells = joint.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_micro", round(log(
+          (col("n_xy").cast("double") * col("n").cast("double")) /
+          (col("n_x").cast("double") * col("n_y").cast("double"))) * 1000000L, 0)
+        .cast("long"))
+    val tot = cells
+      .agg(sum(col("n_xy") * col("pmi_micro")).as("mi_micro"),
+        first(col("n")).as("__n"))
+      .select(col("mi_micro"),
+        (col("mi_micro").cast("double") / (col("__n") * lit(1000000L)).cast("double"))
+          .as("mi_nats"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("x").as(xCol), col("y").as(yCol), col("n_xy"), col("n_x"),
+        col("n_y"), col("pmi_micro"), col("mi_micro"), col("mi_nats"))
+  }
+
   /** ROUGE-2-style clipped bigram overlap between (candidate, reference)
     * document PAIRS — the reference-based generation/summarization metric,
     * and (flipped) a targeted contamination probe between specific pairs:

@@ -66,4 +66,51 @@ object Privacy {
     val cond = quasiCols.map(c => df(c) <=> keep(c)).reduce(_ && _)
     df.join(keep, cond, "left_semi")
   }
+
+  /** t-closeness audit (Li et al. 2007) — the third leg of the release
+    * triple after k-anonymity and l-diversity: per quasi-identifier class,
+    * the Earth Mover's Distance between the class's distribution of an
+    * ORDERED sensitive attribute (`bucketCol`, integer buckets) and the
+    * global distribution. For ordered categories EMD is the mean absolute
+    * cumulative gap: Σ_b |cumC_b/n_c − cumG_b/N| / (m−1). Kept EXACT by
+    * cross-multiplying — D_b = |cumC_b·N − cumG_b·n_c| is a BIGINT and
+    * emd_ppm = ⌊Σ D_b · 10⁶ / ((m−1)·n_c·N)⌋ — so the audit replays
+    * bit-identically (overflow bound: Σ D_b·10⁶ ≤ (m−1)·n_c·N·10⁶ < 2^63
+    * for n_c·N < 9·10¹¹ / (m−1); bucket-census inputs, not row scale).
+    *
+    * Shape: one (class, bucket) census + one bucket census, windows over
+    * the m-bucket-sized per-class frames; output is class-cardinality.
+    * NULL quasi-identifier/bucket values are the caller's to coalesce
+    * first — the grid joins are plain equality joins. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String], bucketCol: String,
+      tPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.agg(count_distinct(col(bucketCol)).as("m"))
+    val g = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("g_b"))
+      .withColumn("cum_g", sum("g_b").over(
+        Window.orderBy(col(bucketCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val n = df.agg(count(lit(1)).as("n"))
+    val qc = quasiCols.map(col)
+    // per-class bucket counts on the GLOBAL bucket grid (a class missing a
+    // bucket still accumulates the global mass gap there)
+    val cls = df.groupBy(qc :+ col(bucketCol): _*).agg(count(lit(1)).as("c_b"))
+    val grid = df.select(qc: _*).distinct().crossJoin(g.select(col(bucketCol)))
+      .join(cls, quasiCols :+ bucketCol, "left")
+      .withColumn("c_b", coalesce(col("c_b"), lit(0L)))
+      .withColumn("cum_c", sum("c_b").over(
+        Window.partitionBy(qc: _*).orderBy(col(bucketCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(g.select(col(bucketCol), col("cum_g")), Seq(bucketCol))
+    val nc = grid.groupBy(qc: _*).agg(sum("c_b").as("n_class"))
+    val d = grid.join(nc, quasiCols).crossJoin(broadcast(n))
+      .groupBy(qc :+ col("n_class") :+ col("n"): _*)
+      .agg(sum(abs(col("cum_c") * col("n") - col("cum_g") * col("n_class")))
+        .as("d_sum"))
+    d.crossJoin(broadcast(m))
+      .select(qc :+ col("n_class") :+
+        expr("(d_sum * 1000000) div (greatest(m - 1, 1) * n_class * n)")
+          .as("emd_ppm"): _*)
+      .withColumn("t_ok", col("emd_ppm") <= tPpm)
+  }
 }

@@ -148,6 +148,34 @@ object TextIndex {
   def docLengths(post: DataFrame): DataFrame =
     post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
 
+  /** Top-`k` TF-IDF terms per document — the classic "what is this document
+    * about" keyword extractor and the sparse retrieval weight
+    * (tf·ln(N/df)). The transcendental is micro-nat quantized AT THE
+    * SOURCE (`idf_micro = round(ln(N/df)·10⁶)` — the [[NgramLm]] device),
+    * so every score is the exact integer `tf·idf_micro` and the per-doc
+    * top-k ordering (score desc, term) is bit-identical cross-engine.
+    * Shape: postings + one term-keyed df aggregate joined back (term-
+    * cardinality build side), a 1-row N broadcast, and a per-DOC window —
+    * partitions are document-sized, never corpus-sized. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = post
+      .join(docFrequencies(post), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1000000L, 0)
+          .cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("idf_micro"), col("score_micro"), col("rank"))
+  }
+
   /** Feature hashing (the "hashing trick"): a fixed-`dim` sparse term-count
     * vector per document in LONG FORM (doc_id, pos, cnt) with
     * `pos = hash64(term) % dim` — no vocabulary to build or broadcast,

@@ -224,4 +224,41 @@ object Trend {
       StructType(Seq(StructField("x_col", StringType), StructField("y_col", StringType),
         StructField("n", LongType), StructField("r", DoubleType))))
   }
+
+  /** Spearman rank correlation ρ — [[correlation]] (exact-moment Pearson)
+    * computed on tie-averaged ranks: the MONOTONE-association measure,
+    * robust to the outliers and nonlinearity that shear Pearson r (the
+    * right check for "does quality score track document length" questions).
+    * Ranks are kept exact by DOUBLING: the tie-averaged rank of value v is
+    * below(v) + (c(v)+1)/2 — a half-integer — so 2·rank = 2·below + c + 1
+    * is an exact BIGINT and the Pearson over doubled ranks equals ρ
+    * (correlation is scale-invariant). No float enters until the final
+    * division.
+    *
+    * Scale: per column one distinct-value aggregate + the TWO-LEVEL
+    * bucketed prefix sum for below(v) (the [[Eval]] cumBelow device —
+    * `shiftright` bucketing is monotone for negatives too, no window is
+    * ever corpus-sized), then value-keyed joins back. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      xName: String, yName: String, bucketBits: Int = 20): DataFrame = {
+    def avgRank2(d: DataFrame, c: String, out: String): DataFrame = {
+      val per = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("b", shiftright(col("v"), bucketBits))
+      val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+      val bp = per.groupBy("b").agg(sum("c").as("bc"))
+        .select(col("b"), coalesce(sum("bc").over(wb), lit(0L)).as("bb"))
+      val ww = Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.join(bp, Seq("b"))
+        .withColumn("below", col("bb") + coalesce(sum("c").over(ww), lit(0L)))
+        .select(col("v").as(c), (lit(2L) * col("below") + col("c") + 1L).as(out))
+    }
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val ranked = base
+      .join(avgRank2(base, "x", "rx2"), Seq("x"))
+      .join(avgRank2(base, "y", "ry2"), Seq("y"))
+    correlation(ranked, Seq((col("rx2"), xName, col("ry2"), yName)))
+      .select(col("x_col"), col("y_col"), col("n"), col("r").as("rho"))
+  }
 }

@@ -236,6 +236,31 @@ object CurationQueries {
                       ELSE 'tail' END AS bucket
                FROM res r LEFT JOIN cu USING (lang)""")),
 
+    // Mutual information lang↔source: the dataset-confounding audit (high
+    // MI = source predicts language, so per-source sampling skews language
+    // balance). PMI micro-quantized at the source per cell; the corpus MI
+    // is an exact integer sum with ONE final IEEE division.
+    QueryDef("q_x_mi_lang_source",
+      (s, d) => graft.operators.Eval.categoricalMi(docs(s, d), "lang", "source"),
+      Some(s"""WITH b AS (SELECT CAST(lang AS VARCHAR) AS x,
+                 CAST(source AS VARCHAR) AS y FROM documents),
+               j AS (SELECT x, y, count(*) AS n_xy FROM b GROUP BY 1, 2),
+               mx AS (SELECT x, count(*) AS n_x FROM b GROUP BY 1),
+               my AS (SELECT y, count(*) AS n_y FROM b GROUP BY 1),
+               nn AS (SELECT count(*) AS n FROM b),
+               cells AS (SELECT x, y, n_xy, n_x, n_y,
+                 CAST(round(ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                     / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000, 0)
+                   AS BIGINT) AS pmi_micro
+                 FROM j JOIN mx USING (x) JOIN my USING (y), nn),
+               tot AS (SELECT CAST(sum(n_xy * pmi_micro) AS BIGINT) AS mi_micro,
+                         CAST(sum(n_xy * pmi_micro) AS DOUBLE)
+                           / CAST((SELECT n FROM nn) * 1000000 AS DOUBLE) AS mi_nats
+                       FROM cells)
+               SELECT x AS lang, y AS source, n_xy, n_x, n_y, pmi_micro,
+                      mi_micro, mi_nats
+               FROM cells, tot""")),
+
     // ROUGE-2 clipped bigram overlap between adjacent-doc (even candidate,
     // odd reference) pairs: precision/recall one IEEE division each, F1 as
     // the exact integer 2·o·10⁶ div (|cand|+|ref|) — harmonic mean without

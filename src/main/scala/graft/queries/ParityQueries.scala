@@ -1086,6 +1086,47 @@ object ParityQueries {
                 min(n_sensitive) AS l_actual
               FROM cls""")),
 
+    // t-closeness (the third release-hygiene leg): per segment, exact-
+    // integer EMD between the class's account-balance-band distribution
+    // and the global one — ordered-category EMD as the mean absolute
+    // cumulative gap, cross-multiplied so every compared value is a
+    // BIGINT and the ppm score replays bit-identically.
+    QueryDef("q_x_t_closeness",
+      (s, d) => graft.operators.Privacy.tClosenessAudit(
+        t(s, d, "customer")
+          .select(col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band")),
+        Seq("c_mktsegment"), "bal_band", tPpm = 100000L),
+      Some("""WITH base AS (SELECT c_mktsegment,
+                CAST(floor(c_acctbal/1000) AS BIGINT) AS bb FROM customer),
+              g AS (SELECT bb, count(*) AS g_b FROM base GROUP BY 1),
+              gc AS (SELECT bb, sum(g_b) OVER (ORDER BY bb) AS cum_g FROM g),
+              nn AS (SELECT count(*) AS n FROM base),
+              mm AS (SELECT count(DISTINCT bb) AS m FROM base),
+              cls AS (SELECT c_mktsegment, bb, count(*) AS c_b
+                      FROM base GROUP BY 1, 2),
+              grid AS (SELECT s.c_mktsegment, g.bb, COALESCE(c.c_b, 0) AS c_b
+                       FROM (SELECT DISTINCT c_mktsegment FROM base) s
+                       CROSS JOIN g
+                       LEFT JOIN cls c ON c.c_mktsegment = s.c_mktsegment
+                                      AND c.bb = g.bb),
+              cc AS (SELECT c_mktsegment, bb, c_b,
+                       sum(c_b) OVER (PARTITION BY c_mktsegment ORDER BY bb)
+                         AS cum_c FROM grid),
+              nc AS (SELECT c_mktsegment, sum(c_b) AS n_class
+                     FROM grid GROUP BY 1),
+              d AS (SELECT cc.c_mktsegment, nc.n_class, nn.n,
+                      sum(abs(cum_c * nn.n - gc.cum_g * nc.n_class)) AS d_sum
+                    FROM cc JOIN gc USING (bb)
+                         JOIN nc ON cc.c_mktsegment = nc.c_mktsegment, nn
+                    GROUP BY 1, 2, 3)
+              SELECT c_mktsegment, CAST(n_class AS BIGINT) AS n_class,
+                CAST((d_sum * 1000000) // (greatest(mm.m - 1, 1) * n_class * n)
+                  AS BIGINT) AS emd_ppm,
+                ((d_sum * 1000000) // (greatest(mm.m - 1, 1) * n_class * n))
+                  <= 100000 AS t_ok
+              FROM d, mm""")),
+
     // Suppression enforcement: the surviving keys after dropping every row
     // in a sub-k class — the released table is k-anonymous by construction
     // (NULL-safe class membership; a large all-NULL class survives).
@@ -1337,6 +1378,37 @@ object ParityQueries {
                SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
                  CASE WHEN n = 0 OR dp = 0 OR dd = 0 THEN NULL
                       ELSE npd / sqrt(dp * dd) END FROM r""")),
+
+    // Spearman ρ (monotone association, outlier-robust): exact-moment
+    // Pearson over DOUBLED tie-averaged ranks (2·rank is an exact BIGINT;
+    // correlation is scale-invariant). The Spark side derives ranks via the
+    // two-level bucketed prefix sum — the oracle's global rank() window is
+    // the semantic, not the algorithm.
+    QueryDef("q_x_spearman",
+      (s, d) => graft.operators.Trend.spearman(
+        t(s, d, "lineitem").select(
+          cents(col("l_quantity")).as("q"), cents(col("l_extendedprice")).as("p")),
+        "q", "p", "l_quantity", "l_extendedprice"),
+      Some(s"""WITH b AS (SELECT ${centsSql("l_quantity")} AS x,
+                 ${centsSql("l_extendedprice")} AS y FROM lineitem),
+               r2 AS (SELECT
+                   2*(rank() OVER (ORDER BY x))
+                     + (count(*) OVER (PARTITION BY x)) - 1 AS rx2,
+                   2*(rank() OVER (ORDER BY y))
+                     + (count(*) OVER (PARTITION BY y)) - 1 AS ry2
+                 FROM b),
+               m AS (SELECT count(*) AS n,
+                 sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+                 sum(CAST(rx2 AS HUGEINT)*ry2) AS sxy,
+                 sum(CAST(rx2 AS HUGEINT)*rx2) AS sxx,
+                 sum(CAST(ry2 AS HUGEINT)*ry2) AS syy FROM r2),
+               r AS (SELECT n, CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+                 CAST(n*sxx - sx*sx AS DOUBLE) AS dx,
+                 CAST(n*syy - sy*sy AS DOUBLE) AS dy FROM m)
+               SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+                 CAST(n AS BIGINT) AS n,
+                 CASE WHEN n = 0 OR dx = 0 OR dy = 0 THEN NULL
+                      ELSE num / sqrt(dx * dy) END AS rho FROM r""")),
 
     // Declarative expectation suite (ops.Expectations): the data-quality
     // battery as data — six row-level constraints evaluated in ONE scan of

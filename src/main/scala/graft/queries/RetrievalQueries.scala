@@ -445,6 +445,27 @@ object RetrievalQueries {
                FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
                WHERE term <> '' GROUP BY 1, 2""")),
 
+    // Top-5 TF-IDF keywords per document: idf micro-nat quantized at the
+    // source so scores are exact integers tf·idf_micro and the per-doc
+    // ranking replays bit-identically; window partitions are doc-sized.
+    QueryDef("q_x_tfidf_topk",
+      (s, d) => graft.operators.TextIndex.tfIdfTopK(t(s, d, "documents"), k = 5),
+      Some(s"""WITH post AS (SELECT doc_id, term, count(*) AS tf
+                 FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+                 WHERE term <> '' GROUP BY 1, 2),
+               dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+               nn AS (SELECT count(*) AS n_docs FROM documents),
+               sc AS (SELECT doc_id, term, tf, df,
+                        CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000, 0)
+                          AS BIGINT) AS idf_micro
+                      FROM post JOIN dfreq USING (term), nn)
+               SELECT doc_id, term, tf, df, idf_micro, score_micro, rank
+               FROM (SELECT *, tf * idf_micro AS score_micro,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tf * idf_micro DESC, term) AS BIGINT) AS rank
+                     FROM sc)
+               WHERE rank <= 5""")),
+
     // Stratified train/val/test split: 80/10/10 by identity hash, counted
     // per (lang, split) — the oracle re-derives the same split from the
     // portable hash, proving the split is engine-reproducible, and the

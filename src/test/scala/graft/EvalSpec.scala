@@ -106,6 +106,21 @@ class EvalSpec extends SparkSpec {
     assert(a5.getAs[Long]("tp") == 1L && a5.getAs[Long]("fp") == 0L)
   }
 
+  test("categoricalMi: zero for independence, ln 2 for a perfect 2x2 coupling") {
+    // independent: every (x, y) cell equally likely → every PMI exactly 0
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    val ri = Eval.categoricalMi(ind, "x", "y").collect()
+    assert(ri.forall(_.getAs[Long]("pmi_micro") == 0L))
+    assert(ri.forall(_.getAs[Long]("mi_micro") == 0L))
+    // deterministic coupling x↔y: MI = ln 2 (micro-quantized per cell)
+    val dep = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v")).toDF("x", "y")
+    val rd = Eval.categoricalMi(dep, "x", "y").collect()
+    val ln2micro = math.round(math.log(2.0) * 1e6) // 693147
+    assert(rd.forall(_.getAs[Long]("pmi_micro") == ln2micro))
+    assert(rd.head.getAs[Long]("mi_micro") == 4L * ln2micro)
+    assert(math.abs(rd.head.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-5)
+  }
+
   test("bigramOverlap: hand-checked clipped counts, exact F1 ppm, NULL on gramless sides") {
     // cand 0 "a b a b c": bigrams (a,b)x2 (b,a) (b,c) → 4 grams
     // ref  1 "a b c a b": bigrams (a,b)x2 (b,c) (c,a) → 4 grams

@@ -297,6 +297,25 @@ class NgramLmSpec extends SparkSpec {
     assert(w == Map("A" -> 1000000L))
   }
 
+  test("spearman: monotone nonlinearity scores 1, reversal -1, degenerate NULL") {
+    val mono = (1L to 50L).map(i => (i, i * i)).toDF("x", "y")
+    val up = Trend.spearman(mono, "x", "y", "x", "y").head
+    assert(up.getAs[Double]("rho") == 1.0,
+      "rank correlation must ignore the nonlinearity Pearson would shear")
+    val rev = (1L to 50L).map(i => (i, -i * i)).toDF("x", "y")
+    assert(Trend.spearman(rev, "x", "y", "x", "y").head.getAs[Double]("rho") == -1.0)
+    val const = (1L to 10L).map(i => (5L, i)).toDF("x", "y")
+    assert(Trend.spearman(const, "x", "y", "x", "y").head.isNullAt(3),
+      "zero rank variance has no defined rho")
+    // ties: average ranks, invariant under repartitioning
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 1L))
+      .toDF("x", "y")
+    val a = Trend.spearman(tied, "x", "y", "x", "y").head.getAs[Double]("rho")
+    val b = Trend.spearman(tied.repartition(5), "x", "y", "x", "y")
+      .head.getAs[Double]("rho")
+    assert(a == b && a > -1.0 && a < 1.0)
+  }
+
   test("lm + trend queries plan without cartesian products") {
     val d = sf0001
     Seq("q_x_lm_xent", "q_x_dsir_weights", "q_x_ewma", "q_x_trend").foreach { q =>

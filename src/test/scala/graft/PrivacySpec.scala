@@ -54,4 +54,19 @@ class PrivacySpec extends SparkSpec {
     assert(Privacy.suppressSmallClasses(df, Seq("qa", "qb"), 1L).count() == 7L)
     assert(Privacy.suppressSmallClasses(df, Seq("qa", "qb"), 5L).count() == 0L)
   }
+
+  test("tClosenessAudit: hand-checked EMD; class matching the global distribution scores 0") {
+    // global buckets {0:2, 1:2}; class A all-bucket-0, class B all-bucket-1
+    // → each class's EMD vs global = 0.5 → 500000 ppm exactly
+    val skewed = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L)).toDF("seg", "bb")
+    val r = Privacy.tClosenessAudit(skewed, Seq("seg"), "bb", tPpm = 100000L)
+      .collect().map(x => x.getString(0) -> (x.getAs[Long]("emd_ppm"),
+        x.getAs[Boolean]("t_ok"))).toMap
+    assert(r == Map("A" -> (500000L, false), "B" -> (500000L, false)))
+    // a class whose distribution IS the global one scores exactly 0
+    val balanced = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)).toDF("seg", "bb")
+    val r2 = Privacy.tClosenessAudit(balanced, Seq("seg"), "bb", tPpm = 100000L)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("emd_ppm")).toMap
+    assert(r2 == Map("A" -> 0L, "B" -> 0L))
+  }
 }

@@ -239,4 +239,19 @@ class TextIndexSpec extends SparkSpec {
     assert(g3.getLong(1) == 1 && g3.getLong(2) == 0 && g3.isNullAt(3), g3.toString)
     assert(g3.getLong(4) == 0 && g3.getDouble(5) == 0.0, g3.toString)
   }
+
+  test("tfIdfTopK: hand-checked scores; ubiquitous terms score zero and rank last") {
+    import graft.operators.TextIndex
+    // N=3; df(a)=3 → idf 0, df(b)=2 → ln(1.5)µ, df(c)=1 → ln(3)µ
+    val docs = Seq((0L, "a a b"), (1L, "a c"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextIndex.tfIdfTopK(docs, k = 2).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("rank")) ->
+        (x.getAs[String]("term"), x.getAs[Long]("score_micro"))).toMap
+    val lnb = math.round(math.log(3.0 / 2.0) * 1e6)
+    val lnc = math.round(math.log(3.0) * 1e6)
+    assert(r((0L, 1L)) == (("b", lnb)))
+    assert(r((0L, 2L)) == (("a", 0L)), "idf(everywhere-term) must be exactly 0")
+    assert(r((1L, 1L)) == (("c", lnc)))
+    assert(r((2L, 1L)) == (("b", lnb)))
+  }
 }
