@@ -112,6 +112,44 @@ object TextClean {
           .as("stop_ratio"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the public
+    * recipe behind the C4 corpus, reused with variations by most web-scale
+    * LLM corpora since). Line rules (a line survives iff ALL hold):
+    *   - ends in terminal punctuation (`.` `!` `?` `"`);
+    *   - has ≥ `minWordsPerLine` whitespace-separated words;
+    *   - does not mention "javascript" (boilerplate "enable JavaScript"
+    *     notices — matched case-insensitively).
+    * Page rules (the whole document drops iff ANY holds):
+    *   - contains "lorem ipsum" (case-insensitive) — template filler;
+    *   - contains `{` — leaked code/JSON/CSS;
+    *   - fewer than `minLines` surviving lines — too little prose to keep.
+    * Survivors are rebuilt from their kept lines in original order, with
+    * kept/dropped audit counts.
+    *
+    * Everything is ONE map-side projection — `split` + a codegen'd array
+    * `filter` HOF + `array_join`; zero shuffles, embarrassingly parallel at
+    * 100 TB (this is the first gate a crawl passes, ahead of any dedup, so
+    * it must not cost a shuffle). Patterns are Java-regex/RE2-common so the
+    * DuckDB oracle replays them verbatim. */
+  def c4Clean(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = split(col("__text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(trim(l), " +")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__kept", kept)
+      .filter(!lower(col("__text")).contains("lorem ipsum") &&
+        !col("__text").contains("{") &&
+        size(col("__kept")) >= minLines)
+      .select(col("doc_id"),
+        array_join(col("__kept"), "\n").as("text_clean"),
+        size(col("__kept")).cast("long").as("kept_lines"),
+        (size(split(col("__text"), "\n")) - size(col("__kept")))
+          .cast("long").as("dropped_lines"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{7,15}"
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -313,7 +313,36 @@ object GraphQueries {
           .distinct()
         graft.operators.GraphRank.hits(edges, iters = 2)
       },
-      Some(hitsOracle(2)))
+      Some(hitsOracle(2))),
+
+    // Neighbor-set Jaccard over the co-purchase graph — the link-prediction
+    // / graph-entity-resolution score ("how interchangeable are these two
+    // parts, structurally"). Candidates come from the wedge equi-join
+    // (pairs sharing ≥1 neighbor, Σ deg² volume — the minShared=2 edge
+    // sparsifier keeps degrees bounded), similarity is exact integers plus
+    // ONE truncating fixed-point division, replayed verbatim by the oracle.
+    QueryDef("q_x_neighbor_jaccard",
+      (s, d) => graft.operators.GraphRank.neighborJaccard(
+        coPurchaseEdges(s, d).select(col("a").as("src"), col("b").as("dst")),
+        minCommon = 2L),
+      Some("""WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                                      FROM lineitem),
+              e AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+                   ON x.g = y.g AND x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2),
+              und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+                   UNION ALL SELECT b, a FROM e),
+              cmn AS (SELECT e1.src AS a, e2.src AS b, count(*) AS n_common
+                      FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+              deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)
+              SELECT cmn.a, cmn.b,
+                CAST(cmn.n_common AS BIGINT) AS n_common,
+                CAST(da.deg AS BIGINT) AS deg_a,
+                CAST(db.deg AS BIGINT) AS deg_b,
+                CAST((cmn.n_common * 1000000) // (da.deg + db.deg - cmn.n_common)
+                     AS BIGINT) AS jac_fp
+              FROM cmn JOIN deg da ON cmn.a = da.node
+                       JOIN deg db ON cmn.b = db.node"""))
   )
 
   /** DuckDB replay of [[graft.operators.GraphRank.hits]]: per round, the

@@ -1732,6 +1732,103 @@ object TextQueries {
                      sqrt(list_sum(list_transform(sm, x -> x * x)) / CAST(len(sm) AS DOUBLE)) AS rms,
                      CAST(len(list_filter(generate_series(2, len(sm)),
                           i -> (sm[i-1] < 0) <> (sm[i] < 0))) AS BIGINT) AS n_zero_crossings
-              FROM s"""))
+              FROM s""")),
+
+    // C4-style line+page cleaning (TextClean.c4Clean): the synthetic doc
+    // exercises every rule — a punctuation-less title line, a
+    // "enable JavaScript" notice, a <5-word line (all line-dropped), plus
+    // page-level kills: doc_id%7=0 gains a '{' line, doc_id%11=3 gains a
+    // 'Lorem ipsum' line, doc_id%5=0 loses its third good line and falls
+    // under min_lines=3. One map-side HOF chain on both engines.
+    QueryDef("q_x_c4_filter",
+      (s, d) => {
+        val nl = lit("\n")
+        val synth = concat(
+          lit("Title for doc "), col("doc_id"), nl,
+          col("text"), lit("."), nl,
+          lit("Please enable JavaScript to view this page."), nl,
+          lit("Too few words."), nl,
+          lit("Delivery was quick and the product works well."), nl,
+          when(col("doc_id") % 5 === 0, lit("Nope."))
+            .otherwise(concat(lit("Customer "), col("doc_id"),
+              lit(" left a five star review today."))),
+          when(col("doc_id") % 7 === 0, concat(nl, lit("{\"nav\": true}")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 3, concat(nl, lit("Lorem ipsum dolor sit amet.")))
+            .otherwise(lit("")))
+        graft.operators.TextClean.c4Clean(
+          t(s, d, "documents").select(col("doc_id"), synth.as("text")))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                'Title for doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                text || '.' || chr(10) ||
+                'Please enable JavaScript to view this page.' || chr(10) ||
+                'Too few words.' || chr(10) ||
+                'Delivery was quick and the product works well.' || chr(10) ||
+                CASE WHEN doc_id % 5 = 0 THEN 'Nope.'
+                     ELSE 'Customer ' || CAST(doc_id AS VARCHAR)
+                          || ' left a five star review today.' END ||
+                CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{"nav": true}' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 3 THEN chr(10) || 'Lorem ipsum dolor sit amet.'
+                     ELSE '' END AS text
+                FROM documents),
+              k AS (SELECT doc_id, text,
+                      list_filter(string_split(text, chr(10)), x ->
+                        regexp_matches(x, '[.!?"]$')
+                        AND len(string_split_regex(trim(x), ' +')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept,
+                      len(string_split(text, chr(10))) AS n_lines
+                    FROM docs)
+              SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+                CAST(len(kept) AS BIGINT) AS kept_lines,
+                CAST(n_lines - len(kept) AS BIGINT) AS dropped_lines
+              FROM k
+              WHERE NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')
+                AND len(kept) >= 3""")),
+
+    // CCNet-style cross-corpus paragraph dedup (TextDedup.dedupParagraphs):
+    // para1 duplicates across every doc of a source (kept only in that
+    // source's lowest doc_id), para3 duplicates globally (kept only in doc
+    // 0), doc_id%4=0 docs repeat their own body paragraph (same-doc dup —
+    // removed), and the body + closing note are unique (always kept).
+    // First-occurrence = lowest (doc_id, idx), replayed by one window.
+    QueryDef("q_x_paragraph_dedup",
+      (s, d) => {
+        val nl = lit("\n")
+        val synth = concat(
+          lit("Shared boilerplate header from "), col("source"), lit("."), nl,
+          col("text"), nl,
+          lit("Copyright 2024 Example Corp. All rights reserved."), nl,
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(lit("Unique closing note for document "),
+              col("doc_id"), lit("."))))
+        graft.operators.TextDedup.dedupParagraphs(
+          t(s, d, "documents").select(col("doc_id"), synth.as("text")))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                'Shared boilerplate header from ' || source || '.' || chr(10) ||
+                text || chr(10) ||
+                'Copyright 2024 Example Corp. All rights reserved.' || chr(10) ||
+                CASE WHEN doc_id % 4 = 0 THEN text
+                     ELSE 'Unique closing note for document '
+                          || CAST(doc_id AS VARCHAR) || '.' END AS text
+                FROM documents),
+              arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+              p AS (SELECT doc_id, i - 1 AS idx, ls[i] AS para
+                    FROM arr, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+              r AS (SELECT doc_id, idx, para, row_number() OVER
+                      (PARTITION BY lower(trim(para)) ORDER BY doc_id, idx) AS rn
+                    FROM p),
+              kept AS (SELECT doc_id,
+                         string_agg(para, chr(10) ORDER BY idx) AS text_dedup,
+                         count(*) AS kept_paras
+                       FROM r WHERE rn = 1 GROUP BY doc_id)
+              SELECT d.doc_id,
+                coalesce(k.text_dedup, '') AS text_dedup,
+                CAST(coalesce(k.kept_paras, 0) AS BIGINT) AS kept_paras,
+                CAST(len(string_split(d.text, chr(10)))
+                     - coalesce(k.kept_paras, 0) AS BIGINT) AS removed_paras
+              FROM docs d LEFT JOIN kept k USING (doc_id)"""))
   )
 }

@@ -47,6 +47,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, 2L), Seq(3L, 1L)))
   }
 
+  test("dedupParagraphs: first occurrence wins, order survives, empty docs stay") {
+    val docs = Seq(
+      (1L, "shared header\nbody one\nshared footer"),
+      (2L, "shared header\nbody two\nshared footer"),
+      // same-doc repeat: second 'echo' goes; Shared header dedups
+      // case-insensitively against doc 1's
+      (3L, "echo\nSHARED HEADER\necho"),
+      // every paragraph already seen → survives as the empty-string row
+      (4L, "shared header\nshared footer")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextDedup.dedupParagraphs(docs)
+      .select("doc_id", "text_dedup", "kept_paras", "removed_paras")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "shared header\nbody one\nshared footer", 3L, 0L),
+      (2L, "body two", 1L, 2L),
+      (3L, "echo", 1L, 2L),
+      (4L, "", 0L, 2L)))
+  }
+
   test("duplicated spans: cross-doc copies and within-doc repeats both count") {
     // doc 1 and 2 share an 8-token run; doc 3 repeats its own 8-token run;
     // doc 4 is unrelated; doc 5 is shorter than the window.

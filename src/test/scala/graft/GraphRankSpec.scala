@@ -38,6 +38,24 @@ class GraphRankSpec extends SparkSpec {
     assert(r.values.toSet == Set(GraphRank.Scale / 4))
   }
 
+  test("neighborJaccard: hand-checked similarities on a 5-node graph") {
+    // 1—{3,4}, 2—{3,4,5}: nodes 3,4 are structural twins (jac=1); 1 and 2
+    // overlap 2/3; 5 hangs off 2 only.
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (2L, 5L)).toDF("src", "dst")
+    val got = GraphRank.neighborJaccard(edges)
+      .select("a", "b", "n_common", "deg_a", "deg_b", "jac_fp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 2L, 3L, 666666L),   // N(1)={3,4} vs N(2)={3,4,5}
+      (3L, 4L, 2L, 2L, 2L, 1000000L),  // identical neighborhoods
+      (3L, 5L, 1L, 2L, 1L, 500000L),
+      (4L, 5L, 1L, 2L, 1L, 500000L)))
+    // minCommon prunes the single-wedge tail before the degree joins
+    val pruned = GraphRank.neighborJaccard(edges, minCommon = 2L)
+      .select("a", "b").as[(Long, Long)].collect().sortBy(identity)
+    assert(pruned.toSeq == Seq((1L, 2L), (3L, 4L)))
+  }
+
   test("plan: no cartesian product; the only nested-loop is the 1-row scalar broadcast") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val plan = GraphRank.pageRank(GraphRank.undirected(edges), iters = 2)

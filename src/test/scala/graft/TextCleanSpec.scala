@@ -41,6 +41,39 @@ class TextCleanSpec extends SparkSpec {
       (2L, "http://localhost/admin", "localhost", "")))
   }
 
+  test("c4Clean: line rules drop bad lines, page rules drop bad docs") {
+    val good = "This line has plenty of words and ends properly."
+    val docs = Seq(
+      // doc 1: title (no punct), a javascript notice, a short line — all
+      // dropped; three good lines survive → doc kept
+      (1L, Seq("A Title Without Punctuation", good,
+        "Please enable JavaScript to continue.", "Too short.", good + "!",
+        "Closing remark with a full stop at the end.").mkString("\n")),
+      // doc 2: only two good lines → below minLines → dropped
+      (2L, Seq(good, good).mkString("\n")),
+      // doc 3: contains a brace → page-dropped despite good lines
+      (3L, Seq(good, good, good, "config = { }").mkString("\n")),
+      // doc 4: lorem ipsum (case-insensitive) → page-dropped
+      (4L, Seq(good, good, good, "LOREM IPSUM dolor sit amet.").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val got = TextClean.c4Clean(docs)
+      .select("doc_id", "text_clean", "kept_lines", "dropped_lines")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, Seq(good, good + "!",
+      "Closing remark with a full stop at the end.").mkString("\n"), 3L, 3L)))
+  }
+
+  test("c4Clean: terminal punctuation set is . ! ? \" and word count is whitespace-run based") {
+    val docs = Seq(
+      (1L, Seq("He said \"this is a quote line with words\"",
+        "does this line with many words count?",
+        "spaced   words   still   count   here   today.",
+        "ends with comma not kept today,").mkString("\n"))).toDF("doc_id", "text")
+    val got = TextClean.c4Clean(docs)
+      .select("kept_lines", "dropped_lines").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L)))
+  }
+
   test("filterBlockedDomains: offenders drop, URL-free docs survive") {
     val df = Seq(
       (1L, "see http://ads.bad.net/x"),
