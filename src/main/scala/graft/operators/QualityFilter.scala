@@ -361,4 +361,43 @@ object QualityFilter {
       textCol: String = "text"): DataFrame =
     gopherScored(docs, t, textCol).filter(col("keep"))
       .drop("r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stop", "keep")
+
+  /** Classic readability + lexical-diversity signals — the curation band
+    * between raw Gopher heuristics and a trained quality model: Flesch
+    * reading ease and Flesch–Kincaid grade (Kincaid et al. 1975 — the
+    * formulas every readability-filtered corpus cites) plus type–token
+    * ratio. All inputs are EXACT integer counts per doc:
+    *   - sentences: runs of terminal punctuation `[.!?]+` (min 1 so a
+    *     fragment without punctuation scores as one sentence, not ÷0);
+    *   - words: whitespace runs;
+    *   - syllables: the standard vowel-group heuristic — runs of
+    *     `[aeiouy]+` per lowercased word, min 1 per word;
+    *   - distinct words: case-folded exact distinct (TTR numerator).
+    * The three float outputs each apply the published constants to ONE
+    * ratio of exact integers with a fixed parenthesization, so IEEE-double
+    * evaluation is bit-identical cross-engine. Pure map-side HOF
+    * arithmetic — zero shuffles at any scale. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val syllables =
+      "aggregate(transform(__words, w -> " +
+        "greatest(1, size(regexp_extract_all(lower(w), '[aeiouy]+', 0)))), " +
+        "0L, (a, x) -> a + CAST(x AS LONG))"
+    docs
+      .withColumn("__words", split(trim(col(textCol)), "\\s+"))
+      .withColumn("n_sentences",
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long")))
+      .withColumn("n_words", size(col("__words")).cast("long"))
+      .withColumn("n_syllables", expr(syllables))
+      .withColumn("n_distinct_words",
+        expr("size(array_distinct(transform(__words, w -> lower(w))))").cast("long"))
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .select(col(idCol).as("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"), col("n_distinct_words"),
+        (col("n_distinct_words").cast("double") / col("n_words").cast("double")).as("ttr"),
+        ((lit(0.39) * col("wps") + lit(11.8) * col("spw")) - lit(15.59)).as("fk_grade"),
+        ((lit(206.835) - lit(1.015) * col("wps")) - lit(84.6) * col("spw")).as("reading_ease"))
+  }
 }

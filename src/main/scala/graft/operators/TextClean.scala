@@ -150,6 +150,41 @@ object TextClean {
           .cast("long").as("dropped_lines"))
   }
 
+  /** Spark-SQL boolean: token `v` is a 13–19 digit run passing the Luhn
+    * checksum (ISO/IEC 7812 — the card-number check digit). The fold runs
+    * over the REVERSED digit string so position parity counts from the
+    * right: Spark's lambda index is 0-based, so even indices are the plain
+    * digits and odd indices double (9-cap via −9). */
+  private def luhnSql(v: String): String =
+    // try_cast, not cast: AND need not short-circuit in vectorized eval, and
+    // an ANSI cast of a non-digit token would throw before the rlike guard
+    s"$v rlike '^[0-9]{13,19}$$' AND " +
+      s"aggregate(transform(split(reverse($v), ''), (c, i) -> " +
+      "CASE WHEN i % 2 = 0 THEN coalesce(try_cast(c AS INT), 0) " +
+      "WHEN coalesce(try_cast(c AS INT), 0) * 2 > 9 THEN coalesce(try_cast(c AS INT), 0) * 2 - 9 " +
+      "ELSE coalesce(try_cast(c AS INT), 0) * 2 END), 0, (a, x) -> a + x) % 10 = 0"
+
+  /** Redact payment-card numbers — digit runs that PASS the Luhn checksum —
+    * to `<CC>`, leaving checksum-failing runs (order ids, tracking numbers,
+    * timestamps) untouched; that distinction is what separates a usable
+    * card-number scrub from one that destroys every long number in the
+    * corpus. Tokenization is space-delimited (formatted `4111 1111 ...`
+    * spacing should be pre-normalized upstream); audit columns count
+    * candidate runs and actual redactions per doc.
+    *
+    * One map-side split → transform → rejoin HOF chain, zero shuffles; the
+    * checksum itself is an integer fold both engines evaluate identically
+    * (no lookaround regex anywhere, so RE2 oracles replay it verbatim). */
+  def redactLuhn(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("n_digit_runs",
+        expr("size(filter(__toks, t -> t rlike '^[0-9]{13,19}$'))").cast("long"))
+      .withColumn("n_cc",
+        expr(s"size(filter(__toks, t -> ${luhnSql("t")}))").cast("long"))
+      .withColumn("text_redacted",
+        expr(s"array_join(transform(__toks, t -> IF(${luhnSql("t")}, '<CC>', t)), ' ')"))
+      .drop("__toks")
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{7,15}"
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -1829,6 +1829,87 @@ object TextQueries {
                 CAST(coalesce(k.kept_paras, 0) AS BIGINT) AS kept_paras,
                 CAST(len(string_split(d.text, chr(10)))
                      - coalesce(k.kept_paras, 0) AS BIGINT) AS removed_paras
-              FROM docs d LEFT JOIN kept k USING (doc_id)"""))
+              FROM docs d LEFT JOIN kept k USING (doc_id)""")),
+
+    // Flesch–Kincaid readability + TTR (QualityFilter.readability): the
+    // synthetic doc wraps the corpus text in real sentences so the
+    // punctuation-run sentence counter has work to do. Integer counts are
+    // exact; the three float outputs are published-constant arithmetic on
+    // one ratio each with pinned parenthesization (bit-identical IEEE).
+    QueryDef("q_x_readability",
+      (s, d) => graft.operators.QualityFilter.readability(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit("Intro sentence for doc "), col("doc_id"), lit(". "),
+            col("text"), lit(". Was it useful? Yes!")).as("text"))),
+      Some("""WITH docs AS (SELECT doc_id,
+                'Intro sentence for doc ' || CAST(doc_id AS VARCHAR) || '. ' ||
+                text || '. Was it useful? Yes!' AS text FROM documents),
+              w AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS words FROM docs),
+              c AS (SELECT doc_id,
+                      greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+                      len(words) AS n_words,
+                      list_aggregate(list_transform(words, w2 ->
+                        greatest(1, len(regexp_extract_all(lower(w2), '[aeiouy]+')))),
+                        'sum') AS n_syllables,
+                      len(list_distinct(list_transform(words, w2 -> lower(w2))))
+                        AS n_distinct_words
+                    FROM w)
+              SELECT doc_id,
+                CAST(n_sentences AS BIGINT) AS n_sentences,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_syllables AS BIGINT) AS n_syllables,
+                CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+                CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+                (CAST(0.39 AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + CAST(11.8 AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                - CAST(15.59 AS DOUBLE) AS fk_grade,
+                (CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+                - CAST(84.6 AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  AS reading_ease
+              FROM c""")),
+
+    // Luhn card-number redaction (TextClean.redactLuhn): every doc carries
+    // a valid test card (redacted), a checksum-failing twin (kept), and a
+    // doc_id-derived 15-digit run whose Luhn validity both engines compute
+    // independently — the checksum fold itself is the cross-engine contract.
+    QueryDef("q_x_luhn_redact",
+      (s, d) => graft.operators.TextClean.redactLuhn(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(col("text"), lit(" card 4111111111111111 ref 4111111111111112 order 9"),
+              lpad(col("doc_id").cast("string"), 14, "0"), lit(" end")).as("text")))
+        .select(col("doc_id"), col("n_digit_runs"), col("n_cc"), col("text_redacted")),
+      Some("""WITH docs AS (SELECT doc_id,
+                text || ' card 4111111111111111 ref 4111111111111112 order 9' ||
+                lpad(CAST(doc_id AS VARCHAR), 14, '0') || ' end' AS text
+                FROM documents),
+              tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)
+              SELECT doc_id,
+                CAST(len(list_filter(toks, t ->
+                  regexp_matches(t, '^[0-9]{13,19}$'))) AS BIGINT) AS n_digit_runs,
+                CAST(len(list_filter(toks, t ->
+                  regexp_matches(t, '^[0-9]{13,19}$') AND
+                  list_aggregate(list_transform(string_split(reverse(t), ''), (c, i) ->
+                    CASE WHEN i % 2 = 1 THEN COALESCE(TRY_CAST(c AS INT), 0)
+                         WHEN COALESCE(TRY_CAST(c AS INT), 0) * 2 > 9
+                           THEN COALESCE(TRY_CAST(c AS INT), 0) * 2 - 9
+                         ELSE COALESCE(TRY_CAST(c AS INT), 0) * 2 END),
+                    'sum') % 10 = 0))
+                  AS BIGINT) AS n_cc,
+                array_to_string(list_transform(toks, t ->
+                  CASE WHEN regexp_matches(t, '^[0-9]{13,19}$') AND
+                    list_aggregate(list_transform(string_split(reverse(t), ''), (c, i) ->
+                      CASE WHEN i % 2 = 1 THEN COALESCE(TRY_CAST(c AS INT), 0)
+                           WHEN COALESCE(TRY_CAST(c AS INT), 0) * 2 > 9
+                             THEN COALESCE(TRY_CAST(c AS INT), 0) * 2 - 9
+                           ELSE COALESCE(TRY_CAST(c AS INT), 0) * 2 END),
+                      'sum') % 10 = 0
+                  THEN '<CC>' ELSE t END), ' ') AS text_redacted
+              FROM tk"""))
   )
 }

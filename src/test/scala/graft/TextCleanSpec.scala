@@ -74,6 +74,35 @@ class TextCleanSpec extends SparkSpec {
     assert(got == Seq((3L, 1L)))
   }
 
+  test("redactLuhn: valid cards redact, checksum-failing runs survive") {
+    val docs = Seq(
+      // 4111111111111111 is the canonical Luhn-valid test PAN; +1 digit fails
+      (1L, "pay 4111111111111111 not 4111111111111112 ok"),
+      // too short (12) and too long (20) digit runs are not candidates
+      (2L, "a 411111111111 b 41111111111111111111 c"),
+      (3L, "plain text only")).toDF("doc_id", "text")
+    val got = TextClean.redactLuhn(docs)
+      .select("doc_id", "text_redacted", "n_digit_runs", "n_cc")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "pay <CC> not 4111111111111112 ok", 2L, 1L),
+      (2L, "a 411111111111 b 41111111111111111111 c", 0L, 0L),
+      (3L, "plain text only", 0L, 0L)))
+  }
+
+  test("readability: hand-computed counts on a two-sentence doc") {
+    // "the cat sat. it ran away!" — 2 sentences, 6 words,
+    // syllables: the(1) cat(1) sat.(1) it(1) ran(1) away!(2=a,ay) = 7,
+    // distinct lowercased words = 6 (duplicate-free).
+    val docs = Seq((1L, "The cat sat. the cat ran away!")).toDF("doc_id", "text")
+    val r = graft.operators.QualityFilter.readability(docs)
+      .select("n_sentences", "n_words", "n_syllables", "n_distinct_words", "ttr")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // words: The cat sat. the cat ran away! → 7 words, distinct fold:
+    // {the, cat, sat., ran, away!} = 5
+    assert(r == ((2L, 7L, 8L, 5L, 5.0 / 7.0)))
+  }
+
   test("filterBlockedDomains: offenders drop, URL-free docs survive") {
     val df = Seq(
       (1L, "see http://ads.bad.net/x"),
