@@ -199,6 +199,52 @@ object Sampling {
       .withColumn("keep", col("cum_tokens") <= budget)
   }
 
+  /** Water-filling allocation of ONE total token budget across groups — the
+    * "we can afford B tokens, how much from each source" planner that sits
+    * above [[tokenBudgetPerGroup]]'s fixed per-group quota: small sources
+    * keep everything, large sources are capped at a common level L chosen so
+    * the allocation fills the budget,
+    *   quota_g = min(c_g, L),  L = max level with Σ_g min(c_g, L) ≤ B
+    * (the max-min-fair / water-filling solution; quotas undershoot B by
+    * < #capped-groups tokens because L is integral — deterministic, no
+    * fractional-token tie to break).
+    *
+    * The level solve is FULLY DISTRIBUTED over the k-row group-count frame:
+    * one ascending prefix-sum window, one argmax aggregate for the uncapped
+    * count i* (feasibility S_{i−1} + (k−i+1)·c_i ≤ B is monotone in i), one
+    * 1-row broadcast back. No driver state, so k can be every domain in the
+    * crawl. Doc selection inside each group is the [[tokenBudgetPerGroup]]
+    * device: salted identity-hash order + running-sum window, keep while
+    * cum ≤ quota. Emits per doc: group_tokens, quota, cum_tokens, keep. */
+  def waterFillBudget(df: DataFrame, groupCol: String, tokenCol: String,
+      keyCol: String, budget: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(sum(col(tokenCol)).as("group_tokens"))
+    val wAsc = Window.orderBy(col("group_tokens"), col(groupCol))
+    val ranked = counts
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("s", sum(col("group_tokens")).over(wAsc))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).cast("long").as("k"))))
+    val lvl = ranked
+      .crossJoin(broadcast(ranked.agg(
+        max(when((col("s") - col("group_tokens"))
+            + (col("k") - col("i") + 1) * col("group_tokens") <= budget, col("i"))
+          .otherwise(0L)).as("istar"))))
+      .agg(
+        max(col("k")).as("kk"), max(col("istar")).as("ii"),
+        max(when(col("i") === col("istar"), col("s"))).as("s_at"))
+      .select(when(col("ii") >= col("kk"), lit(null).cast("long"))
+        .otherwise(expr(s"($budget - coalesce(s_at, 0L)) div (kk - ii)")).as("level"))
+    val quotas = counts.crossJoin(broadcast(lvl))
+      .select(col(groupCol), col("group_tokens"),
+        least(col("group_tokens"), coalesce(col("level"), col("group_tokens"))).as("quota"))
+    val wSel = Window.partitionBy(col(groupCol))
+      .orderBy(Hashing.hash64(concat(col(keyCol).cast("string"), lit("|tokquota"))),
+        col(keyCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(wSel))
+      .join(broadcast(quotas), Seq(groupCol))
+      .withColumn("keep", col("cum_tokens") <= col("quota"))
+  }
+
   /** Temperature-flattened source mixing at α = 1/2 — the multilingual /
     * multi-source rebalancing rule (sample source s ∝ p_s^α, the mT5 /
     * XLM-R recipe): kept counts become ∝ √n_s, so minority sources gain

@@ -1463,6 +1463,57 @@ object TextQueries {
                              ${hash64Sql("(CAST(doc_id AS VARCHAR) || '|tokquota')")} AS h
                            FROM documents))""")),
 
+    // Water-filling of one TOTAL char budget (60% of the corpus) across
+    // sources (Sampling.waterFillBudget): small sources keep everything,
+    // large ones cap at the common level L = max level with
+    // Σ min(c_g, L) ≤ B. The oracle replays the k-row prefix-sum level
+    // solve, the argmax feasibility rule, and the salted-hash keep order.
+    QueryDef("q_x_mix_waterfill",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        val total = docs.agg(sum("n_chars")).head.getLong(0)
+        graft.operators.Sampling
+          .waterFillBudget(docs, "source", "n_chars", "doc_id", total * 6 / 10)
+          .groupBy(col("source")).agg(
+            max(col("group_tokens")).as("n_tokens_total"),
+            max(col("quota")).as("quota"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+            sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("n_tokens_kept"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+              b AS (SELECT (sum(n_chars) * 6) // 10 AS budget FROM d),
+              g AS (SELECT source, sum(n_chars) AS c FROM d GROUP BY 1),
+              r AS (SELECT source, c,
+                      CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
+                      sum(c) OVER (ORDER BY c, source ROWS UNBOUNDED PRECEDING) AS s,
+                      (SELECT CAST(count(*) AS BIGINT) FROM g) AS k
+                    FROM g),
+              f AS (SELECT max(CASE WHEN (s - c) + (k - i + 1) * c <= b.budget
+                                    THEN i ELSE 0 END) AS istar
+                    FROM r, b),
+              lv AS (SELECT CASE WHEN f.istar >= (SELECT k FROM r LIMIT 1) THEN NULL
+                       ELSE (b.budget
+                             - coalesce((SELECT s FROM r, f WHERE r.i = f.istar), 0))
+                            // ((SELECT k FROM r LIMIT 1) - f.istar) END AS level
+                     FROM f, b),
+              q AS (SELECT r.source, r.c,
+                      least(r.c, coalesce(lv.level, r.c)) AS quota FROM r, lv),
+              ks AS (SELECT d.source, d.n_chars,
+                       sum(n_chars) OVER (PARTITION BY source ORDER BY
+                         ${hash64Sql("(CAST(doc_id AS VARCHAR) || '|tokquota')")},
+                         doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM d)
+              SELECT q.source,
+                CAST(q.c AS BIGINT) AS n_tokens_total,
+                CAST(q.quota AS BIGINT) AS quota,
+                CAST(coalesce(sum(CASE WHEN ks.cum <= q.quota THEN 1 END), 0)
+                     AS BIGINT) AS n_docs_kept,
+                CAST(coalesce(sum(CASE WHEN ks.cum <= q.quota THEN ks.n_chars END), 0)
+                     AS BIGINT) AS n_tokens_kept
+              FROM ks JOIN q USING (source)
+              GROUP BY q.source, q.c, q.quota""")),
+
     // Sequence packing: documents placed at their cumulative-token offset
     // inside 4096-token training sequences, 8 hash shards packing
     // independently — the concat-then-chunk pretraining layout as one

@@ -7,6 +7,28 @@ import graft.operators.Sampling
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("waterFillBudget: small groups keep all, large cap at the common level") {
+    // c: A=20 (two docs), B=50, C=100; budget 100 → 1 uncapped group,
+    // level = (100−20) div 2 = 40 → quotas A=20, B=40, C=40. B and C's
+    // single docs exceed their quota and drop (atomic docs undershoot).
+    val df = Seq(("A", 1L, 10L), ("A", 2L, 10L), ("B", 3L, 50L), ("C", 4L, 100L))
+      .toDF("src", "id", "tok")
+    val out = Sampling.waterFillBudget(df, "src", "tok", "id", 100L)
+      .select("src", "quota", "keep").as[(String, Long, Boolean)].collect()
+    assert(out.filter(_._1 == "A").forall(r => r._2 == 20L && r._3))
+    assert(out.filter(_._1 == "B").toSeq == Seq(("B", 40L, false)))
+    assert(out.filter(_._1 == "C").toSeq == Seq(("C", 40L, false)))
+    // budget ≥ total → every group uncapped, everything kept
+    val all = Sampling.waterFillBudget(df, "src", "tok", "id", 200L)
+      .select("quota", "keep").as[(Long, Boolean)].collect()
+    assert(all.forall(_._2) && all.map(_._1).sorted.toSeq == Seq(20L, 20L, 50L, 100L))
+    // budget below every group: istar=0, level = B div k
+    val tight = Sampling.waterFillBudget(df, "src", "tok", "id", 30L)
+      .select("src", "quota", "keep").as[(String, Long, Boolean)].collect()
+    assert(tight.forall(_._2 == 10L))
+    assert(tight.count(_._3) == 1 && tight.filter(_._3).head._1 == "A")
+  }
+
   test("hashSample: deterministic, partition-independent, ~pct of rows") {
     val df = spark.range(1000).toDF("id")
     val a = rows(Sampling.hashSample(df, "id", 10).orderBy("id"))
