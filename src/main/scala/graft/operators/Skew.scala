@@ -94,20 +94,38 @@ object Skew {
 
   /** Count–min sketch of `key` occurrence counts: `depth` independent hash
     * rows × 2^widthBits buckets, counts by portable md5 hashing
-    * ([[graft.functions.Hashing.hash64Seeded]] — rerun/engine/partitioning
-    * stable, unlike native `hash()`). The frequency sketch for streams and
-    * merges: sketches of shards ADD cell-wise (counts are sums), so a
-    * 100 TB corpus sketches per-partition and merges depth·width integers —
-    * the fixed-size complement of [[heavyHitters]]' exact scan. */
+    * (rerun/engine/partitioning stable, unlike native `hash()`). The
+    * `depth` row hashes are SLICES of one md5 per occurrence — 32 bits
+    * each, four rows per digest (a second seeded digest covers depth 5–8)
+    * — so hashing cost is ~1 md5/occurrence, not `depth`; md5 is the
+    * portability tax and was the measured hot path. The frequency sketch
+    * for streams and merges: sketches of shards ADD cell-wise (counts are
+    * sums), so a 100 TB corpus sketches per-partition and merges
+    * depth·width integers — the fixed-size complement of
+    * [[heavyHitters]]' exact scan. */
   def cmsSketch(df: DataFrame, key: String, depth: Int = 4,
       widthBits: Int = 10): DataFrame = {
-    require(depth >= 1 && depth <= 8 && widthBits >= 4 && widthBits <= 24)
     val width = 1L << widthBits
-    df.select(col(key).cast("string").as("k"))
-      .select(explode(lit((0 until depth).toArray)).as("s"), col("k"))
-      .select(col("s"), pmod(graft.functions.Hashing.hash64(
-        concat_ws(":", col("s"), col("k"))), lit(width)).as("b"))
+    cmsBuckets(df.select(col(key).cast("string").as("k")), depth, width)
       .groupBy("s", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** (s, b) bucket coordinates for every row of `kFrame` (one `k` string
+    * column) under the [[cmsSketch]] hash family: row `s`'s 32-bit hash is
+    * hex slice `[8s mod 32, 8s mod 32 + 8)` of md5("<s div 4>:" + k). */
+  private def cmsBuckets(kFrame: DataFrame, depth: Int, width: Long): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16 && width <= (1L << 24))
+    val nBlocks = (depth + 3) / 4
+    val withDigests = (0 until nBlocks).foldLeft(kFrame) { (d, blk) =>
+      d.withColumn(s"__h$blk", md5(concat(lit(s"$blk:"), col("k"))))
+    }
+    val sliceOf =
+      if (nBlocks == 1) "substring(__h0, 1 + 8 * s, 8)"
+      else "substring(CASE WHEN s < 4 THEN __h0 ELSE __h1 END, 1 + 8 * (s % 4), 8)"
+    withDigests
+      .select(col("*"), explode(lit((0 until depth).toArray)).as("s"))
+      .select(col("k"), col("s"),
+        pmod(conv(expr(sliceOf), 16, 10).cast("long"), lit(width)).as("b"))
   }
 
   /** The CMS point-query CONTRACT, evaluated on the data itself for the
@@ -126,18 +144,21 @@ object Skew {
     val width = 1L << widthBits
     val it = df.select(col(key).cast("string").as("k"))
     val sk = cmsSketch(df, key, depth, widthBits)
+    // one key-cardinality aggregate feeds top-N, the probe, AND the total
+    // (nt = Σn) — without the persist, `top`'s scan+agg lineage would run
+    // once per consumer (it feeds the probe join and the final select) and
+    // the total would scan the input a third time
     val tru = it.groupBy("k").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = tru.orderBy(col("n").desc, col("k")).limit(topN)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("k"))).cast("long"))
-    val est = top.select(col("k"))
-      .select(col("k"), explode(lit((0 until depth).toArray)).as("s"))
-      .select(col("k"), col("s"), pmod(graft.functions.Hashing.hash64(
-        concat_ws(":", col("s"), col("k"))), lit(width)).as("b"))
+      .localCheckpoint() // topN rows, eager — cuts the sort lineage for both consumers
+    val est = cmsBuckets(top.select(col("k")), depth, width)
       .join(sk, Seq("s", "b"))
       .groupBy("k").agg(min("c").as("cms_n"))
-    val tot = it.agg(count(lit(1)).as("nt"))
+    val tot = tru.agg(sum("n").as("nt"))
     top.join(est, Seq("k")).crossJoin(broadcast(tot))
       .select(col("rank"), col("k").as("skey"), col("n").as("true_n"),
         col("cms_n"),

@@ -380,7 +380,15 @@ object TextIndex {
     * any practical score range (BM25 scores live in [0, ~30]). */
   def searchBM25Micro(post: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val lens = docLengths(post) // not persisted — see searchBM25
+    // Persisted because it feeds BOTH the eager stats action and the final
+    // ranking join — unpersisted, each consumer replays the whole postings
+    // build (tokenize + explode + two aggregates). Lifecycle contract as in
+    // [[graft.operators.TextDedup]]: entries live until session end /
+    // clearCache(); a long-lived service looping searches should
+    // materialize postings to a table and search the stored index instead
+    // (searchBM25MicroIndexed-style), which skips this frame entirely.
+    val lens = docLengths(post)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
     if (stats.isNullAt(1))
       return post.select(col("doc_id")).limit(0)

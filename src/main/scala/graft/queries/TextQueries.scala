@@ -1357,9 +1357,9 @@ object TextQueries {
         t(s, d, "lineitem").select(col("l_suppkey")), "l_suppkey",
         depth = 4, widthBits = 10, boundMult = 3, topN = 20),
       Some(s"""WITH it AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
-               ex AS (SELECT k, unnest([0, 1, 2, 3]) AS s FROM it),
+               ex AS (SELECT k, md5('0:' || k) AS h, unnest([0, 1, 2, 3]) AS s FROM it),
                sk AS (SELECT s,
-                        ${hash64Sql("CAST(s AS VARCHAR) || ':' || k")} % 1024 AS b,
+                        CAST(('0x' || substr(h, 1 + 8 * s, 8)) AS BIGINT) % 1024 AS b,
                         count(*) AS c
                       FROM ex GROUP BY 1, 2),
                tru AS (SELECT k, count(*) AS n FROM it GROUP BY 1),
@@ -1367,8 +1367,9 @@ object TextQueries {
                          CAST(row_number() OVER (ORDER BY n DESC, k) AS BIGINT) AS rank
                        FROM tru ORDER BY n DESC, k LIMIT 20),
                eb AS (SELECT k, s,
-                        ${hash64Sql("CAST(s AS VARCHAR) || ':' || k")} % 1024 AS b
-                      FROM (SELECT k, unnest([0, 1, 2, 3]) AS s FROM top)),
+                        CAST(('0x' || substr(h, 1 + 8 * s, 8)) AS BIGINT) % 1024 AS b
+                      FROM (SELECT k, md5('0:' || k) AS h, unnest([0, 1, 2, 3]) AS s
+                            FROM top)),
                est AS (SELECT eb.k, min(sk.c) AS cms_n
                        FROM eb JOIN sk USING (s, b) GROUP BY 1),
                tot AS (SELECT count(*) AS nt FROM it)
