@@ -357,6 +357,32 @@ object KMeans {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     assign(emb, fit(emb, k, iters, idCol, embCol), idCol, embCol)
 
+  /** Cluster-balanced selection — keep the `quota` most PROTOTYPICAL rows
+    * of every cluster (smallest exact squared distance to the assigned
+    * centroid, ties by id): the diversity-preserving curation step between
+    * SemDeDup-style near-dup removal and a global quality cut. A global
+    * top-N by any score collapses onto the dominant modes; a per-cluster
+    * quota keeps every region of embedding space represented while still
+    * preferring each region's cleanest examples.
+    *
+    * Assignment and d² = q·q + min(c·c − 2·q·c) stay the pure-map
+    * exact-integer forms of [[assign]]/[[inertia]] (centroid literals in
+    * the plan, no join); the only shuffle is the per-cluster rank window —
+    * k partitions, so pair with a larger k or a secondary salt if one
+    * cluster dwarfs the rest. Output: (vec_id, cluster, d2, rank ≤ quota). */
+  def clusterBalancedSelect(emb: DataFrame, model: Model, quota: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(quota > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("d2"), col("vec_id"))
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .select(col("vec_id"), clusterExpr(model).as("cluster"),
+        (DotProductLong(col("q"), col("q")) + negScoreMin(model)).as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+  }
+
   /** IVF ANN with the fitted model as the coarse quantizer — the production
     * IVF shape (inverted-file-flat): every corpus row buckets to its nearest
     * centroid MAP-SIDE, and a probe ranks candidates only inside the query's

@@ -50,4 +50,39 @@ object LangId {
     }
     scored.withColumn("pred_lang", pred).drop("__tg")
   }
+
+  /** Segment-level code-switch census: split each document into segments
+    * (default: sentence-ish runs between terminal punctuation), run
+    * [[predict]] per segment, and report per doc how many distinct
+    * languages the segments vote for, the majority language, and its share
+    * — the mixed-language detector a multilingual corpus pipeline gates on
+    * (document-level LID silently mislabels code-switched docs; the
+    * per-segment census is how CCNet-style pipelines catch them).
+    *
+    * Majority = (count desc, lang) argmax — deterministic. Shape: one
+    * map-side segment explode + per-segment scoring (no shuffle), then one
+    * (doc, lang) aggregate + one doc-keyed window + one doc aggregate —
+    * word-count shaped, segment-volume bounded. */
+  def codeSwitchCensus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", splitPattern: String = "[.!?]+ *"): DataFrame = {
+    val segs = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), splitPattern)).as(Seq("seg_idx", "seg")))
+      .filter(trim(col("seg")) =!= "")
+    val votes = predict(segs, "seg")
+      .groupBy(col("doc_id"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_segs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_segs").desc, col("pred_lang"))
+    votes
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_segs")).as("n_segments"),
+        count(lit(1)).cast("long").as("n_langs"),
+        max(when(col("__rk") === 1, col("pred_lang"))).as("majority_lang"),
+        max(when(col("__rk") === 1, col("n_segs"))).as("__mn"))
+      .select(col("doc_id"), col("n_segments"), col("n_langs"), col("majority_lang"),
+        (col("__mn").cast("double") / col("n_segments").cast("double"))
+          .as("majority_frac"),
+        (col("n_langs") > 1).as("is_code_switched"))
+  }
 }

@@ -1883,6 +1883,77 @@ object TextQueries {
                      - coalesce(k.kept_paras, 0) AS BIGINT) AS removed_paras
               FROM docs d LEFT JOIN kept k USING (doc_id)""")),
 
+    // Segment-level code-switch census (LangId.codeSwitchCensus): every doc
+    // opens with an English sentence; non-English docs add one sentence in
+    // their own language (strong marker trigrams), doc_id%3=0 docs a third
+    // English one — so en docs census as monolingual and the rest as
+    // code-switched, with the deterministic (count desc, lang) majority
+    // tie-break exercised by the 1-1 splits. Oracle replays the segment
+    // split, per-segment trigram scoring, argmax, and majority window.
+    QueryDef("q_x_code_switch",
+      (s, d) => {
+        val langSent = when(col("lang") === "fr", lit("le jour de la vie est que belle"))
+          .when(col("lang") === "es", lit("el cambio y los cantos del lado"))
+          .when(col("lang") === "de", lit("der junge und die schule sind sich"))
+          .when(col("lang") === "zh", lit("的是了在有"))
+          .otherwise(lit("the other thing of the land"))
+        val synth = concat(
+          lit("the thing and the king are singing of the month. "),
+          langSent, lit("."),
+          when(col("doc_id") % 3 === 0, lit(" the closing thing of the story."))
+            .otherwise(lit("")))
+        graft.operators.LangId.codeSwitchCensus(
+          t(s, d, "documents").select(col("doc_id"), synth.as("text")))
+      },
+      Some {
+        val langs = graft.operators.LangId.profiles.map(_._1)
+        val scores = graft.operators.LangId.profiles.map { case (l, marks) =>
+          val inList = marks.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
+          s"len(list_filter(tg, t -> t IN ($inList))) AS s_$l"
+        }.mkString(",\n                     ")
+        val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val cond = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $cond THEN '$l'"
+        }.mkString(" ")
+        s"""WITH docs AS (SELECT doc_id,
+              'the thing and the king are singing of the month. ' ||
+              CASE lang WHEN 'fr' THEN 'le jour de la vie est que belle'
+                        WHEN 'es' THEN 'el cambio y los cantos del lado'
+                        WHEN 'de' THEN 'der junge und die schule sind sich'
+                        WHEN 'zh' THEN '的是了在有'
+                        ELSE 'the other thing of the land' END || '.' ||
+              CASE WHEN doc_id % 3 = 0 THEN ' the closing thing of the story.'
+                   ELSE '' END AS text
+              FROM documents),
+            segs AS (SELECT doc_id, seg FROM (
+                       SELECT doc_id, unnest(string_split_regex(text, '[.!?]+ *')) AS seg
+                       FROM docs)
+                     WHERE trim(seg) <> ''),
+            sc AS (SELECT doc_id, $scores
+                   FROM (SELECT doc_id,
+                           CASE WHEN length(seg) >= 3
+                                THEN list_distinct(list_transform(
+                                       generate_series(1, length(seg) - 2),
+                                       i -> substr(seg, CAST(i AS INTEGER), 3)))
+                                ELSE [] END AS tg
+                         FROM segs)),
+            pv AS (SELECT doc_id, CASE $pred ELSE '${langs.last}' END AS pred_lang
+                   FROM sc),
+            votes AS (SELECT doc_id, pred_lang, count(*) AS n_segs
+                      FROM pv GROUP BY 1, 2),
+            rk AS (SELECT doc_id, pred_lang, n_segs, row_number() OVER
+                     (PARTITION BY doc_id ORDER BY n_segs DESC, pred_lang) AS r
+                   FROM votes)
+            SELECT doc_id,
+              CAST(sum(n_segs) AS BIGINT) AS n_segments,
+              CAST(count(*) AS BIGINT) AS n_langs,
+              max(CASE WHEN r = 1 THEN pred_lang END) AS majority_lang,
+              CAST(max(CASE WHEN r = 1 THEN n_segs END) AS DOUBLE)
+                / CAST(sum(n_segs) AS DOUBLE) AS majority_frac,
+              count(*) > 1 AS is_code_switched
+            FROM rk GROUP BY doc_id"""
+      }),
+
     // Flesch–Kincaid readability + TTR (QualityFilter.readability): the
     // synthetic doc wraps the corpus text in real sentences so the
     // punctuation-run sentence counter has work to do. Integer counts are

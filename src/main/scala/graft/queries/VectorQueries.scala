@@ -967,6 +967,27 @@ object VectorQueries {
       (s, d) => graft.operators.KMeans.assign(t(s, d, "embeddings"), kmeansModel(s, d)),
       Some(kmeansOracleSql)),
 
+    // Cluster-balanced prototypicality selection: per k-means cluster keep
+    // the 30 rows nearest their centroid (exact integer d², ties by id) —
+    // the diversity-preserving quota between SemDeDup and a global quality
+    // cut. The oracle replays the fit, the assignment, d² against the
+    // final centroids, and the per-cluster rank verbatim.
+    QueryDef("q_x_select_cluster_balanced",
+      (s, d) => graft.operators.KMeans.clusterBalancedSelect(
+        t(s, d, "embeddings"), kmeansModel(s, d), quota = 30),
+      Some(s"""WITH $kmeansCtes,
+               dd AS (SELECT a3.vec_id, a3.cid,
+                        CAST(list_dot_product(a3.q, a3.q)
+                             - 2 * list_dot_product(a3.q, c.q)
+                             + list_dot_product(c.q, c.q) AS BIGINT) AS d2
+                      FROM a3 JOIN c2 c ON a3.cid = c.cid)
+               SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2,
+                 CAST(rk AS BIGINT) AS rank
+               FROM (SELECT vec_id, cid, d2,
+                       row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk
+                     FROM dd)
+               WHERE rk <= 30""")),
+
     // IVF ANN with the k-means model as coarse quantizer (the production
     // IVF-Flat shape): corpus rows bucket to their nearest centroid
     // map-side; probes rank only inside the query's cluster. The oracle

@@ -25,6 +25,23 @@ class KMeansSpec extends SparkSpec {
       .select("cluster").distinct().count() == 2)
   }
 
+  test("clusterBalancedSelect: per-cluster quota, nearest-to-centroid first") {
+    val model = KMeans.fit(blobs, k = 2, iters = 3)
+    val sel = KMeans.clusterBalancedSelect(blobs, model, quota = 2)
+      .select("vec_id", "cluster", "d2", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly quota rows per cluster, ranks 1..quota, d2 nondecreasing
+    val byCluster = sel.groupBy(_._2)
+    assert(byCluster.size == 2)
+    byCluster.values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == Seq(1L, 2L))
+      val ordered = rs.sortBy(_._4).map(_._3)
+      assert(ordered.sliding(2).forall(p => p.head <= p.last))
+    }
+    // quota ≥ cluster size keeps everything
+    assert(KMeans.clusterBalancedSelect(blobs, model, quota = 100).count() == 10)
+  }
+
   test("fit is deterministic: two fits produce the identical model") {
     val m1 = KMeans.fit(blobs, k = 3, iters = 2)
     val m2 = KMeans.fit(blobs, k = 3, iters = 2)
