@@ -362,6 +362,27 @@ object QualityFilter {
     gopherScored(docs, t, textCol).filter(col("keep"))
       .drop("r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stop", "keep")
 
+  /** Per-document out-of-vocabulary rate against a vocabulary table — the
+    * tokenizer-coverage audit (a doc whose tokens mostly miss the model's
+    * vocabulary trains badly and usually signals wrong language, encoding
+    * damage, or non-text): n_tokens, n_oov and their ratio per doc.
+    * Shape: token explode + ONE broadcast left join against the
+    * (vocab-sized) table + per-doc aggregate — no corpus-keyed shuffle
+    * beyond the doc rollup. Companion to [[graft.operators.BpeVocab]]'s
+    * fertility audit: fertility measures how finely known text splits,
+    * OOV rate how much text is not known at all. */
+  def oovRate(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .join(broadcast(vocab.select(col("tok")).distinct()
+        .withColumn("__known", lit(1))), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+
   /** Classic readability + lexical-diversity signals — the curation band
     * between raw Gopher heuristics and a trained quality model: Flesch
     * reading ease and Flesch–Kincaid grade (Kincaid et al. 1975 — the

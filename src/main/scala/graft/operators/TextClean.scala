@@ -150,6 +150,29 @@ object TextClean {
           .cast("long").as("dropped_lines"))
   }
 
+  /** Structural-markup census — line-level counts of the code/markdown
+    * shapes a web/document corpus carries (indented or `;`/`{`/`}`-
+    * terminated code lines, markdown headings, pipe tables, list items):
+    * the features a "prose vs code vs doc-markup" router or a
+    * code-fraction quality gate consumes (prose models drop code-heavy
+    * pages; code corpora route them the other way). One map-side
+    * split + four codegen'd array-filter HOFs, zero shuffles; every
+    * pattern is Java-regex/RE2-common for verbatim oracle replay. */
+  def markupCensus(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def nMatching(pattern: String) =
+      size(filter(lines, l => l.rlike(pattern))).cast("long")
+    df.select(col(idCol).as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        nMatching("^(    |\t)|[;{}]$").as("n_code_lines"),
+        nMatching("^#{1,6} ").as("n_heading_lines"),
+        nMatching("^\\|.*\\|$").as("n_table_lines"),
+        nMatching("^[-*] ").as("n_list_lines"))
+      .withColumn("code_frac",
+        col("n_code_lines").cast("double") / col("n_lines").cast("double"))
+  }
+
   /** Spark-SQL boolean: token `v` is a 13–19 digit run passing the Luhn
     * checksum (ISO/IEC 7812 — the card-number check digit). The fold runs
     * over the REVERSED digit string so position parity counts from the

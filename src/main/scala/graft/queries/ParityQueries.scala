@@ -813,6 +813,41 @@ object ParityQueries {
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
 
+    // JSONL ingest with corrupt-line quarantine (Sources
+    // .jsonlWithQuarantine): the fixture writes one JSONL line per doc,
+    // truncating doc_id%13=5 (unclosed object) and beheading doc_id%13=9
+    // (opening brace dropped) — both malformed to any JSON parser (note:
+    // TRAILING garbage would NOT do — Jackson stops at the first complete
+    // value, so Spark accepts it while json_valid does not). The gate hashes the CLEAN side against the rule-derived
+    // survivor set: a parser that lets a corrupt line through, or drops a
+    // clean one, changes the row set. Write-once per (session, sf).
+    QueryDef("q_x_jsonl_quarantine",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val out = tempRoot(jsonlRoots, s, d, "graft-jsonl-quarantine") + "/lines"
+        if (!new java.io.File(out).exists) {
+          val line = concat(lit("{\"doc_id\": "), col("doc_id"),
+            lit(", \"lang\": \""), col("lang"),
+            lit("\", \"n_chars\": "), col("n_chars"), lit("}"))
+          docs.select(
+            when(col("doc_id") % 13 === 5, line.substr(lit(1), length(line) - 1))
+              .when(col("doc_id") % 13 === 9, line.substr(lit(2), length(line)))
+              .otherwise(line).as("value"))
+            .write.mode("overwrite").text(out)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        val (clean, _) = graft.io.Sources.jsonlWithQuarantine(s, out, schema)
+        clean
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id % 13 <> 5 AND doc_id % 13 <> 9""")),
+
     // Columnar-format interop: the corpus written as ORC (Spark's second
     // built-in columnar format) and read back — the cross-team handoff
     // path when a consumer stack is ORC/Hive-native. Round-trip must be

@@ -1883,6 +1883,97 @@ object TextQueries {
                      - coalesce(k.kept_paras, 0) AS BIGINT) AS removed_paras
               FROM docs d LEFT JOIN kept k USING (doc_id)""")),
 
+    // Structural-markup census (TextClean.markupCensus): doc_id-dependent
+    // injections exercise each counter — a heading on even ids, an
+    // indented code line on %3=0, a pipe-table row on %4=0, a list item on
+    // %5=0 — plus one always-on ';'-terminated line, so code_frac varies
+    // across docs. One map-side HOF chain on both engines.
+    QueryDef("q_x_markup_census",
+      (s, d) => {
+        val nl = lit("\n")
+        val synth = concat(
+          lit("plain prose opening line for doc "), col("doc_id"),
+          when(col("doc_id") % 2 === 0, concat(nl, lit("# Heading "), col("doc_id")))
+            .otherwise(lit("")),
+          nl, col("text"),
+          when(col("doc_id") % 3 === 0, concat(nl, lit("    indented_code(x);")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, concat(nl, lit("| col_a | col_b |")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(nl, lit("- first list item")))
+            .otherwise(lit("")),
+          nl, lit("closing statement;"))
+        graft.operators.TextClean.markupCensus(
+          t(s, d, "documents").select(col("doc_id"), synth.as("text")))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                'plain prose opening line for doc ' || CAST(doc_id AS VARCHAR) ||
+                CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || '# Heading ' || CAST(doc_id AS VARCHAR)
+                     ELSE '' END ||
+                chr(10) || text ||
+                CASE WHEN doc_id % 3 = 0 THEN chr(10) || '    indented_code(x);'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 4 = 0 THEN chr(10) || '| col_a | col_b |'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- first list item'
+                     ELSE '' END ||
+                chr(10) || 'closing statement;' AS text
+                FROM documents),
+              c AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs)
+              SELECT doc_id,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(ls, l ->
+                  regexp_matches(l, '^(    |\t)|[;{}]$'))) AS BIGINT) AS n_code_lines,
+                CAST(len(list_filter(ls, l ->
+                  regexp_matches(l, '^#{1,6} '))) AS BIGINT) AS n_heading_lines,
+                CAST(len(list_filter(ls, l ->
+                  regexp_matches(l, '^\|.*\|$'))) AS BIGINT) AS n_table_lines,
+                CAST(len(list_filter(ls, l ->
+                  regexp_matches(l, '^[-*] '))) AS BIGINT) AS n_list_lines,
+                CAST(len(list_filter(ls, l ->
+                  regexp_matches(l, '^(    |\t)|[;{}]$'))) AS DOUBLE)
+                  / CAST(len(ls) AS DOUBLE) AS code_frac
+              FROM c""")),
+
+    // Out-of-vocabulary rate vs the corpus top-100 vocabulary
+    // (QualityFilter.oovRate): every doc's tokens checked against the
+    // (count desc, tok) top-100 table via one broadcast join — the
+    // tokenizer-coverage audit. Injected rare tokens ('rare_<doc_id>')
+    // guarantee nonzero OOV everywhere; the oracle re-derives the
+    // vocabulary and the per-doc counts from scratch.
+    QueryDef("q_x_oov_rate",
+      (s, d) => {
+        val withRare = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" rare_"), col("doc_id"),
+            lit(" rare_"), col("doc_id")).as("text"))
+        val vocab = withRare
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("tok"))).cast("long"))
+          .filter(col("rank") <= 100)
+        graft.operators.QualityFilter.oovRate(withRare, vocab)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id,
+                 text || ' rare_' || CAST(doc_id AS VARCHAR)
+                      || ' rare_' || CAST(doc_id AS VARCHAR) AS text
+                 FROM documents),
+               tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+               vocab AS (SELECT tok FROM (
+                           SELECT tok, row_number() OVER
+                             (ORDER BY count(*) DESC, tok) AS rank
+                           FROM tk GROUP BY tok) WHERE rank <= 100)
+               SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(sum(CASE WHEN vocab.tok IS NULL THEN 1 END), 0)
+                      AS BIGINT) AS n_oov,
+                 CAST(coalesce(sum(CASE WHEN vocab.tok IS NULL THEN 1 END), 0)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+               FROM tk LEFT JOIN vocab USING (tok)
+               GROUP BY doc_id""")),
+
     // Segment-level code-switch census (LangId.codeSwitchCensus): every doc
     // opens with an English sentence; non-English docs add one sentence in
     // their own language (strong marker trigrams), doc_id%3=0 docs a third

@@ -74,6 +74,37 @@ class TextCleanSpec extends SparkSpec {
     assert(got == Seq((3L, 1L)))
   }
 
+  test("markupCensus: each structural counter fires on its own line shape") {
+    val text = Seq(
+      "plain prose here",
+      "# Title",
+      "###### deep heading",
+      "####### not a heading (7 hashes)",
+      "    indented code",
+      "\ttab code",
+      "stmt();",
+      "closing brace }",
+      "| a | b |",
+      "| unterminated table",
+      "- item",
+      "* star item",
+      "-not a list").mkString("\n")
+    val got = TextClean.markupCensus(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("n_lines", "n_code_lines", "n_heading_lines", "n_table_lines",
+        "n_list_lines")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((13L, 4L, 2L, 1L, 2L)))
+  }
+
+  test("oovRate: tokens outside the vocab count, inside don't") {
+    val docs = Seq((1L, "a b c zz"), (2L, "a a a")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c").toDF("tok")
+    val got = graft.operators.QualityFilter.oovRate(docs, vocab)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 3L, 0L, 0.0)))
+  }
+
   test("redactLuhn: valid cards redact, checksum-failing runs survive") {
     val docs = Seq(
       // 4111111111111111 is the canonical Luhn-valid test PAN; +1 digit fails
