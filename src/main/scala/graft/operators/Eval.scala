@@ -47,9 +47,15 @@ object Eval {
       .join(gold, Seq("doc_id"))
       .select(col("label"), col(scoreCol).cast("long").as("s"),
         when(col("gold") === col("label"), 1L).otherwise(0L).as("pos"))
+    // persisted: feeds the bucket-prefix branch AND the within-bucket
+    // branch (and prCurve's totals on top) — unpersisted, each branch
+    // replays the scorer's whole lineage (for the NB gates: the token
+    // explode + model joins). (label × distinct-score)-sized, the designed
+    // intermediate; session-lifetime cache contract as in TextDedup.
     val perScore = j.groupBy("label", "s")
       .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
       .withColumn("b", shiftright(col("s"), bucketBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // level 1: per-label running totals over bucket aggregates (small frame)
     val wb = Window.partitionBy("label").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -89,8 +89,12 @@ object NaiveBayes {
     * score = prior + n_tokens·floor + Σ_{tokens seen by the class} f·(lp−floor). */
   def scores(docs: DataFrame, model: NbModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persisted: both the length aggregate and the seen-token join read
+    // this frame — unpersisted, each replays the token explode + count
+    // over the corpus. Session-lifetime cache contract as in TextDedup.
     val f = docTokens(docs, idCol, textCol)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTok = f.groupBy("doc_id").agg(sum("f").as("n_tokens"))
     val seen = f.join(model.tokenProbs, Seq("tok"))
       .join(model.labels.select(col("label"), col("floor_micro")), Seq("label"))
