@@ -533,4 +533,45 @@ object VectorSearch {
       .filter(col("sim") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("sim"))
   }
+
+  /** Bitext / cross-corpus pair mining with the MARGIN criterion (Artetxe &
+    * Schwenk 2019 — the LASER/CCMatrix recipe): for every source vector,
+    * its best target match is accepted only when the best score clearly
+    * BEATS the runner-up — absolute-threshold mining over-collects in
+    * dense regions and starves sparse ones; the margin self-calibrates.
+    * Here margin is the exact-integer ratio test
+    *   accept ⟺ s1 > 0 ∧ (s2 ≤ 0 ∨ s1·10⁶ ≥ marginFpMin·s2)
+    * over quantized dot products (s1 = best, s2 = second best; one integer
+    * compare, no division — bit-identical cross-engine).
+    *
+    * Fixture-scale form is the exact cross join + per-source top-2 (the
+    * [[q_x_embed_topk]] shape, WindowGroupLimit keeps partial top-k before
+    * the exchange); at corpus scale route BOTH sides through the same IVF
+    * coarse buckets first ([[lshBuckets]] / KMeans coarse centroids) so
+    * candidate volume tracks match density — the margin arithmetic is
+    * unchanged. Output: one row per source vector with its best target,
+    * both scores, and the accept verdict. */
+  def mineBitextExact(src: DataFrame, tgt: DataFrame,
+      marginFpMin: Long = 1050000L, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val a = src.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("src_id"), quantize(embCol).as("qa"))
+    val b = tgt.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("tgt_id"), quantize(embCol).as("qb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("dot").desc, col("tgt_id"))
+    a.crossJoin(b)
+      .select(col("src_id"), col("tgt_id"),
+        graft.expressions.DotProductLong(col("qa"), col("qb")).as("dot"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+      .groupBy(col("src_id"))
+      .agg(max(when(col("__rk") === 1, col("tgt_id"))).as("tgt_id"),
+        max(when(col("__rk") === 1, col("dot"))).as("s1"),
+        max(when(col("__rk") === 2, col("dot"))).as("s2"))
+      .select(col("src_id"), col("tgt_id"), col("s1"), col("s2"),
+        (col("s1") > 0 && (coalesce(col("s2"), lit(0L)) <= 0 ||
+          col("s1") * lit(1000000L) >= lit(marginFpMin) * col("s2")))
+          .as("accepted"))
+  }
 }

@@ -967,6 +967,38 @@ object VectorQueries {
       (s, d) => graft.operators.KMeans.assign(t(s, d, "embeddings"), kmeansModel(s, d)),
       Some(kmeansOracleSql)),
 
+    // Bitext mining with the margin criterion (VectorSearch
+    // .mineBitextExact): label-0 vectors as the "source language", label-1
+    // as the "target"; each source's best target is accepted only when the
+    // best dot beats the runner-up by the 1.05 fixed-point margin ratio —
+    // one integer compare, no division. The oracle replays the cross join,
+    // the top-2 window, and the accept rule verbatim.
+    QueryDef("q_x_bitext_mining",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.VectorSearch.mineBitextExact(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS src_id, $quantSql AS q FROM embeddings
+                          WHERE label = 0 AND embedding IS NOT NULL),
+               b AS (SELECT vec_id AS tgt_id, $quantSql AS q FROM embeddings
+                     WHERE label = 1 AND embedding IS NOT NULL),
+               sc AS (SELECT a.src_id, b.tgt_id,
+                        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+                      FROM a CROSS JOIN b),
+               rk AS (SELECT src_id, tgt_id, dot, row_number() OVER
+                        (PARTITION BY src_id ORDER BY dot DESC, tgt_id) AS r
+                      FROM sc),
+               t2 AS (SELECT src_id,
+                        max(CASE WHEN r = 1 THEN tgt_id END) AS tgt_id,
+                        max(CASE WHEN r = 1 THEN dot END) AS s1,
+                        max(CASE WHEN r = 2 THEN dot END) AS s2
+                      FROM rk WHERE r <= 2 GROUP BY 1)
+               SELECT src_id, tgt_id, s1, s2,
+                 (s1 > 0 AND (coalesce(s2, 0) <= 0
+                              OR s1 * 1000000 >= 1050000 * s2)) AS accepted
+               FROM t2""")),
+
     // Cluster-balanced prototypicality selection: per k-means cluster keep
     // the 30 rows nearest their centroid (exact integer d², ties by id) —
     // the diversity-preserving quota between SemDeDup and a global quality

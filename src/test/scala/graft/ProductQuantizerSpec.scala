@@ -17,6 +17,27 @@ class ProductQuantizerSpec extends SparkSpec {
     (i.toLong, Seq(lo + j, lo, lo - j, lo, hi, hi + j, hi, hi - j))
   }.toDF("vec_id", "embedding")
 
+  test("mineBitextExact: margin accepts clear matches, rejects ambiguous ones") {
+    import graft.operators.VectorSearch
+    // src 1 matches tgt 10 clearly (tgt 11 is distant); src 2 sits between
+    // two near-identical targets -> margin rejects; src 3 has a negative
+    // runner-up -> auto-accept branch.
+    val src = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Seq(0.9f, 0.1f)),
+      (11L, Seq(0.1f, 0.9f)),
+      (12L, Seq(0.11f, 0.91f)),
+      (13L, Seq(-0.9f, 0.0f))).toDF("vec_id", "embedding")
+    val got = VectorSearch.mineBitextExact(src, tgt)
+      .select("src_id", "tgt_id", "accepted")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((1L, 10L), (2L, 12L), (3L, 13L)))
+    assert(got.map(_._3).toSeq == Seq(true, false, true))
+  }
+
   test("encode: m codes per vector, each a live codebook cluster id") {
     val model = PQ.fit(blobs, m = 2, ksub = 4, iters = 2, dim = 8)
     assert(model.m == 2 && model.subDim == 4)
