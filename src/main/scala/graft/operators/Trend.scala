@@ -253,8 +253,13 @@ object Trend {
         .withColumn("below", col("bb") + coalesce(sum("c").over(ww), lit(0L)))
         .select(col("v").as(c), (lit(2L) * col("below") + col("c") + 1L).as(out))
     }
+    // persisted: the frame feeds both rank derivations AND the final join
+    // — unpersisted, the caller's upstream lineage (often a scored/
+    // aggregated frame) replays three times. 2-column row-sized cache;
+    // session-lifetime contract as in TextDedup.
     val base = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = base
       .join(avgRank2(base, "x", "rx2"), Seq("x"))
       .join(avgRank2(base, "y", "ry2"), Seq("y"))
