@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** T5-style span-corruption training-example construction (Raffel et al.
+  * 2020, §3.1.4 — the denoising objective behind T5/UL2 pretraining): mask
+  * spans of the document, replace each with a numbered sentinel in the
+  * INPUT, and emit the masked content behind the matching sentinels as the
+  * TARGET. This is objective construction — the layer above packing /
+  * chunking (which arrange examples) where the examples themselves are
+  * manufactured from the corpus.
+  *
+  * Determinism contract (the house device): the "random" span choice is
+  * the doc-and-chunk identity hash, so reruns at any parallelism — and the
+  * DuckDB oracle — pick the identical spans. Spans are the fixed
+  * non-overlapping length-`spanLen` grid chunks of the whitespace token
+  * array; a chunk is masked iff hash64(doc_id:chunk) % everyK = 0
+  * (≈ 1/everyK corruption rate; T5's 15% ≈ everyK 7 at spanLen 3).
+  *
+  * Pure map-side: one split + a codegen'd HOF chain per row, zero
+  * shuffles at any corpus size. Sentinel numbering is the running count of
+  * masked chunks before each chunk — computed per chunk from the flag
+  * prefix (O(chunks²) per doc, trivially small against the string work).
+  */
+object SpanCorruption {
+
+  def corrupt(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanLen: Int = 3, everyK: Int = 5): DataFrame = {
+    require(spanLen >= 1 && everyK >= 2)
+    val L = spanLen
+    val h = graft.functions.Hashing.hash64Expr(
+      "concat(cast(doc_id as string), ':', cast(c as string))")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("__nc", expr(s"cast((n_tokens + $L - 1) div $L as int)"))
+      .withColumn("__flags",
+        expr(s"transform(sequence(0, __nc - 1), c -> $h % $everyK = 0)"))
+      .withColumn("__sidx", expr(
+        "transform(sequence(0, __nc - 1), c -> " +
+          "size(filter(slice(__flags, 1, c), x -> x)))"))
+      .withColumn("n_spans",
+        expr("size(filter(__flags, x -> x))").cast("long"))
+      .withColumn("input", expr(
+        s"""array_join(transform(sequence(0, __nc - 1), c ->
+            IF(element_at(__flags, c + 1),
+               concat('<extra_id_', element_at(__sidx, c + 1), '>'),
+               array_join(slice(__toks, c * $L + 1, $L), ' '))), ' ')"""))
+      .withColumn("target", expr(
+        s"""array_join(filter(transform(sequence(0, __nc - 1), c ->
+            IF(element_at(__flags, c + 1),
+               concat('<extra_id_', element_at(__sidx, c + 1), '> ',
+                      array_join(slice(__toks, c * $L + 1, $L), ' ')),
+               '')), p -> p != ''), ' ')"""))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("input"), col("target"))
+  }
+}

@@ -743,6 +743,38 @@ object TextDedup {
     * `xxhash64(norm)` instead of the full string to shrink the shuffle
     * payload ~10× (collision risk 2⁻⁶⁴·pairs; CCNet itself dedups on a
     * 64-bit hash) — the string key here keeps the oracle exact. */
+  /** Boilerplate-paragraph removal by DOCUMENT FREQUENCY (the
+    * RefinedWeb/Dolma companion rule to [[dedupParagraphs]]): a paragraph
+    * appearing in more than `maxDocFreq` DISTINCT documents is boilerplate
+    * (nav menus, cookie banners, footers) and is removed EVERYWHERE —
+    * including its first occurrence, which first-wins dedup would keep.
+    * Same explode → one content-keyed aggregate → rebuild shape; the
+    * distinct-doc census replaces the first-occurrence window. */
+  def dropFrequentParagraphs(docs: DataFrame, maxDocFreq: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "para")))
+      .withColumn("__norm", lower(trim(col("para"))))
+    val freq = paras.groupBy(col("__norm"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val rebuilt = paras
+      .join(freq, Seq("__norm"))
+      .filter(col("df") <= maxDocFreq)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")), "\n").as("text_kept"),
+        count(lit(1)).as("kept_paras"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("__n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),
+        (col("__n_paras") - coalesce(col("kept_paras"), lit(0L))).as("removed_paras"))
+  }
+
   def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1883,6 +1883,96 @@ object TextQueries {
                      - coalesce(k.kept_paras, 0) AS BIGINT) AS removed_paras
               FROM docs d LEFT JOIN kept k USING (doc_id)""")),
 
+    // T5-style span corruption (SpanCorruption.corrupt): length-3 grid
+    // chunks, each masked iff hash64(doc:chunk) % 5 = 0; inputs carry
+    // numbered sentinels, targets the masked content behind the matching
+    // sentinels. The oracle replays the hash coin, the sentinel running
+    // count, and both string rebuilds chunk by chunk.
+    QueryDef("q_x_span_corrupt",
+      (s, d) => graft.operators.SpanCorruption.corrupt(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        spanLen = 3, everyK = 5),
+      Some(s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks
+                           FROM documents),
+              c AS (SELECT doc_id, toks,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      (len(toks) + 2) // 3 AS nc
+                    FROM dd),
+              f AS (SELECT doc_id, toks, n_tokens, nc,
+                      list_transform(range(0, nc), c2 ->
+                        ${hash64Sql(
+                          "(CAST(doc_id AS VARCHAR) || ':' || CAST(c2 AS VARCHAR))")}
+                        % 5 = 0) AS flags
+                    FROM c),
+              sx AS (SELECT *, list_transform(range(0, nc), c2 ->
+                       len(list_filter(flags[1:CAST(c2 AS INTEGER)], x -> x))) AS sidx
+                     FROM f)
+              SELECT doc_id, n_tokens,
+                CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_spans,
+                array_to_string(list_transform(range(0, nc), c2 ->
+                  CASE WHEN flags[CAST(c2 + 1 AS INTEGER)]
+                       THEN '<extra_id_'
+                            || CAST(sidx[CAST(c2 + 1 AS INTEGER)] AS VARCHAR) || '>'
+                       ELSE array_to_string(
+                              toks[CAST(c2 * 3 + 1 AS INTEGER)
+                                   : CAST(c2 * 3 + 3 AS INTEGER)], ' ') END),
+                  ' ') AS input,
+                coalesce(array_to_string(list_filter(list_transform(range(0, nc), c2 ->
+                  CASE WHEN flags[CAST(c2 + 1 AS INTEGER)]
+                       THEN '<extra_id_'
+                            || CAST(sidx[CAST(c2 + 1 AS INTEGER)] AS VARCHAR) || '> '
+                            || array_to_string(
+                                 toks[CAST(c2 * 3 + 1 AS INTEGER)
+                                      : CAST(c2 * 3 + 3 AS INTEGER)], ' ')
+                       ELSE '' END), p -> p <> ''), ' '), '') AS target
+              FROM sx""")),
+
+    // Boilerplate-paragraph removal by document frequency
+    // (TextDedup.dropFrequentParagraphs): same synthetic corpus as
+    // q_x_paragraph_dedup, but the per-source header (df≈docs/source) and
+    // the global copyright line (df=corpus) now vanish EVERYWHERE —
+    // including their first occurrences — while df=1 paragraphs survive
+    // untouched. maxDocFreq=10 sits safely between df=1 and the smallest
+    // per-source count at every sf tier.
+    QueryDef("q_x_boilerplate_drop",
+      (s, d) => {
+        val nl = lit("\n")
+        val synth = concat(
+          lit("Shared boilerplate header from "), col("source"), lit("."), nl,
+          col("text"), nl,
+          lit("Copyright 2024 Example Corp. All rights reserved."), nl,
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(lit("Unique closing note for document "),
+              col("doc_id"), lit("."))))
+        graft.operators.TextDedup.dropFrequentParagraphs(
+          t(s, d, "documents").select(col("doc_id"), synth.as("text")),
+          maxDocFreq = 10L)
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                'Shared boilerplate header from ' || source || '.' || chr(10) ||
+                text || chr(10) ||
+                'Copyright 2024 Example Corp. All rights reserved.' || chr(10) ||
+                CASE WHEN doc_id % 4 = 0 THEN text
+                     ELSE 'Unique closing note for document '
+                          || CAST(doc_id AS VARCHAR) || '.' END AS text
+                FROM documents),
+              arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+              p AS (SELECT doc_id, i - 1 AS idx, ls[i] AS para,
+                      lower(trim(ls[i])) AS norm
+                    FROM arr, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+              freq AS (SELECT norm, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+              kept AS (SELECT doc_id,
+                         string_agg(para, chr(10) ORDER BY idx) AS text_kept,
+                         count(*) AS kept_paras
+                       FROM p JOIN freq USING (norm) WHERE df <= 10
+                       GROUP BY doc_id)
+              SELECT d.doc_id,
+                coalesce(k.text_kept, '') AS text_kept,
+                CAST(coalesce(k.kept_paras, 0) AS BIGINT) AS kept_paras,
+                CAST(len(string_split(d.text, chr(10)))
+                     - coalesce(k.kept_paras, 0) AS BIGINT) AS removed_paras
+              FROM docs d LEFT JOIN kept k USING (doc_id)""")),
+
     // Structural-markup census (TextClean.markupCensus): doc_id-dependent
     // injections exercise each counter — a heading on even ids, an
     // indented code line on %3=0, a pipe-table row on %4=0, a list item on

@@ -67,6 +67,49 @@ class FunctionsSpec extends SparkSpec {
       (4L, "", 0L, 2L)))
   }
 
+  test("dropFrequentParagraphs: boilerplate vanishes everywhere, rare paras stay") {
+    val docs = Seq(
+      (1L, "nav menu\nbody one\nfooter"),
+      (2L, "nav menu\nbody two\nfooter"),
+      (3L, "nav menu\nbody three\nfooter")).toDF("doc_id", "text")
+    val got = graft.operators.TextDedup.dropFrequentParagraphs(docs, maxDocFreq = 2L)
+      .select("doc_id", "text_kept", "kept_paras", "removed_paras")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // df(nav menu)=df(footer)=3 > 2 -> gone EVERYWHERE incl. doc 1
+    assert(got.toSeq == Seq(
+      (1L, "body one", 1L, 2L),
+      (2L, "body two", 1L, 2L),
+      (3L, "body three", 1L, 2L)))
+  }
+
+  test("spanCorrupt: sentinels number sequentially and input+target reconstruct the doc") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), // single chunk
+      (3L, (1 to 7).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.operators.SpanCorruption.corrupt(docs, spanLen = 3, everyK = 2)
+      .select("doc_id", "n_tokens", "n_spans", "input", "target")
+      .as[(Long, Long, Long, String, String)].collect()
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, nTok, nSpans, input, target) =>
+      // sentinel ids in input are 0..n_spans-1 in order
+      val ids = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      assert(ids == (0 until nSpans.toInt), s"doc $id sentinel order")
+      // reconstruct: substitute each sentinel with its target span
+      val spans = target.split("(?=<extra_id_)").filter(_.nonEmpty).map { part =>
+        val m = sentinel.findFirstMatchIn(part).get
+        s"<extra_id_${m.group(1)}>" -> part.substring(m.matched.length).trim
+      }.toMap
+      val rebuilt = sentinel.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.matched)))
+      val original = docs.filter($"doc_id" === id).select("text").as[String].head()
+      assert(rebuilt == original, s"doc $id roundtrip")
+      assert(nTok == original.split(" ").length)
+    }
+    // with everyK=2 and multiple chunks, at least one doc has a masked span
+    assert(out.map(_._3).sum > 0)
+  }
+
   test("duplicated spans: cross-doc copies and within-doc repeats both count") {
     // doc 1 and 2 share an 8-token run; doc 3 repeats its own 8-token run;
     // doc 4 is unrelated; doc 5 is shorter than the window.
