@@ -38,4 +38,39 @@ object Dialog {
           transform(slice(array_sort(col("turns")), 1, maxTurns), _.getField("line")),
           "\n").as("transcript"))
   }
+
+  /** Turn-structure audit for conversation / instruction data — the SFT
+    * hygiene report run before transcripts become training examples: per
+    * conversation, turn counts by role, ALTERNATION BREAKS (consecutive
+    * same-role turns — the classic sign of merged or dropped messages),
+    * whether the exchange opens with a user turn and closes with an
+    * assistant turn (the only shape most chat templates accept), and the
+    * exact total turn length. Conversations failing the shape checks get
+    * repaired or dropped upstream of any template render.
+    *
+    * Same one-aggregate shape as [[renderTranscripts]] (ordered collect
+    * per key, order pinned by `orderCols`), then pure map-side HOF counts
+    * over the per-conversation arrays — conversation-count-sized output,
+    * one shuffle total. */
+  def turnAudit(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      roleCol: Column, lenCol: Column): DataFrame = {
+    val sortStruct = struct(
+      orderCols.map(col) ++ Seq(roleCol.as("role"), lenCol.cast("long").as("len")): _*)
+    events.groupBy(col(keyCol))
+      .agg(collect_list(sortStruct).as("__t"))
+      .withColumn("__roles", expr("transform(array_sort(__t), x -> x.role)"))
+      .withColumn("__lens", expr("transform(array_sort(__t), x -> x.len)"))
+      .select(col(keyCol),
+        size(col("__roles")).cast("long").as("n_turns"),
+        expr("size(filter(__roles, r -> r = 'user'))").cast("long").as("n_user_turns"),
+        expr("size(filter(__roles, r -> r = 'assistant'))").cast("long")
+          .as("n_assistant_turns"),
+        // sequence(1, 0) counts DOWN — the n_turns < 2 guard must stay
+        expr("IF(size(__roles) < 2, 0L, CAST(size(filter(sequence(1, size(__roles) - 1), " +
+          "i -> element_at(__roles, i + 1) = element_at(__roles, i))) AS LONG))")
+          .as("n_alternation_breaks"),
+        (expr("element_at(__roles, 1)") === lit("user")).as("starts_with_user"),
+        (expr("element_at(__roles, -1)") === lit("assistant")).as("ends_with_assistant"),
+        expr("aggregate(__lens, 0L, (a, x) -> a + x)").as("sum_turn_len"))
+  }
 }

@@ -37,6 +37,42 @@ object EventQueries {
                         ORDER BY tus, event_id))[1:20], chr(10)) AS transcript
               FROM e GROUP BY user_id""")),
 
+    // Turn-structure audit (Dialog.turnAudit): each user's event stream as
+    // a conversation with roles derived from event_type (view/click =
+    // user, everything else = assistant) — alternation breaks, role
+    // balance, opens-with-user / closes-with-assistant shape checks, exact
+    // total length. The SFT-data hygiene report; oracle replays the
+    // ordered list build and every HOF count.
+    QueryDef("q_x_dialog_audit",
+      (s, d) => graft.operators.Dialog.turnAudit(
+        events(s, d), "user_id", Seq("ts_us", "event_id"),
+        when(col("event_type").isin("view", "click"), lit("user"))
+          .otherwise(lit("assistant")),
+        length(col("event_type"))),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+                CASE WHEN event_type IN ('view', 'click') THEN 'user'
+                     ELSE 'assistant' END AS role,
+                CAST(length(event_type) AS BIGINT) AS len
+              FROM events),
+              g AS (SELECT user_id,
+                      list(role ORDER BY tus, event_id) AS roles,
+                      list(len ORDER BY tus, event_id) AS lens
+                    FROM e GROUP BY user_id)
+              SELECT user_id,
+                CAST(len(roles) AS BIGINT) AS n_turns,
+                CAST(len(list_filter(roles, r -> r = 'user')) AS BIGINT)
+                  AS n_user_turns,
+                CAST(len(list_filter(roles, r -> r = 'assistant')) AS BIGINT)
+                  AS n_assistant_turns,
+                CAST(CASE WHEN len(roles) < 2 THEN 0 ELSE
+                  len(list_filter(range(2, len(roles) + 1), i ->
+                    roles[CAST(i AS INTEGER)] = roles[CAST(i - 1 AS INTEGER)]))
+                  END AS BIGINT) AS n_alternation_breaks,
+                roles[1] = 'user' AS starts_with_user,
+                roles[-1] = 'assistant' AS ends_with_assistant,
+                CAST(list_aggregate(lens, 'sum') AS BIGINT) AS sum_turn_len
+              FROM g""")),
+
     // Tumbling 1-hour window per event type; measures in exact cents.
     QueryDef("q_x_events_hourly",
       (s, d) => events(s, d)
