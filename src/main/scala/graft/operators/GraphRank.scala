@@ -328,31 +328,82 @@ object GraphRank {
     * Input: one-directional undirected edges (a < b); output
     * (node, component) with component = min node id reached. */
   def connectedComponents(edges: DataFrame, rounds: Int): DataFrame = {
-    val und = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+    // The min-merge is folded into the EDGE SET as self-loops: label(n) at
+    // round r is min over {label(m) : m→n OR m=n} at r−1, so a round is
+    // exactly ONE join + dst-keyed min over the static self-looped edge
+    // frame — the label frame is referenced ONCE per round. Any form that
+    // merges the neighbor mins back against the label frame (left-join
+    // LEAST, union+min) references it TWICE, and a twice-referenced lazy
+    // loop doubles its logical plan every round: at 8 rounds the 2^8
+    // lineage copies cost minutes of pure driver/optimizer time when the
+    // edge leaf is a complex unpersisted pipeline (measured 137 s for the
+    // ER composite at sf0.01 vs ~5 s in this form, identical results).
+    val dir = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+    val withSelf = und
+      .union(und.select(col("src"), col("src").as("dst")).distinct())
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("src").as("n")).distinct()
+    var labels = withSelf.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("component"))
     (1 to rounds).foreach { r =>
-      // NOTE (r8, measured): fusing this round shape into one aggregate —
-      // union the label frame into the neighbor stream and take a single
-      // groupBy(n).min — reads as one stage less but measured ~45% SLOWER
-      // at sf0.1 (8.1 s vs 5.6 s): the union discards both inputs'
-      // partitioning, so every round re-shuffles the edge-sized stream
-      // plus the label frame, where the join form re-shuffles only the
-      // node-sized frames. Keep the groupBy→left-join form.
-      val nbrMin = und.join(
+      labels = withSelf.join(
           labels.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("n"))
-        .agg(min(col("component")).as("nbr_min"))
-      labels = labels.join(nbrMin, Seq("n"), "left")
-        .select(col("n"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+        .agg(min(col("component")).as("component"))
       if (r % 8 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     labels
+  }
+
+  /** Multi-source BFS hop distances by synchronous min-plus propagation:
+    * the distance frame starts as (seed, 0); each round every node takes
+    * the minimum of its current distance and min(neighbor distance) + 1.
+    * After `rounds` rounds the frame holds exact hop distances for every
+    * node within `rounds` hops of a seed (and only those) — the corpus
+    * "link distance from trusted set" signal (Harmonic-centrality /
+    * TrustRank-style seed proximity) and the k-hop reachability primitive.
+    *
+    * Determinism: min is order-free and the round count is FIXED — the
+    * budget is the spec, replayed verbatim by chained oracle CTEs, so the
+    * gate is exact whether or not the frontier has drained (same contract
+    * as [[connectedComponents]]).
+    *
+    * Scale shape: the static expanded edge set persists pre-partitioned on
+    * the join key; each round exchanges only the node-sized distance frame
+    * (shuffle-hash join + dst-keyed min, then a node-keyed union-min
+    * merge). Distances are monotone non-increasing, so a production
+    * variant may additionally restrict the propagate side to last round's
+    * CHANGED rows (frontier form) without changing results; the dense form
+    * here keeps the per-round plan identical for the oracle replay.
+    * Input: one-directional undirected edges (a < b); seeds (n). Output
+    * (n, dist) for seeds and every node reached within `rounds` hops. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    // Single-reference round (see [[connectedComponents]] for why a
+    // keep-the-old-value merge must NOT re-reference the distance frame):
+    // the identity is folded into the static edge set as WEIGHT-0
+    // self-loops over graph nodes ∪ seeds, real edges weigh 1, and a
+    // round is one join + dst-keyed min(dist + w). Seeds outside the
+    // graph keep their row through their self-loop.
+    val dir = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+    val seedN = seeds.select(col("n").cast("long").as("n")).distinct()
+    val selfLoops = und.select(col("src")).union(seedN.select(col("n").as("src")))
+      .distinct()
+      .select(col("src"), col("src").as("dst"), lit(0L).as("w"))
+    val withSelf = und.union(selfLoops)
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seedN.select(col("n"), lit(0L).as("dist"))
+    (1 to rounds).foreach { r =>
+      dist = withSelf.join(
+          dist.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
+        .groupBy(col("dst").as("n"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+      if (r % 8 == 0 && r < rounds) dist = dist.localCheckpoint()
+    }
+    dist
   }
 
   /** k-core decomposition by synchronous peeling: each round recomputes

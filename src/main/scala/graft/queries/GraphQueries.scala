@@ -73,7 +73,9 @@ object GraphQueries {
     (head +: steps).mkString(",\n") + s"\nSELECT n, community FROM l$rounds"
   }
 
-  /** DuckDB replay of [[graft.operators.GraphRank.connectedComponents]]:
+  /** DuckDB replay of [[graft.operators.GraphRank.connectedComponents]]
+    * in the left-join-LEAST merge form — value-identical to the Spark
+    * side's self-loop fold (min over the same per-node label sets):
     * `rounds` synchronous min-label rounds as chained MATERIALIZED CTEs
     * (same chaining discipline as [[lpaOracle]]). */
   private def ccOracle(rounds: Int): String = {
@@ -342,7 +344,45 @@ object GraphQueries {
                 CAST((cmn.n_common * 1000000) // (da.deg + db.deg - cmn.n_common)
                      AS BIGINT) AS jac_fp
               FROM cmn JOIN deg da ON cmn.a = da.node
-                       JOIN deg db ON cmn.b = db.node"""))
+                       JOIN deg db ON cmn.b = db.node""")),
+
+    // Multi-source BFS over the co-purchase graph: hop distance from the
+    // "trusted seed" part set (p_size = 50) — the link-distance-from-
+    // curated-set corpus signal (TrustRank's propagation skeleton) and the
+    // k-hop reachability primitive. 4 fixed min-plus rounds, replayed
+    // verbatim by chained CTEs; min is order-free so the gate is exact
+    // whether or not the frontier drained.
+    QueryDef("q_x_bfs_hops",
+      (s, d) => graft.operators.GraphRank.bfsHops(
+        coPurchaseEdges(s, d),
+        t(s, d, "part").filter(col("p_size") === 50)
+          .select(col("p_partkey").as("n")),
+        rounds = 4),
+      Some(bfsOracle(4))),
+
+    // End-to-end entity resolution: FastSS deletion-variant candidate
+    // pairs over supplier names (operators.RecordLinkage) → levenshtein≤1
+    // verified edges → connected components (8 min-label rounds) → one
+    // golden record per cluster (the min-id member IS the component
+    // label; its name is the canonical survivor). The classic
+    // dedup-then-survive warehouse closure, every stage the equi-join
+    // form — no block² compare, no driver graph state.
+    QueryDef("q_x_er_resolve",
+      (s, d) => {
+        val pairs = graft.operators.RecordLinkage.editNeighborPairs(
+            t(s, d, "supplier"), "s_suppkey", "s_name")
+          .select(col("id1").as("a"), col("id2").as("b"))
+        val comp = graft.operators.GraphRank.connectedComponents(pairs, rounds = 8)
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"))
+        comp.join(sizes, Seq("component"))
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey").cast("long").as("component"),
+              col("s_name").as("canonical_name")), Seq("component"))
+          .select(col("n").as("member"), col("component").as("cluster"),
+            col("n_members"), col("canonical_name"))
+      },
+      Some(erOracle(8)))
   )
 
   /** DuckDB replay of [[graft.operators.GraphRank.hits]]: per round, the
@@ -377,5 +417,67 @@ object GraphQueries {
       s"""\nSELECT h$iters.node, CAST(h$iters.hub AS BIGINT) AS hub_fp,
               CAST(a$iters.auth AS BIGINT) AS auth_fp
           FROM h$iters JOIN a$iters USING (node)"""
+  }
+
+  /** DuckDB replay of [[graft.operators.GraphRank.bfsHops]] on the
+    * co-purchase graph with the p_size=50 seed set: `rounds` min-plus
+    * rounds as chained MATERIALIZED CTEs. The replay uses the full-outer
+    * LEAST merge form — value-identical to the Spark side's weight-0
+    * self-loop fold (both compute min over {dist(n)} ∪ {dist(m)+1 : m→n});
+    * min is order-free so form differences can't shift a value. */
+  private def bfsOracle(rounds: Int): String = {
+    val inf = Long.MaxValue
+    val head =
+      """WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         e AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+              ON x.g = y.g AND x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS n, CAST(0 AS BIGINT) AS dist
+              FROM part WHERE p_size = 50)"""
+    val steps = (1 to rounds).map { i =>
+      s"""nm$i AS MATERIALIZED (SELECT und.dst AS n, min(l${i - 1}.dist) + 1 AS d
+            FROM und JOIN l${i - 1} ON und.src = l${i - 1}.n GROUP BY 1),
+          l$i AS MATERIALIZED (SELECT COALESCE(l.n, nm.n) AS n,
+              LEAST(COALESCE(l.dist, $inf), COALESCE(nm.d, $inf)) AS dist
+            FROM l${i - 1} l FULL JOIN nm$i nm ON l.n = nm.n)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT n, CAST(dist AS BIGINT) AS dist FROM l$rounds"
+  }
+
+  /** DuckDB replay of the q_x_er_resolve closure: the FastSS variant
+    * candidate CTE (as in q_x_fuzzy_pairs, over supplier names), the
+    * levenshtein≤1 verify, then `rounds` min-label CC rounds and the
+    * per-cluster golden-record join. */
+  private def erOracle(rounds: Int): String = {
+    val head =
+      """WITH c AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
+         v AS (SELECT id, nm, unnest(list_prepend(nm,
+                 list_transform(generate_series(1, len(nm)),
+                   i -> substr(nm, 1, i-1) || substr(nm, i+1)))) AS variant
+               FROM c),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+                    a.nm AS k1, b.nm AS k2
+                  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id),
+         e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM cand
+              WHERE levenshtein(k1, k2) <= 1),
+         und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM und)"""
+    val steps = (1 to rounds).map { i =>
+      s"""nm$i AS MATERIALIZED (SELECT und.dst AS n, min(l${i - 1}.component) AS nbr_min
+            FROM und JOIN l${i - 1} ON und.src = l${i - 1}.n GROUP BY 1),
+          l$i AS MATERIALIZED (SELECT l.n,
+              least(l.component, COALESCE(nm$i.nbr_min, l.component)) AS component
+            FROM l${i - 1} l LEFT JOIN nm$i USING (n))"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"""\nSELECT l.n AS member, l.component AS cluster, cl.n_members,
+               s.s_name AS canonical_name
+          FROM l$rounds l
+          JOIN (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+                FROM l$rounds GROUP BY 1) cl USING (component)
+          JOIN supplier s ON s.s_suppkey = l.component"""
   }
 }

@@ -173,6 +173,24 @@ class GraphRankSpec extends SparkSpec {
     assert(ranks(GraphRank.connectedComponents(edges.repartition(5), 4)) == com)
   }
 
+  test("bfsHops: hand-checked distances; horizon; off-graph seed survives") {
+    // chain 1-2-3-4-5, pair 10-11; seeds {1, 99} (99 not in the graph)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(99L, 1L).toDF("n")
+    val d2 = ranks(GraphRank.bfsHops(edges, seeds, rounds = 2))
+    // horizon: node 4 is 3 hops out — absent at rounds=2
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 99L -> 0L))
+    val d4 = ranks(GraphRank.bfsHops(edges, seeds, rounds = 4))
+    assert(d4 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 99L -> 0L))
+    // rounds past drain are the identity; component {10,11} never appears
+    assert(ranks(GraphRank.bfsHops(edges, seeds, rounds = 7)) == d4)
+    // deterministic under repartitioning
+    assert(ranks(GraphRank.bfsHops(edges.repartition(5), seeds, rounds = 4)) == d4)
+    // two seeds in one component: every node takes the NEARER seed
+    val dm = ranks(GraphRank.bfsHops(edges, Seq(1L, 5L).toDF("n"), rounds = 4))
+    assert(dm == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("connectedComponents: gate budget (8) converged on the sf0.001 graph") {
     val edges = GraphRank.coOccurrenceEdges(
       spark.read.parquet(s"$sf0001/lineitem.parquet"),
