@@ -73,4 +73,38 @@ object Dialog {
         (expr("element_at(__roles, -1)") === lit("assistant")).as("ends_with_assistant"),
         expr("aggregate(__lens, 0L, (a, x) -> a + x)").as("sum_turn_len"))
   }
+
+  /** Preference-pair construction for reward-model / DPO-style training:
+    * within each candidate group (responses to one prompt; here, documents
+    * competing in one stratum), pair the BEST-scored candidate (chosen)
+    * with the WORST (rejected), keeping only pairs whose score margin
+    * clears `minMargin` — low-margin pairs are label noise, the first
+    * thing preference-data recipes drop.
+    *
+    * Determinism: chosen = (max score, then min id), rejected = (min
+    * score, then min id) — both as single struct-min aggregates, so the
+    * argmax never depends on row order. A group whose best and worst are
+    * the same row (singleton or all-tied) emits nothing.
+    *
+    * Scale: ONE groupBy(grp) shuffle with map-side partial aggregation;
+    * output is group-count-sized. No windows, no self-join — the
+    * row_number-based form shuffles the full candidate set into window
+    * partitions and re-joins it; two struct extremes per group is the
+    * same answer at a fraction of the exchange. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, minMargin: Long): DataFrame =
+    df.select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("long").as("score"))
+      .groupBy(col("grp"))
+      .agg(
+        min(struct((-col("score")).as("ns"), col("id").as("i"))).as("best"),
+        min(struct(col("score").as("s"), col("id").as("i"))).as("worst"),
+        count(lit(1)).as("n_cands"))
+      .select(col("grp"),
+        col("best.i").as("chosen_id"), (-col("best.ns")).as("chosen_score"),
+        col("worst.i").as("rejected_id"), col("worst.s").as("rejected_score"),
+        (-col("best.ns") - col("worst.s")).as("margin"),
+        col("n_cands"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("margin") >= minMargin)
 }

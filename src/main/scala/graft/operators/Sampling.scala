@@ -338,4 +338,41 @@ object Sampling {
       .filter(expr("(cum div stride) > ((cum - w) div stride)"))
       .select(col("id"), col("w"), col("cum"))
   }
+
+  /** Training-export shard plan: lay documents on a line in deterministic
+    * hash order, cut it greedily into contiguous shards of ≈`budget`
+    * tokens (a document goes to shard ⌊tokens-before-it / budget⌋, so a
+    * shard overshoots by at most one document — the standard greedy
+    * contiguous sharding every JSONL/tfrecord exporter uses), and emit the
+    * MANIFEST: per shard, doc/token counts, the covered hash range, and a
+    * position-independent checksum — what a downstream loader validates
+    * before training starts.
+    *
+    * Determinism: order is (salted hash, id) — rerun/partitioning
+    * invariant, and the same prefix-sum line as [[weightedSystematic]].
+    * Scale: the exact prefix sum is TWO-LEVEL (per-hash-bucket totals,
+    * then within-bucket) — no corpus-sized window partition anywhere; the
+    * manifest aggregate is shard-count-sized. */
+  def shardPlan(df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+      bucketShift: Int = 44): DataFrame = {
+    require(budget > 0)
+    val base = df.select(col(idCol).as("id"),
+        col(tokenCol).cast("long").as("w"))
+      .withColumn("h", Hashing.hash64(concat(lit("shard:"), col("id").cast("string"))))
+      .withColumn("b", expr(s"h div ${1L << bucketShift}"))
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = base.groupBy("b").agg(sum("w").as("bw"))
+      .select(col("b"), coalesce(sum("bw").over(wb), lit(0L)).as("bucket_below"))
+    // the bucket id is a PREFIX of the hash, so (b, h, id) order ≡ (h, id)
+    val ww = Window.partitionBy("b").orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(bucketPrefix, Seq("b"))
+      .withColumn("cum_before",
+        col("bucket_below") + coalesce(sum("w").over(ww), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"),
+        min(col("h")).as("first_hash"), max(col("h")).as("last_hash"),
+        sum(expr("h % 1000000007")).as("checksum"))
+  }
 }

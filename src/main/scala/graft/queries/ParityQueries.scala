@@ -462,6 +462,40 @@ object ParityQueries {
                      true AS no_false_negatives, true AS fpr_below_bound
               FROM j""")),
 
+    // Exact exponential time-decay without libm: a 180-day half-life is a
+    // RIGHT SHIFT of integer cents by elapsed-half-lives (2^-k is exact in
+    // any engine; truncating integer shift IS the contract) — the recency
+    // prior every freshness-weighted corpus/revenue score needs, with no
+    // pow()/exp() cross-engine last-ulp hazard. Anchor = max order date
+    // (1-row broadcast); one scan + one group-count-sized aggregate.
+    QueryDef("q_x_recency_decay",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+        o.select(col("o_orderpriority"), col("o_orderdate"),
+            cents(col("o_totalprice")).as("cents"))
+          .crossJoin(broadcast(anchor))
+          .withColumn("h",
+            expr("datediff(cast(anchor as date), cast(o_orderdate as date)) div 180"))
+          .withColumn("decayed",
+            expr("cents div shiftleft(cast(1 as bigint), cast(h as int))"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("cents_sum"),
+            sum(col("decayed")).as("decayed_sum"))
+      },
+      Some(s"""WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+              b AS (SELECT o_orderpriority,
+                      ${centsSql("o_totalprice")} AS cents,
+                      date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(a.anchor AS DATE)) // 180 AS h
+                    FROM orders, a)
+              SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(cents) AS BIGINT) AS cents_sum,
+                     CAST(sum(cents // (CAST(1 AS BIGINT) << h)) AS BIGINT)
+                       AS decayed_sum
+              FROM b GROUP BY 1""")),
+
     // L1+L2 — deterministic top-k (ORDER BY + LIMIT with a tie-break).
     QueryDef("q_l1_topk",
       (s, d) => t(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -1271,6 +1271,65 @@ object TextQueries {
                WHERE (cum // greatest(tot // 50, 1))
                    > ((cum - w) // greatest(tot // 50, 1))""")),
 
+    // Preference-pair construction (operators.Dialog.preferencePairs):
+    // within each (lang, source) stratum, pair the best-scored document
+    // (by fixed-point alpha ratio) with the worst, keeping pairs whose
+    // margin clears 1000 micro-units — the RM/DPO data-prep step, one
+    // group-count-sized struct-extremes aggregate. The oracle states the
+    // same extremes as rank-1 rows of two opposite windows.
+    QueryDef("q_x_pref_pairs",
+      (s, d) => graft.operators.Dialog.preferencePairs(
+        t(s, d, "documents")
+          .withColumn("grp", concat_ws("/", col("lang"), col("source")))
+          .withColumn("score_fp",
+            expr("cast(length(regexp_replace(text, '[^a-zA-Z]', '')) as bigint)" +
+              " * 1000000 div greatest(length(text), 1)")),
+        "grp", "doc_id", "score_fp", minMargin = 1000L),
+      Some("""WITH s AS (SELECT lang || '/' || source AS grp, doc_id AS id,
+                 (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000)
+                   // greatest(length(text), 1) AS score
+               FROM documents),
+               r AS (SELECT grp, id, score,
+                       row_number() OVER (PARTITION BY grp
+                         ORDER BY score DESC, id) AS rb,
+                       row_number() OVER (PARTITION BY grp
+                         ORDER BY score ASC, id) AS rw,
+                       count(*) OVER (PARTITION BY grp) AS n_cands
+                     FROM s)
+               SELECT b.grp, b.id AS chosen_id, b.score AS chosen_score,
+                      w.id AS rejected_id, w.score AS rejected_score,
+                      b.score - w.score AS margin,
+                      CAST(b.n_cands AS BIGINT) AS n_cands
+               FROM r b JOIN r w ON b.grp = w.grp AND b.rb = 1 AND w.rw = 1
+               WHERE b.id <> w.id AND b.score - w.score >= 1000""")),
+
+    // Shard-plan manifest (operators.Sampling.shardPlan): greedy
+    // contiguous ~4000-token shards over the hash-ordered corpus line,
+    // manifest rows with counts, hash range, and a position-independent
+    // checksum — the export-validation artifact. Two-level exact prefix
+    // sum (no corpus-sized window partition); the oracle's single global
+    // window states the same line.
+    QueryDef("q_x_shard_plan",
+      (s, d) => graft.operators.Sampling.shardPlan(
+        t(s, d, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 4000L),
+      Some(s"""WITH b AS (SELECT doc_id,
+                 CAST(len($tokensSql) AS BIGINT) AS w,
+                 ${hash64Sql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents),
+               c AS (SELECT doc_id, w, h,
+                       CAST(COALESCE(sum(w) OVER (ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS cum_before
+                     FROM b)
+               SELECT cum_before // 4000 AS shard,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(w) AS BIGINT) AS n_tokens,
+                      min(h) AS first_hash, max(h) AS last_hash,
+                      CAST(sum(h % 1000000007) AS BIGINT) AS checksum
+               FROM c GROUP BY 1""")),
+
     // Benchmark decontamination: per eval doc (odd ids), the fraction of
     // its 3-shingles present anywhere in the training corpus (even ids) —
     // the train/test overlap check. One corpus-shingle distinct + one

@@ -54,4 +54,30 @@ class DialogSpec extends SparkSpec {
       col("event_type"), 20).head()
     assert(r.getString(2) == "first\nsecond")
   }
+
+  test("preferencePairs: extremes, tie-breaks, margin gate, degenerate groups") {
+    val cands = Seq(
+      // g1: clear spread — best 30 (id 3), worst 10 (id 1)
+      ("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L),
+      // g2: ties at both extremes — min id wins on each side
+      ("g2", 5L, 40L), ("g2", 4L, 40L), ("g2", 7L, 5L), ("g2", 6L, 5L),
+      // g3: margin below the gate
+      ("g3", 8L, 100L), ("g3", 9L, 104L),
+      // g4: singleton — never a pair
+      ("g4", 10L, 99L),
+      // g5: all tied — chosen == rejected row, dropped
+      ("g5", 11L, 7L), ("g5", 12L, 7L))
+      .toDF("grp", "id", "score")
+    val got = Dialog.preferencePairs(cands, "grp", "id", "score", minMargin = 5L)
+      .select("grp", "chosen_id", "rejected_id", "margin", "n_cands")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("g1", 3L, 1L, 20L, 3L),
+      ("g2", 4L, 6L, 35L, 4L)))
+    // partition-invariant
+    val again = Dialog.preferencePairs(cands.repartition(7), "grp", "id", "score", 5L)
+      .select("grp", "chosen_id", "rejected_id", "margin", "n_cands")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
 }

@@ -341,4 +341,28 @@ class SamplingSpec extends SparkSpec {
       .agg(max("cum")).head.getLong(0)
     assert(cums == 13990L, s"grid stride k=1 keeps the last row; max cum = total, got $cums")
   }
+
+  test("shardPlan: manifest totals, greedy-contiguous budget shape, partition-invariant") {
+    val df = (1L to 300L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "w")
+    val plan = Sampling.shardPlan(df, "doc_id", "w", budget = 500L)
+      .select("shard", "n_docs", "n_tokens", "first_hash", "last_hash")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // nothing lost: doc and token totals survive the sharding exactly
+    assert(plan.map(_._2).sum == 300L)
+    assert(plan.map(_._3).sum == (1L to 300L).map(i => 10L + (i % 7)).sum)
+    // shards are contiguous on the hash line and numbered densely from 0
+    assert(plan.map(_._1).toSeq == plan.indices.map(_.toLong))
+    plan.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._4, "shard hash ranges must not interleave")
+    case _ => () }
+    // greedy ⌊cum/budget⌋ cut: every shard but the last spans its budget
+    // within one straddling doc (max w = 16), and none is empty
+    plan.dropRight(1).foreach { s =>
+      assert(s._3 >= 500L - 16L && s._3 <= 500L + 16L,
+        s"shard ${s._1} tokens ${s._3} outside greedy band") }
+    val again = Sampling.shardPlan(df.repartition(11), "doc_id", "w", budget = 500L)
+      .select("shard", "n_docs", "n_tokens", "first_hash", "last_hash")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == plan.toSeq, "manifest must be partitioning-invariant")
+  }
 }
