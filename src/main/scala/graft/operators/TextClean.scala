@@ -69,6 +69,48 @@ object TextClean {
     * domain-blocklist gate. The blocklist is a (domain) frame, broadcast
     * into a left-anti join against the distinct (doc, domain) link set;
     * docs with no URLs survive (nothing to match). */
+  /** Canonical form of an http(s) URL for crawl-level dedup — the
+    * WARC-key normalization: drop the fragment, lowercase scheme+host,
+    * strip a leading `www.`, strip default ports (:80/:443), remove
+    * tracking query params (utm_*, fbclid, gclid), and trim a trailing
+    * slash. Path/query CASE is preserved (paths are case-significant;
+    * only authority casing is not). Pure codegen'd regexp chain — and
+    * deliberately free of replacement group references, which Java
+    * (`$1`) and RE2 (`\1`) spell differently: the one
+    * keep-the-separator rewrite (first query param is tracking) is done
+    * with two constant-replacement passes instead. */
+  def canonicalUrl(url: Column): Column = {
+    val track = "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*"
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val host2 = regexp_replace(regexp_replace(host, "^www\\.", ""), ":(80|443)$", "")
+    // tracking params: &-led anywhere; then a ?-led one followed by a
+    // kept param (constant "?" replacement); then a ?-led one that WAS
+    // the whole query string
+    val noAmp = regexp_replace(rest, s"&$track", "")
+    val noQMid = regexp_replace(noAmp, s"\\?$track&", "?")
+    val noTrack = regexp_replace(noQMid, s"\\?$track$$", "")
+    concat(scheme, lit("://"), host2, regexp_replace(noTrack, "/$", ""))
+  }
+
+  /** URL-keyed crawl dedup: canonicalize, then pick one keeper per
+    * canonical URL (min id — recrawls of one page collapse to a single
+    * kept capture, the CommonCrawl-style URL-level pass that runs BEFORE
+    * any content dedup). One canonical-key-partitioned window (group
+    * sizes are recrawl counts — bounded), map-side everything else.
+    * Output: (doc_id, url_canon, keeper_id, n_dupes, is_keeper). */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_canon"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        canonicalUrl(col(urlCol)).as("url_canon"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("n_dupes", count(lit(1)).over(w))
+      .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+  }
+
   def filterBlockedDomains(df: DataFrame, blocklist: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val offenders = extractUrls(df, idCol, textCol)

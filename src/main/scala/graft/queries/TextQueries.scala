@@ -815,6 +815,68 @@ object TextQueries {
                  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
                FROM h GROUP BY 1""")),
 
+    // URL-keyed crawl dedup (TextClean.canonicalUrl + dedupByCanonicalUrl):
+    // four deterministic recrawl variants of each page (www + casing,
+    // fragment, utm params, :80 + trailing slash) must collapse to ONE
+    // canonical key; keeper = min doc_id per key. The URL-level pass that
+    // runs before any content dedup.
+    QueryDef("q_x_url_dedup",
+      (s, d) => {
+        val a = (col("doc_id") % 5).cast("string")
+        val b = (col("doc_id") % 13).cast("string")
+        val hostPath = concat(lit("Site"), a, lit(".com/Art/"), b)
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("http://www."), hostPath))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("HTTP://"), hostPath, lit("#sec2")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://"), hostPath,
+              lit("?utm_source=feed&utm_campaign=x")))
+          .otherwise(concat(lit("http://www.Site"), a, lit(".com:80/Art/"),
+            b, lit("/")))
+        graft.operators.TextClean.dedupByCanonicalUrl(
+          t(s, d, "documents").select(col("doc_id"), url.as("url")))
+      },
+      Some("""WITH u0 AS (SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'http://www.Site' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/Art/' || CAST(doc_id % 13 AS VARCHAR)
+                  WHEN 1 THEN 'HTTP://Site' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/Art/' || CAST(doc_id % 13 AS VARCHAR) || '#sec2'
+                  WHEN 2 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/Art/' || CAST(doc_id % 13 AS VARCHAR)
+                    || '?utm_source=feed&utm_campaign=x'
+                  ELSE 'http://www.Site' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com:80/Art/' || CAST(doc_id % 13 AS VARCHAR) || '/'
+                END AS url FROM documents),
+              u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf
+                     FROM u0),
+              u2 AS (SELECT doc_id,
+                lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                  AS sch,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(nf,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www\.', ''), ':(80|443)$', '') AS hst,
+                regexp_extract(nf,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rst
+                FROM u1),
+              u3 AS (SELECT doc_id, sch || '://' || hst ||
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  rst,
+                  '&(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                  '\?(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+                  '\?(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+                  '/$', '') AS url_canon
+                FROM u2)
+              SELECT doc_id, url_canon,
+                min(doc_id) OVER (PARTITION BY url_canon) AS keeper_id,
+                CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT)
+                  AS n_dupes,
+                doc_id = min(doc_id) OVER (PARTITION BY url_canon)
+                  AS is_keeper
+              FROM u3""")),
+
     // Domain blocklist: documents linking into a blocked registrable
     // domain drop (distinct offender set, broadcast semi-join); URL-free
     // and clean-linking docs survive. RefinedWeb-style crawl hygiene.

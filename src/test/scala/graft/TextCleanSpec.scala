@@ -180,4 +180,39 @@ class TextCleanSpec extends SparkSpec {
     assert(a.getAs[Double]("alpha_ratio") ==
       a.getAs[Long]("n_letters").toDouble / a.getAs[Long]("n_chars"))
   }
+
+  test("canonicalUrl: authority casing, www, ports, fragments, tracking params, slash") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/Path/A/" -> "http://example.com/Path/A",
+      "https://example.com:443/x#frag" -> "https://example.com/x",
+      // ?-led tracking param followed by a kept param
+      "http://a.com/p?utm_source=f&id=2" -> "http://a.com/p?id=2",
+      // tracking-only query string vanishes entirely
+      "http://a.com/p?utm_a=1&utm_b=2&gclid=z" -> "http://a.com/p",
+      // &-led tracking removed mid-query; kept params keep their order
+      "http://a.com/p?id=2&fbclid=xyz&q=3" -> "http://a.com/p?id=2&q=3",
+      // path case and non-default port are preserved; root slash trimmed
+      "http://a.com:8080/" -> "http://a.com:8080",
+      // utm-ish names that are NOT tracking params survive
+      "http://a.com/p?utmx=1" -> "http://a.com/p?utmx=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextClean.canonicalUrl(col("url"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want") }
+  }
+
+  test("dedupByCanonicalUrl: recrawl variants collapse; keeper is min id") {
+    val df = Seq(
+      (5L, "http://www.A.com/x"), (3L, "http://a.com/x#top"),
+      (9L, "HTTP://a.com/x?utm_source=s"), (7L, "http://b.com/y"))
+      .toDF("doc_id", "url")
+    val r = TextClean.dedupByCanonicalUrl(df)
+      .select("doc_id", "url_canon", "keeper_id", "n_dupes", "is_keeper")
+      .as[(Long, String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (3L, "http://a.com/x", 3L, 3L, true),
+      (5L, "http://a.com/x", 3L, 3L, false),
+      (7L, "http://b.com/y", 7L, 1L, true),
+      (9L, "http://a.com/x", 3L, 3L, false)))
+  }
 }
