@@ -400,6 +400,48 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("c12"), col("c21"))
   }
 
+  /** Sketch-error audit of the MinHash estimator on its own candidates:
+    * for every banded-LSH candidate pair, the signature-agreement estimate
+    * (matching components / numHashes — the defining MinHash property)
+    * side by side with the EXACT shingle-set Jaccard, both as micro
+    * fixed-point integers plus their absolute gap. This is the
+    * check-your-sketch step a production dedup pipeline runs before
+    * trusting a (numHashes, bands) configuration at scale: the err_fp
+    * distribution IS the measured estimator error (σ ≈ √(j(1−j)/k)),
+    * and a bad hash family or band layout shows up as estimates
+    * detaching from truth. Everything is exact integer arithmetic —
+    * the audit itself is engine-replayable, not a rows-only contract.
+    * Same id-sized band shuffle as [[minhashLsh]]; the verify joins ride
+    * the persisted shingle frame. */
+  def minhashErrorAudit(docs: DataFrame, numHashes: Int = 16,
+      numBands: Int = 8): DataFrame = {
+    val base = hashedShingles(docs)
+    val bands = bandFrame(base, numHashes, numBands)
+    val cands = bands.select(col("doc_id").as("id1"), col("band"))
+      .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val withSigs = base.withColumn("sigs",
+        graft.expressions.MinHashSignatures(col("hs"),
+          aCoeffs(numHashes), bCoeffs(numHashes), MinHashPrime))
+      .select(col("doc_id"), col("sh"), col("sigs"))
+    cands
+      .join(withSigs.select(col("doc_id").as("id1"), col("sh").as("sh1"),
+        col("sigs").as("sg1")), Seq("id1"))
+      .join(withSigs.select(col("doc_id").as("id2"), col("sh").as("sh2"),
+        col("sigs").as("sg2")), Seq("id2"))
+      .withColumn("n_match_sig",
+        expr("size(filter(zip_with(sg1, sg2, (x, y) -> x = y), b -> b))").cast("long"))
+      .withColumn("n_inter", expr("size(array_intersect(sh1, sh2))").cast("long"))
+      .withColumn("n_union",
+        (size(col("sh1")) + size(col("sh2"))).cast("long") - col("n_inter"))
+      .withColumn("est_fp", expr(s"n_match_sig * 1000000 div $numHashes"))
+      .withColumn("jac_fp", expr("n_inter * 1000000 div greatest(n_union, 1)"))
+      .select(col("id1"), col("id2"), col("n_match_sig"), col("n_inter"),
+        col("n_union"), col("est_fp"), col("jac_fp"),
+        abs(col("est_fp") - col("jac_fp")).as("err_fp"))
+  }
+
   /** Incremental near-dup: each NEW batch document against an EXISTING
     * corpus — the shape every recurring crawl-ingest pipeline actually runs
     * (never re-dedup the whole corpus). Batch band keys equi-join corpus

@@ -1129,6 +1129,44 @@ object TextQueries {
             WHERE $jacSql >= 0.5"""
       }),
 
+    // Sketch-error audit (TextDedup.minhashErrorAudit): per LSH candidate,
+    // the signature-agreement MinHash estimate vs the exact shingle
+    // Jaccard, both micro fixed-point — the measured estimator error that
+    // qualifies a (numHashes, bands) config before a 100 TB run. Exact
+    // integers end-to-end, so the audit itself is oracle-hashed.
+    QueryDef("q_x_minhash_audit",
+      (s, d) => graft.operators.TextDedup.minhashErrorAudit(
+        t(s, d, "documents"), numHashes, numBands),
+      Some {
+        val sigExprs = (0 until numHashes).map(j =>
+          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+        val bandList = (0 until numBands).map(bn =>
+          s"'$bn|' || sig${2 * bn} || ':' || sig${2 * bn + 1}").mkString(", ")
+        val matchSum = (0 until numHashes).map(j =>
+          s"(CASE WHEN sa.sig$j = sb.sig$j THEN 1 ELSE 0 END)").mkString(" + ")
+        val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+        s"""WITH $shingledSql,
+            hsh AS (SELECT doc_id, sh,
+                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+            sigs AS (SELECT doc_id, sh, $sigExprs FROM hsh),
+            bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+            m AS (SELECT id1, id2,
+                    CAST($matchSum AS BIGINT) AS n_match_sig,
+                    CAST($inter AS BIGINT) AS n_inter,
+                    CAST(len(a.sh) + len(b.sh) - $inter AS BIGINT) AS n_union
+                  FROM cands
+                  JOIN shd a ON a.doc_id = id1 JOIN shd b ON b.doc_id = id2
+                  JOIN sigs sa ON sa.doc_id = id1 JOIN sigs sb ON sb.doc_id = id2)
+            SELECT id1, id2, n_match_sig, n_inter, n_union,
+                   n_match_sig * 1000000 // $numHashes AS est_fp,
+                   n_inter * 1000000 // greatest(n_union, 1) AS jac_fp,
+                   abs(n_match_sig * 1000000 // $numHashes
+                     - n_inter * 1000000 // greatest(n_union, 1)) AS err_fp
+            FROM m"""
+      }),
+
     // Asymmetric near-containment over the same LSH candidates: both
     // directed |S1∩S2|/|Si| ratios, kept when either reaches 0.8 — catches
     // quoted-inside/boilerplate-wrapped copies whose Jaccard is diluted by
