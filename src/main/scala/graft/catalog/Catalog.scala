@@ -790,20 +790,39 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     * leave current data physically in older directories; deleting those would
     * corrupt the current version). A referenced directory is reclaimed once
     * [[compact]] (or any full rewrite) ages the referencing manifests out. */
-  private def prune(name: String): Unit = {
+  private def prune(name: String): Unit = { pruneTo(name, keepVersions); () }
+
+  /** Snapshot expiry (the Iceberg expire-snapshots / Delta VACUUM verb,
+    * surfaced explicitly): physically delete retained version directories
+    * older than the newest `keepLast`, except directories still
+    * load-bearing for a kept version (manifest chains and carried files —
+    * the same safety rule the automatic post-commit prune applies). Time
+    * travel within the kept window is untouched; expired versions become
+    * unreadable and their storage is reclaimed. Idempotent. Returns the
+    * expired version numbers, oldest first. */
+  def expireVersions(name: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least one version")
+    withCommitLock(name) { pruneTo(name, keepLast) }
+  }
+
+  private def pruneTo(name: String, keepLast: Int): Seq[Long] = {
     // derive the pivot from the LIVE pointer (under the caller's commit
     // lock): pruning against a version captured before the lock could
     // delete the directory a concurrent rollback just flipped to
-    val current = currentVersion(name).getOrElse(return)
+    val current = currentVersion(name) match {
+      case Some(c) => c
+      case None => return Seq.empty
+    }
     val versions = listDir(tableDir(name))
       .filter(p => p.getFileName.toString.startsWith("v_"))
       .sortBy(_.getFileName.toString.stripPrefix("v_").toLong)
-    val retained = versions.takeRight(keepVersions).map(_.getFileName.toString).toSet + current
+    val retained = versions.takeRight(keepLast).map(_.getFileName.toString).toSet + current
     val referenced = retained.flatMap(v =>
       versionDataFiles(name, v).map(_.takeWhile(_ != '/')) ++ chainDirs(name, v))
-    versions.filterNot(p => retained(p.getFileName.toString) ||
+    val expired = versions.filterNot(p => retained(p.getFileName.toString) ||
         referenced(p.getFileName.toString))
-      .foreach(deleteRecursively)
+    expired.foreach(deleteRecursively)
+    expired.map(_.getFileName.toString.stripPrefix("v_").toLong)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -56,4 +56,51 @@ object SpanCorruption {
       .select(col("doc_id"), col("n_tokens"), col("n_spans"),
         col("input"), col("target"))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): split the token
+    * stream at two points into prefix/middle/suffix and emit the PSM
+    * rearrangement `<PRE> prefix <SUF> suffix <MID> middle`, applied to a
+    * deterministic `rate10`/10 fraction of documents (the paper's
+    * fim_rate; untransformed docs pass through verbatim, as the recipe
+    * requires — FIM is applied to a fraction of the corpus, not all of
+    * it).
+    *
+    * Same determinism contract as [[corrupt]]: the apply decision and
+    * both cut points are doc-identity hashes (uniform over 0..n_tokens
+    * inclusive — empty prefix/middle/suffix are legal and exercised), so
+    * reruns at any parallelism and the oracle pick identical splits, and
+    * prefix+middle+suffix always reassembles the document (spec-pinned).
+    * Pure map-side, zero shuffles. */
+  def fim(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rate10: Int = 5): DataFrame = {
+    require(rate10 >= 0 && rate10 <= 10)
+    val hApply = graft.functions.Hashing.hash64Expr(
+      "concat(cast(doc_id as string), ':fim')")
+    val hCutA = graft.functions.Hashing.hash64Expr(
+      "concat(cast(doc_id as string), ':cuta')")
+    val hCutB = graft.functions.Hashing.hash64Expr(
+      "concat(cast(doc_id as string), ':cutb')")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("fim_applied", expr(s"$hApply % 10 < $rate10"))
+      .withColumn("cut_lo", expr(
+        s"least($hCutA % (n_tokens + 1), $hCutB % (n_tokens + 1))"))
+      .withColumn("cut_hi", expr(
+        s"greatest($hCutA % (n_tokens + 1), $hCutB % (n_tokens + 1))"))
+      .withColumn("output", when(!col("fim_applied"),
+          array_join(col("__toks"), " "))
+        .otherwise(concat(
+          lit("<PRE> "),
+          array_join(expr("slice(__toks, 1, cast(cut_lo as int))"), " "),
+          lit(" <SUF> "),
+          array_join(expr(
+            "slice(__toks, cast(cut_hi as int) + 1, cast(n_tokens - cut_hi as int))"), " "),
+          lit(" <MID> "),
+          array_join(expr(
+            "slice(__toks, cast(cut_lo as int) + 1, cast(cut_hi - cut_lo as int))"), " "))))
+      .select(col("doc_id"), col("n_tokens"), col("fim_applied"),
+        col("cut_lo"), col("cut_hi"), col("output"))
+  }
 }

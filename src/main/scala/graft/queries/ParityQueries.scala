@@ -994,6 +994,51 @@ object ParityQueries {
                       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
                FROM orders WHERE o_orderkey % 3 IN (0, 1)""")),
 
+    // Snapshot expiry / VACUUM (Catalog.expireVersions): 4 versions
+    // written, explicit expiry keeps the newest 2 — retained reads (current
+    // + time travel) must be byte-identical to the oracle's predicate
+    // replay, the expired version must be PHYSICALLY unreadable (a soft
+    // expiry that leaves files behind fails that column), and the version
+    // list must shrink to exactly the kept window. Idempotent, so bench
+    // re-runs see the same row.
+    QueryDef("q_x_vacuum",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(catalogRoots, s, d, "graft-cat"), keepVersions = 10)
+        if (!cat.exists("vac_orders")) (1 to 4).foreach { i =>
+          cat.write("vac_orders", t(s, d, "orders")
+            .filter(col("o_orderkey") % 10 < i * 2)
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents")))
+        }
+        cat.expireVersions("vac_orders", keepLast = 2)
+        val vs = cat.versions("vac_orders")
+        val expiredUnreadable =
+          try { cat.readVersion("vac_orders", 0).count(); false }
+          catch { case _: Exception => true }
+        cat.read("vac_orders")
+          .agg(count(lit(1)).as("n_current"), sum(col("cents")).as("cents_current"))
+          .crossJoin(cat.readVersion("vac_orders", vs.head)
+            .agg(count(lit(1)).as("n_oldest_kept"),
+              sum(col("cents")).as("cents_oldest_kept")))
+          .withColumn("n_versions", lit(vs.size.toLong))
+          .withColumn("v_low", lit(vs.head))
+          .withColumn("v_high", lit(vs.last))
+          .withColumn("expired_unreadable", lit(expiredUnreadable))
+      },
+      Some(s"""SELECT
+                 (SELECT count(*) FROM orders WHERE o_orderkey % 10 < 8)
+                   AS n_current,
+                 (SELECT CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+                  FROM orders WHERE o_orderkey % 10 < 8) AS cents_current,
+                 (SELECT count(*) FROM orders WHERE o_orderkey % 10 < 6)
+                   AS n_oldest_kept,
+                 (SELECT CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+                  FROM orders WHERE o_orderkey % 10 < 6) AS cents_oldest_kept,
+                 CAST(2 AS BIGINT) AS n_versions,
+                 CAST(2 AS BIGINT) AS v_low,
+                 CAST(3 AS BIGINT) AS v_high,
+                 true AS expired_unreadable""")),
+
     // Incremental aggregate maintenance: daily revenue built by folding 4
     // disjoint order batches into a catalog-stored aggregate, one
     // O(batch + groups) refresh each — never a history re-scan. The oracle

@@ -2086,6 +2086,42 @@ object TextQueries {
                        ELSE '' END), p -> p <> ''), ' '), '') AS target
               FROM sx""")),
 
+    // Fill-in-the-middle rearrangement (SpanCorruption.fim): two
+    // doc-identity-hash cut points split each selected document (50%
+    // deterministic fim_rate) into prefix/middle/suffix, emitted in PSM
+    // order with sentinels; unselected docs pass through verbatim. The
+    // oracle replays the apply coin, both cuts, and all three slices.
+    QueryDef("q_x_fim",
+      (s, d) => graft.operators.SpanCorruption.fim(
+        t(s, d, "documents").select(col("doc_id"), col("text")), rate10 = 5),
+      Some(s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks
+                           FROM documents),
+              c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      ${hash64Sql("(CAST(doc_id AS VARCHAR) || ':fim')")}
+                        % 10 < 5 AS fim_applied,
+                      ${hash64Sql("(CAST(doc_id AS VARCHAR) || ':cuta')")}
+                        % (len(toks) + 1) AS ca,
+                      ${hash64Sql("(CAST(doc_id AS VARCHAR) || ':cutb')")}
+                        % (len(toks) + 1) AS cb
+                    FROM dd)
+              SELECT doc_id, n_tokens, fim_applied,
+                CAST(least(ca, cb) AS BIGINT) AS cut_lo,
+                CAST(greatest(ca, cb) AS BIGINT) AS cut_hi,
+                CASE WHEN NOT fim_applied THEN array_to_string(toks, ' ')
+                     ELSE '<PRE> '
+                       || coalesce(array_to_string(
+                            toks[1:CAST(least(ca, cb) AS INTEGER)], ' '), '')
+                       || ' <SUF> '
+                       || coalesce(array_to_string(
+                            toks[CAST(greatest(ca, cb) + 1 AS INTEGER)
+                              :CAST(n_tokens AS INTEGER)], ' '), '')
+                       || ' <MID> '
+                       || coalesce(array_to_string(
+                            toks[CAST(least(ca, cb) + 1 AS INTEGER)
+                              :CAST(greatest(ca, cb) AS INTEGER)], ' '), '')
+                END AS output
+              FROM c""")),
+
     // Boilerplate-paragraph removal by document frequency
     // (TextDedup.dropFrequentParagraphs): same synthetic corpus as
     // q_x_paragraph_dedup, but the per-source header (df≈docs/source) and

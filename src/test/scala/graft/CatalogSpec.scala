@@ -122,6 +122,36 @@ class CatalogSpec extends SparkSpec {
     assert(rows(cat.read("t")).flatten == Seq(5))
   }
 
+  test("expireVersions: keeps the window, deletes the rest, idempotent") {
+    val cat = new Catalog(spark,
+      Files.createTempDirectory("graft-cat").toString, keepVersions = 10)
+    (1 to 4).foreach(i => cat.write("t", Seq(i, i * 10).toDF("id")))
+    assert(cat.versions("t") == Seq(0L, 1L, 2L, 3L))
+    assert(cat.expireVersions("t", keepLast = 2) == Seq(0L, 1L))
+    assert(cat.versions("t") == Seq(2L, 3L))
+    // retained window still time-travels; expired version reads fail
+    assert(rows(cat.readVersion("t", 2)).flatten.toSet == Set(3, 30))
+    intercept[Exception] { cat.readVersion("t", 0).count() }
+    // idempotent: a second expiry finds nothing
+    assert(cat.expireVersions("t", 2).isEmpty)
+    assert(rows(cat.read("t")).flatten.toSet == Set(4, 40))
+  }
+
+  test("expireVersions: never deletes a directory a kept manifest carries") {
+    val cat = new Catalog(spark,
+      Files.createTempDirectory("graft-cat").toString, keepVersions = 10)
+    cat.write("t", (1 to 40).toDF("id").repartition(4))
+    cat.deleteWhere("t", col("id") > 35) // v1 carries v0 files by reference
+    assert(cat.versions("t") == Seq(0L, 1L))
+    // keepLast=1 wants v0 gone, but v1's manifest still references it
+    assert(cat.expireVersions("t", keepLast = 1).isEmpty)
+    assert(cat.read("t").count() == 35)
+    // a full rewrite breaks the chain; then v0 AND the delete version go
+    cat.write("t", cat.read("t"))
+    assert(cat.expireVersions("t", keepLast = 1) == Seq(0L, 1L))
+    assert(cat.read("t").count() == 35)
+  }
+
   test("append adds rows as a new atomic version (S4 INSERT INTO)") {
     val cat = freshCatalog()
     cat.append("t", Seq(1, 2).toDF("id"))

@@ -110,6 +110,33 @@ class FunctionsSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0)
   }
 
+  test("fim: PSM reassembles the document; passthrough verbatim; cuts in range") {
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 9).toInt).map(j => s"t$j").mkString(" "))) // incl empty text
+      .toDF("doc_id", "text")
+    val out = graft.operators.SpanCorruption.fim(docs, rate10 = 5)
+      .select("doc_id", "n_tokens", "fim_applied", "cut_lo", "cut_hi", "output")
+      .as[(Long, Long, Boolean, Long, Long, String)].collect()
+    val texts = docs.as[(Long, String)].collect().toMap
+    val psm = "^<PRE> (.*) <SUF> (.*) <MID> (.*)$".r
+    out.foreach { case (id, nTok, applied, lo, hi, output) =>
+      assert(0 <= lo && lo <= hi && hi <= nTok, s"doc $id cuts out of range")
+      if (!applied) assert(output == texts(id), s"doc $id passthrough")
+      else {
+        val m = psm.findFirstMatchIn(output)
+          .getOrElse(fail(s"doc $id not PSM: $output"))
+        // prefix ++ middle ++ suffix = original token stream
+        val rebuilt = Seq(m.group(1), m.group(3), m.group(2))
+          .flatMap(s => if (s.isEmpty) Nil else s.split(" ").toSeq)
+        val orig =
+          if (texts(id).isEmpty) Seq("") else texts(id).split(" ").toSeq
+        assert(rebuilt == orig.filter(_.nonEmpty), s"doc $id roundtrip")
+      }
+    }
+    // the deterministic coin actually splits the corpus both ways
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
   test("duplicated spans: cross-doc copies and within-doc repeats both count") {
     // doc 1 and 2 share an 8-token run; doc 3 repeats its own 8-token run;
     // doc 4 is unrelated; doc 5 is shorter than the window.
