@@ -726,6 +726,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** Integer sample-rate reduction (decimation without an anti-alias
+    * filter — the exact-arithmetic downsample): keep every `factor`-th
+    * PCM16 sample, re-encode as a REAL WAV at rate/factor, and emit the
+    * decimated stream's statistics plus a `recoded_ok` proof that the
+    * re-encoded payload decodes back to the identical sample vector (the
+    * codec cycle is in the hot path, not just the synth fixture). The
+    * 16 kHz→8 kHz-style normalization every audio-corpus pipeline runs
+    * before feature extraction, kept filter-free so a SQL oracle can
+    * replay every output from the source samples. mapPartitions because
+    * nothing short of a codec decodes RIFF chunks; one pass per payload,
+    * no shuffles. Requires rate divisible by `factor`; non-WAV rows
+    * surface as null-stat rows (same contract as [[audioFeatures]]). */
+  def audioDecimate(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("factor", IntegerType, nullable = false),
+      StructField("sample_rate_out", IntegerType),
+      StructField("n_samples_in", LongType),
+      StructField("n_samples_out", LongType),
+      StructField("peak", LongType),
+      StructField("sum_sq", LongType),
+      StructField("n_zero_crossings", LongType),
+      StructField("recoded_ok", BooleanType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        WavCodec.decodePcm16(r.getAs[Array[Byte]]("payload")) match {
+          case Some((rate, channels, s)) if channels == 1 && rate % factor == 0 =>
+            val dec = Array.tabulate((s.length + factor - 1) / factor)(i =>
+              s(i * factor))
+            var sumSq = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < dec.length) {
+              val v = dec(i).toLong
+              sumSq += v * v
+              val a = math.abs(v); if (a > peak) peak = a
+              if (i > 0 && ((dec(i - 1) < 0) != (v < 0))) zc += 1
+              i += 1
+            }
+            val recoded = WavCodec.decodePcm16(
+              WavCodec.encodePcm16(dec, rate / factor))
+            val ok = recoded.exists { case (r2, c2, s2) =>
+              r2 == rate / factor && c2 == 1 && java.util.Arrays.equals(s2, dec)
+            }
+            Row(id, factor, rate / factor, s.length.toLong, dec.length.toLong,
+              peak, sumSq, zc, ok)
+          case _ =>
+            Row(id, factor, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic WAV media from a text corpus: each document's
     * UTF-8 bytes become PCM16 samples ((byte − 128) · 256 — the standard
     * u8→s16 PCM widening) wrapped in a REAL canonical WAV. The gate pairs

@@ -1945,6 +1945,37 @@ object TextQueries {
                           i -> (sm[i-1] < 0) <> (sm[i] < 0))) AS BIGINT) AS n_zero_crossings
               FROM s""")),
 
+    // Integer audio decimation (Multimodal.audioDecimate): every 4th PCM16
+    // sample through the REAL WAV encode→decode cycle at 8000→2000 Hz,
+    // stats replayed by the oracle from the source characters, plus the
+    // recoded_ok codec-roundtrip proof (hashed as literal true — a decode
+    // or re-encode defect flips it). Same ASCII-enforcement filter as
+    // q_x_audio_features.
+    QueryDef("q_x_audio_decimate",
+      (s, d) => graft.multimodal.Multimodal.audioDecimate(
+        graft.multimodal.Multimodal.wavSynth(t(s, d, "documents")
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            col("text") =!= "")), factor = 4),
+      Some("""WITH s AS (SELECT doc_id,
+                list_transform(split(text, ''), c -> CAST((ord(c) - 128) * 256 AS BIGINT)) AS sm
+              FROM documents
+              WHERE octet_length(CAST(text AS BLOB)) = length(text) AND text <> ''),
+              dd AS (SELECT doc_id, sm,
+                list_transform(list_filter(generate_series(1, len(sm)),
+                  i -> (i - 1) % 4 = 0), i -> sm[i]) AS dm
+              FROM s)
+              SELECT doc_id AS media_id,
+                     CAST(4 AS INTEGER) AS factor,
+                     CAST(2000 AS INTEGER) AS sample_rate_out,
+                     CAST(len(sm) AS BIGINT) AS n_samples_in,
+                     CAST(len(dm) AS BIGINT) AS n_samples_out,
+                     CAST(list_max(list_transform(dm, x -> abs(x))) AS BIGINT) AS peak,
+                     CAST(list_sum(list_transform(dm, x -> x * x)) AS BIGINT) AS sum_sq,
+                     CAST(len(list_filter(generate_series(2, len(dm)),
+                          i -> (dm[i-1] < 0) <> (dm[i] < 0))) AS BIGINT) AS n_zero_crossings,
+                     true AS recoded_ok
+              FROM dd""")),
+
     // C4-style line+page cleaning (TextClean.c4Clean): the synthetic doc
     // exercises every rule — a punctuation-less title line, a
     // "enable JavaScript" notice, a <5-word line (all line-dropped), plus

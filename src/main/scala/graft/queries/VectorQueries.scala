@@ -869,6 +869,54 @@ object VectorQueries {
         t(s, d, "embeddings"), col("vec_id") < 20, 3, numPlanes, dim = 64),
       Some(ivfOracleSql)),
 
+    // Index-quality audit: recall@5 of the IVF probe against the exact
+    // brute-force top-5, per query — the measure-your-index step that
+    // qualifies a bucketing config before a corpus-scale deployment (the
+    // ANN twin of q_x_minhash_audit). Both rankings are deterministic, so
+    // the audit hashes exactly; recall is an integer fixed-point ratio.
+    QueryDef("q_x_ann_recall_audit",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val ex = graft.operators.VectorSearch.bruteForceTopK(
+          emb, col("vec_id") < 20, 5).select(col("qid"), col("nid"))
+        val ap = graft.operators.VectorSearch.ivfProbeTopK(
+            emb, col("vec_id") < 20, 5, numPlanes, dim = 64)
+          .select(col("qid"), col("nid"), lit(1L).as("hit"))
+        ex.join(ap, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            expr("n_hits * 1000000 div 5").as("recall_fp"))
+      },
+      Some {
+        val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+        val bucketSql = (0 until numPlanes).map { p =>
+          s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+            n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn,
+                    $bucketSql AS bucket FROM e),
+            pall AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                  FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+            ex AS (SELECT qid, nid FROM (
+                     SELECT qid, nid, row_number() OVER
+                       (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+                     FROM pall) WHERE r <= 5),
+            pb AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  list_dot_product(a.q, b.q) / sqrt(a.nn * b.nn) AS sim
+                  FROM n a JOIN n b ON a.bucket = b.bucket
+                  AND a.vec_id < 20 AND b.vec_id <> a.vec_id),
+            ap AS (SELECT qid, nid FROM (
+                     SELECT qid, nid, row_number() OVER
+                       (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+                     FROM pb) WHERE r <= 5)
+            SELECT ex.qid, CAST(count(ap.nid) AS BIGINT) AS n_hits,
+                   CAST(count(ap.nid) * 1000000 // 5 AS BIGINT) AS recall_fp
+            FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+            GROUP BY 1"""
+      }),
+
     // ANN through the PERSISTED IVF index: buildIvfIndex → catalog write →
     // read back → probe. Only the query rows are quantized/bucketed at
     // query time; the corpus side is the stored index scan — one embedding

@@ -273,6 +273,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) == Seq(3L, 4000, 2, 8L, 1L, 1000L, 8000000L, 1000.0, 7L))
   }
 
+  test("audioDecimate: every k-th sample, recode proof, stereo/indivisible go NULL") {
+    import spark.implicits._
+    import Multimodal.WavCodec
+    // 0, 100, -200, 300, -400, 500, -600, 700; factor 2 keeps indices 0,2,4,6
+    val s = Array.tabulate[Short](8)(i =>
+      (if (i == 0) 0 else (if (i % 2 == 0) -1 else 1) * i * 100).toShort)
+    val wav = WavCodec.encodePcm16(s, 8000)
+    val stereo = WavCodec.encodePcm16(s, 8000, channels = 2)
+    val odd = WavCodec.encodePcm16(s, 9001) // 9001 % 2 != 0
+    val media = Seq((1L, "audio", wav), (2L, "audio", stereo),
+      (3L, "audio", odd)).toDF("media_id", "kind", "payload")
+    val got = rows(Multimodal.audioDecimate(media, 2).orderBy("media_id"))
+    // kept: 0, -200, -400, -600 → peak 600, sum_sq 560000; zc 1: the
+    // 0→-200 step flips the (v < 0) predicate (0 counts as non-negative)
+    assert(got(0) == Seq(1L, 2, 4000, 8L, 4L, 600L, 560000L, 1L, true))
+    assert(got(1) == Seq(2L, 2, null, null, null, null, null, null, null))
+    assert(got(2) == Seq(3L, 2, null, null, null, null, null, null, null))
+  }
+
   test("MP3 frame layer: synth stream walks back frame-exact; VBR lengths differ") {
     import graft.multimodal.Multimodal.Mp3Codec
     // 3 frames → bitrates 128/160/192, frame lengths 417/522/626
