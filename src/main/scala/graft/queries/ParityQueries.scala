@@ -752,6 +752,36 @@ object ParityQueries {
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment""")),
 
+    // Correlated LATERAL subquery — the SQL-surface row for per-row
+    // dependent subplans (top-2 priciest lineitems of each high-value
+    // order): Spark decorrelates the LATERAL + LIMIT into a ranked window
+    // under the hood, which is exactly the distributed plan to want; the
+    // oracle runs the IDENTICAL text. Deterministic via the (price DESC,
+    // linenumber) tie-break.
+    QueryDef("q_x_lateral_topn",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_orders")
+        t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql(s"""SELECT o_orderkey, l.l_linenumber,
+                  ${centsSql("l.l_extendedprice")} AS price_cents
+                  FROM graft_orders,
+                  LATERAL (SELECT l_linenumber, l_extendedprice
+                           FROM graft_lineitem
+                           WHERE l_orderkey = o_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber
+                           LIMIT 2) AS l
+                  WHERE o_totalprice > 450000""")
+      },
+      Some(s"""SELECT o_orderkey, l.l_linenumber,
+               ${centsSql("l.l_extendedprice")} AS price_cents
+               FROM orders,
+               LATERAL (SELECT l_linenumber, l_extendedprice
+                        FROM lineitem
+                        WHERE l_orderkey = o_orderkey
+                        ORDER BY l_extendedprice DESC, l_linenumber
+                        LIMIT 2) AS l
+               WHERE o_totalprice > 450000""")),
+
     // Collect + sort: per-group ordered array aggregation (sorting makes the
     // nondeterministic collect order irrelevant on both engines). The gate
     // column is the '|'-joined scalar rather than the raw array because the
