@@ -148,6 +148,28 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
           .otherwise(col(s"__new.$c")).as(c)): _*)
   }
 
+  /** Delta-CDF-style change feed: row-level changes across a RANGE of
+    * retained versions as ONE frame — the keyed diff of each adjacent
+    * retained pair in [from, to], every row tagged with `_commit_version`
+    * (the version that produced it) on top of [[diffVersionsKeyed]]'s
+    * `op` + row columns. The downstream-sync surface: a consumer holding
+    * version `from` applies the feed in (_commit_version, op) order and
+    * lands exactly at `to` — no full-table re-copy, output bounded by
+    * true change volume per commit. Both endpoints must be retained
+    * (expired history cannot be diffed — that is what [[expireVersions]]
+    * means). */
+  def changeFeed(name: String, from: Long, to: Long, key: String): DataFrame = {
+    require(from < to, s"changeFeed needs from < to, got $from..$to")
+    val vs = versions(name).filter(v => v >= from && v <= to)
+    require(vs.contains(from) && vs.contains(to),
+      s"changeFeed $name: endpoints $from..$to must both be retained " +
+        s"(retained: ${versions(name).mkString(", ")})")
+    import org.apache.spark.sql.functions.lit
+    vs.sliding(2).collect { case Seq(a, b) =>
+      diffVersionsKeyed(name, a, b, key).withColumn("_commit_version", lit(b))
+    }.reduce(_ unionByName _)
+  }
+
   /** A version is either self-contained (plain directory scan) or, after a
     * file-level append, a `_MANIFEST` whose chain resolves to table-dir-
     * relative data files that may live in OLDER version directories

@@ -1024,6 +1024,42 @@ object ParityQueries {
                       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
                FROM orders WHERE o_orderkey % 3 IN (0, 1)""")),
 
+    // Multi-version change feed (Catalog.changeFeed): the Delta-CDF read
+    // surface — keyed diffs of every adjacent retained pair in [0, 2] as
+    // one frame, each row stamped with its producing _commit_version.
+    // Three predicate-derivable versions give inserts+deletes+updates at
+    // commit 1 and pure deletes at commit 2; the oracle recomputes every
+    // change class from the predicates alone.
+    QueryDef("q_x_change_feed",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(catalogRoots, s, d, "graft-cat"), keepVersions = 10)
+        if (!cat.exists("cdf_orders")) {
+          val o = t(s, d, "orders")
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+          cat.write("cdf_orders", o.filter(col("o_orderkey") % 3 === 0))
+          cat.write("cdf_orders", o.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("cents", col("cents") + col("o_orderkey") % 5))
+          cat.write("cdf_orders",
+            o.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 7 =!= 0)
+              .withColumn("cents", col("cents") + col("o_orderkey") % 5))
+        }
+        cat.changeFeed("cdf_orders", 0, 2, "o_orderkey")
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey AS k,
+                 ${centsSql("o_totalprice")} AS c FROM orders)
+               SELECT 'insert' AS op, k AS o_orderkey, c + k % 5 AS cents,
+                      CAST(1 AS BIGINT) AS _commit_version
+               FROM o WHERE k % 2 = 0 AND k % 3 <> 0
+               UNION ALL
+               SELECT 'delete', k, c, 1 FROM o WHERE k % 3 = 0 AND k % 2 <> 0
+               UNION ALL
+               SELECT 'update', k, c + k % 5, 1
+               FROM o WHERE k % 6 = 0 AND k % 5 <> 0
+               UNION ALL
+               SELECT 'delete', k, c + k % 5, 2
+               FROM o WHERE k % 2 = 0 AND k % 7 = 0""")),
+
     // Snapshot expiry / VACUUM (Catalog.expireVersions): 4 versions
     // written, explicit expiry keeps the newest 2 — retained reads (current
     // + time travel) must be byte-identical to the oracle's predicate
