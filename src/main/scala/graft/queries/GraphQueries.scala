@@ -360,6 +360,24 @@ object GraphQueries {
         rounds = 4),
       Some(bfsOracle(4))),
 
+    // Incremental connected components: a deterministic 1-in-5 slice of
+    // the co-purchase edges arrives as the NEW batch against components
+    // fitted on the rest — contraction maps batch endpoints through the
+    // old labels, min-label rounds run on the batch-bounded contracted
+    // graph only, old nodes re-resolve through their root. No old-edge
+    // scan anywhere: the recurring-crawl dedup-graph maintenance shape.
+    QueryDef("q_x_cc_incremental",
+      (s, d) => {
+        val gr = graft.operators.GraphRank
+        val edges = coPurchaseEdges(s, d)
+        val isNew = graft.functions.Hashing.hash64(
+          concat(col("a").cast("string"), lit(":"), col("b").cast("string"))) % 5 === 0
+        gr.connectedComponentsIncremental(
+          gr.connectedComponents(edges.filter(!isNew).select("a", "b"), rounds = 8),
+          edges.filter(isNew).select("a", "b"), rounds = 4)
+      },
+      Some(ccIncOracle(8, 4))),
+
     // End-to-end entity resolution: FastSS deletion-variant candidate
     // pairs over supplier names (operators.RecordLinkage) → levenshtein≤1
     // verified edges → connected components (8 min-label rounds) → one
@@ -369,9 +387,15 @@ object GraphQueries {
     // form — no block² compare, no driver graph state.
     QueryDef("q_x_er_resolve",
       (s, d) => {
+        // persist the verified pairs: connectedComponents' self-looped
+        // edge build references its input 4× (two direction unions + the
+        // self-loop distinct) — cached coPurchase edges absorb that for
+        // the other graph gates, but this leaf is a full FastSS pipeline
+        // (measured 4.7 → ~2 s at sf0.1 with the persist)
         val pairs = graft.operators.RecordLinkage.editNeighborPairs(
             t(s, d, "supplier"), "s_suppkey", "s_name")
           .select(col("id1").as("a"), col("id2").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val comp = graft.operators.GraphRank.connectedComponents(pairs, rounds = 8)
         val sizes = comp.groupBy(col("component"))
           .agg(count(lit(1)).as("n_members"))
@@ -444,6 +468,62 @@ object GraphQueries {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT n, CAST(dist AS BIGINT) AS dist FROM l$rounds"
+  }
+
+  /** DuckDB replay of [[graft.operators.GraphRank
+    * .connectedComponentsIncremental]] on the hash-split co-purchase
+    * graph: `oldRounds` min-label rounds over the 4/5 "old" slice, the
+    * batch contraction (endpoints mapped through old labels, self for
+    * unknown, least/greatest orient, distinct), `incRounds` rounds over
+    * the contracted set, then the node-sized resolve join. */
+  private def ccIncOracle(oldRounds: Int, incRounds: Int): String = {
+    val splitHash = hash64Sql("(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+    val head =
+      s"""WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         e AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
+              ON x.g = y.g AND x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2),
+         eo AS MATERIALIZED (SELECT a, b FROM e WHERE $splitHash % 5 <> 0),
+         en AS MATERIALIZED (SELECT a, b FROM e WHERE $splitHash % 5 = 0),
+         undo AS MATERIALIZED (SELECT a AS src, b AS dst FROM eo
+              UNION ALL SELECT b, a FROM eo),
+         lo0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM undo)"""
+    val oldSteps = (1 to oldRounds).map { i =>
+      s"""lnm$i AS MATERIALIZED (SELECT undo.dst AS n, min(lo${i - 1}.component) AS nbr_min
+            FROM undo JOIN lo${i - 1} ON undo.src = lo${i - 1}.n GROUP BY 1),
+          lo$i AS MATERIALIZED (SELECT l.n,
+              least(l.component, COALESCE(lnm$i.nbr_min, l.component)) AS component
+            FROM lo${i - 1} l LEFT JOIN lnm$i USING (n))"""
+    }
+    val contract =
+      s"""ec AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+            FROM (SELECT COALESCE(la.component, en.a) AS x,
+                         COALESCE(lb.component, en.b) AS y
+                  FROM en LEFT JOIN lo$oldRounds la ON en.a = la.n
+                          LEFT JOIN lo$oldRounds lb ON en.b = lb.n)
+            WHERE x <> y),
+         undc AS MATERIALIZED (SELECT a AS src, b AS dst FROM ec
+              UNION ALL SELECT b, a FROM ec),
+         mc0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM undc)"""
+    val incSteps = (1 to incRounds).map { i =>
+      s"""mnm$i AS MATERIALIZED (SELECT undc.dst AS n, min(mc${i - 1}.component) AS nbr_min
+            FROM undc JOIN mc${i - 1} ON undc.src = mc${i - 1}.n GROUP BY 1),
+          mc$i AS MATERIALIZED (SELECT l.n,
+              least(l.component, COALESCE(mnm$i.nbr_min, l.component)) AS component
+            FROM mc${i - 1} l LEFT JOIN mnm$i USING (n))"""
+    }
+    val resolve =
+      s"""alln AS (SELECT n, component FROM lo$oldRounds
+            UNION ALL
+            SELECT n, n AS component FROM (
+              SELECT DISTINCT n FROM
+                (SELECT a AS n FROM en UNION ALL SELECT b FROM en)
+              WHERE n NOT IN (SELECT n FROM lo$oldRounds)))
+          SELECT alln.n, COALESCE(mc.root, alln.component) AS component
+          FROM alln LEFT JOIN
+            (SELECT n AS component, component AS root FROM mc$incRounds) mc
+            USING (component)"""
+    (Seq(head) ++ oldSteps ++ Seq(contract) ++ incSteps).mkString(",\n") +
+      ",\n" + resolve
   }
 
   /** DuckDB replay of the q_x_er_resolve closure: the FastSS variant

@@ -191,6 +191,25 @@ class GraphRankSpec extends SparkSpec {
     assert(dm == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("ccIncremental: merge via batch, new nodes, no-op batch; ≡ full refit") {
+    // old graph: chains 1-2-3 and 10-11; components {1},{10}
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val oldL = GraphRank.connectedComponents(oldE, 4)
+    // batch: bridge 3-10 (merges the two components) + new pair 20-21
+    val batch = Seq((3L, 10L), (20L, 21L)).toDF("a", "b")
+    val inc = ranks(GraphRank.connectedComponentsIncremental(oldL, batch, 4))
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+    // ≡ refitting the union graph from scratch
+    val full = ranks(GraphRank.connectedComponents(
+      oldE.unionByName(batch), 6))
+    assert(inc == full, "incremental must equal the full refit")
+    // a batch whose edges stay inside one old component changes nothing
+    val noop = ranks(GraphRank.connectedComponentsIncremental(
+      oldL, Seq((1L, 3L)).toDF("a", "b"), 4))
+    assert(noop == ranks(oldL))
+  }
+
   test("connectedComponents: gate budget (8) converged on the sf0.001 graph") {
     val edges = GraphRank.coOccurrenceEdges(
       spark.read.parquet(s"$sf0001/lineitem.parquet"),
