@@ -43,7 +43,60 @@ object RecordLinkage {
     * `levenshtein` verify, which runs BEFORE the distinct so the dedup
     * only holds true near-matches. */
   def editNeighborPairs(records: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    // DEDUPE-BEFORE-BLOCK: collapse exact-duplicate keys first, run the
+    // variant blocking + levenshtein verify once per DISTINCT key, then
+    // expand name-level matches back to id pairs. On corpora with d-way
+    // duplicated keys (every recrawl has them; the sf1 fixture is 10-way
+    // by construction) the naive per-record form pays d² candidate joins,
+    // d² verifies, and a d²-sized distinct per name — measured 379 s at
+    // sf1 where this form verifies 15 k distinct names and spends the
+    // rest on pure output expansion (the 27 M result rows are the answer;
+    // only producing them should cost output time). Same output multiset:
+    // same-key id pairs are dist-0 by definition (branch a); cross-key id
+    // pairs inherit their name pair's distance (branch b), and each id
+    // pair arises from exactly one unordered name pair, so no distinct is
+    // needed after expansion.
     val base = records.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
+    val groups = base.groupBy(col("key"))
+      .agg(collect_list(col("id")).as("ids"), min(col("id")).as("rid"),
+        count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (a) exact-duplicate pairs: all id pairs inside one key group. Group
+    // size = the key's duplication count — the usual hot-key caveat; a
+    // key duplicated millions of times needs an upstream cap, same as any
+    // blocking scheme.
+    val dup = groups.filter(col("m") > 1)
+      .select(col("key"), explode(col("ids")).as("idA"), col("ids"))
+      .select(col("key"), col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA").as("id1"), col("idB").as("id2"),
+        col("key").as("key1"), col("key").as("key2"), lit(0L).as("dist"))
+    // (b) distance-1 name pairs over distinct keys, expanded to id pairs
+    val namePairs = editNeighborPairsDistinct(
+      groups.select(col("rid").as("id"), col("key")))
+      .filter(col("dist") === 1L)
+      .select(col("key1"), col("key2"), col("dist"))
+    val expanded = namePairs
+      .join(groups.select(col("key").as("key1"), col("ids").as("ids1")), Seq("key1"))
+      .join(groups.select(col("key").as("key2"), col("ids").as("ids2")), Seq("key2"))
+      .select(col("key1"), col("key2"), col("dist"),
+        explode(col("ids1")).as("idA"), col("ids2"))
+      .select(col("key1"), col("key2"), col("dist"), col("idA"),
+        explode(col("ids2")).as("idB"))
+      .select(when(col("idA") < col("idB"),
+          struct(col("idA").as("id1"), col("idB").as("id2"),
+            col("key1").as("k1"), col("key2").as("k2")))
+        .otherwise(struct(col("idB").as("id1"), col("idA").as("id2"),
+          col("key2").as("k1"), col("key1").as("k2"))).as("p"),
+        col("dist"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.k1").as("key1"), col("p.k2").as("key2"), col("dist"))
+    dup.unionByName(expanded)
+  }
+
+  /** The per-record FastSS pipeline over a frame whose keys are DISTINCT
+    * (one row per key; `id` is the key's representative). */
+  private def editNeighborPairsDistinct(base: DataFrame): DataFrame = {
     val dels = base.select(col("id"), col("key"),
         posexplode(expr("transform(sequence(1, length(key)), " +
           "i -> concat(substring(key, 1, i-1), substring(key, i+1, length(key))))")))
