@@ -77,6 +77,12 @@ final case class TrainingPipelineConfig(
     // ([[graft.operators.TextClean.filterBlockedDomains]]) — the crawl
     // blocklist gate, before quality scoring spends anything on spam
     blockedDomains: Seq[String] = Nil,
+    // URL-level recrawl dedup FIRST ([[graft.operators.TextClean
+    // .dedupByCanonicalUrl]]): when set to the column holding each doc's
+    // source URL, keep one capture per canonical URL (min doc_id) before
+    // ANY content stage spends a byte on recrawl copies — the
+    // CommonCrawl-ordering of passes (URL dedup, then content dedup)
+    urlDedupCol: Option[String] = None,
     quality: QualityFilter.Thresholds = QualityFilter.Thresholds(),
     maxRepetition: Option[Double] = None, // e.g. Some(0.3): drop boilerplate docs
     // the published Gopher rule battery as an extra map-side gate (word
@@ -150,10 +156,18 @@ final class TrainingPipeline(spark: SparkSession, catalog: Catalog) {
 
   def run(docs0: DataFrame, cfg: TrainingPipelineConfig = TrainingPipelineConfig()):
       TrainingPipelineSummary = {
+    // URL dedup ahead of everything: recrawl copies must not even reach
+    // the markup strip (one canonical-key window; keeper = min doc_id)
+    val urlDeduped = cfg.urlDedupCol match {
+      case None => docs0
+      case Some(u) => docs0.join(
+        graft.operators.TextClean.dedupByCanonicalUrl(docs0, "doc_id", u)
+          .filter(col("is_keeper")).select(col("doc_id")), Seq("doc_id"))
+    }
     // markup strip → blocklist → NFC: all pure maps / one broadcast
     // semi-join riding the first scan, before any statistic sees the text
-    val stripped = if (!cfg.stripMarkup) docs0
-      else docs0.withColumn("text",
+    val stripped = if (!cfg.stripMarkup) urlDeduped
+      else urlDeduped.withColumn("text",
         graft.operators.TextClean.stripMarkupCol(col("text")))
     val unblocked =
       if (cfg.blockedDomains.isEmpty) stripped

@@ -314,6 +314,25 @@ class TrainingPipelineSpec extends SparkSpec {
       s"markup and script body must strip: '${corpus(1L)}'")
   }
 
+  test("urlDedupCol keeps one capture per canonical URL before any stage") {
+    import spark.implicits._
+    val tiny = Seq(
+      (5L, "recrawl copy of the page body words", "http://www.A.com/x"),
+      (3L, "first capture of the page body words", "HTTP://a.com/x#frag"),
+      (9L, "tracking recrawl of the page body words", "http://a.com/x?utm_source=s"),
+      (7L, "a different page entirely with words", "http://b.com/y"))
+      .toDF("doc_id", "text", "url")
+    val open = graft.operators.QualityFilter.Thresholds(
+      minTokens = 1, minAlphaRatio = 0.0, minStopRatio = 0.0)
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-train").toString)
+    new TrainingPipeline(spark, cat).run(tiny, TrainingPipelineConfig(
+      quality = open, urlDedupCol = Some("url")))
+    val kept = cat.read("training_corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(3L, 7L),
+      s"min-id capture per canonical URL must survive: $kept")
+  }
+
   test("curriculumPhases stages sequences easy→hard; exclusive with packByBpe") {
     import spark.implicits._
     val tiny = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("tok").mkString(" ")))
