@@ -1024,6 +1024,54 @@ object ParityQueries {
                       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
                FROM orders WHERE o_orderkey % 3 IN (0, 1)""")),
 
+    // Benford first-digit audit — the classic fabricated-numbers /
+    // unit-mixup data-quality screen over a positive measure column:
+    // per leading digit, the exact observed count beside the Benford
+    // expectation in micro units. The log10 expectations are PRECOMPUTED
+    // DRIVER LITERALS baked identically into both plans (no engine libm
+    // in either plan); deviation is pure integer arithmetic. Map-side
+    // census + 9-row aggregate.
+    QueryDef("q_x_benford",
+      (s, d) => {
+        // expected_micro[d] = round(log10(1 + 1/d) * 1e6), exact literals
+        val exp6 = (1 to 9).map(dg =>
+          dg -> math.round(math.log10(1.0 + 1.0 / dg) * 1e6))
+        val expMap = exp6.map { case (dg, e) =>
+          s"WHEN $dg THEN ${e}L" }.mkString(" ")
+        val o = t(s, d, "orders")
+        val n = o.count()
+        // leading digit via INTEGER cents — integer-to-string rendering is
+        // unambiguous in both engines, double-to-string is not (and cents
+        // share the price's leading digit for any price >= 1)
+        o.select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n_obs"))
+          .withColumn("expected_micro",
+            expr(s"CASE digit $expMap ELSE 0L END"))
+          .withColumn("expected_n_micro", col("expected_micro") * n)
+          .withColumn("dev_micro",
+            col("n_obs") * 1000000L - col("expected_n_micro"))
+      },
+      Some {
+        val exp6 = (1 to 9).map(dg =>
+          dg -> math.round(math.log10(1.0 + 1.0 / dg) * 1e6))
+        val expMap = exp6.map { case (dg, e) =>
+          s"WHEN $dg THEN CAST($e AS BIGINT)" }.mkString(" ")
+        s"""WITH n AS (SELECT count(*) AS total FROM orders),
+            c AS (SELECT CAST(substr(CAST(${centsSql("o_totalprice")} AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit,
+                  count(*) AS n_obs
+                  FROM orders GROUP BY 1)
+            SELECT digit, n_obs,
+              (CASE digit $expMap ELSE CAST(0 AS BIGINT) END) AS expected_micro,
+              (CASE digit $expMap ELSE CAST(0 AS BIGINT) END) * n.total
+                AS expected_n_micro,
+              n_obs * 1000000 - (CASE digit $expMap ELSE CAST(0 AS BIGINT) END)
+                * n.total AS dev_micro
+            FROM c, n"""
+      }),
+
     // Multi-version change feed (Catalog.changeFeed): the Delta-CDF read
     // surface — keyed diffs of every adjacent retained pair in [0, 2] as
     // one frame, each row stamped with its producing _commit_version.
