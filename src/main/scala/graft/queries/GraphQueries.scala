@@ -18,6 +18,11 @@ object GraphQueries {
   private val coEdges = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
 
+  /** Per-(session, sfDir) roots for the q_x_cc_incremental stored seed
+    * labeling (write-once-read-many, like the stored band/IVF indexes). */
+  private val ccLabelRoots = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     coEdges.keySet.removeIf(_._1.sparkContext.isStopped)
@@ -361,19 +366,26 @@ object GraphQueries {
       Some(bfsOracle(4))),
 
     // Incremental connected components: a deterministic 1-in-5 slice of
-    // the co-purchase edges arrives as the NEW batch against components
-    // fitted on the rest — contraction maps batch endpoints through the
-    // old labels, min-label rounds run on the batch-bounded contracted
-    // graph only, old nodes re-resolve through their root. No old-edge
-    // scan anywhere: the recurring-crawl dedup-graph maintenance shape.
+    // the co-purchase edges arrives as the NEW batch against a STORED
+    // labeling (fitted once on the rest and persisted through the
+    // catalog, like the stored LSH/IVF indexes — a real deployment reads
+    // yesterday's labels, it does not refit them). Contraction maps batch
+    // endpoints through the old labels, min-label rounds run on the
+    // batch-bounded contracted graph only, old nodes re-resolve through
+    // their root. No old-edge scan anywhere: the recurring-crawl
+    // dedup-graph maintenance shape.
     QueryDef("q_x_cc_incremental",
       (s, d) => {
         val gr = graft.operators.GraphRank
         val edges = coPurchaseEdges(s, d)
         val isNew = graft.functions.Hashing.hash64(
           concat(col("a").cast("string"), lit(":"), col("b").cast("string"))) % 5 === 0
-        gr.connectedComponentsIncremental(
-          gr.connectedComponents(edges.filter(!isNew).select("a", "b"), rounds = 8),
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(ccLabelRoots, s, d, "graft-cc-labels"))
+        if (!cat.exists("cc_labels"))
+          cat.write("cc_labels",
+            gr.connectedComponents(edges.filter(!isNew).select("a", "b"), rounds = 8))
+        gr.connectedComponentsIncremental(cat.read("cc_labels"),
           edges.filter(isNew).select("a", "b"), rounds = 4)
       },
       Some(ccIncOracle(8, 4))),
