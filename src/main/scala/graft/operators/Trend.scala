@@ -97,6 +97,43 @@ object Trend {
           (m("sy") * m("sxx") - m("sx") * m("sxy")).cast("double") / det))
   }
 
+  /** ROLLING least-squares slope over the trailing `w` rows per key — the
+    * local drift detector ([[linearTrend]] fits one line per key; this
+    * fits one per POSITION, catching a trend that reverses mid-series).
+    * Exact integer arithmetic throughout via the shifted-sum identity:
+    * with x = the key-global 0-based row index, the slope of a window is
+    * invariant to shifting x, so the rolling moments Σx, Σy, Σxy, Σx²
+    * accumulate over plain window frames with GLOBAL x (no per-window
+    * re-indexing) and slope_fp = (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − Σx²)
+    * is one truncating integer division — bit-identical cross-engine.
+    * Rows before a full window emit NULL (the fit is underdetermined).
+    *
+    * Scale: one key-partitioned window (per-key row counts bound the
+    * partition), four frame sums riding one WindowExec. Overflow bound:
+    * w · max|x| · max|y| must stay < 2⁶³ — at larger series rebase x per
+    * key-epoch (the slope is shift-invariant, so rebasing is free). */
+  def rollingSlope(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      yCents: Column, w: Int): DataFrame = {
+    require(w >= 2, "a slope needs at least 2 points")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val frame = ord.rowsBetween(-(w - 1), 0)
+    val indexed = events
+      .withColumn("__x", (row_number().over(ord) - 1).cast("long"))
+      .withColumn("__y", yCents)
+    indexed
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__sx", sum(col("__x")).over(frame))
+      .withColumn("__sy", sum(col("__y")).over(frame))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(frame))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(frame))
+      .withColumn("slope_fp",
+        when(col("__n") === w.toLong,
+          expr(s"(__n * __sxy - __sx * __sy) * 1000000" +
+            s" div (__n * __sxx - __sx * __sx)")))
+      .select(col(keyCol), col("__x").as("pos"), col("__y").as("y_cents"),
+        col("slope_fp"))
+  }
+
   /** Pearson correlation of INTEGER column pairs from exact moments, in one
     * pass over the table: for every requested (x, y) pair the five sums
     * n, Σx, Σy, Σxy, Σx², Σy² accumulate as DECIMAL(38,0) (order-independent

@@ -755,6 +755,35 @@ object EventQueries {
                  END AS intercept_cents
                FROM m""")),
 
+    // ROLLING least-squares slope (Trend.rollingSlope): one fit per
+    // position over the trailing 8 events — the LOCAL drift detector a
+    // whole-series fit smooths away. Shift-invariant x lets the rolling
+    // moments ride four plain window-frame sums; slope_fp is one
+    // truncating integer division, bit-identical cross-engine. Rows
+    // before a full window are NULL on both sides.
+    QueryDef("q_x_rolling_slope",
+      (s, d) => graft.operators.Trend.rollingSlope(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+          .filter(col("user_id").isNotNull),
+        "user_id", Seq("ts_us", "event_id"), cents(col("value")), w = 8),
+      Some(s"""WITH e AS (SELECT user_id, ${centsSql("value")} AS y,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) - 1 AS x
+                   FROM events WHERE user_id IS NOT NULL),
+               r AS (SELECT user_id, x, y,
+                       count(*) OVER wnd AS n,
+                       CAST(sum(x) OVER wnd AS BIGINT) AS sx,
+                       CAST(sum(y) OVER wnd AS BIGINT) AS sy,
+                       CAST(sum(x * y) OVER wnd AS BIGINT) AS sxy,
+                       CAST(sum(x * x) OVER wnd AS BIGINT) AS sxx
+                     FROM e WINDOW wnd AS (PARTITION BY user_id ORDER BY x
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+               SELECT user_id, x AS pos, y AS y_cents,
+                 CASE WHEN n = 8 THEN
+                   (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                 END AS slope_fp
+               FROM r""")),
+
     // Distribution-drift monitor: PSI between the even- and odd-event_id
     // halves of each type's value distribution (50-unit buckets, add-one
     // smoothing) — catches shape drift that volume monitors miss. Exact

@@ -188,6 +188,37 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1).isNullAt(got(1).fieldIndex("slope_cents")))
   }
 
+  test("rollingSlope: local fits catch a reversal; warmup NULL; shift-invariance") {
+    // 12 points: rises +40/step for 8 steps, then falls -40/step — the
+    // whole-series fit smears this; the trailing-8 local fit flips sign.
+    val ys = (0 until 8).map(i => 40L * i) ++ (1 to 4).map(i => 280L - 40L * i)
+    val ev = ys.zipWithIndex.map { case (y, i) =>
+      (i.toLong, 1L, i.toLong * 10, y / 100.0) }
+    val got = Trend.rollingSlope(ev.toDF("event_id", "user_id", "ts_us", "value"),
+        "user_id", Seq("ts_us", "event_id"),
+        round(col("value") * 100, 0).cast("long"), w = 8)
+      .orderBy("pos").collect()
+    val slopes = got.map(r =>
+      if (r.isNullAt(r.fieldIndex("slope_fp"))) None
+      else Some(r.getLong(r.fieldIndex("slope_fp"))))
+    // positions 0..6: window not full → NULL
+    assert(slopes.take(7).forall(_.isEmpty))
+    // position 7: pure rise → slope exactly +40 (40e6 micro)
+    assert(slopes(7).contains(40L * 1000000))
+    // the local fit goes NEGATIVE well before the end
+    assert(slopes.last.exists(_ < 0L), s"local reversal missed: ${slopes.last}")
+    // shift-invariance: dropping the first row leaves later fits identical
+    // (global x shifts by 1; the slope must not change)
+    val shifted = Trend.rollingSlope(
+        ev.drop(1).toDF("event_id", "user_id", "ts_us", "value"),
+        "user_id", Seq("ts_us", "event_id"),
+        round(col("value") * 100, 0).cast("long"), w = 8)
+      .orderBy("pos").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("slope_fp"))) None
+                else Some(r.getLong(r.fieldIndex("slope_fp"))))
+    assert(shifted.last == slopes.last)
+  }
+
   test("binarySignature packs sign bits into 32-bit words; Hamming shortlist finds the near-dup") {
     import graft.operators.VectorSearch
     // 64-dim vector: positives exactly at dims 1 and 33 (1-based) → word0
