@@ -57,6 +57,44 @@ object SpanCorruption {
         col("input"), col("target"))
   }
 
+  /** Needle-in-a-haystack example construction — the long-context
+    * retrieval eval (and its training-data augmentation): splice one
+    * uniquely-identifying "needle" sentence into each document at a
+    * hash-deterministic token offset, and record WHERE it went and WHAT
+    * it says, so the eval harness can ask for the value and score the
+    * answer. The emitted `recovered_ok` column re-extracts the value
+    * from the spliced text by regex — construction that self-checks its
+    * own round trip (a splice that mangles the needle flips a hashed
+    * boolean). Same determinism contract as [[corrupt]]/[[fim]]; pure
+    * map-side. */
+  def insertNeedle(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hPos = graft.functions.Hashing.hash64Expr(
+      "concat(cast(doc_id as string), ':npos')")
+    val hVal = graft.functions.Hashing.hash64Expr(
+      "concat(cast(doc_id as string), ':nval')")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("needle_pos", expr(s"$hPos % (n_tokens + 1)"))
+      .withColumn("needle_value", expr(s"$hVal % 10000"))
+      .withColumn("__needle", concat(lit("The magic number for document "),
+        col("doc_id"), lit(" is "), col("needle_value"), lit(".")))
+      .withColumn("output", concat(
+        array_join(expr("slice(__toks, 1, cast(needle_pos as int))"), " "),
+        when(col("needle_pos") > 0, lit(" ")).otherwise(lit("")),
+        col("__needle"),
+        when(col("needle_pos") < col("n_tokens"), lit(" ")).otherwise(lit("")),
+        array_join(expr(
+          "slice(__toks, cast(needle_pos as int) + 1, cast(n_tokens - needle_pos as int))"), " ")))
+      .withColumn("recovered_ok",
+        regexp_extract(col("output"),
+          "The magic number for document \\d+ is (\\d+)\\.", 1)
+          === col("needle_value").cast("string"))
+      .select(col("doc_id"), col("n_tokens"), col("needle_pos"),
+        col("needle_value"), col("output"), col("recovered_ok"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): split the token
     * stream at two points into prefix/middle/suffix and emit the PSM

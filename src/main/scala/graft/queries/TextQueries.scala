@@ -2153,6 +2153,43 @@ object TextQueries {
                 END AS output
               FROM c""")),
 
+    // Needle-in-a-haystack construction (SpanCorruption.insertNeedle):
+    // one identifying sentence spliced per document at a hash-determined
+    // token offset, position and value recorded for the eval harness, and
+    // recovered_ok re-extracts the value from the spliced text by regex —
+    // a self-checking round trip the oracle hashes (literal replay).
+    QueryDef("q_x_needle",
+      (s, d) => graft.operators.SpanCorruption.insertNeedle(
+        t(s, d, "documents").select(col("doc_id"), col("text"))),
+      Some(s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks
+                           FROM documents),
+              c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      ${hash64Sql("(CAST(doc_id AS VARCHAR) || ':npos')")}
+                        % (len(toks) + 1) AS np,
+                      ${hash64Sql("(CAST(doc_id AS VARCHAR) || ':nval')")}
+                        % 10000 AS nv
+                    FROM dd),
+              o AS (SELECT doc_id, n_tokens,
+                      CAST(np AS BIGINT) AS needle_pos,
+                      CAST(nv AS BIGINT) AS needle_value,
+                      coalesce(array_to_string(
+                        toks[1:CAST(np AS INTEGER)], ' '), '')
+                      || (CASE WHEN np > 0 THEN ' ' ELSE '' END)
+                      || 'The magic number for document '
+                      || CAST(doc_id AS VARCHAR) || ' is '
+                      || CAST(nv AS VARCHAR) || '.'
+                      || (CASE WHEN np < n_tokens THEN ' ' ELSE '' END)
+                      || coalesce(array_to_string(
+                           toks[CAST(np + 1 AS INTEGER)
+                             :CAST(n_tokens AS INTEGER)], ' '), '')
+                        AS output
+                    FROM c)
+              SELECT doc_id, n_tokens, needle_pos, needle_value, output,
+                regexp_extract(output,
+                  'The magic number for document \\d+ is (\\d+)\\.', 1)
+                  = CAST(needle_value AS VARCHAR) AS recovered_ok
+              FROM o""")),
+
     // Boilerplate-paragraph removal by document frequency
     // (TextDedup.dropFrequentParagraphs): same synthetic corpus as
     // q_x_paragraph_dedup, but the per-source header (df≈docs/source) and
