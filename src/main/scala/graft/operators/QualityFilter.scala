@@ -184,6 +184,26 @@ object QualityFilter {
     * one task, and its arbitrary tie-splitting is not reproducible).
     * NULL metrics bin NULL. Same two-scan silhouette as [[quantileGate]]
     * at any corpus size. */
+  /** Per-group quantile NORMALIZATION: replace a raw score with its exact
+    * within-group percentile (fixed-point, (rank−1)·10⁶ div (n−1)) — the
+    * calibration step before any cross-source threshold: "top 20% of
+    * arxiv" and "top 20% of web" become the same number even when the raw
+    * score distributions are incomparable (quality classifiers routinely
+    * score sources on different scales). Ties share a rank (and thus a
+    * percentile) — deterministic with no tie-break column; a singleton
+    * group normalizes to 0. One group-partitioned window; group sizes
+    * bound the partition (source/language cardinalities, not the corpus). */
+  def quantileNormalizeGrouped(df: DataFrame, groupCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(metricCol))
+    val g = Window.partitionBy(col(groupCol))
+    df.withColumn("__r", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(g))
+      .withColumn("pct_fp", expr("(__r - 1) * 1000000 div greatest(__n - 1, 1)"))
+      .drop("__r", "__n")
+  }
+
   def equalFrequencyBins(df: DataFrame, metricCol: String, k: Int): DataFrame = {
     require(k >= 2, s"need at least 2 bins, got $k")
     val qs = (1 until k).map(i => i.toDouble / k).mkString(", ")

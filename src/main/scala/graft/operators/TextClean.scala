@@ -69,6 +69,35 @@ object TextClean {
     * domain-blocklist gate. The blocklist is a (domain) frame, broadcast
     * into a left-anti join against the distinct (doc, domain) link set;
     * docs with no URLs survive (nothing to match). */
+  /** The Cyrillic/Greek letters that render identically to Latin ones —
+    * the homoglyph set spam uses to slip exact-match filters ("pаypal"
+    * with U+0430). One translate() pair, shared by fold and census so
+    * the two can never drift. */
+  val ConfusableFrom = "аеорсху" + // а е о р с х у
+    "АВЕКМНОРСТХ" + // АВЕКМНОРСТХ
+    "οαΑΒΕΗΚΜΝΟΡΤΧ" // ο α ΑΒΕΗΚΜΝΟΡΤΧ
+  val ConfusableTo = "aeopcxy" + "ABEKMHOPCTX" + "oa" + "ABEHKMNOPTX"
+
+  /** Fold script-confusable homoglyphs to their Latin look-alikes and
+    * census the damage: `text_folded` (what dedup/blocklists should key
+    * on), `n_confusables` (how many characters changed), and
+    * `is_spoofed` (any change at all — the mixed-script spoof flag).
+    * A blocklist or exact-dedup pass that does NOT fold first treats
+    * "pаypal" and "paypal" as different keys; that gap is precisely what
+    * confusable substitution exploits. Pure map-side translate + length
+    * arithmetic, zero shuffles; NFC-normalize upstream so composed and
+    * decomposed spellings agree before the fold. */
+  def foldConfusables(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val folded = translate(col(textCol), ConfusableFrom, ConfusableTo)
+    // count changed positions by deleting the confusables: length drop =
+    // occurrences (translate with an empty target deletes)
+    val stripped = translate(col(textCol), ConfusableFrom, "")
+    df.withColumn("text_folded", folded)
+      .withColumn("n_confusables",
+        (length(col(textCol)) - length(stripped)).cast("long"))
+      .withColumn("is_spoofed", col("n_confusables") > 0L)
+  }
+
   /** Canonical form of an http(s) URL for crawl-level dedup — the
     * WARC-key normalization: drop the fragment, lowercase scheme+host,
     * strip a leading `www.`, strip default ports (:80/:443), remove

@@ -815,6 +815,62 @@ object TextQueries {
                  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
                FROM h GROUP BY 1""")),
 
+    // Per-source quantile normalization (QualityFilter
+    // .quantileNormalizeGrouped): each doc's length score becomes its
+    // exact within-source percentile, so a single cross-source threshold
+    // ("keep the top half everywhere") means the same thing in every
+    // source regardless of raw-scale differences. Ties share a
+    // percentile; fixed-point integer arithmetic replayed verbatim.
+    QueryDef("q_x_quantile_normalize",
+      (s, d) => graft.operators.QualityFilter.quantileNormalizeGrouped(
+          t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars")
+        .withColumn("keep_top_half", col("pct_fp") >= 500000L),
+      Some("""SELECT doc_id, source, n_chars,
+                (rank() OVER (PARTITION BY source ORDER BY n_chars) - 1)
+                  * 1000000
+                  // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+                  AS pct_fp,
+                (rank() OVER (PARTITION BY source ORDER BY n_chars) - 1)
+                  * 1000000
+                  // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+                  >= 500000 AS keep_top_half
+              FROM documents""")),
+
+    // Homoglyph folding (TextClean.foldConfusables): docs with doc_id%3=0
+    // get their Latin 'a'/'o' swapped for Cyrillic а/о (the spam spoof);
+    // the fold must restore the original bytes exactly (text_folded =
+    // original text — hashed), count the damage, and flag the spoofed
+    // docs. translate() is unicode-aware in both engines.
+    QueryDef("q_x_homoglyph_fold",
+      (s, d) => {
+        val spoofed = when(col("doc_id") % 3 === 0,
+          translate(col("text"), "ao", "ао")).otherwise(col("text"))
+        graft.operators.TextClean.foldConfusables(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .withColumn("synth", spoofed), textCol = "synth")
+          .withColumn("fold_restores", col("text_folded") === col("text"))
+          .select(col("doc_id"), col("n_confusables"), col("is_spoofed"),
+            col("fold_restores"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, text,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN translate(text, 'ao', 'ао')
+                      ELSE text END AS synth
+               FROM documents)
+               SELECT doc_id,
+                 CAST(length(synth) - length(translate(synth,
+                   '${graft.operators.TextClean.ConfusableFrom}', ''))
+                   AS BIGINT) AS n_confusables,
+                 length(synth) - length(translate(synth,
+                   '${graft.operators.TextClean.ConfusableFrom}', '')) > 0
+                   AS is_spoofed,
+                 translate(synth,
+                   '${graft.operators.TextClean.ConfusableFrom}',
+                   '${graft.operators.TextClean.ConfusableTo}') = text
+                   AS fold_restores
+               FROM s""")),
+
     // URL-keyed crawl dedup (TextClean.canonicalUrl + dedupByCanonicalUrl):
     // four deterministic recrawl variants of each page (www + casing,
     // fragment, utm params, :80 + trailing slash) must collapse to ONE
