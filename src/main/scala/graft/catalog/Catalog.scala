@@ -148,6 +148,53 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
           .otherwise(col(s"__new.$c")).as(c)): _*)
   }
 
+  /** Named refs (Iceberg-style TAGS): pin a human name to a retained
+    * version so a consumer can read "the corpus training run X used"
+    * forever by name — the reproducibility verb every dataset release
+    * needs (a current-pointer read is a moving target; a tag is not).
+    * A tag is one atomically-written file beside `_CURRENT`; tagging a
+    * version also shields its directory from [[expireVersions]]/pruning
+    * via the same retained-set rule (a tagged version is load-bearing by
+    * definition). Tag names: `[A-Za-z0-9._-]+`, case-preserved. */
+  def tag(name: String, tagName: String, version: Long): Unit = {
+    require(tagName.matches("[A-Za-z0-9._-]+"), s"bad tag name: $tagName")
+    withCommitLock(name) {
+      require(versions(name).contains(version),
+        s"catalog: cannot tag '$name' @ $version — not retained " +
+          s"(retained: ${versions(name).mkString(", ")})")
+      val tmp = tableDir(name).resolve(s"_TAG_$tagName.tmp")
+      Files.writeString(tmp, s"v_$version")
+      Files.move(tmp, tagFile(name, tagName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
+  /** Read a table as of a named tag. Fails loudly on a missing tag. */
+  def readTag(name: String, tagName: String): DataFrame = {
+    val f = tagFile(name, tagName)
+    require(Files.isRegularFile(f),
+      s"catalog: no tag '$tagName' on '$name' (tags: ${tags(name).keys.mkString(", ")})")
+    readVersionDir(name, Files.readString(f).trim)
+  }
+
+  /** All tags on a table: tag name → version number. */
+  def tags(name: String): Map[String, Long] =
+    if (!Files.isDirectory(tableDir(name))) Map.empty
+    else listDir(tableDir(name)).flatMap { p =>
+      val fn = p.getFileName.toString
+      if (fn.startsWith("_TAG_") && !fn.endsWith(".tmp"))
+        Some(fn.stripPrefix("_TAG_") ->
+          Files.readString(p).trim.stripPrefix("v_").toLong)
+      else None
+    }.toMap
+
+  def dropTag(name: String, tagName: String): Unit =
+    withCommitLock(name) { Files.deleteIfExists(tagFile(name, tagName)): Unit }
+
+  private def tagFile(name: String, tagName: String): Path =
+    tableDir(name).resolve(s"_TAG_$tagName")
+
   /** Delta-CDF-style change feed: row-level changes across a RANGE of
     * retained versions as ONE frame — the keyed diff of each adjacent
     * retained pair in [from, to], every row tagged with `_commit_version`
@@ -838,7 +885,11 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     val versions = listDir(tableDir(name))
       .filter(p => p.getFileName.toString.startsWith("v_"))
       .sortBy(_.getFileName.toString.stripPrefix("v_").toLong)
-    val retained = versions.takeRight(keepLast).map(_.getFileName.toString).toSet + current
+    // tagged versions are load-bearing by definition: a named release
+    // must survive retention until its tag is dropped
+    val tagged = tags(name).values.map(v => s"v_$v").toSet
+    val retained = versions.takeRight(keepLast).map(_.getFileName.toString)
+      .toSet + current ++ tagged
     val referenced = retained.flatMap(v =>
       versionDataFiles(name, v).map(_.takeWhile(_ != '/')) ++ chainDirs(name, v))
     val expired = versions.filterNot(p => retained(p.getFileName.toString) ||

@@ -1024,6 +1024,44 @@ object ParityQueries {
                       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
                FROM orders WHERE o_orderkey % 3 IN (0, 1)""")),
 
+    // Named release tags (Catalog.tag/readTag): pin "release-1" to v0,
+    // then commit two more versions so the default retention (2) would
+    // prune v0 — the tagged version must SURVIVE pruning and read back
+    // byte-exactly by name while the current pointer moves on. The
+    // reproducible-dataset-release verb: a training run records the tag,
+    // not a moving pointer.
+    QueryDef("q_x_tag_pin",
+      (s, d) => {
+        val cat = new graft.catalog.Catalog(s,
+          tempRoot(catalogRoots, s, d, "graft-cat"))
+        if (!cat.exists("rel_orders")) {
+          val o = t(s, d, "orders")
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+          cat.write("rel_orders", o.filter(col("o_orderkey") % 4 === 0))
+          cat.tag("rel_orders", "release-1", 0L)
+          cat.write("rel_orders", o.filter(col("o_orderkey") % 4 <= 1))
+          cat.write("rel_orders", o.filter(col("o_orderkey") % 4 <= 2))
+        }
+        cat.readTag("rel_orders", "release-1")
+          .agg(count(lit(1)).as("n_release"), sum(col("cents")).as("cents_release"))
+          .crossJoin(cat.read("rel_orders")
+            .agg(count(lit(1)).as("n_current"), sum(col("cents")).as("cents_current")))
+          .withColumn("tagged_version",
+            lit(cat.tags("rel_orders")("release-1")))
+          .withColumn("n_versions", lit(cat.versions("rel_orders").size.toLong))
+      },
+      Some(s"""SELECT
+                 (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0)
+                   AS n_release,
+                 (SELECT CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+                  FROM orders WHERE o_orderkey % 4 = 0) AS cents_release,
+                 (SELECT count(*) FROM orders WHERE o_orderkey % 4 <= 2)
+                   AS n_current,
+                 (SELECT CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+                  FROM orders WHERE o_orderkey % 4 <= 2) AS cents_current,
+                 CAST(0 AS BIGINT) AS tagged_version,
+                 CAST(3 AS BIGINT) AS n_versions""")),
+
     // Benford first-digit audit — the classic fabricated-numbers /
     // unit-mixup data-quality screen over a positive measure column:
     // per leading digit, the exact observed count beside the Benford

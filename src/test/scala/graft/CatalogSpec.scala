@@ -152,6 +152,27 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() == 35)
   }
 
+  test("tags: pinned version survives retention; readTag exact; dropTag frees it") {
+    val cat = freshCatalog() // keepVersions = 2
+    cat.write("t", Seq(1, 2, 3).toDF("id"))
+    cat.tag("t", "release-1", 0L)
+    (10 to 13).foreach(i => cat.write("t", Seq(i).toDF("id")))
+    // retention 2 would have pruned v0 — the tag shields it
+    assert(rows(cat.readTag("t", "release-1")).flatten.toSet == Set(1, 2, 3))
+    assert(cat.tags("t") == Map("release-1" -> 0L))
+    assert(rows(cat.read("t")).flatten == Seq(13))
+    // tagging a pruned/unknown version fails loudly
+    intercept[IllegalArgumentException] { cat.tag("t", "nope", 2L) }
+    intercept[IllegalArgumentException] { cat.readTag("t", "ghost").count() }
+    // dropping the tag releases the version at the next prune
+    cat.dropTag("t", "release-1")
+    cat.write("t", Seq(99).toDF("id"))
+    intercept[Exception] { cat.readTag("t", "release-1").count() }
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(cat.currentPath("t").get).getParent.resolve("v_0")),
+      "untagged old version must prune away")
+  }
+
   test("append adds rows as a new atomic version (S4 INSERT INTO)") {
     val cat = freshCatalog()
     cat.append("t", Seq(1, 2).toDF("id"))
