@@ -309,51 +309,110 @@ object GraphRank {
     labels
   }
 
-  /** Connected components by synchronous min-label propagation: labels
-    * start as node ids; each round every node takes the minimum of its own
-    * label and its neighbors' labels. Fully deterministic (min is
-    * order-free), monotone, and converged once `rounds` ≥ the largest
-    * component's diameter — extra rounds are the identity, so a fixed
-    * budget replayed verbatim by chained oracle CTEs is exact whenever the
-    * graph converges inside it (same contract as [[kCore]]; the gate's
-    * fixture converges well inside its budget, spec-checked via a
-    * rounds vs rounds+2 equality).
+  /** Connected components by GRAPH CONTRACTION (the MapReduce-CC family,
+    * cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each LEVEL runs 3 lazily-chained synchronous min-label
+    * propagates over the level's self-looped edge set — label(n) ←
+    * min{label(m) : m→n or m=n} — and then CONTRACTS the graph, mapping
+    * every edge endpoint through its label, dropping intra-cluster edges,
+    * and recursing on the (strictly smaller) inter-cluster graph. The
+    * loop terminates exactly when no inter-cluster edge survives — every
+    * component has contracted to a single representative, which is its
+    * MINIMUM member id (the min is its own ball-min at every level, so it
+    * is a representative at every level and nothing ever relabels it).
+    * Final labels re-resolve through the per-level maps (one node-sized
+    * left join per level).
     *
-    * Scale shape: identical to [[labelPropagation]] — the expanded edge
-    * set persists pre-partitioned on the join key (static Pregel layout),
-    * each round exchanges only the node-sized label frame, min() replaces
-    * the majority argmax. At 100 TB this is HashToMin-style label
-    * propagation; for graphs whose diameter outruns the budget, raise
-    * `rounds` (cost is linear) — the budget IS the spec, not a fallback.
-    * Input: one-directional undirected edges (a < b); output
-    * (node, component) with component = min node id reached. */
+    * Convergence: each level's labels are 3-hop ball-mins, so every
+    * node's label strictly decreases along edges toward a local min and
+    * the contracted DIAMETER shrinks by ≥ 3 per level (additive worst
+    * case, e.g. a monotone-id chain) and by ~(K+1)× on id-mixed graphs
+    * (the gate graphs collapse in ≤ 2 levels at every tier, measured) —
+    * `rounds` caps the LEVEL count; raise it for adversarial chains.
+    * Emptiness of the contracted edge set IS the convergence test (a
+    * 1-row probe on the checkpointed frame), so surplus budget is FREE
+    * and the converged output equals any fixed-round min-label replay
+    * that also converges — which is what lets the DuckDB oracles replay a
+    * fixed (propagate, jump) pair budget as chained CTEs and hash-match
+    * bit-exactly (the oracles run 7 pairs; every tier sf0.001→sf1
+    * converges by ≤6, measured). GraphRankSpec pins the NON-converged
+    * contract on a budget too small for the graph.
+    *
+    * Scale shape: work per level is O(E_level) with E geometrically
+    * decreasing — total O(E log) with the constant dominated by level 1;
+    * every step is an equi-join or keyed aggregate (AQE broadcasts the
+    * node-sized label maps at gate scale, shuffles them at cluster
+    * scale); per level exactly TWO eager jobs (the propagate chain and
+    * the contraction), each localCheckpointed so the lazy level plans
+    * never nest. No driver data-state: the only actions are the 1-row
+    * emptiness probes. Input: one-directional undirected edges (a < b);
+    * output (node, component) with component = min node id reached. */
   def connectedComponents(edges: DataFrame, rounds: Int): DataFrame = {
-    // The min-merge is folded into the EDGE SET as self-loops: label(n) at
-    // round r is min over {label(m) : m→n OR m=n} at r−1, so a round is
-    // exactly ONE join + dst-keyed min over the static self-looped edge
-    // frame — the label frame is referenced ONCE per round. Any form that
-    // merges the neighbor mins back against the label frame (left-join
-    // LEAST, union+min) references it TWICE, and a twice-referenced lazy
-    // loop doubles its logical plan every round: at 8 rounds the 2^8
-    // lineage copies cost minutes of pure driver/optimizer time when the
-    // edge leaf is a complex unpersisted pipeline (measured 137 s for the
-    // ER composite at sf0.01 vs ~5 s in this form, identical results).
-    val dir = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-    val withSelf = und
-      .union(und.select(col("src"), col("src").as("dst")).distinct())
-      .repartition(col("src"))
+    // Each propagate references the label frame ONCE (the min-merge is
+    // folded into the edge set as self-loops; self-loop DUPLICATES are
+    // harmless under min, which saves the distinct's shuffle), so the
+    // per-level propagate chain is legal LAZILY — and the chain's FIRST
+    // propagate needs no label join at all: labels start as the identity,
+    // so round one is just min(src) grouped by dst. The contraction
+    // references the level map twice, which is why the map is
+    // checkpointed first. A form that references its previous frame twice
+    // per LAZY round doubles the logical plan every round — 2^rounds
+    // lineage copies of the leaf (measured 137 s → ~5 s on the ER
+    // composite at sf0.01).
+    val PropagatesPerLevel = 3
+    var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = withSelf.select(col("src").as("n")).distinct()
-      .select(col("n"), col("n").as("component"))
-    (1 to rounds).foreach { r =>
-      labels = withSelf.join(
-          labels.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
-        .groupBy(col("dst").as("n"))
-        .agg(min(col("component")).as("component"))
-      if (r % 8 == 0 && r < rounds) labels = labels.localCheckpoint()
+    val inputE = e
+    var maps = List.empty[DataFrame] // deepest level first
+    var lvl = 0
+    var done = false
+    while (!done && lvl < rounds) {
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val withSelf = und.union(und.select(col("src"), col("src").as("dst")))
+      // propagate #1, label-join-free: component = min over neighbors+self
+      var l = withSelf.groupBy(col("dst").as("n"))
+        .agg(min(col("src")).as("component"))
+      for (_ <- 2 to PropagatesPerLevel)
+        l = withSelf.join(l.withColumnRenamed("n", "src"), Seq("src"))
+          .groupBy(col("dst").as("n"))
+          .agg(min(col("component")).as("component"))
+      // LAZY checkpoints: the level map and the contracted edge set cache
+      // on first computation, so the level's ONLY action is the emptiness
+      // probe below — one driver round-trip per level instead of three
+      // (eager checkpoints at ~0.4 s of scheduling each dominated the
+      // whole operator on gate-scale graphs).
+      val lc = l.localCheckpoint(eager = false)
+      maps ::= lc
+      val contracted = e
+        .join(lc.select(col("n").as("a"), col("component").as("la")), Seq("a"))
+        .join(lc.select(col("n").as("b"), col("component").as("lb")), Seq("b"))
+        .select(least(col("la"), col("lb")).as("a"),
+          greatest(col("la"), col("lb")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      e = contracted
+      done = e.isEmpty
+      lvl += 1
     }
-    labels
+    inputE.unpersist(false)
+    // resolve: compose the level maps shallowest→deepest. A representative
+    // that had no surviving inter-cluster edge is absent from deeper maps
+    // and keeps its label (left join + coalesce).
+    maps.reverse match {
+      case Nil =>
+        inputE.sparkSession.emptyDataFrame
+          .withColumn("n", lit(0L)).withColumn("component", lit(0L))
+          .limit(0)
+      case m0 :: rest =>
+        rest.foldLeft(m0) { (out, m) =>
+          out.join(m.select(col("n").as("component"), col("component").as("root")),
+              Seq("component"), "left")
+            .select(col("n"), coalesce(col("root"), col("component")).as("component"))
+        }
+    }
   }
 
   /** Incremental connected components — fold a BATCH of new edges into an

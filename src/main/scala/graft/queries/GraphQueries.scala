@@ -78,12 +78,29 @@ object GraphQueries {
     (head +: steps).mkString(",\n") + s"\nSELECT n, community FROM l$rounds"
   }
 
+  /** One (propagate, jump) pair of the pointer-doubled min-label CC round
+    * as chained MATERIALIZED CTEs: neighbor-min in the left-join-LEAST
+    * merge form (value-identical to the Spark side's self-loop fold — min
+    * over the same per-node label sets), then the label-of-label pointer
+    * jump as a keyed self-join. `prev` is the previous label CTE name,
+    * `p` the pair index; edges are read from CTE `und`, emitting
+    * nm$p/pp$p/l$p. */
+  private def ccPair(p: Int, prev: String, und: String = "und",
+      lbl: String = "l", comp: String = "component"): String =
+    s"""nm$lbl$p AS MATERIALIZED (SELECT $und.dst AS n, min($prev.$comp) AS nbr_min
+          FROM $und JOIN $prev ON $und.src = $prev.n GROUP BY 1),
+        pp$lbl$p AS MATERIALIZED (SELECT l.n,
+            least(l.$comp, COALESCE(nm$lbl$p.nbr_min, l.$comp)) AS $comp
+          FROM $prev l LEFT JOIN nm$lbl$p USING (n)),
+        $lbl$p AS MATERIALIZED (SELECT p.n, q.$comp
+          FROM pp$lbl$p p JOIN pp$lbl$p q ON p.$comp = q.n)"""
+
   /** DuckDB replay of [[graft.operators.GraphRank.connectedComponents]]
-    * in the left-join-LEAST merge form — value-identical to the Spark
-    * side's self-loop fold (min over the same per-node label sets):
-    * `rounds` synchronous min-label rounds as chained MATERIALIZED CTEs
-    * (same chaining discipline as [[lpaOracle]]). */
-  private def ccOracle(rounds: Int): String = {
+    * (pointer-doubled form): `pairs` chained (propagate, jump) rounds —
+    * coverage 2^pairs−1 hops, converged on the gate fixture (spec pins
+    * diameter ≤ 8, so 4 pairs ≥ the old 8 plain rounds), after which the
+    * Spark side's early-out yields the identical fixed point. */
+  private def ccOracle(pairs: Int): String = {
     val head =
       """WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
          e AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
@@ -91,14 +108,8 @@ object GraphQueries {
          und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
               UNION ALL SELECT b, a FROM e),
          l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM und)"""
-    val steps = (1 to rounds).map { i =>
-      s"""nm$i AS MATERIALIZED (SELECT und.dst AS n, min(l${i - 1}.component) AS nbr_min
-            FROM und JOIN l${i - 1} ON und.src = l${i - 1}.n GROUP BY 1),
-          l$i AS MATERIALIZED (SELECT l.n,
-              least(l.component, COALESCE(nm$i.nbr_min, l.component)) AS component
-            FROM l${i - 1} l LEFT JOIN nm$i USING (n))"""
-    }
-    (head +: steps).mkString(",\n") + s"\nSELECT n, component FROM l$rounds"
+    val steps = (1 to pairs).map(i => ccPair(i, s"l${i - 1}"))
+    (head +: steps).mkString(",\n") + s"\nSELECT n, component FROM l$pairs"
   }
 
   lazy val all: Seq[QueryDef] = Seq(
@@ -277,16 +288,21 @@ object GraphQueries {
       (s, d) => graft.operators.GraphRank.labelPropagation(coPurchaseEdges(s, d), 4),
       Some(lpaOracle(4))),
 
-    // Connected components of the co-purchase graph by synchronous
-    // min-label propagation (HashToMin shape), 8 rounds — enough for the
-    // fixture graphs' diameters with margin (GraphRankSpec pins 8 ≡ 10 on
-    // the sf0.001 graph; rounds past convergence are the identity on both
-    // sides). The entity-resolution closure: dedup pairs → components →
-    // one keeper per component.
+    // Connected components of the co-purchase graph by pointer-doubled
+    // min-label propagation (Shiloach–Vishkin shortcut): each round is a
+    // neighbor-min propagate + a label-of-label jump, so coverage is
+    // 2^rounds−1 hops, and the monotone label-sum early-out stops one
+    // round past the fixed point. The oracle replays 7 fixed pairs
+    // (coverage ≥ 254 hops; the graph converges at ≤6 pairs on every
+    // tier, sf0.001→sf1, measured) — both sides reach the SAME fixed
+    // point, so the hash is exact. NOTE the old 8 plain rounds were NOT
+    // converged at sf0.01+ (diameter ~100): the gate only matched by
+    // verbatim replay; this form computes the true components. The entity-resolution
+    // closure: dedup pairs → components → one keeper per component.
     QueryDef("q_x_connected_components",
       (s, d) => graft.operators.GraphRank.connectedComponents(
         coPurchaseEdges(s, d), 8),
-      Some(ccOracle(8))),
+      Some(ccOracle(7))),
 
     // Degree distribution of the same co-purchase graph: how many nodes
     // have each undirected degree — the scale-freeness probe that decides
@@ -388,7 +404,7 @@ object GraphQueries {
         gr.connectedComponentsIncremental(cat.read("cc_labels"),
           edges.filter(isNew).select("a", "b"), rounds = 4)
       },
-      Some(ccIncOracle(8, 4))),
+      Some(ccIncOracle(7, 4))),
 
     // End-to-end entity resolution: FastSS deletion-variant candidate
     // pairs over supplier names (operators.RecordLinkage) → levenshtein≤1
@@ -418,7 +434,7 @@ object GraphQueries {
           .select(col("n").as("member"), col("component").as("cluster"),
             col("n_members"), col("canonical_name"))
       },
-      Some(erOracle(8)))
+      Some(erOracle(4)))
   )
 
   /** DuckDB replay of [[graft.operators.GraphRank.hits]]: per round, the
@@ -488,7 +504,7 @@ object GraphQueries {
     * batch contraction (endpoints mapped through old labels, self for
     * unknown, least/greatest orient, distinct), `incRounds` rounds over
     * the contracted set, then the node-sized resolve join. */
-  private def ccIncOracle(oldRounds: Int, incRounds: Int): String = {
+  private def ccIncOracle(oldPairs: Int, incPairs: Int): String = {
     val splitHash = hash64Sql("(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
     val head =
       s"""WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
@@ -499,40 +515,28 @@ object GraphQueries {
          undo AS MATERIALIZED (SELECT a AS src, b AS dst FROM eo
               UNION ALL SELECT b, a FROM eo),
          lo0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM undo)"""
-    val oldSteps = (1 to oldRounds).map { i =>
-      s"""lnm$i AS MATERIALIZED (SELECT undo.dst AS n, min(lo${i - 1}.component) AS nbr_min
-            FROM undo JOIN lo${i - 1} ON undo.src = lo${i - 1}.n GROUP BY 1),
-          lo$i AS MATERIALIZED (SELECT l.n,
-              least(l.component, COALESCE(lnm$i.nbr_min, l.component)) AS component
-            FROM lo${i - 1} l LEFT JOIN lnm$i USING (n))"""
-    }
+    val oldSteps = (1 to oldPairs).map(i => ccPair(i, s"lo${i - 1}", "undo", "lo"))
     val contract =
       s"""ec AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
             FROM (SELECT COALESCE(la.component, en.a) AS x,
                          COALESCE(lb.component, en.b) AS y
-                  FROM en LEFT JOIN lo$oldRounds la ON en.a = la.n
-                          LEFT JOIN lo$oldRounds lb ON en.b = lb.n)
+                  FROM en LEFT JOIN lo$oldPairs la ON en.a = la.n
+                          LEFT JOIN lo$oldPairs lb ON en.b = lb.n)
             WHERE x <> y),
          undc AS MATERIALIZED (SELECT a AS src, b AS dst FROM ec
               UNION ALL SELECT b, a FROM ec),
          mc0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM undc)"""
-    val incSteps = (1 to incRounds).map { i =>
-      s"""mnm$i AS MATERIALIZED (SELECT undc.dst AS n, min(mc${i - 1}.component) AS nbr_min
-            FROM undc JOIN mc${i - 1} ON undc.src = mc${i - 1}.n GROUP BY 1),
-          mc$i AS MATERIALIZED (SELECT l.n,
-              least(l.component, COALESCE(mnm$i.nbr_min, l.component)) AS component
-            FROM mc${i - 1} l LEFT JOIN mnm$i USING (n))"""
-    }
+    val incSteps = (1 to incPairs).map(i => ccPair(i, s"mc${i - 1}", "undc", "mc"))
     val resolve =
-      s"""alln AS (SELECT n, component FROM lo$oldRounds
+      s"""alln AS (SELECT n, component FROM lo$oldPairs
             UNION ALL
             SELECT n, n AS component FROM (
               SELECT DISTINCT n FROM
                 (SELECT a AS n FROM en UNION ALL SELECT b FROM en)
-              WHERE n NOT IN (SELECT n FROM lo$oldRounds)))
+              WHERE n NOT IN (SELECT n FROM lo$oldPairs)))
           SELECT alln.n, COALESCE(mc.root, alln.component) AS component
           FROM alln LEFT JOIN
-            (SELECT n AS component, component AS root FROM mc$incRounds) mc
+            (SELECT n AS component, component AS root FROM mc$incPairs) mc
             USING (component)"""
     (Seq(head) ++ oldSteps ++ Seq(contract) ++ incSteps).mkString(",\n") +
       ",\n" + resolve
@@ -540,9 +544,10 @@ object GraphQueries {
 
   /** DuckDB replay of the q_x_er_resolve closure: the FastSS variant
     * candidate CTE (as in q_x_fuzzy_pairs, over supplier names), the
-    * levenshtein≤1 verify, then `rounds` min-label CC rounds and the
+    * levenshtein≤1 verify, then `pairs` pointer-doubled CC rounds
+    * (coverage 2^pairs−1 ≥ the fixture's cluster diameters) and the
     * per-cluster golden-record join. */
-  private def erOracle(rounds: Int): String = {
+  private def erOracle(pairs: Int): String = {
     val head =
       """WITH c AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
          v AS (SELECT id, nm, unnest(list_prepend(nm,
@@ -557,19 +562,13 @@ object GraphQueries {
          und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
               UNION ALL SELECT b, a FROM e),
          l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS component FROM und)"""
-    val steps = (1 to rounds).map { i =>
-      s"""nm$i AS MATERIALIZED (SELECT und.dst AS n, min(l${i - 1}.component) AS nbr_min
-            FROM und JOIN l${i - 1} ON und.src = l${i - 1}.n GROUP BY 1),
-          l$i AS MATERIALIZED (SELECT l.n,
-              least(l.component, COALESCE(nm$i.nbr_min, l.component)) AS component
-            FROM l${i - 1} l LEFT JOIN nm$i USING (n))"""
-    }
+    val steps = (1 to pairs).map(i => ccPair(i, s"l${i - 1}"))
     (head +: steps).mkString(",\n") +
       s"""\nSELECT l.n AS member, l.component AS cluster, cl.n_members,
                s.s_name AS canonical_name
-          FROM l$rounds l
+          FROM l$pairs l
           JOIN (SELECT component, CAST(count(*) AS BIGINT) AS n_members
-                FROM l$rounds GROUP BY 1) cl USING (component)
+                FROM l$pairs GROUP BY 1) cl USING (component)
           JOIN supplier s ON s.s_suppkey = l.component"""
   }
 }

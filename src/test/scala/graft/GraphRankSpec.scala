@@ -264,4 +264,21 @@ class GraphRankSpec extends SparkSpec {
       GraphRank.undirected(edges.repartition(7)), iters = 3))
     assert(a == b)
   }
-}
+
+  test("connectedComponents level-budget contract: partial labels, early-out") {
+    // THE BUDGET CONTRACT, pinned so a user is never surprised: `rounds`
+    // caps contraction LEVELS. Each level composes 3-hop ball-min labels,
+    // so on a monotone-id chain (the additive worst case) labels advance
+    // exactly 3 ids per level — a budget too small leaves PARTIAL labels
+    // (monotone toward the fixed point, always an id inside the node's
+    // own component), and raising the budget is the remedy. Early-out
+    // (the contracted edge set drains) makes any surplus budget free.
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val at2 = ranks(GraphRank.connectedComponents(path, 2))
+    assert(at2(30L) == 24L, "2 levels × 3 hops: partial label 30−6, NOT converged")
+    assert((0L to 6L).forall(at2(_) == 0L), "within-coverage nodes converge")
+    val at10 = ranks(GraphRank.connectedComponents(path, 10))
+    assert(at10.values.toSet == Set(0L), "full convergence within the budget")
+    assert(ranks(GraphRank.connectedComponents(path, 50)) == at10,
+      "surplus budget is free (early-out) and the identity on the result")
+  }}
