@@ -116,7 +116,14 @@ object NaiveBayes {
     * row_number window would pay per doc group. */
   def classify(docs: DataFrame, model: NbModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    scores(docs, model, idCol, textCol)
+    classifyFromScores(scores(docs, model, idCol, textCol))
+
+  /** [[classify]] over a precomputed (doc_id, label, score_micro) frame —
+    * the shared-lineage form: one persisted [[scores]] run can feed the
+    * classify/confusion/margin/AUC/PR gates without re-deriving the
+    * token explode per consumer. */
+  def classifyFromScores(scoreFrame: DataFrame): DataFrame =
+    scoreFrame
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("score_micro")).as("ns"), col("label"))).as("top"))
       .select(col("doc_id"), col("top.label").as("predicted"),
@@ -139,11 +146,19 @@ object NaiveBayes {
     * beyond [[scores]]' existing shuffles plus one K-bounded window. */
   def marginBins(docs: DataFrame, model: NbModel, goldCol: String,
       idCol: String = "doc_id", textCol: String = "text",
+      binMicro: Long = 200000L, maxBin: Long = 10L): DataFrame =
+    marginBinsFromScores(scores(docs, model, idCol, textCol),
+      docs.select(col(idCol).as("doc_id"), col(goldCol).as("gold")),
+      binMicro, maxBin)
+
+  /** [[marginBins]] over a precomputed score frame plus a (doc_id, gold)
+    * frame — see [[classifyFromScores]] for the shared-lineage contract. */
+  def marginBinsFromScores(scoreFrame: DataFrame, gold: DataFrame,
       binMicro: Long = 200000L, maxBin: Long = 10L): DataFrame = {
     require(binMicro > 0 && maxBin >= 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_micro").desc, col("label"))
-    val top2 = scores(docs, model, idCol, textCol)
+    val top2 = scoreFrame
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 2)
       .groupBy("doc_id")
@@ -151,7 +166,7 @@ object NaiveBayes {
         max(when(col("rk") === 1, col("label"))).as("pred"),
         max(when(col("rk") === 2, col("score_micro"))).as("s2"))
     top2
-      .join(docs.select(col(idCol).as("doc_id"), col(goldCol).as("gold")), "doc_id")
+      .join(gold, "doc_id")
       .filter(col("s2").isNotNull)
       .select(
         least(expr(s"(s1 - s2) div $binMicro"), lit(maxBin)).as("margin_bin"),
@@ -221,7 +236,12 @@ object NaiveBayes {
     * classifier-eval surface (per-(gold, predicted) counts, K²-bounded). */
   def confusion(docs: DataFrame, model: NbModel, goldCol: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(goldCol).as("gold"))
-      .join(classify(docs, model, idCol, textCol), Seq("doc_id"))
+    confusionFromScores(scores(docs, model, idCol, textCol),
+      docs.select(col(idCol).as("doc_id"), col(goldCol).as("gold")))
+
+  /** [[confusion]] over a precomputed score frame plus a (doc_id, gold)
+    * frame — see [[classifyFromScores]] for the shared-lineage contract. */
+  def confusionFromScores(scoreFrame: DataFrame, gold: DataFrame): DataFrame =
+    gold.join(classifyFromScores(scoreFrame), Seq("doc_id"))
       .groupBy("gold", "predicted").agg(count(lit(1)).as("n_docs"))
 }

@@ -37,6 +37,23 @@ object CurationQueries {
     m
   }
 
+  /** Shared persisted (doc_id, label, score_micro) frame — ONE scores run
+    * feeds the margin/AUC/PR gates and the confusion derivation (each used
+    * to replay the token explode + model joins per query; the r8 verdict
+    * flagged q_x_nb_margin_bins paying ~1.5 s to re-derive what its
+    * siblings already had). */
+  private val nbScoreFrames = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def nbScores(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    nbScoreFrames.keySet.removeIf(_._1.sparkContext.isStopped)
+    val sc = nbScoreFrames.computeIfAbsent((s, d), _ =>
+      graft.operators.NaiveBayes.scores(docs(s, d), nbModel(s, d)))
+    sc.persist() // idempotent; re-persist because bench clearCache()s
+    sc
+  }
+
   /** Shared persisted confusion frame (K²-sized) — the confusion and
     * metrics gates consume the same classify run. */
   private val nbConfusions = new java.util.concurrent.ConcurrentHashMap[
@@ -46,7 +63,8 @@ object CurationQueries {
       : org.apache.spark.sql.DataFrame = {
     nbConfusions.keySet.removeIf(_._1.sparkContext.isStopped)
     val c = nbConfusions.computeIfAbsent((s, d), _ =>
-      graft.operators.NaiveBayes.confusion(docs(s, d), nbModel(s, d), "lang"))
+      graft.operators.NaiveBayes.confusionFromScores(nbScores(s, d),
+        docs(s, d).select(col("doc_id"), col("lang").as("gold"))))
     c.persist()
     c
   }
@@ -436,7 +454,7 @@ object CurationQueries {
     // Unseen-token mass folds into the closed-form n_tokens·floor term, so
     // scoring's only join is doc-token-counts ⋈ model on the token key.
     QueryDef("q_x_nb_classify",
-      (s, d) => graft.operators.NaiveBayes.classify(docs(s, d), nbModel(s, d)),
+      (s, d) => graft.operators.NaiveBayes.classifyFromScores(nbScores(s, d)),
       Some(s"""WITH $nbSql
                SELECT doc_id, predicted, score_micro FROM pred WHERE rk = 1""")),
 
@@ -485,8 +503,8 @@ object CurationQueries {
     // against gold. The reliability diagram a production gate reads before
     // picking an abstain band; counts exact, accuracy one IEEE division.
     QueryDef("q_x_nb_margin_bins",
-      (s, d) => graft.operators.NaiveBayes.marginBins(
-        docs(s, d), nbModel(s, d), "lang"),
+      (s, d) => graft.operators.NaiveBayes.marginBinsFromScores(nbScores(s, d),
+        docs(s, d).select(col("doc_id"), col("lang").as("gold"))),
       Some(s"""WITH $nbSql,
                t2 AS (SELECT doc_id,
                         max(CASE WHEN rk = 1 THEN score_micro END) AS s1,
@@ -535,8 +553,7 @@ object CurationQueries {
     // (no corpus-sized window partition); the oracle's single
     // label-partitioned cumsum is the same semantic at oracle scale.
     QueryDef("q_x_auc",
-      (s, d) => graft.operators.Eval.aucPerLabel(
-        graft.operators.NaiveBayes.scores(docs(s, d), nbModel(s, d)),
+      (s, d) => graft.operators.Eval.aucPerLabel(nbScores(s, d),
         docs(s, d).select(col("doc_id"), col("lang").as("gold"))),
       Some(s"""WITH $nbSql,
                j AS (SELECT sc.label, sc.score_micro AS s,
@@ -566,8 +583,7 @@ object CurationQueries {
     // it). tp/fp derive from the SAME cumulative frame as q_x_auc
     // (count_{≥s} = total − count_{<s}); each ratio one IEEE division.
     QueryDef("q_x_pr_curve",
-      (s, d) => graft.operators.Eval.prCurvePerLabel(
-        graft.operators.NaiveBayes.scores(docs(s, d), nbModel(s, d)),
+      (s, d) => graft.operators.Eval.prCurvePerLabel(nbScores(s, d),
         docs(s, d).select(col("doc_id"), col("lang").as("gold"))),
       Some(s"""WITH $nbSql,
                j AS (SELECT sc.label, sc.score_micro AS s,
