@@ -170,12 +170,19 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
     }
   }
 
-  /** Read a table as of a named tag. Fails loudly on a missing tag. */
+  /** Read a table as of a named tag. Fails loudly on a missing tag.
+    * The tag file is read ONCE inside a try — an existence probe followed
+    * by a separate read would race a concurrent [[dropTag]] (TOCTOU) and
+    * surface as a raw NoSuchFileException instead of this message. */
   def readTag(name: String, tagName: String): DataFrame = {
-    val f = tagFile(name, tagName)
-    require(Files.isRegularFile(f),
-      s"catalog: no tag '$tagName' on '$name' (tags: ${tags(name).keys.mkString(", ")})")
-    readVersionDir(name, Files.readString(f).trim)
+    val content =
+      try Files.readString(tagFile(name, tagName))
+      catch { case _: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"requirement failed: catalog: no tag '$tagName' on '$name' " +
+            s"(tags: ${tags(name).keys.mkString(", ")})")
+      }
+    readVersionDir(name, content.trim)
   }
 
   /** All tags on a table: tag name → version number. */

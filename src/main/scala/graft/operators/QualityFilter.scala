@@ -196,11 +196,17 @@ object QualityFilter {
   def quantileNormalizeGrouped(df: DataFrame, groupCol: String,
       metricCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(metricCol))
+    // NULL metrics get NULL pct_fp (not percentile 0): Spark's default
+    // NULLS FIRST would silently rank them lowest while the DuckDB replay
+    // form defaults NULLS LAST — pin the ordering explicitly and exclude
+    // NULLs from both the rank and the group size, so the two engines
+    // agree and a NULL score never masquerades as "worst in group".
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(metricCol).asc_nulls_last)
     val g = Window.partitionBy(col(groupCol))
     df.withColumn("__r", rank().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(g))
-      .withColumn("pct_fp", expr("(__r - 1) * 1000000 div greatest(__n - 1, 1)"))
+      .withColumn("__n", count(col(metricCol)).over(g))
+      .withColumn("pct_fp", when(col(metricCol).isNotNull,
+        expr("(__r - 1) * 1000000 div greatest(__n - 1, 1)")))
       .drop("__r", "__n")
   }
 

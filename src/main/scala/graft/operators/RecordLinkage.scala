@@ -57,6 +57,10 @@ object RecordLinkage {
     // pair arises from exactly one unordered name pair, so no distinct is
     // needed after expansion.
     val base = records.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
+    // persisted for the three references below (dup branch + two expansion
+    // joins); session-lifetime cache contract like the other persisted
+    // leaves — the caller's terminal action is what materializes the
+    // result, so there is no safe in-function unpersist point.
     val groups = base.groupBy(col("key"))
       .agg(collect_list(col("id")).as("ids"), min(col("id")).as("rid"),
         count(lit(1)).as("m"))
@@ -64,8 +68,12 @@ object RecordLinkage {
     // (a) exact-duplicate pairs: all id pairs inside one key group. Group
     // size = the key's duplication count — the usual hot-key caveat; a
     // key duplicated millions of times needs an upstream cap, same as any
-    // blocking scheme.
-    val dup = groups.filter(col("m") > 1)
+    // blocking scheme. NULL/empty keys are excluded: the per-record
+    // FastSS form never paired them (an empty key has no deletion
+    // variants), and "two records both missing a name" is not a match
+    // signal — without this filter every keyless record would pair with
+    // every other.
+    val dup = groups.filter(col("m") > 1 && length(col("key")) > 0)
       .select(col("key"), explode(col("ids")).as("idA"), col("ids"))
       .select(col("key"), col("idA"), explode(col("ids")).as("idB"))
       .filter(col("idA") < col("idB"))

@@ -132,12 +132,22 @@ object TextClean {
     * Output: (doc_id, url_canon, keeper_id, n_dupes, is_keeper). */
   def dedupByCanonicalUrl(df: DataFrame, idCol: String = "doc_id",
       urlCol: String = "url"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_canon"))
+    // A null or schemeless/unparseable URL has NO canonical identity: all
+    // such rows would share one degenerate '://' key and silently collapse
+    // to a single keeper (losing every URL-less doc but one). They pass
+    // through as always-keepers instead — url_canon NULL, their own
+    // per-doc key partitioning the window so each is its own group.
+    val valid = col(urlCol).isNotNull &&
+      col(urlCol).rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__grp"))
     df.select(col(idCol).cast("long").as("doc_id"),
-        canonicalUrl(col(urlCol)).as("url_canon"))
+        when(valid, canonicalUrl(col(urlCol))).as("url_canon"))
+      .withColumn("__grp", coalesce(col("url_canon"),
+        concat(lit(" invalid:"), col("doc_id"))))
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("n_dupes", count(lit(1)).over(w))
       .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+      .drop("__grp")
   }
 
   def filterBlockedDomains(df: DataFrame, blocklist: DataFrame,

@@ -102,4 +102,19 @@ class ColumnStatsSpec extends SparkSpec {
     assert(got.getOrElse(-1L, 0L) == 1L, "NULL metric must bin NULL")
     assert(got.values.sum == 92L)
   }
+
+  test("quantileNormalizeGrouped: NULL metric yields NULL pct_fp, ranks NULL-free") {
+    // Spark's default NULLS FIRST would rank NULL metrics at percentile 0
+    // (diverging from the NULLS LAST oracle form); the pinned contract:
+    // NULLs are excluded from rank AND group size, and emit NULL pct_fp.
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", None),
+      ("a", Some(30L)), ("b", Some(5L))).toDF("src", "m")
+    val got = graft.operators.QualityFilter.quantileNormalizeGrouped(df, "src", "m")
+      .select("src", "m", "pct_fp")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      ("a", Some(10L), Some(0L)), ("a", Some(20L), Some(500000L)),
+      ("a", Some(30L), Some(1000000L)), ("a", None, None),
+      ("b", Some(5L), Some(0L))))
+  }
 }

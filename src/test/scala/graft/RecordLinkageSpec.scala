@@ -52,4 +52,16 @@ class RecordLinkageSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
       (1L, 4L, 1L), (2L, 4L, 1L)))
   }
+
+  test("duplicated NULL/empty keys never pair (keyless is not a match signal)") {
+    import org.apache.spark.sql.functions.col
+    val recs = Seq((1L, ""), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, "abc"), (6L, "abc"))
+      .toDF("id", "name")
+    val got = graft.operators.RecordLinkage.editNeighborPairs(recs, "id", "name")
+      .select(col("id1"), col("id2"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    // only the real duplicated key pairs; no (1,2) empty-empty, no (3,4)
+    assert(got == Set((5L, 6L, 0L)))
+  }
 }

@@ -215,4 +215,24 @@ class TextCleanSpec extends SparkSpec {
       (7L, "http://b.com/y", 7L, 1L, true),
       (9L, "http://a.com/x", 3L, 3L, false)))
   }
+
+  test("dedupByCanonicalUrl: null/unparseable URLs pass through as keepers") {
+    // Before the fix every such row shared one degenerate canonical key
+    // and all but the min id were silently dropped — data loss for any
+    // doc lacking a well-formed scheme://host URL.
+    val df = Seq(
+      (1L, null.asInstanceOf[String]), (2L, "not a url"), (3L, "://nope"),
+      (4L, "mailto:x@y.z"), (5L, "http://ok.com/a"), (6L, "http://ok.com/a"))
+      .toDF("doc_id", "url")
+    val r = TextClean.dedupByCanonicalUrl(df)
+      .select("doc_id", "url_canon", "keeper_id", "n_dupes", "is_keeper")
+      .as[(Long, Option[String], Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, None, 1L, 1L, true),
+      (2L, None, 2L, 1L, true),
+      (3L, None, 3L, 1L, true),
+      (4L, None, 4L, 1L, true),
+      (5L, Some("http://ok.com/a"), 5L, 2L, true),
+      (6L, Some("http://ok.com/a"), 5L, 2L, false)))
+  }
 }
