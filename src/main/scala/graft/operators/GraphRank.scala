@@ -672,4 +672,38 @@ object GraphRank {
       .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
         expr("n_common * 1000000 div (deg_a + deg_b - n_common)").as("jac_fp"))
   }
+
+  /** HUB-CAPPED [[neighborJaccard]] — the production form at web scale:
+    * wedge volume is Σ_w deg(w)², so one celebrity node with degree 10⁶
+    * alone generates 10¹² candidate pairs. Capping the WEDGE CENTER —
+    * nodes with degree > `maxDeg` mediate no wedges — bounds volume at
+    * Σ min(deg, maxDeg≤)² while leaving the graph itself intact:
+    * `n_common` counts only common neighbors of degree ≤ maxDeg (a
+    * deterministic LOWER bound on the true overlap — a hub everyone
+    * shares carries no similarity signal anyway, which is exactly why
+    * dropping it is the standard mitigation), and `deg_a`/`deg_b` stay
+    * the TRUE degrees, so `jac_fp` is the hub-discounted similarity. The
+    * oracle replays the identical cap, so the gate is exact; the uncapped
+    * [[neighborJaccard]] remains the small-graph form. */
+  def neighborJaccardCapped(edges: DataFrame, maxDeg: Long,
+      minCommon: Long = 1L): DataFrame = {
+    val und = undirected(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // cap applied BEFORE the wedge join: only low-degree centers fan out
+    val centers = und.join(
+        deg.filter(col("deg") <= maxDeg).select(col("node").as("dst")),
+        Seq("dst"), "left_semi")
+    val common = centers.select(col("dst").as("w"), col("src").as("a"))
+      .join(centers.select(col("dst").as("w"), col("src").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    common
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+        expr("n_common * 1000000 div (deg_a + deg_b - n_common)").as("jac_fp"))
+  }
 }

@@ -300,6 +300,7 @@ object TextDedup {
   private def shingleHashes60: org.apache.spark.sql.Column =
     expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT))")
 
+
   /** GROUP-level MinHash signatures (per source/language/shard) via the
     * custom mergeable aggregate [[graft.expressions.MinHashAgg]]: the
     * signature of the UNION of the group's shingle sets, computed with a
@@ -396,6 +397,37 @@ object TextDedup {
       .filter(size(col("sh1")) > 0 && size(col("sh2")) > 0)
       .withColumn("c12", Text.containment("sh1", "sh2"))
       .withColumn("c21", Text.containment("sh2", "sh1"))
+      .filter(greatest(col("c12"), col("c21")) >= threshold)
+      .select(col("id1"), col("id2"), col("c12"), col("c21"))
+  }
+
+  /** [[containmentPairs]] with HASH-ARRAY verify — the production form at
+    * corpus scale: the verify joins ship each candidate's distinct 60-bit
+    * shingle HASHES (8 bytes/shingle) instead of the shingle strings
+    * themselves (~30+ bytes each), cutting the dominant shuffle of the
+    * verify stage ~4× (SCALE.md measured the string form at 144 s on the
+    * replica-dense sf1 tier, almost all of it shipping shingle text).
+    * Containments are computed over the hashed sets with the same exact
+    * integer set arithmetic; both engines hash with the shared md5-prefix
+    * formula, so the gate stays bit-exact. A 60-bit collision inside one
+    * document would shrink its set by one — astronomically unlikely and
+    * identical on both engines if it ever happened. */
+  def containmentPairsHashed(docs: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 16, numBands: Int = 8): DataFrame = {
+    val base = hashedShingles(docs)
+    val bands = bandFrame(base, numHashes, numBands)
+    val cands = bands.select(col("doc_id").as("id1"), col("band"))
+      .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val hsd = base.select(col("doc_id"),
+      array_distinct(shingleHashes60).as("h"))
+    cands
+      .join(hsd.select(col("doc_id").as("id1"), col("h").as("h1")), Seq("id1"))
+      .join(hsd.select(col("doc_id").as("id2"), col("h").as("h2")), Seq("id2"))
+      .filter(size(col("h1")) > 0 && size(col("h2")) > 0)
+      .withColumn("c12", Text.containment("h1", "h2"))
+      .withColumn("c21", Text.containment("h2", "h1"))
       .filter(greatest(col("c12"), col("c21")) >= threshold)
       .select(col("id1"), col("id2"), col("c12"), col("c21"))
   }

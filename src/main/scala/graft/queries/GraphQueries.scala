@@ -367,6 +367,41 @@ object GraphQueries {
               FROM cmn JOIN deg da ON cmn.a = da.node
                        JOIN deg db ON cmn.b = db.node""")),
 
+    // HUB-CAPPED neighbor Jaccard — the production form at web scale
+    // (SCALE.md's documented sf1 lever, now gated): wedge volume is
+    // Σ deg(center)², so centers above maxDeg=20 mediate no wedges;
+    // n_common becomes the hub-discounted overlap (deterministic lower
+    // bound — a hub everyone shares carries no similarity signal) while
+    // deg_a/deg_b stay true degrees. Run on the part↔supplier bipartite
+    // graph, whose supplier side has REAL hubs (degree up to ~700 at
+    // sf0.1: uncapped wedge volume grows quadratically — 499k pairs at
+    // cap 40 vs 14k at cap 20). The oracle replays the same cap.
+    QueryDef("q_x_neighbor_jaccard_capped",
+      (s, d) => graft.operators.GraphRank.neighborJaccardCapped(
+        t(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct(),
+        maxDeg = 20L, minCommon = 2L),
+      Some("""WITH ed AS (SELECT DISTINCT l_partkey*2 AS a, l_suppkey*2+1 AS b
+                          FROM lineitem),
+              und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+                   UNION ALL SELECT b, a FROM ed),
+              deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+              ctr AS (SELECT und.src, und.dst FROM und
+                      JOIN deg ON und.dst = deg.node AND deg.deg <= 20),
+              cmn AS (SELECT e1.src AS a, e2.src AS b, count(*) AS n_common
+                      FROM ctr e1 JOIN ctr e2 ON e1.dst = e2.dst AND e1.src < e2.src
+                      GROUP BY 1, 2 HAVING count(*) >= 2)
+              SELECT cmn.a, cmn.b,
+                CAST(cmn.n_common AS BIGINT) AS n_common,
+                CAST(da.deg AS BIGINT) AS deg_a,
+                CAST(db.deg AS BIGINT) AS deg_b,
+                CAST((cmn.n_common * 1000000) // (da.deg + db.deg - cmn.n_common)
+                     AS BIGINT) AS jac_fp
+              FROM cmn JOIN deg da ON cmn.a = da.node
+                       JOIN deg db ON cmn.b = db.node""")),
+
     // Multi-source BFS over the co-purchase graph: hop distance from the
     // "trusted seed" part set (p_size = 50) — the link-distance-from-
     // curated-set corpus signal (TrustRank's propagation skeleton) and the

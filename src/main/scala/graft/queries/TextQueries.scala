@@ -1251,6 +1251,39 @@ object TextQueries {
               AND greatest($c12, $c21) >= 0.8"""
       }),
 
+    // The HASH-ARRAY verify form of the same containment (SCALE.md's
+    // documented sf1 lever, now gated): the verify joins ship distinct
+    // 60-bit shingle hashes (8 B each) instead of shingle strings (~30 B),
+    // cutting the dominant verify shuffle ~4× on replica-dense corpora;
+    // both engines hash with the shared md5-prefix formula, so the set
+    // arithmetic — and the gate — stays exact.
+    QueryDef("q_x_dedup_containment_hashed",
+      (s, d) => graft.operators.TextDedup.containmentPairsHashed(
+        t(s, d, "documents"), 0.8, numHashes, numBands),
+      Some {
+        val sigExprs = (0 until numHashes).map(j =>
+          s"list_min(list_transform(hs, h -> (${aj(j)} * h + ${bj(j)}) % $P)) AS sig$j").mkString(", ")
+        val bandList = (0 until numBands).map(bn =>
+          s"'$bn|' || sig${2 * bn} || ':' || sig${2 * bn + 1}").mkString(", ")
+        val inter = "len(list_filter(a.h, x -> list_contains(b.h, x)))"
+        val c12 = s"$inter / CAST(len(a.h) AS DOUBLE)"
+        val c21 = s"$inter / CAST(len(b.h) AS DOUBLE)"
+        s"""WITH $shingledSql,
+            hsh AS (SELECT doc_id, sh,
+                    list_transform(sh, s -> ${hash64Sql("s")} % $P) AS hs FROM shd),
+            h60 AS (SELECT doc_id,
+                    list_distinct(list_transform(sh, s -> ${hash64Sql("s")})) AS h
+                    FROM shd),
+            sigs AS (SELECT doc_id, $sigExprs FROM hsh),
+            bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+            cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+            SELECT id1, id2, $c12 AS c12, $c21 AS c21
+            FROM cands JOIN h60 a ON a.doc_id = id1 JOIN h60 b ON b.doc_id = id2
+            WHERE len(a.h) > 0 AND len(b.h) > 0
+              AND greatest($c12, $c21) >= 0.8"""
+      }),
+
     // Incremental near-dup: NEW batch (odd ids) against the EXISTING corpus
     // (even ids) — batch bands equi-join corpus bands, no corpus self-join.
     // The recurring-crawl shape: at 100 TB the corpus side is a persisted

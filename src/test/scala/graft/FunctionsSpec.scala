@@ -393,6 +393,21 @@ class FunctionsSpec extends SparkSpec {
       "reverse direction (wrapped in core) must stay below threshold")
   }
 
+  test("containmentPairsHashed ≡ containmentPairs (hash-array verify parity)") {
+    // the 60-bit hash-array verify must reproduce the string-set form
+    // exactly on collision-free fixtures — same pairs, same ratios
+    val core = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val wrapped = core + " " + (200 to 213).map(i => s"x$i").mkString(" ")
+    val other = (300 to 340).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, core), (2L, wrapped), (3L, other)).toDF("doc_id", "text")
+    val a = rows(TextDedup.containmentPairs(docs, 0.5)
+      .select("id1", "id2", "c12", "c21"))
+    val b = rows(TextDedup.containmentPairsHashed(docs, 0.5)
+      .select("id1", "id2", "c12", "c21"))
+    assert(a == b, s"hashed verify diverged: $a vs $b")
+    assert(a.nonEmpty)
+  }
+
   test("ngram prefix buckets above the cap divert to banded MinHash") {
     // 100 mutually-dissimilar docs behind one boilerplate 3-token prefix
     // (the pathological bucket), plus a planted near-dup pair in the SAME

@@ -56,6 +56,29 @@ class GraphRankSpec extends SparkSpec {
     assert(pruned.toSeq == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("neighborJaccardCapped: hub centers mediate no wedges; degrees stay true") {
+    // star hub 100 wired to 1..5 (deg 5) plus a private wedge 1-6-2:
+    // uncapped, every pair in 1..5 shares the hub; capped at 4, the hub
+    // mediates nothing and only the 6-centered wedge (1,2) survives.
+    val edges = ((1L to 5L).map(i => (100L, i)) ++ Seq((6L, 1L), (6L, 2L)))
+      .toDF("src", "dst")
+    val capped = GraphRank.neighborJaccardCapped(edges, maxDeg = 4L)
+      .select("a", "b", "n_common", "deg_a", "deg_b", "jac_fp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // deg_a/deg_b are TRUE degrees (node 1: hub + 6 = 2), n_common the
+    // hub-discounted overlap (only low-degree centers count): (1,2) via
+    // center 6, and (6,100) via their shared low-degree neighbors {1,2} —
+    // but NO pair in 1..5 via the hub (uncapped they all pair)
+    assert(capped == Set((1L, 2L, 1L, 2L, 2L, 333333L),
+      (6L, 100L, 2L, 2L, 5L, 400000L)))
+    assert(!capped.exists(p => p._1 == 3L || p._2 == 3L),
+      "hub-mediated-only pairs must be gone")
+    // uncapped form sees all hub-mediated pairs too
+    val un = GraphRank.neighborJaccard(edges).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(un.contains((3L, 4L)) && un.contains((1L, 2L)))
+  }
+
   test("plan: no cartesian product; the only nested-loop is the 1-row scalar broadcast") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val plan = GraphRank.pageRank(GraphRank.undirected(edges), iters = 2)
