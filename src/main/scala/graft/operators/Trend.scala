@@ -278,17 +278,30 @@ object Trend {
     * ever corpus-sized), then value-keyed joins back. */
   def spearman(df: DataFrame, xCol: String, yCol: String,
       xName: String, yName: String, bucketBits: Int = 20): DataFrame = {
-    def avgRank2(d: DataFrame, c: String, out: String): DataFrame = {
+    // a rank map is DISTINCT-VALUE-sized; when a measured count says it
+    // fits a broadcast (bounded-domain metrics: cents, scores, counts —
+    // the common Spearman inputs), hint it so the base frame never
+    // shuffles for the join-back. High-cardinality maps fall back to the
+    // plain shuffle join, which is the 100 TB shape anyway. The count is
+    // one action over the persisted per-value frame, the same measured-
+    // probe pattern as RangeJoin.pointInIntervalAuto.
+    val BroadcastMaxRows = 1000000L
+    def avgRank2(d: DataFrame, c: String, out: String): (DataFrame, Boolean) = {
       val per = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
         .withColumn("b", shiftright(col("v"), bucketBits))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-      val bp = per.groupBy("b").agg(sum("c").as("bc"))
-        .select(col("b"), coalesce(sum("bc").over(wb), lit(0L)).as("bb"))
+      // bp is BUCKET-sized (≤ distinct/1, in practice a handful of rows —
+      // the two-level scheme already assumes it sorts on one partition),
+      // so it is always broadcast-safe.
+      val bp = broadcast(per.groupBy("b").agg(sum("c").as("bc"))
+        .select(col("b"), coalesce(sum("bc").over(wb), lit(0L)).as("bb")))
       val ww = Window.partitionBy("b").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
-      per.join(bp, Seq("b"))
+      val map = per.join(bp, Seq("b"))
         .withColumn("below", col("bb") + coalesce(sum("c").over(ww), lit(0L)))
         .select(col("v").as(c), (lit(2L) * col("below") + col("c") + 1L).as(out))
+      (map, per.count() <= BroadcastMaxRows)
     }
     // persisted: the frame feeds both rank derivations AND the final join
     // — unpersisted, the caller's upstream lineage (often a scored/
@@ -297,9 +310,11 @@ object Trend {
     val base = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (rx, rxSmall) = avgRank2(base, "x", "rx2")
+    val (ry, rySmall) = avgRank2(base, "y", "ry2")
     val ranked = base
-      .join(avgRank2(base, "x", "rx2"), Seq("x"))
-      .join(avgRank2(base, "y", "ry2"), Seq("y"))
+      .join(if (rxSmall) broadcast(rx) else rx, Seq("x"))
+      .join(if (rySmall) broadcast(ry) else ry, Seq("y"))
     correlation(ranked, Seq((col("rx2"), xName, col("ry2"), yName)))
       .select(col("x_col"), col("y_col"), col("n"), col("r").as("rho"))
   }
