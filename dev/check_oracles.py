@@ -46,7 +46,10 @@ def type_mismatches(got_schema, exp_schema):
 
 
 def main(sf_dir, out_dir, only=None):
-    con = duckdb.connect()
+    # optional cap so a long replay (sf1) can share the host with timing
+    # work; unset = all cores, the bench-replay default
+    threads = os.environ.get("DUCKDB_THREADS")
+    con = duckdb.connect(config={"threads": int(threads)} if threads else {})
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
