@@ -66,17 +66,12 @@ def main(sf_dir, out_dir, only=None):
             failures.append((name, "NO SPARK OUTPUT"))
             print(f"FAIL {name}: no spark output"); continue
         try:
-            got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            got_cols = [c[0].lower() for c in got.description]
-            got_rows = got.fetchall()
+            got_rel = f"read_parquet('{res_dir}/*.parquet')"
             got_schema = pq.read_schema(
                 sorted(glob.glob(f"{res_dir}/*.parquet"))[0])
+            got_cols = [f.name.lower() for f in got_schema]
             exp_arrow = con.execute(sql).arrow()
-            # re-fetch values through a duckdb scan of the arrow table so
-            # Python value semantics stay identical to the pre-r8 checker
-            exp = con.execute("SELECT * FROM exp_arrow")
-            exp_cols = [c[0].lower() for c in exp.description]
-            exp_rows = exp.fetchall()
+            exp_cols = [f.name.lower() for f in exp_arrow.schema]
         except Exception as e:
             failures.append((name, f"ERROR {e}"))
             print(f"FAIL {name}: {e}"); continue
@@ -90,6 +85,35 @@ def main(sf_dir, out_dir, only=None):
             for c, g, e in tm:
                 print(f"  {c}: {g} vs {e}")
             continue
+        # Multiset equality ENGINE-SIDE (both-direction EXCEPT ALL + row
+        # counts) — columnar and parallel, where fetching every row into
+        # Python tuples and sorting took minutes per multi-million-row
+        # query at sf1. SQL set ops use IS-NOT-DISTINCT matching, which is
+        # STRICTER than the old Python == on one edge (0.0 vs -0.0), so a
+        # SQL-path mismatch falls back to the original Python comparator
+        # before being declared a failure — slow only when something
+        # actually differs.
+        try:
+            gmap = {f.name.lower(): f.name for f in got_schema}
+            emap = {f.name.lower(): f.name for f in exp_arrow.schema}
+            cols = sorted(got_cols)
+            gsel = ", ".join(f'"{gmap[c]}" AS "{c}"' for c in cols)
+            esel = ", ".join(f'"{emap[c]}" AS "{c}"' for c in cols)
+            n_got = con.execute(f"SELECT count(*) FROM {got_rel}").fetchone()[0]
+            n_exp = exp_arrow.num_rows
+            sql_ok = n_got == n_exp and all(
+                con.execute(
+                    f"SELECT count(*) FROM (SELECT {a} FROM {ra} "
+                    f"EXCEPT ALL SELECT {b} FROM {rb})").fetchone()[0] == 0
+                for a, ra, b, rb in [(gsel, got_rel, esel, "exp_arrow"),
+                                     (esel, "exp_arrow", gsel, got_rel)])
+        except Exception:
+            sql_ok = False  # nested-type or dialect edge: decide in Python
+        if sql_ok:
+            print(f"OK   {name} ({n_got} rows)"); continue
+        got_rows = con.execute(f"SELECT * FROM {got_rel}").fetchall()
+        exp = con.execute("SELECT * FROM exp_arrow")
+        exp_rows = exp.fetchall()
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = sorted(tuple(norm(r[i]) for i in gi) for r in got_rows)
