@@ -128,32 +128,32 @@ object GraphQueries {
             graft.operators.GraphRank.undirected(edges), iters = 3)
           .select(col("node"), col("rank").as("rank_fp"))
       },
-      Some("""WITH ed AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+      Some("""WITH ed AS MATERIALIZED (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
                           FROM lineitem),
-              und AS (SELECT DISTINCT src, dst FROM
+              und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
                       (SELECT src, dst FROM ed
                        UNION ALL SELECT dst AS src, src AS dst FROM ed)),
-              nodes AS (SELECT DISTINCT src AS node FROM
+              nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM
                         (SELECT src FROM und UNION ALL SELECT dst FROM und)),
-              deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY 1),
-              nn AS (SELECT count(*) AS n_nodes FROM nodes),
-              r0 AS (SELECT node, 1000000000 // n_nodes AS rank FROM nodes CROSS JOIN nn),
-              c1 AS (SELECT und.dst AS node, sum(r0.rank // deg.outdeg) AS inflow
+              deg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY 1),
+              nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+              r0 AS MATERIALIZED (SELECT node, 1000000000 // n_nodes AS rank FROM nodes CROSS JOIN nn),
+              c1 AS MATERIALIZED (SELECT und.dst AS node, sum(r0.rank // deg.outdeg) AS inflow
                      FROM und JOIN r0 ON und.src = r0.node
                               JOIN deg ON und.src = deg.node GROUP BY 1),
-              r1 AS (SELECT nodes.node,
+              r1 AS MATERIALIZED (SELECT nodes.node,
                             (150000000 // nn.n_nodes) + ((85 * coalesce(c1.inflow, 0)) // 100) AS rank
                      FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
-              c2 AS (SELECT und.dst AS node, sum(r1.rank // deg.outdeg) AS inflow
+              c2 AS MATERIALIZED (SELECT und.dst AS node, sum(r1.rank // deg.outdeg) AS inflow
                      FROM und JOIN r1 ON und.src = r1.node
                               JOIN deg ON und.src = deg.node GROUP BY 1),
-              r2 AS (SELECT nodes.node,
+              r2 AS MATERIALIZED (SELECT nodes.node,
                             (150000000 // nn.n_nodes) + ((85 * coalesce(c2.inflow, 0)) // 100) AS rank
                      FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
-              c3 AS (SELECT und.dst AS node, sum(r2.rank // deg.outdeg) AS inflow
+              c3 AS MATERIALIZED (SELECT und.dst AS node, sum(r2.rank // deg.outdeg) AS inflow
                      FROM und JOIN r2 ON und.src = r2.node
                               JOIN deg ON und.src = deg.node GROUP BY 1),
-              r3 AS (SELECT nodes.node,
+              r3 AS MATERIALIZED (SELECT nodes.node,
                             (150000000 // nn.n_nodes) + ((85 * coalesce(c3.inflow, 0)) // 100) AS rank
                      FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
               SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r3""")),
@@ -176,40 +176,40 @@ object GraphQueries {
           .filter(col("rank") > 0)
           .select(col("node"), col("rank").as("rank_fp"))
       },
-      Some("""WITH ed AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+      Some("""WITH ed AS MATERIALIZED (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
                           FROM lineitem),
-              und AS (SELECT DISTINCT src, dst FROM
+              und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
                       (SELECT src, dst FROM ed
                        UNION ALL SELECT dst AS src, src AS dst FROM ed)),
-              nodes AS (SELECT DISTINCT src AS node FROM
+              nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM
                         (SELECT src FROM und UNION ALL SELECT dst FROM und)),
-              deg AS (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY 1),
-              sd AS (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier
+              deg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM und GROUP BY 1),
+              sd AS MATERIALIZED (SELECT DISTINCT s_suppkey*2+1 AS node FROM supplier
                      WHERE s_nationkey = 0),
-              ns AS (SELECT count(*) AS n_seeds FROM sd),
-              ws AS (SELECT nodes.node,
+              ns AS MATERIALIZED (SELECT count(*) AS n_seeds FROM sd),
+              ws AS MATERIALIZED (SELECT nodes.node,
                             CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
                             greatest(ns.n_seeds, 1) AS n_seeds
                      FROM nodes CROSS JOIN ns LEFT JOIN sd ON nodes.node = sd.node),
-              r0 AS (SELECT node, (is_seed * 1000000000) // n_seeds AS rank FROM ws),
-              c1 AS (SELECT und.dst AS node, sum(r0.rank // deg.outdeg) AS inflow
+              r0 AS MATERIALIZED (SELECT node, (is_seed * 1000000000) // n_seeds AS rank FROM ws),
+              c1 AS MATERIALIZED (SELECT und.dst AS node, sum(r0.rank // deg.outdeg) AS inflow
                      FROM und JOIN r0 ON und.src = r0.node
                               JOIN deg ON und.src = deg.node GROUP BY 1),
-              r1 AS (SELECT ws.node,
+              r1 AS MATERIALIZED (SELECT ws.node,
                             ((ws.is_seed * 150000000) // ws.n_seeds)
                             + ((85 * coalesce(c1.inflow, 0)) // 100) AS rank
                      FROM ws LEFT JOIN c1 ON ws.node = c1.node),
-              c2 AS (SELECT und.dst AS node, sum(r1.rank // deg.outdeg) AS inflow
+              c2 AS MATERIALIZED (SELECT und.dst AS node, sum(r1.rank // deg.outdeg) AS inflow
                      FROM und JOIN r1 ON und.src = r1.node
                               JOIN deg ON und.src = deg.node GROUP BY 1),
-              r2 AS (SELECT ws.node,
+              r2 AS MATERIALIZED (SELECT ws.node,
                             ((ws.is_seed * 150000000) // ws.n_seeds)
                             + ((85 * coalesce(c2.inflow, 0)) // 100) AS rank
                      FROM ws LEFT JOIN c2 ON ws.node = c2.node),
-              c3 AS (SELECT und.dst AS node, sum(r2.rank // deg.outdeg) AS inflow
+              c3 AS MATERIALIZED (SELECT und.dst AS node, sum(r2.rank // deg.outdeg) AS inflow
                      FROM und JOIN r2 ON und.src = r2.node
                               JOIN deg ON und.src = deg.node GROUP BY 1),
-              r3 AS (SELECT ws.node,
+              r3 AS MATERIALIZED (SELECT ws.node,
                             ((ws.is_seed * 150000000) // ws.n_seeds)
                             + ((85 * coalesce(c3.inflow, 0)) // 100) AS rank
                      FROM ws LEFT JOIN c3 ON ws.node = c3.node)
@@ -230,7 +230,7 @@ object GraphQueries {
               w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
               tri AS (SELECT count(*) AS n_triangles FROM w
                       JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
-              nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
+              nodes AS MATERIALIZED (SELECT count(DISTINCT n) AS n_nodes FROM
                         (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
               ne AS (SELECT count(*) AS n_edges FROM e)
               SELECT n_nodes, n_edges, n_triangles
@@ -319,7 +319,7 @@ object GraphQueries {
               e AS (SELECT x.i AS a, y.i AS b FROM m x JOIN m y
                     ON x.g = y.g AND x.i < y.i
                     GROUP BY 1, 2 HAVING count(*) >= 2),
-              deg AS (SELECT n, count(*) AS degree FROM
+              deg AS MATERIALIZED (SELECT n, count(*) AS degree FROM
                       (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
               SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""")),
 
@@ -357,7 +357,7 @@ object GraphQueries {
               cmn AS (SELECT e1.src AS a, e2.src AS b, count(*) AS n_common
                       FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src
                       GROUP BY 1, 2 HAVING count(*) >= 2),
-              deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)
+              deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)
               SELECT cmn.a, cmn.b,
                 CAST(cmn.n_common AS BIGINT) AS n_common,
                 CAST(da.deg AS BIGINT) AS deg_a,
@@ -383,11 +383,11 @@ object GraphQueries {
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct(),
         maxDeg = 20L, minCommon = 2L),
-      Some("""WITH ed AS (SELECT DISTINCT l_partkey*2 AS a, l_suppkey*2+1 AS b
+      Some("""WITH ed AS MATERIALIZED (SELECT DISTINCT l_partkey*2 AS a, l_suppkey*2+1 AS b
                           FROM lineitem),
               und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
                    UNION ALL SELECT b, a FROM ed),
-              deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+              deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
               ctr AS (SELECT und.src, und.dst FROM und
                       JOIN deg ON und.dst = deg.node AND deg.deg <= 20),
               cmn AS (SELECT e1.src AS a, e2.src AS b, count(*) AS n_common
@@ -477,25 +477,29 @@ object GraphQueries {
     * half-step, every `//` and `greatest(…,1)` guard verbatim. */
   private def hitsOracle(iters: Int): String = {
     val S = graft.operators.GraphRank.Scale
+    // every CTE is MATERIALIZED: default-inlined chained rounds re-expand
+    // the whole prefix per reference, which at sf1 ground DuckDB into a
+    // >78 GB temp spill (the bfs/cc oracles learned this first)
     val head =
-      s"""WITH ed AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
-                      FROM lineitem),
-          nodes AS (SELECT DISTINCT node FROM
+      s"""WITH ed AS MATERIALIZED (SELECT DISTINCT l_partkey*2 AS src,
+                      l_suppkey*2+1 AS dst FROM lineitem),
+          nodes AS MATERIALIZED (SELECT DISTINCT node FROM
                     (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
-          nn AS (SELECT count(*) AS n_nodes FROM nodes),
-          h0 AS (SELECT node, $S // n_nodes AS hub FROM nodes CROSS JOIN nn)"""
+          nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+          h0 AS MATERIALIZED (SELECT node, $S // n_nodes AS hub
+                              FROM nodes CROSS JOIN nn)"""
     val rounds = (1 to iters).map { i =>
-      s"""ra$i AS (SELECT ed.dst AS node, sum(h${i - 1}.hub) AS raw
+      s"""ra$i AS MATERIALIZED (SELECT ed.dst AS node, sum(h${i - 1}.hub) AS raw
              FROM ed JOIN h${i - 1} ON ed.src = h${i - 1}.node GROUP BY 1),
-          ta$i AS (SELECT greatest(COALESCE(sum(raw), 1), 1) AS total FROM ra$i),
-          a$i AS (SELECT nodes.node,
+          ta$i AS MATERIALIZED (SELECT greatest(COALESCE(sum(raw), 1), 1) AS total FROM ra$i),
+          a$i AS MATERIALIZED (SELECT nodes.node,
                     (COALESCE(ra$i.raw, 0) * $S) // ta$i.total AS auth
                   FROM nodes CROSS JOIN ta$i
                        LEFT JOIN ra$i ON nodes.node = ra$i.node),
-          rh$i AS (SELECT ed.src AS node, sum(a$i.auth) AS raw
+          rh$i AS MATERIALIZED (SELECT ed.src AS node, sum(a$i.auth) AS raw
              FROM ed JOIN a$i ON ed.dst = a$i.node GROUP BY 1),
-          th$i AS (SELECT greatest(COALESCE(sum(raw), 1), 1) AS total FROM rh$i),
-          h$i AS (SELECT nodes.node,
+          th$i AS MATERIALIZED (SELECT greatest(COALESCE(sum(raw), 1), 1) AS total FROM rh$i),
+          h$i AS MATERIALIZED (SELECT nodes.node,
                     (COALESCE(rh$i.raw, 0) * $S) // th$i.total AS hub
                   FROM nodes CROSS JOIN th$i
                        LEFT JOIN rh$i ON nodes.node = rh$i.node)"""
