@@ -602,30 +602,41 @@ object GraphRank {
       // authority half-step: hub mass flows src→dst. Each raw-inflow frame
       // is referenced TWICE (its L1 total and the normalize) — checkpoint
       // it (node-sized) or the lazy plan nests exponentially in iters,
-      // recomputing the edge join once per reference (the same per-round
-      // truncation labelPropagation uses).
+      // recomputing the edge join once per reference. LAZY checkpoints
+      // (the connectedComponents lesson): the plan is truncated for the
+      // optimizer immediately and the frame caches on first compute, but
+      // no per-half-step driver round-trip is paid.
+      //
+      // Intermediate score frames stay SPARSE: a node with zero inflow
+      // normalizes to score 0, and zero-score rows contribute nothing to
+      // the next half-step's SUM or to the L1 total, so the per-half-step
+      // nodes left-join the oracle writes is deferred to the single final
+      // densify below — four node-sized shuffle joins saved per fit,
+      // value-identical output.
       val rawA = eSrc
         .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node")).agg(sum("hub").as("raw"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // greatest(…, 1): an all-zero score frame (n_nodes > Scale) must not
       // trip ANSI div-by-zero; the zero numerators stay zero either way
       val ta = rawA.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
-      auth = nodes.join(rawA, Seq("node"), "left").crossJoin(broadcast(ta))
-        .select(col("node"),
-          expr(s"(coalesce(raw, 0) * $Scale) div total").as("auth"))
+      auth = rawA.crossJoin(broadcast(ta))
+        .select(col("node"), expr(s"(raw * $Scale) div total").as("auth"))
       // hub half-step: authority mass flows dst→src
       val rawH = eDst
         .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node")).agg(sum("auth").as("raw"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val th = rawH.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
-      hub = nodes.join(rawH, Seq("node"), "left").crossJoin(broadcast(th))
-        .select(col("node"),
-          expr(s"(coalesce(raw, 0) * $Scale) div total").as("hub"))
+      hub = rawH.crossJoin(broadcast(th))
+        .select(col("node"), expr(s"(raw * $Scale) div total").as("hub"))
     }
-    hub.join(auth, Seq("node"))
-      .select(col("node"), col("hub").as("hub_fp"), col("auth").as("auth_fp"))
+    // densify once: every node appears in the output, absent scores are 0
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth"), lit(0L)).as("auth_fp"))
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
@@ -689,11 +700,17 @@ object GraphRank {
       minCommon: Long = 1L): DataFrame = {
     val und = undirected(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node-sized and referenced 3× (center filter + both degree
+    // join-backs); persisted so the capped form doesn't re-aggregate und
+    // per reference
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // cap applied BEFORE the wedge join: only low-degree centers fan out
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cap applied BEFORE the wedge join: only low-degree centers fan out.
+    // Persisted: both sides of the wedge self-join read this frame.
     val centers = und.join(
         deg.filter(col("deg") <= maxDeg).select(col("node").as("dst")),
         Seq("dst"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = centers.select(col("dst").as("w"), col("src").as("a"))
       .join(centers.select(col("dst").as("w"), col("src").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
