@@ -73,17 +73,21 @@ object KMeans {
   private[operators] def clusterExpr(model: Model): Column =
     clusterExprOn(model, col("q"))
 
-  /** [[clusterExpr]] over an arbitrary quantized-vector column (the PQ
-    * joint fit assigns all subspace slices in one pass). */
-  private[operators] def clusterExprOn(model: Model, q: Column): Column = {
-    val entries = model.centroids.map { case (cid, c) =>
+  /** (negscore, cid) struct per centroid — negscore = c·c − 2·q·c, so per
+    * point d² = q·q + negscore and ordering by (negscore, cid) IS ordering
+    * by (d², cid): argmin with ties to the smallest cluster id. */
+  private def scoreStructs(model: Model, q: Column): Seq[Column] =
+    model.centroids.map { case (cid, c) =>
       val cc = c.map(x => x * x).sum
       struct(
         (lit(cc) - DotProductLong(q, typedlit(c.toSeq)) * 2).as("negscore"),
         lit(cid.toLong).as("cid"))
     }
-    array_min(array(entries: _*)).getField("cid")
-  }
+
+  /** [[clusterExpr]] over an arbitrary quantized-vector column (the PQ
+    * joint fit assigns all subspace slices in one pass). */
+  private[operators] def clusterExprOn(model: Model, q: Column): Column =
+    array_min(array(scoreStructs(model, q): _*)).getField("cid")
 
   /** Minimum "negscore" (cc − 2·q·c) over the model's centroids — adding
     * q·q gives the exact integer squared distance to the nearest centroid.
@@ -351,6 +355,37 @@ object KMeans {
     emb.filter(col(embCol).isNotNull)
       .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
       .select(col("vec_id"), clusterExpr(model).as("cluster"))
+
+  /** Per-point SIMPLIFIED silhouette under `model` — the clustering-quality
+    * audit (Rousseeuw's silhouette with the O(n²) mean-pairwise distances
+    * replaced by centroid distances, the standard large-scale form): with
+    * a² the squared distance to the OWN (nearest) centroid and b² the
+    * squared distance to the nearest OTHER centroid,
+    *   sil = (b² − a²) / b²   (0 when b² = 0; a² ≤ b² by construction,
+    * so max(a², b²) = b² and sil ∈ [0, 1] — squared-space variant, kept
+    * squared because √ is a libm call the cross-engine contract bans).
+    * Near-1 = well-separated, near-0 = on a cluster boundary; the
+    * before/after yardstick for choosing k or auditing a SemDeDup pass.
+    *
+    * Scale: a pure MAP over the corpus scan — centroid literals in the
+    * plan, argmin + runner-up from ONE sorted k-array per row, no join,
+    * no shuffle. a²/b² are exact BIGINTs; sil is one IEEE division. */
+  def silhouette(emb: DataFrame, model: Model, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(model.centroids.length >= 2, "silhouette needs k >= 2")
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .select(col("vec_id"), DotProductLong(col("q"), col("q")).as("qq"),
+        slice(array_sort(array(scoreStructs(model, col("q")): _*)), 1, 2).as("t2"))
+      .select(col("vec_id"),
+        col("t2")(0).getField("cid").as("cluster"),
+        (col("qq") + col("t2")(0).getField("negscore")).as("a2"),
+        (col("qq") + col("t2")(1).getField("negscore")).as("b2"))
+      .select(col("vec_id"), col("cluster"), col("a2"), col("b2"),
+        when(col("b2") === 0L, lit(0.0))
+          .otherwise((col("b2") - col("a2")).cast("double") / col("b2"))
+          .as("sil"))
+  }
 
   /** fit + assign in one call (the q_x_kmeans gate surface). */
   def fitAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,

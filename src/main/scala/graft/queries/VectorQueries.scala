@@ -1015,6 +1015,31 @@ object VectorQueries {
       (s, d) => graft.operators.KMeans.assign(t(s, d, "embeddings"), kmeansModel(s, d)),
       Some(kmeansOracleSql)),
 
+    // Per-point simplified silhouette under the shared fitted model — the
+    // clustering-quality audit (own-centroid d² vs nearest-other d², both
+    // exact BIGINTs; sil = (b²−a²)/b² is one IEEE division). The oracle
+    // refits the identical model (kmeansCtes' c2) and ranks each point's
+    // k distances by (d², cid) — per point q·q is constant, so that
+    // ordering equals the Spark side's (negscore, cid) struct sort.
+    QueryDef("q_x_silhouette",
+      (s, d) => graft.operators.KMeans.silhouette(
+        t(s, d, "embeddings"), kmeansModel(s, d)),
+      Some(s"""WITH $kmeansCtes,
+               dd AS (SELECT e.vec_id, c2.cid,
+                        CAST(list_dot_product(e.q, e.q)
+                             + list_dot_product(c2.q, c2.q)
+                             - 2 * list_dot_product(e.q, c2.q) AS BIGINT) AS d2
+                      FROM e CROSS JOIN c2),
+               rk AS (SELECT vec_id, cid, d2, row_number() OVER
+                        (PARTITION BY vec_id ORDER BY d2, cid) AS r
+                      FROM dd)
+               SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+                      a.d2 AS a2, b.d2 AS b2,
+                      CASE WHEN b.d2 = 0 THEN CAST(0 AS DOUBLE)
+                           ELSE CAST(b.d2 - a.d2 AS DOUBLE) / b.d2 END AS sil
+               FROM (SELECT vec_id, cid, d2 FROM rk WHERE r = 1) a
+               JOIN (SELECT vec_id, d2 FROM rk WHERE r = 2) b USING (vec_id)""")),
+
     // Bitext mining with the margin criterion (VectorSearch
     // .mineBitextExact): label-0 vectors as the "source language", label-1
     // as the "target"; each source's best target is accepted only when the

@@ -158,4 +158,28 @@ class KMeansSpec extends SparkSpec {
     cat.rollback("km", cat.versions("km").head)
     assert(KMeans.loadModel(cat, "km").centroids.map(_._1) == m.centroids.map(_._1))
   }
+  test("silhouette: blob members are well-separated, agree with assign, invariants hold") {
+    val model = KMeans.fit(blobs, k = 2, iters = 3)
+    val sil = KMeans.silhouette(blobs, model)
+      .select("vec_id", "cluster", "a2", "b2", "sil")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(sil.length == 10)
+    // cluster column equals assign's argmin
+    val assigned = KMeans.assign(blobs, model)
+      .as[(Long, Long)].collect().toMap
+    sil.foreach { case (id, c, a2, b2, s) =>
+      assert(c == assigned(id))
+      assert(a2 >= 0 && b2 >= a2, s"a2=$a2 b2=$b2")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(b2 == 0 || math.abs(s - (b2 - a2).toDouble / b2) == 0.0)
+    }
+    // two tight blobs straddling the origin: every point far closer to its
+    // own centroid than the opposite one
+    assert(sil.forall(_._5 > 0.9), sil.mkString(","))
+    // a boundary point (the origin) scores ~0 against the same model
+    val boundary = Seq((99L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val b = KMeans.silhouette(boundary, model).select("sil").as[Double].head()
+    assert(b < 0.1, s"boundary sil $b")
+  }
 }
