@@ -185,6 +185,54 @@ object Anomaly {
             .cast("double")).as("psi"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between a REFERENCE and
+    * a CURRENT sample of an integer-valued metric — the nonparametric
+    * drift companion to [[psiDrift]]: no buckets, no smoothing constant,
+    * sensitive to ANY distribution-shape change.
+    *   KS = max_v |F_ref(v) − F_cur(v)|
+    * over the observed values, emitted as the exact integer numerator
+    * max |cum_ref(v)·n_cur − cum_cur(v)·n_ref| beside the n_ref·n_cur
+    * denominator, plus `ks` as ONE IEEE division — max is
+    * order-independent, so the statistic is bit-identical cross-engine
+    * (exact while n_ref·n_cur < 2^63, i.e. ~3·10⁹ rows per side).
+    *
+    * Scale shape: one value-keyed count of the union, then the TWO-LEVEL
+    * bucketed prefix sum (the [[Trend.spearman]] / Eval.cumBelow device —
+    * no corpus-sized window), a broadcast 1-row total, and a global max.
+    * The single-ordered-window oracle form is the 1-partition
+    * anti-pattern this shape exists to avoid. */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bucketBits: Int = 20): DataFrame = {
+    val u = ref.select(col(valueCol).cast("long").as("v"),
+        lit(1L).as("ir"), lit(0L).as("ic"))
+      .unionByName(cur.select(col(valueCol).cast("long").as("v"),
+        lit(0L).as("ir"), lit(1L).as("ic")))
+    val per = u.groupBy("v").agg(sum("ir").as("cr"), sum("ic").as("cc"))
+      .withColumn("b", shiftright(col("v"), bucketBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    // bucket-sized by construction (the two-level contract) → broadcast
+    val bp = broadcast(per.groupBy("b")
+      .agg(sum("cr").as("scr"), sum("cc").as("scc"))
+      .select(col("b"),
+        coalesce(sum("scr").over(wb), lit(0L)).as("bbr"),
+        coalesce(sum("scc").over(wb), lit(0L)).as("bbc")))
+    val ww = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0) // inclusive: F(v) = P(x ≤ v)
+    val cums = per.join(bp, Seq("b"))
+      .select((col("bbr") + sum("cr").over(ww)).as("cumr"),
+        (col("bbc") + sum("cc").over(ww)).as("cumc"))
+    val tot = broadcast(per.agg(sum("cr").as("nr"), sum("cc").as("nc")))
+    cums.crossJoin(tot)
+      .groupBy(col("nr").as("n_ref"), col("nc").as("n_cur"))
+      .agg(max(abs(col("cumr") * col("nc") - col("cumc") * col("nr")))
+        .as("ks_num"))
+      .select(col("n_ref"), col("n_cur"), col("ks_num"),
+        when(col("n_ref") * col("n_cur") === 0L, lit(null).cast("double"))
+          .otherwise(col("ks_num").cast("double") /
+            (col("n_ref") * col("n_cur")).cast("double")).as("ks"))
+  }
+
   def flagAgainstStats(points: DataFrame, statsDf: DataFrame, keyCols: Seq[String],
       valueCol: String, k: Int = 3): DataFrame =
     points.join(broadcast(statsDf), keyCols, "left")

@@ -784,6 +784,35 @@ object EventQueries {
                  END AS slope_fp
                FROM r""")),
 
+    // Exact two-sample KS statistic between the even- and odd-event_id
+    // halves of the value-cents distribution — the bucket-free drift
+    // monitor beside PSI: integer numerator max|cumR·nC − cumC·nR| over
+    // the two-level bucketed prefix sums (no global sort), denominator
+    // nR·nC, one IEEE division. The oracle's single ordered window is the
+    // semantic, not the algorithm.
+    QueryDef("q_x_ks_drift",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"),
+          cents(col("value")).as("v"))
+        graft.operators.Anomaly.ksDrift(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "v")
+      },
+      Some(s"""WITH e AS (SELECT event_id, ${centsSql("value")} AS v FROM events),
+               r AS (SELECT v, count(*) AS c FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+               c AS (SELECT v, count(*) AS c FROM e WHERE event_id % 2 = 1 GROUP BY 1),
+               j AS (SELECT v, COALESCE(r.c, 0) AS cr, COALESCE(c.c, 0) AS cc
+                     FROM r FULL OUTER JOIN c USING (v)),
+               k AS (SELECT sum(cr) OVER (ORDER BY v) AS cumr,
+                            sum(cc) OVER (ORDER BY v) AS cumc FROM j),
+               n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM j)
+               SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+                      CAST(max(abs(cumr * nc - cumc * nr)) AS BIGINT) AS ks_num,
+                      CASE WHEN nr * nc = 0 THEN NULL
+                           ELSE CAST(max(abs(cumr * nc - cumc * nr)) AS DOUBLE)
+                                / CAST(nr * nc AS DOUBLE) END AS ks
+               FROM k CROSS JOIN n GROUP BY nr, nc""")),
+
     // Distribution-drift monitor: PSI between the even- and odd-event_id
     // halves of each type's value distribution (50-unit buckets, add-one
     // smoothing) — catches shape drift that volume monitors miss. Exact
