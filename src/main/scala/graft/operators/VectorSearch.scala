@@ -574,4 +574,31 @@ object VectorSearch {
           col("s1") * lit(1000000L) >= lit(marginFpMin) * col("s2")))
           .as("accepted"))
   }
+
+  /** One-row hygiene census of an embedding column — the ingest gate a
+    * vector pipeline runs before indexing a new batch (a single bad
+    * encoder shard ships NULLs, zero vectors, or wrong-dimension rows, and
+    * every downstream cosine silently degrades): counts of NULL / all-zero
+    * / near-zero (quantized norm² < `tinyNorm2`, the degenerate-similarity
+    * trap) / wrong-dimension vectors, plus the exact quantized-norm² range.
+    * All outputs are BIGINT counts or single-vector norms — no
+    * corpus-sized sums, so nothing overflows at any corpus size. ONE
+    * map-side pass + a 1-row aggregate; composes with incremental ingest
+    * by running on the batch slice alone. */
+  def embeddingAudit(emb: DataFrame, expectedDim: Int, tinyNorm2: Long = 10000L,
+      embCol: String = "embedding"): DataFrame = {
+    val n2 = graft.expressions.DotProductLong(quantize(embCol), quantize(embCol))
+    emb.select(col(embCol).isNull.as("is_null"),
+        when(col(embCol).isNotNull, n2).as("norm2"),
+        when(col(embCol).isNotNull, size(col(embCol))).as("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("is_null"), lit(1))).as("n_null"),
+        count(when(col("norm2") === 0L, lit(1))).as("n_zero"),
+        count(when(col("norm2") > 0L && col("norm2") < tinyNorm2, lit(1)))
+          .as("n_tiny"),
+        count(when(!col("is_null") && col("dim") =!= expectedDim, lit(1)))
+          .as("n_wrong_dim"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"))
+  }
 }

@@ -1021,6 +1021,29 @@ object VectorQueries {
     // refits the identical model (kmeansCtes' c2) and ranks each point's
     // k distances by (d², cid) — per point q·q is constant, so that
     // ordering equals the Spark side's (negscore, cid) struct sort.
+    // Embedding hygiene census — the ingest gate before indexing a batch:
+    // NULL / all-zero / near-zero / wrong-dimension counts plus the exact
+    // quantized-norm² range, one map-side pass + a 1-row aggregate (all
+    // BIGINT counts and single-vector norms — nothing corpus-summed).
+    QueryDef("q_x_embed_audit",
+      (s, d) => graft.operators.VectorSearch.embeddingAudit(
+        t(s, d, "embeddings"), expectedDim = 64),
+      Some(s"""WITH n AS (SELECT embedding,
+                 CASE WHEN embedding IS NULL THEN NULL
+                      ELSE CAST(list_dot_product(q, q) AS BIGINT) END AS norm2,
+                 len(embedding) AS dim
+               FROM (SELECT embedding, $quantSql AS q FROM embeddings))
+               SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(count(*) FILTER (embedding IS NULL) AS BIGINT) AS n_null,
+                 CAST(count(*) FILTER (norm2 = 0) AS BIGINT) AS n_zero,
+                 CAST(count(*) FILTER (norm2 > 0 AND norm2 < 10000) AS BIGINT)
+                   AS n_tiny,
+                 CAST(count(*) FILTER (embedding IS NOT NULL AND dim <> 64)
+                   AS BIGINT) AS n_wrong_dim,
+                 CAST(min(norm2) AS BIGINT) AS min_norm2,
+                 CAST(max(norm2) AS BIGINT) AS max_norm2
+               FROM n""")),
+
     QueryDef("q_x_silhouette",
       (s, d) => graft.operators.KMeans.silhouette(
         t(s, d, "embeddings"), kmeansModel(s, d)),

@@ -973,4 +973,18 @@ class FunctionsSpec extends SparkSpec {
       assert(int8ByQ(q).contains(n1),
         s"query $q: full-width top-1 $n1 missing from int8 top-3 ${int8ByQ(q)}")
   }
+  test("embeddingAudit: null, zero, tiny, wrong-dim, and norm range all flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Some(Seq(1.0f, 0.0f))),            // norm2 = 1e8
+      (1L, Some(Seq(0.0f, 0.0f))),            // all-zero
+      (2L, None),                             // null embedding
+      (3L, Some(Seq(0.0001f, 0.0f))),         // quantizes to (1,0): norm2 = 1 -> tiny
+      (4L, Some(Seq(1.0f, 1.0f, 1.0f))),      // wrong dimension (norm2 = 3e8)
+      (5L, Some(Seq(2.0f, 0.0f))))            // norm2 = 4e8 (max)
+      .toDF("vec_id", "embedding")
+    val got = VectorSearch.embeddingAudit(rows, expectedDim = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((6L, 1L, 1L, 1L, 1L, 0L, 400000000L)), got.toString)
+  }
 }
