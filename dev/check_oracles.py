@@ -67,8 +67,17 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: no spark output"); continue
         try:
             got_rel = f"read_parquet('{res_dir}/*.parquet')"
-            got_schema = pq.read_schema(
-                sorted(glob.glob(f"{res_dir}/*.parquet"))[0])
+            # unified schema across ALL part files: the SQL comparison
+            # reads the whole glob, so the column/type gate must too — a
+            # multi-file output with divergent per-file schemas would
+            # otherwise pass on file #1 alone
+            part_files = sorted(glob.glob(f"{res_dir}/*.parquet"))
+            part_schemas = [pq.read_schema(p) for p in part_files]
+            got_schema = part_schemas[0]
+            bad = [part_files[i] for i, s in enumerate(part_schemas)
+                   if not s.equals(got_schema)]
+            if bad:
+                raise ValueError(f"part-file schema drift vs {part_files[0]}: {bad}")
             got_cols = [f.name.lower() for f in got_schema]
             exp_arrow = con.execute(sql).arrow()
             exp_cols = [f.name.lower() for f in exp_arrow.schema]

@@ -10,11 +10,18 @@ import org.apache.spark.sql.types._
   * (the Scala equivalent of a pandas `mapInPandas` UDF: one JVM-side batch
   * iterator per partition, no per-row launch overhead).
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] produces deterministic pseudo-features from
-  * the bytes. Everything around it — schema, batching, partition sizing,
-  * feature layout — is real and tested, so a real decoder drops in by
-  * replacing one function.
+  * Codec reality (narrower stub boundary than the original plan): the
+  * container-format codecs below are REAL — [[PngCodec]]/[[GifCodec]]
+  * decode and re-encode actual PNG/GIF/BMP/PPM pixels via
+  * `javax.imageio`/byte arithmetic, [[WavCodec]] parses and writes real
+  * RIFF/WAVE sample frames, and the MP3 path walks real MPEG frame
+  * headers. The ONLY stubbed step is ENTROPY-CODED SAMPLE DECODE where the
+  * JDK has no codec (H.264 motion-compensated frames, MP3's MDCT sample
+  * reconstruction): there [[StubDecoder]] produces deterministic
+  * pseudo-features from the raw bytes so the surrounding plumbing —
+  * schema, batching, partition sizing, feature layout — stays real and
+  * tested, and a real decoder (JNI/ffmpeg) drops in by replacing one
+  * function.
   *
   * Scale notes: media rows are large (MBs), so [[repartitionForPayloads]]
   * targets a row-count per partition rather than Spark's default byte-based
@@ -111,10 +118,56 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Direct spec-valid gray-8 PNG writer (PNG spec §11: IHDR color type
+      * 0, filter 0 scanlines, one zlib IDAT, IEND): the JDK's
+      * `ImageIO.write(_, "png")` spends most of its time in high-level
+      * deflate + writer plumbing PER ROW of a mapPartitions loop, which at
+      * sf1 made the encode half of every image gate the constant DuckDB's
+      * arithmetic-only oracles never pay. Encoding here is plain byte
+      * assembly + one BEST_SPEED deflate; the payload is bit-losslessly
+      * the same raster, and the DECODE side (the half that proves codec
+      * reality) remains the genuine `ImageIO.read`. */
+    private def writeGrayPng(pix: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(64 + pix.length / 2)
+      bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      val crc = new java.util.zip.CRC32
+      def be32(v: Int): Array[Byte] =
+        Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+          ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(tag: String, data: Array[Byte]): Unit = {
+        bos.write(be32(data.length))
+        val t = tag.getBytes("US-ASCII")
+        bos.write(t); bos.write(data)
+        crc.reset(); crc.update(t); crc.update(data)
+        bos.write(be32(crc.getValue.toInt))
+      }
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0))
+      // filter-0-prefixed scanlines → one zlib stream
+      val raw = new Array[Byte](h * (w + 1))
+      var y = 0
+      while (y < h) {
+        System.arraycopy(pix, y * w, raw, y * (w + 1) + 1, w)
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      try {
+        defl.setInput(raw); defl.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+        val buf = new Array[Byte](8192)
+        while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+        chunk("IDAT", out.toByteArray)
+      } finally defl.end()
+      chunk("IEND", Array.emptyByteArray)
+      bos.toByteArray
+    }
+
     /** Deterministic "image of this payload" used by tests and the
       * round-trip gate (PNG: lossless). */
-    def encodeGray(bytes: Array[Byte], width: Int = 64): Array[Byte] =
-      encodeGrayAs(bytes, width, "png")
+    def encodeGray(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+      val h = math.max(1, (bytes.length + width - 1) / width)
+      val pix = java.util.Arrays.copyOf(bytes, width * h) // zero-padded rows
+      writeGrayPng(pix, width, h)
+    }
 
     /** Full decode (not a header sniff). None when the payload is not a
       * decodable image. */
@@ -122,12 +175,41 @@ object Multimodal {
       scala.util.Try(Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(png)))).toOption.flatten
 
+    /** Fresh per-partition PNG reader for [[decodeWith]] — the per-row
+      * `ImageIO.read` re-runs the format-sniffing registry scan and
+      * allocates a new reader every call; a mapPartitions loop makes one
+      * per task instead (plain Java object, GC owns cleanup). */
+    def newPngReader(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+    /** [[decode]] against a caller-owned (per-partition) PNG reader. */
+    def decodeWith(reader: javax.imageio.ImageReader,
+        png: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      try {
+        reader.setInput(iis, true)
+        scala.util.Try(Option(reader.read(0))).toOption.flatten
+      } finally { reader.reset(); iis.close() }
+    }
+
     /** PNG-encode an already-decoded image (lossless) — how sampled GIF
-      * frames ship as standalone payloads. */
+      * frames ship as standalone payloads. Grayscale rasters take the
+      * direct [[writeGrayPng]] path; anything else falls back to the JDK
+      * writer (same bits either way — PNG is lossless). */
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val samples = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+        val pix = new Array[Byte](w * h)
+        var i = 0
+        while (i < pix.length) { pix(i) = samples(i).toByte; i += 1 }
+        writeGrayPng(pix, w, h)
+      } else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
     }
 
     /** Luminance samples row-major (first band — exact for grayscale). */
@@ -175,6 +257,17 @@ object Multimodal {
         b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
+    /** Fresh per-partition reader — the per-ROW registry lookup +
+      * dispose cycle was a measurable constant of the sf1 gif gate; a
+      * mapPartitions loop creates one of these per task and reuses it
+      * ([[decodeFramesWith]]). Plain Java object; GC owns cleanup. */
+    def newReader(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+
+    /** Fresh per-partition writer, for [[encodeFramesWith]]. */
+    def newWriter(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+
     /** Every frame of a (possibly animated) GIF; empty for non-GIF or
       * undecodable payloads — never a partial garbage decode. */
     def decodeFrames(b: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
@@ -182,6 +275,13 @@ object Multimodal {
       val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
       if (!readers.hasNext) return Seq.empty
       val reader = readers.next()
+      try decodeFramesWith(reader, b) finally reader.dispose()
+    }
+
+    /** [[decodeFrames]] against a caller-owned (per-partition) reader. */
+    def decodeFramesWith(reader: javax.imageio.ImageReader,
+        b: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      if (!isGif(b)) return Seq.empty
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(b))
       try {
@@ -189,16 +289,22 @@ object Multimodal {
         val n = reader.getNumImages(true)
         (0 until n).flatMap(i => scala.util.Try(reader.read(i)).toOption)
       } catch { case _: Throwable => Seq.empty }
-      finally { reader.dispose(); iis.close() }
+      finally { reader.reset(); iis.close() }
     }
 
     /** Deterministic animated-GIF encode (frame sequence writer) — used by
       * specs and the synthetic-media path to produce REAL multi-frame
       * payloads the decode half then proves itself on. */
     def encodeFrames(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = newWriter()
+      try encodeFramesWith(writer, frames) finally writer.dispose()
+    }
+
+    /** [[encodeFrames]] against a caller-owned (per-partition) writer. */
+    def encodeFramesWith(writer: javax.imageio.ImageWriter,
+        frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
@@ -211,7 +317,7 @@ object Multimodal {
         frames.foreach(img =>
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param))
         writer.endWriteSequence()
-      } finally { writer.dispose(); ios.close() }
+      } finally { writer.reset(); ios.close() }
       bos.toByteArray
     }
   }
@@ -509,7 +615,7 @@ object Multimodal {
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("sample_rate", IntegerType), StructField("duration_ms", IntegerType)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    media.select("media_id", "payload").mapPartitions { it =>
+    spread(media.select("media_id", "payload")).mapPartitions { it =>
       it.map { r =>
         val m = HeaderProbe.probe(r.getAs[Array[Byte]]("payload"))
         Row(r.getLong(0), m.format, m.width.orNull, m.height.orNull,
@@ -525,6 +631,18 @@ object Multimodal {
     df.repartition(n)
   }
 
+  /** CPU-bound codec passes need every core: a small corpus (one parquet
+    * file under maxPartitionBytes) scans as ONE partition, which serializes
+    * the whole per-row codec loop on a single thread — measured as the
+    * dominant cost of every image gate at sf1. Repartition UP to the
+    * session's default parallelism when the input is narrower; an input
+    * already wider (the 100 TB case: thousands of scan splits) passes
+    * through untouched, so no data-sized shuffle is ever added at scale. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Decode + feature-extract, one batch iterator per partition. Output:
     * (media_id, kind, n_bytes, features: array<float>). */
   def extractFeatures(media: DataFrame): DataFrame = {
@@ -534,7 +652,7 @@ object Multimodal {
       StructField("n_bytes", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    media.select("media_id", "kind", "payload").mapPartitions { it =>
+    spread(media.select("media_id", "kind", "payload")).mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
         // PNG, JPEG and GIF payloads get REAL pixel features (JDK decode;
@@ -564,11 +682,12 @@ object Multimodal {
       StructField("png_h", LongType, nullable = false),
       StructField("n_payload_bytes", LongType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
       .mapPartitions { it =>
+        val reader = PngCodec.newPngReader() // one per task, not per row
         it.map { r =>
           val png = PngCodec.encodeGray(r.getAs[Array[Byte]]("payload"), width)
-          val img = PngCodec.decode(png).getOrElse(
+          val img = PngCodec.decodeWith(reader, png).getOrElse(
             throw new IllegalStateException("undecodable PNG emitted by encodeGray"))
           val nonzero = PngCodec.grayPixels(img).count(_ != 0).toLong
           Row(r.getLong(0), img.getWidth.toLong, img.getHeight.toLong, nonzero)
@@ -600,11 +719,12 @@ object Multimodal {
       StructField("phash_lo", LongType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val (dstW, dstH) = (9, 8)
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
       .mapPartitions { it =>
+        val reader = PngCodec.newPngReader() // one per task, not per row
         it.map { r =>
           val png = PngCodec.encodeGray(r.getAs[Array[Byte]]("payload"), width)
-          val img = PngCodec.decode(png).getOrElse(
+          val img = PngCodec.decodeWith(reader, png).getOrElse(
             throw new IllegalStateException("undecodable PNG emitted by encodeGray"))
           val src = PngCodec.grayPixels(img)
           val (srcW, srcH) = (img.getWidth, img.getHeight)
@@ -648,11 +768,12 @@ object Multimodal {
       StructField("pixel_sum", LongType, nullable = false),
       StructField("n_nonzero", LongType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
       .mapPartitions { it =>
+        val reader = PngCodec.newPngReader() // one per task, not per row
         it.map { r =>
           val png = PngCodec.encodeGray(r.getAs[Array[Byte]]("payload"), width)
-          val img = PngCodec.decode(png).getOrElse(
+          val img = PngCodec.decodeWith(reader, png).getOrElse(
             throw new IllegalStateException("undecodable PNG emitted by encodeGray"))
           val src = PngCodec.grayPixels(img)
           val (srcW, srcH) = (img.getWidth, img.getHeight)
@@ -668,7 +789,7 @@ object Multimodal {
             }
             y += 1
           }
-          val decoded = PngCodec.decode(PngCodec.encodePng(out)).getOrElse(
+          val decoded = PngCodec.decodeWith(reader, PngCodec.encodePng(out)).getOrElse(
             throw new IllegalStateException("undecodable PNG emitted by resize"))
           val px = PngCodec.grayPixels(decoded)
           Row(r.getLong(0), decoded.getWidth.toLong, decoded.getHeight.toLong,
@@ -699,7 +820,7 @@ object Multimodal {
       StructField("rms", DoubleType),
       StructField("n_zero_crossings", LongType)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    media.select("media_id", "payload").mapPartitions { it =>
+    spread(media.select("media_id", "payload")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         WavCodec.decodePcm16(r.getAs[Array[Byte]]("payload")) match {
@@ -751,7 +872,7 @@ object Multimodal {
       StructField("n_zero_crossings", LongType),
       StructField("recoded_ok", BooleanType)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    media.select("media_id", "payload").mapPartitions { it =>
+    spread(media.select("media_id", "payload")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         WavCodec.decodePcm16(r.getAs[Array[Byte]]("payload")) match {
@@ -792,7 +913,7 @@ object Multimodal {
       StructField("kind", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
       .mapPartitions { it =>
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
@@ -814,7 +935,7 @@ object Multimodal {
       StructField("kind", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
       .mapPartitions { it =>
         it.map(r => Row(r.getLong(0), "audio",
           Mp3Codec.encode(r.getAs[Array[Byte]]("payload"))))
@@ -834,7 +955,7 @@ object Multimodal {
       StructField("max_kbps", IntegerType),
       StructField("vbr", BooleanType)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    media.select("media_id", "payload").mapPartitions { it =>
+    spread(media.select("media_id", "payload")).mapPartitions { it =>
       it.map { r =>
         Mp3Codec.frameWalk(r.getAs[Array[Byte]]("payload")) match {
           case Some(s) => Row(r.getLong(0), s.nFrames, s.sampleRate,
@@ -860,8 +981,13 @@ object Multimodal {
       StructField("f0_nonzero", LongType, nullable = false),
       StructField("f1_nonzero", LongType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
       .mapPartitions { it =>
+        // one writer/reader per TASK, not per row (registry lookup +
+        // dispose per row was a measured constant at sf1); plain Java
+        // objects, GC owns end-of-task cleanup
+        val writer = GifCodec.newWriter()
+        val reader = GifCodec.newReader()
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
           val h = (bytes.length + 1) / 2
@@ -876,21 +1002,20 @@ object Multimodal {
             }
             img
           }
-          val gif = GifCodec.encodeFrames(
+          val gif = GifCodec.encodeFramesWith(writer,
             Seq(grayFrame(bytes.take(h)), grayFrame(bytes.drop(h))))
-          val frames = GifCodec.decodeFrames(gif)
+          val frames = GifCodec.decodeFramesWith(reader, gif)
           // count by COLOR, not raster sample: GIF frames decode as
           // indexed images whose samples are palette indices — a nonzero
-          // gray can sit at palette index 0 and vice versa
+          // gray can sit at palette index 0 and vice versa. Bulk getRGB:
+          // the per-pixel call re-enters the color model per sample.
           def nonzero(img: java.awt.image.BufferedImage): Long = {
-            var c = 0L; var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                if ((img.getRGB(x, y) & 0xffffff) != 0) c += 1
-                x += 1
-              }
-              y += 1
+            val (w, ht) = (img.getWidth, img.getHeight)
+            val rgb = img.getRGB(0, 0, w, ht, null, 0, w)
+            var c = 0L; var i = 0
+            while (i < rgb.length) {
+              if ((rgb(i) & 0xffffff) != 0) c += 1
+              i += 1
             }
             c
           }
@@ -911,7 +1036,7 @@ object Multimodal {
       StructField("n_bytes_in", LongType, nullable = false),
       StructField("n_bytes_out", LongType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    media.select("media_id", "kind", "payload").mapPartitions { it =>
+    spread(media.select("media_id", "kind", "payload")).mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
         val out = StubDecoder.resize(bytes, targetBytes)
@@ -931,7 +1056,7 @@ object Multimodal {
       StructField("frame_no", IntegerType, nullable = false),
       StructField("frame", BinaryType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    media.select("media_id", "payload").mapPartitions { it =>
+    spread(media.select("media_id", "payload")).mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
         val gifFrames =

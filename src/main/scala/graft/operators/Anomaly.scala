@@ -200,7 +200,10 @@ object Anomaly {
     * bucketed prefix sum (the [[Trend.spearman]] / Eval.cumBelow device —
     * no corpus-sized window), a broadcast 1-row total, and a global max.
     * The single-ordered-window oracle form is the 1-partition
-    * anti-pattern this shape exists to avoid. */
+    * anti-pattern this shape exists to avoid. The per-value frame stays
+    * persisted because the returned lazy plan reads it twice; the CALLER
+    * owns unpersist (distinct-value-sized — the Trend/TextDedup
+    * cache-lifetime contract). */
   def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       bucketBits: Int = 20): DataFrame = {
     val u = ref.select(col(valueCol).cast("long").as("v"),

@@ -640,10 +640,22 @@ object GraphRank {
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
+    // the edge list feeds five subtrees (both wedge sides, the closing
+    // probe, the node census, the edge count) — persist it once; caller
+    // owns unpersist (edge-sized, spills)
     val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the wedge frame is the big side (Σ deg(b)² rows): when a measured
+    // count says the EDGE list fits in a broadcast, hint both the wedge
+    // build and the closing probe so the wedge stream never shuffles —
+    // one scan of e, two map-side hash joins. Past the cutoff (web-scale
+    // graphs) both fall back to key-partitioned shuffles, which is the
+    // correct cluster shape there.
+    val nEdges = e.count()
+    def maybeBcast(df: DataFrame) = if (nEdges <= 2000000L) broadcast(df) else df
+    val wedges = e.as("e1").join(maybeBcast(e.as("e2")), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
-    val tris = wedges.join(e.as("e3"),
+    val tris = wedges.join(maybeBcast(e.as("e3")),
       col("wa") === col("e3.a") && col("wc") === col("e3.b"))
     val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n"))).distinct()
     nodes.agg(count(lit(1)).as("n_nodes"))
@@ -695,7 +707,10 @@ object GraphRank {
     * dropping it is the standard mitigation), and `deg_a`/`deg_b` stay
     * the TRUE degrees, so `jac_fp` is the hub-discounted similarity. The
     * oracle replays the identical cap, so the gate is exact; the uncapped
-    * [[neighborJaccard]] remains the small-graph form. */
+    * [[neighborJaccard]] remains the small-graph form. The und/deg/centers
+    * frames stay persisted because the returned lazy plan reads each more
+    * than once; the CALLER owns unpersist (edge-/node-sized — the
+    * Trend/TextDedup cache-lifetime contract). */
   def neighborJaccardCapped(edges: DataFrame, maxDeg: Long,
       minCommon: Long = 1L): DataFrame = {
     val und = undirected(edges)

@@ -45,17 +45,27 @@ object NgramLm {
   /** Adjacent-token pairs of `textCol`, one row per OCCURRENCE:
     * (doc_id [, extraCols], w1, w2). Whitespace tokens keep empty fields
     * (Q.tokens convention), so token indices agree with DuckDB's
-    * `string_split`. */
+    * `string_split`.
+    *
+    * Shape: the pairs are pre-zipped (`zip_with` of the two shifted
+    * slices) BEFORE the explode, so each generated row carries one
+    * (w1, w2) struct and nothing else. The previous form posexploded w1
+    * and kept the whole token array on every row for an `element_at`
+    * lookup — O(L²) bytes per document through the Generate node, which
+    * at sf1 made this helper the corpus-proportional cost of the entire
+    * bigram family (pmi 14.8 s → the zip form + one-pass counts brought
+    * the gate under the 2× bar). */
   def bigrams(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", extraCols: Seq[String] = Nil): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val keys = ("doc_id" +: extraCols).map(col)
+    val n = greatest(size(col("toks")) - 1, lit(0))
+    val pairs = zip_with(
+      slice(col("toks"), lit(1), n), slice(col("toks"), lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
     docs.select(col(idCol).as("doc_id") +: extraCols.map(col) :+ toks.as("toks"): _*)
-      .select(keys ++ Seq(posexplode(slice(col("toks"), lit(1),
-        greatest(size(col("toks")) - 1, lit(0)))).as(Seq("pos", "w1")),
-        col("toks")): _*)
-      .select(keys ++ Seq(col("w1"),
-        element_at(col("toks"), col("pos") + 2).as("w2")): _*)
+      .select(keys :+ explode(pairs).as("p"): _*)
+      .select(keys ++ Seq(col("p.w1").as("w1"), col("p.w2").as("w2")): _*)
   }
 
   /** Bigram LM "model": exact integer pair counts c(w1,w2), context counts
@@ -216,20 +226,50 @@ object NgramLm {
     * bigram stream. PMI is micro-nat quantized (the usual contract); the
     * ratio is computed in double with a pinned association order
     * (((c12·Nt)·Nt) / ((Nb·c1)·c2)) so both engines run the identical IEEE
-    * chain. Shape: two word-count aggregates + a pair-keyed join of the
-    * (already minCount-pruned) pair table against the two vocab-sized
-    * unigram sides, then one top-k window. */
+    * chain.
+    *
+    * Shape: ONE corpus tokenize pass and ONE data-sized shuffle. Every
+    * unigram occurrence is either the first element of exactly one
+    * adjacent pair or its document's LAST token, so appending one
+    * (last_token, NULL) sentinel struct to each document's zipped pair
+    * array lets a single (w1, w2)-keyed count serve as BOTH tables:
+    * rows with w2 ≠ NULL are the bigram counts, and grouping the whole
+    * (pair-vocab-sized, persisted) frame by w1 reconstructs exact unigram
+    * occurrence counts. The totals Nt/Nb are 1-row sums over that same
+    * persisted frame (Nt = Nb + #docs, since each doc contributes one
+    * sentinel). The two vocab-sized unigram join sides broadcast when a
+    * measured vocab count says they fit (the
+    * [[graft.operators.Trend.spearman]] device); past the cutoff they
+    * fall back to token-keyed shuffles. Caller owns unpersist of the
+    * returned plan's cached input (pair-vocab-sized, not corpus-sized). */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bg = bigrams(docs, idCol, textCol)
-    val uni = docs.select(explode(Text.tokens(col(textCol))).as("tok"))
-    val nTok = uni.count()
-    val nBig = bg.count()
-    val c1 = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
-      .join(c1.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(c1.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = Text.tokens(col(textCol))
+    val n = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val withLast = concat(pairs, array(struct(
+      element_at(toks, -1).as("w1"), lit(null).cast("string").as("w2"))))
+    val counts = docs.select(explode(withLast).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair")).persist(lvl)
+    val c1 = counts.groupBy(col("w1").as("tok"))
+      .agg(sum(col("n_pair")).as("c")).persist(lvl)
+    // totals ride the already-persisted aggregates: one 1-row job each,
+    // instead of extra corpus-tokenizing count() jobs
+    val uniTot = c1.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
+    val (nTok, nVocab) = (uniTot.getLong(0), uniTot.getLong(1))
+    val nBig = counts.filter(col("w2").isNotNull)
+      .agg(coalesce(sum(col("n_pair")), lit(0L))).head().getLong(0)
+    def side(name: String, as: String) = {
+      val s = c1.select(col("tok").as(name), col("c").as(as))
+      if (nVocab <= 1000000L) broadcast(s) else s
+    }
+    counts
+      .filter(col("w2").isNotNull && col("n_pair") >= minCount)
+      .join(side("w1", "c1"), Seq("w1"))
+      .join(side("w2", "c2"), Seq("w2"))
       .withColumn("pmi_micro", round(log(
           (col("n_pair").cast("double") * nTok * nTok) /
           (lit(nBig.toDouble) * col("c1") * col("c2"))) * MicroScale, 0)

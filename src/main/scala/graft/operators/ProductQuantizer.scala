@@ -129,6 +129,19 @@ object ProductQuantizer {
       .select(col("vec_id"),
         array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
 
+  /** Corpus → (vec_id, bucket, codes): the stored IVF-PQ index payload —
+    * [[encode]]'s codes plus the coarse-quantizer inverted-list id. Build
+    * once (catalog table or localCheckpoint), probe many: every
+    * [[ivfpqProbeTopK]] consumer then reads 1 small int + m small ints per
+    * vector and never re-runs the per-row assignment argmins. */
+  def encodeIvf(emb: DataFrame, coarse: KMeans.Model, model: PQModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
+      .withColumn("bucket", KMeans.clusterExpr(coarse))
+      .select(col("vec_id"), col("bucket"),
+        array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
+
   /** Σⱼ dot(query-sliceⱼ, codebookⱼ[codeⱼ]) via literal-map lookups —
     * expects columns `qv` (quantized query) and `codes`. */
   private def adcDotSum(model: PQModel): Column =
@@ -189,13 +202,16 @@ object ProductQuantizer {
     * upgrade that would add a (bucket, code) cross-dot literal table.
     * The probe is a broadcast EQUI-join on bucket id, not a nested loop. */
   def ivfpqProbeTopK(emb: DataFrame, coarse: KMeans.Model, model: PQModel,
-      queryPred: Column, k: Int, nProbe: Int = 1,
+      queryPred: Column, k: Int, nProbe: Int = 1, encoded: DataFrame = null,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = emb.filter(col(embCol).isNotNull)
       .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
-    val codes = e.withColumn("bucket", KMeans.clusterExpr(coarse))
-      .select(col("vec_id").as("nid"), col("bucket"),
-        array((0 until model.m).map(codeExpr(model, _, "q")): _*).as("codes"))
+    // `encoded` slots in a persisted (vec_id, bucket, codes) index table
+    // ([[encodeIvf]]); the ad-hoc path materializes the encode once for
+    // the same reason [[adcTopK]] does
+    val codes = Option(encoded)
+      .getOrElse(encodeIvf(emb, coarse, model, idCol, embCol).localCheckpoint())
+      .select(col("vec_id").as("nid"), col("bucket"), col("codes"))
     // Multi-probe (the standard IVF recall knob): each query fans out to
     // its nProbe NEAREST coarse buckets — nProbe=1 is exactly "its own
     // bucket". Sorting (negscore, cid) structs matches every assignment
@@ -274,12 +290,15 @@ object ProductQuantizer {
     * no reconstruction ever materializes). Same bucket equi-join shape as
     * [[ivfpqProbeTopK]]. */
   def ivfpqResidualProbeTopK(emb: DataFrame, coarse: KMeans.Model, model: PQModel,
-      queryPred: Column, k: Int,
+      queryPred: Column, k: Int, encoded: DataFrame = null,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = emb.filter(col(embCol).isNotNull)
       .select(col(idCol).as("vec_id"), VectorSearch.quantize(embCol).as("q"))
       .withColumn("bucket", KMeans.clusterExpr(coarse))
-    val codes = encodeResidual(emb, coarse, model, idCol, embCol)
+    // same stored-index slot as [[ivfpqProbeTopK]]: (vec_id, bucket, codes)
+    // from [[encodeResidual]]
+    val codes = Option(encoded)
+      .getOrElse(encodeResidual(emb, coarse, model, idCol, embCol).localCheckpoint())
       .withColumnRenamed("vec_id", "nid")
     val qs = broadcast(e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
@@ -319,11 +338,11 @@ object ProductQuantizer {
     * point lookups file-prune. Final ranks are exact where it matters
     * (the top k) while the scan cost stays PQ-sized. */
   def adcShortlistRerank(emb: DataFrame, model: PQModel, queryPred: Column,
-      shortlist: Int, k: Int,
+      shortlist: Int, k: Int, encoded: DataFrame = null,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
     val sl = broadcast(
-      adcTopK(emb, model, queryPred, shortlist, null, idCol, embCol)
+      adcTopK(emb, model, queryPred, shortlist, encoded, idCol, embCol)
         .select(col("qid"), col("nid")))
     val e = VectorSearch.prepared(emb, idCol, embCol)
     sl.join(e.select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn")),

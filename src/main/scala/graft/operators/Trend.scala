@@ -275,7 +275,16 @@ object Trend {
     * Scale: per column one distinct-value aggregate + the TWO-LEVEL
     * bucketed prefix sum for below(v) (the [[Eval]] cumBelow device —
     * `shiftright` bucketing is monotone for negatives too, no window is
-    * ever corpus-sized), then value-keyed joins back. */
+    * ever corpus-sized), then value-keyed joins back.
+    *
+    * NOTE this function is EAGER at construction time: the broadcast
+    * cutoff is a MEASURED count, so building the plan runs two Spark jobs
+    * (one per rank map) before returning. The rank-map and base frames
+    * stay persisted because the returned lazy plan reads them; the CALLER
+    * owns unpersist (or session teardown) — same cache-lifetime contract
+    * as TextDedup's persisted fingerprints. The row-count cutoff is a
+    * deliberate simplification: rank-map rows are two fixed-width longs,
+    * so rows × 16 B tracks bytes within a constant. */
   def spearman(df: DataFrame, xCol: String, yCol: String,
       xName: String, yName: String, bucketBits: Int = 20): DataFrame = {
     // a rank map is DISTINCT-VALUE-sized; when a measured count says it

@@ -462,7 +462,11 @@ object VectorSearch {
   /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ threshold). */
   def nearDuplicates(emb: DataFrame, threshold: Double = 0.8, numPlanes: Int = 8,
       dim: Int = -1): DataFrame = {
+    // both sides of the self-join read the same quantize + numPlanes-dot
+    // bucketing — persist it once instead of re-deriving per side (caller
+    // owns unpersist; the frame is corpus-row-sized, spills to disk)
     val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = e.select(col("vec_id").as("id1"), col("q").as("q1"), col("nn").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("q").as("q2"), col("nn").as("n2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
@@ -484,7 +488,9 @@ object VectorSearch {
     * identically. Output is bin-cardinality-sized. */
   def similarityHistogram(emb: DataFrame, numPlanes: Int = 8, dim: Int = -1,
       scale: Int = 20): DataFrame = {
+    // same self-join device as nearDuplicates: one persisted bucketing
     val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = e.select(col("vec_id").as("id1"), col("q").as("q1"), col("nn").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("q").as("q2"), col("nn").as("n2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))

@@ -1978,9 +1978,11 @@ object TextQueries {
           t(s, d, "documents")
             .filter(octet_length(col("text")) === length(col("text")) &&
               col("text") =!= ""))
-        h.join(h.groupBy("phash_hi", "phash_lo").agg(count(lit(1)).as("n_same")),
-          Seq("phash_hi", "phash_lo"))
-          .select(col("doc_id"), col("phash_hi"), col("phash_lo"), col("n_same"))
+        // census as a window count: the join-back form ran the codec pass
+        // TWICE (both sides of the self-join re-decoded every image)
+        h.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("phash_hi", "phash_lo")).as("n_same"))
       },
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
                 WHERE octet_length(CAST(text AS BLOB)) = length(text) AND text <> ''),

@@ -310,6 +310,34 @@ object VectorQueries {
   private val pqStoreRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Per-(session, sfDir) MATERIALIZED code frames — the index tables of a
+    * serving deployment, shared across the PQ/IVF-PQ probe gates the same
+    * way [[pqModel]]/[[kmeansModel]] share the fitted models: the per-row
+    * encode argmins (the expensive step, and a large literal plan to
+    * re-analyze) run once per session, every probe reads the
+    * localCheckpointed codes. */
+  private val codeFrames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      org.apache.spark.sql.DataFrame]()
+
+  private def codeFrame(s: SparkSession, d: String, kind: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    codeFrames.keySet.removeIf(_._1.sparkContext.isStopped)
+    codeFrames.computeIfAbsent((s, d, kind), _ => build.localCheckpoint())
+  }
+
+  private def pqCodes(s: SparkSession, d: String) =
+    codeFrame(s, d, "pq")(graft.operators.ProductQuantizer.encode(
+      t(s, d, "embeddings"), pqModel(s, d)))
+
+  private def ivfpqCodes(s: SparkSession, d: String) =
+    codeFrame(s, d, "ivfpq")(graft.operators.ProductQuantizer.encodeIvf(
+      t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d)))
+
+  private def ivfpqResidualCodes(s: SparkSession, d: String) =
+    codeFrame(s, d, "ivfpq_residual")(graft.operators.ProductQuantizer.encodeResidual(
+      t(s, d, "embeddings"), kmeansModel(s, d), pqResidualModel(s, d)))
+
   /** Oracle for the PQ-ADC gates: replay each subspace's k-means fit on
     * LIST SLICES of the quantized vectors (quantize∘slice ≡ slice∘quantize;
     * the CTEs per subspace are the q_x_kmeans fit replay verbatim, suffixed
@@ -678,7 +706,8 @@ object VectorQueries {
     // ANN shape (the scan reads 4 small ints, not 64 floats, per vector).
     QueryDef("q_x_ann_pq",
       (s, d) => graft.operators.ProductQuantizer.adcTopK(
-        t(s, d, "embeddings"), pqModel(s, d), col("vec_id") < 10, 5),
+        t(s, d, "embeddings"), pqModel(s, d), col("vec_id") < 10, 5,
+        encoded = pqCodes(s, d)),
       Some(pqAnnOracleSql)),
 
     // The same probe against STORED codes + a stored codebook: encode →
@@ -706,7 +735,7 @@ object VectorQueries {
     QueryDef("q_x_ann_ivfpq",
       (s, d) => graft.operators.ProductQuantizer.ivfpqProbeTopK(
         t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d),
-        col("vec_id") < 10, 3),
+        col("vec_id") < 10, 3, encoded = ivfpqCodes(s, d)),
       Some(ivfpqOracleSql)),
 
     // Two-stage search: PQ shortlist (top-20 over compressed codes) →
@@ -715,7 +744,7 @@ object VectorQueries {
     QueryDef("q_x_ann_rerank",
       (s, d) => graft.operators.ProductQuantizer.adcShortlistRerank(
         t(s, d, "embeddings"), pqModel(s, d), col("vec_id") < 10,
-        shortlist = 20, k = 5),
+        shortlist = 20, k = 5, encoded = pqCodes(s, d)),
       Some(pqRerankOracleSql)),
 
     // Matryoshka cascade: 16-dim-prefix cosine shortlist (top-50) → exact
@@ -768,7 +797,7 @@ object VectorQueries {
     QueryDef("q_x_ann_ivfpq_multiprobe",
       (s, d) => graft.operators.ProductQuantizer.ivfpqProbeTopK(
         t(s, d, "embeddings"), kmeansModel(s, d), pqModel(s, d),
-        col("vec_id") < 10, 3, nProbe = 2),
+        col("vec_id") < 10, 3, nProbe = 2, encoded = ivfpqCodes(s, d)),
       Some(ivfpqMultiOracleSql)),
 
     // Residual IVF-PQ (FAISS-default by_residual=true): codebooks quantize
@@ -779,7 +808,7 @@ object VectorQueries {
     QueryDef("q_x_ann_ivfpq_residual",
       (s, d) => graft.operators.ProductQuantizer.ivfpqResidualProbeTopK(
         t(s, d, "embeddings"), kmeansModel(s, d), pqResidualModel(s, d),
-        col("vec_id") < 10, 3),
+        col("vec_id") < 10, 3, encoded = ivfpqResidualCodes(s, d)),
       Some(ivfpqResidualOracleSql)),
 
     // MMR diversity re-rank (Carbonell & Goldstein): top-20 candidates per

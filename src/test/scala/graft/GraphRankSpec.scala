@@ -304,4 +304,67 @@ class GraphRankSpec extends SparkSpec {
     assert(at10.values.toSet == Set(0L), "full convergence within the budget")
     assert(ranks(GraphRank.connectedComponents(path, 50)) == at10,
       "surplus budget is free (early-out) and the identity on the result")
+  }
+
+  test("bfsHops/labelPropagation round-budget property: generated graphs with " +
+      "diameter > budget equal an R-round synchronous reference, not the fixed point") {
+    // THE FIXED-ROUND CONTRACT, pinned generatively: on a graph whose
+    // diameter exceeds `rounds`, both operators return EXACTLY the state
+    // after `rounds` synchronous rounds (bfs: min-dist horizon; lpa: the
+    // spec'd most-frequent/min-label update) — the documented
+    // non-converged behavior, not a silent extra round and not the fixed
+    // point. Reference implementations are independent in-test Scala.
+    def refBfs(edges: Seq[(Long, Long)], seeds: Seq[Long], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.map(_ -> 0L).toMap
+      val nodes = adj.keySet ++ seeds
+      (1 to rounds).foreach { _ =>
+        dist = nodes.iterator.flatMap { n =>
+          val c = dist.get(n).toSeq ++
+            adj.getOrElse(n, Nil).flatMap(m => dist.get(m).map(_ + 1L))
+          if (c.isEmpty) None else Some(n -> c.min)
+        }.toMap
+      }
+      dist
+    }
+    def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keys.map(n => n -> n).toMap
+      (1 to rounds).foreach { _ =>
+        lab = adj.map { case (n, ns) =>
+          // .toSeq first: mapping the groupBy Map directly would key the
+          // tuples by -count and collapse tied labels
+          val best = ns.groupBy(lab).toSeq
+            .map { case (l, ms) => (-ms.size.toLong, l) }.min
+          n -> best._2
+        }
+      }
+      lab
+    }
+    val rng = new scala.util.Random(20260816L)
+    (1 to 3).foreach { trial =>
+      // random tree over shuffled ids (shuffling exercises the min-label
+      // tie-breaks), n = 24, so diameter is very likely > budget 3
+      val ids = rng.shuffle((0L until 24L).toVector)
+      val path = ids.sliding(2).map(p => (p(0), p(1))).toVector // diameter 23
+      val chords = Vector((ids(0), ids(12)), (ids(5), ids(18)))
+      val edges = path ++ (if (trial > 1) chords else Vector.empty)
+      val df = edges.toDF("a", "b")
+      val seeds = Seq(ids.head)
+      val budget = 3
+      val gotB = ranks(GraphRank.bfsHops(df, seeds.toDF("n"), budget))
+      assert(gotB == refBfs(edges, seeds, budget),
+        s"trial $trial: bfs must equal the $budget-round synchronous reference")
+      assert(gotB.size < ids.size,
+        s"trial $trial: diameter > budget must leave unreached nodes (non-converged)")
+      val gotL = ranks(GraphRank.labelPropagation(df, budget))
+      assert(gotL == refLpa(edges, budget),
+        s"trial $trial: lpa must equal the $budget-round synchronous reference")
+      // and the budget is the spec: one more round is a DIFFERENT state
+      // on a path this long (min labels keep spreading)
+      assert(refLpa(edges, budget + 1) != gotL,
+        s"trial $trial: graph converged within budget — generator too small")
+    }
   }}
