@@ -24,9 +24,14 @@ object VectorSearch {
 
   val Scale = 10000
 
-  /** Integer quantization of an embedding column (exact longs). */
+  /** Integer quantization of an embedding column (exact longs) — a custom
+    * codegen'd expression ([[graft.expressions.QuantizeToLong]]): the HOF
+    * form `transform(e, x -> CAST(round(CAST(x AS DOUBLE) * S, 0) AS
+    * BIGINT))` evaluates interpreted per ELEMENT, and quantization runs on
+    * every corpus scan of this family; the expression is one primitive
+    * loop per row with identical round/cast/null semantics. */
   def quantize(embedding: String): Column =
-    expr(s"transform($embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))")
+    graft.expressions.QuantizeToLong(col(embedding), Scale)
 
   /** Exact integer dot product — a custom codegen'd Catalyst expression
     * ([[graft.expressions.DotProductLong]]): the HOF composition

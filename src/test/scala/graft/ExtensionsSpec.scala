@@ -92,4 +92,37 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(TestSpark.spark)
     }
   }
+
+  test("quantize_long ≡ the transform/round/cast HOF on random + boundary floats") {
+    // the codegen'd quantizer must be BIT-identical to the SQL form it
+    // replaced (VectorSearch.quantize's old HOF) — including exact-.5
+    // HALF_UP cases (k+0.5 scaled back by 10⁴ is float-representable for
+    // small k), negatives, nulls, and a null array
+    val rng = new scala.util.Random(42)
+    val crafted = Seq(0.5f, -0.5f, 1.5f, -1.5f, 2.5f, -2.5f, 0.00005f,
+      -0.00005f, 0.00015f, -0.00015f, 0f, 1e-9f, -1e-9f, 0.99995f)
+    val rand = Seq.fill(200)(rng.nextFloat() * 4f - 2f)
+    val arrs: Seq[Seq[java.lang.Float]] =
+      Seq((crafted ++ rand).map(java.lang.Float.valueOf),
+        Seq[java.lang.Float](1.25f, null, -3.5f),
+        null)
+    val df = arrs.toDF("e")
+    val hof = df.selectExpr(
+      "transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS q")
+    val native = df.select(
+      graft.expressions.QuantizeToLong(col("e"), 10000).as("q"))
+    assert(rows(native) == rows(hof))
+    // exact-.5 HALF_UP spot check on exactly-representable doubles at
+    // scale 1 (x.5 · 1 is exact, so the .5 branch is guaranteed to fire):
+    // HALF_UP rounds away from zero, rint would give the even neighbor
+    val halves = Seq(Seq(0.5d, -0.5d, 2.5d, -2.5d, 1.5d)).toDF("e")
+    val gotH = halves
+      .select(graft.expressions.QuantizeToLong(col("e"), 1).as("q"))
+      .collect().head.getSeq[Long](0)
+    assert(gotH == Seq(1L, -1L, 3L, -3L, 2L), s"HALF_UP at exact .5, got $gotH")
+    val hofH = halves
+      .selectExpr("transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 1, 0) AS BIGINT)) AS q")
+      .collect().head.getSeq[Long](0)
+    assert(gotH == hofH)
+  }
 }
