@@ -2568,6 +2568,57 @@ object TextQueries {
                            ELSE COALESCE(TRY_CAST(c AS INT), 0) * 2 END),
                       'sum') % 10 = 0
                   THEN '<CC>' ELSE t END), ' ') AS text_redacted
-              FROM tk"""))
+              FROM tk""")),
+
+    // HyperLogLog distinct-count sketch over the corpus TOKEN stream — the
+    // vocabulary-cardinality census a mixing/dedup plan starts from, as a
+    // constant-size reduction instead of a COUNT(DISTINCT) key shuffle.
+    // Register table is exact integers on the portable hash; the oracle
+    // replays register-by-register and the one pinned IEEE chain. Token
+    // cardinality >> 2.5m exercises the RAW harmonic-mean branch.
+    QueryDef("q_x_hll_tokens",
+      (s, d) => graft.operators.Sketches.hllDistinct(
+        t(s, d, "documents").select(explode(tokens(col("text"))).as("tok")),
+        "tok", p = 10),
+      Some(hllOracleSql(s"SELECT unnest($tokensSql) AS t FROM documents"))),
+
+    // Same sketch on a SMALL-cardinality column (lang): exercises the
+    // small-range LINEAR-COUNTING branch (raw ≤ 2.5m with empty registers),
+    // whose logarithm is micro-nat quantized at the transcendental.
+    QueryDef("q_x_hll_small",
+      (s, d) => graft.operators.Sketches.hllDistinct(
+        t(s, d, "documents").select(col("lang").as("t")), "t", p = 10),
+      Some(hllOracleSql("SELECT lang AS t FROM documents")))
   )
+
+  /** DuckDB replay of [[graft.operators.Sketches.hllDistinct]] (p = 10) over
+    * a `t`-valued source subquery: identical register rule (trailing-zeros
+    * rho on the 60-bit hash suffix), identical exact BIGINT numerator over
+    * the common 2^51 denominator, and the identical pinned constant chain —
+    * 2251799813685248.0 is 2^51 exactly. */
+  private def hllOracleSql(src: String): String =
+    s"""WITH v AS ($src),
+        h AS (SELECT ${hash64Sql("t")} AS h FROM v WHERE t IS NOT NULL),
+        r AS (SELECT h & 1023 AS j, h >> 10 AS v FROM h),
+        rh AS (SELECT j, CASE WHEN v = 0 THEN 51
+                 ELSE CAST(bit_count(~v & (v - 1)) AS BIGINT) + 1 END AS rho FROM r),
+        reg AS (SELECT j, max(rho) AS m_reg FROM rh GROUP BY j),
+        bym AS (SELECT m_reg, count(*) AS c FROM reg GROUP BY m_reg),
+        agg AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_occupied,
+                       coalesce(CAST(max(m_reg) AS BIGINT), 0) AS m_max,
+                       coalesce(CAST(sum(c * (CAST(1 AS BIGINT) << CAST(51 - m_reg AS INT)))
+                         AS BIGINT), 0) AS occ_num FROM bym),
+        fin AS (SELECT CAST(1024 AS BIGINT) AS m, n_occupied,
+                       CAST(1024 - n_occupied AS BIGINT) AS n_zero, m_max,
+                       CAST(occ_num + (1024 - n_occupied) * (CAST(1 AS BIGINT) << 51)
+                         AS BIGINT) AS denom_num FROM agg),
+        est AS (SELECT *, (0.7213 / (1 + 1.079 / 1024.0)) * (1024.0 * 1024.0)
+                  * 2251799813685248.0 / CAST(denom_num AS DOUBLE) AS raw FROM fin)
+        SELECT m, n_occupied, n_zero, m_max, denom_num,
+          CASE WHEN raw <= 2560.0 AND n_zero > 0 THEN 'linear' ELSE 'raw' END AS branch,
+          CASE WHEN raw <= 2560.0 AND n_zero > 0
+               THEN CAST(m * CAST(round(ln(CAST(m AS DOUBLE) / CAST(n_zero AS DOUBLE))
+                 * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+               ELSE raw END AS estimate
+        FROM est"""
 }
