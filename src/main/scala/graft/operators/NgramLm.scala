@@ -347,19 +347,21 @@ object NgramLm {
   def skipGramPairs(docs: DataFrame, window: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    // sequence(1, 0) would DESCEND in Spark (step inferred -1) — greatest()
-    // guards the empty-token edge so the outer sequence is never inverted
-    // inner sequence is clamped to [i, size] then filtered to j > i so it
-    // can never invert (descend) and never pairs a position with itself
+    // the (i, i+k) half-pairs for k = 1..window are `window` ZIPS of
+    // shifted slices — one flat zip_with per offset instead of the
+    // previous sequence→filter→nested-transform chain (three interpreted
+    // HOF layers per token, the bigrams lesson applied to the general
+    // window); multiset of pairs is identical
+    val n = size(col("toks"))
+    val parts = (1 to window).map { k =>
+      zip_with(
+        slice(col("toks"), lit(1), greatest(n - k, lit(0))),
+        slice(col("toks"), lit(k + 1), greatest(n - k, lit(0))),
+        (a, b) => struct(a.as("f"), b.as("s")))
+    }
     val half = docs.select(Text.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, greatest(size(toks), 1)), i ->
-              transform(
-                filter(sequence(i, least(size(toks), i + $window)),
-                       j -> j > i),
-                j -> struct(element_at(toks, i) AS f,
-                            element_at(toks, j) AS s))))""")).as("p"))
+      .select(explode(concat(parts: _*)).as("p"))
       .select(col("p.f").as("f"), col("p.s").as("s"))
       .groupBy("f", "s").agg(count(lit(1)).as("n"))
     half.select(col("f").as("center"), col("s").as("context"), col("n"))
