@@ -154,15 +154,24 @@ object TextIndex {
     * SOURCE (`idf_micro = round(ln(N/df)·10⁶)` — the [[NgramLm]] device),
     * so every score is the exact integer `tf·idf_micro` and the per-doc
     * top-k ordering (score desc, term) is bit-identical cross-engine.
-    * Shape: postings + one term-keyed df aggregate joined back (term-
-    * cardinality build side), a 1-row N broadcast, and a per-DOC window —
-    * partitions are document-sized, never corpus-sized. */
+    * Shape: ONE persisted postings aggregate (it feeds both the scored
+    * side and the df aggregate — unpersisted, the corpus tokenizes
+    * twice), a term-keyed df join-back whose vocab-sized build side
+    * broadcasts on a MEASURED count (the Trend.spearman device; past the
+    * cutoff it falls back to the term-keyed shuffle, the web-vocab
+    * shape), a 1-row N broadcast, and a per-DOC window — partitions are
+    * document-sized, never corpus-sized. NOTE the measured probe makes
+    * plan construction eager (two jobs); caller owns unpersist of the
+    * returned plan's cached inputs. */
   def tfIdfTopK(docs: DataFrame, k: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val post = postings(docs, idCol, textCol)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val post = postings(docs, idCol, textCol).persist(lvl)
+    val dfreq = docFrequencies(post).persist(lvl)
+    val dfSide = if (dfreq.count() <= 2000000L) broadcast(dfreq) else dfreq
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = post
-      .join(docFrequencies(post), Seq("term"))
+      .join(dfSide, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("idf_micro",
         round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1000000L, 0)
