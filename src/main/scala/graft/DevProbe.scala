@@ -79,6 +79,33 @@ object DevProbe {
       }
       return
     }
+    if (names == Seq("bitext-dissect")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.VectorSearch
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val src = emb.filter(col("label") === 0)
+      val tgt = emb.filter(col("label") === 1)
+      val a = src.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("src_id"), VectorSearch.quantize("embedding").as("qa"))
+      val b = tgt.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("tgt_id"), VectorSearch.quantize("embedding").as("qb"))
+      val pairs = a.crossJoin(b).select(col("src_id"), col("tgt_id"),
+        graft.expressions.DotProductLong(col("qa"), col("qb")).as("dot"))
+      for (i <- 1 to 2)
+        time(s"pairs+dot only run$i")(pairs.agg(sum("dot")).collect())
+      for (i <- 1 to 2) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_id")).orderBy(col("dot").desc, col("tgt_id"))
+        time(s"pairs+window run$i")(pairs
+          .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= 2).count())
+      }
+      for (i <- 1 to 2)
+        time(s"full exact run$i")(VectorSearch.mineBitextExact(src, tgt).count())
+      for (i <- 1 to 2)
+        time(s"full ivf run$i")(
+          VectorSearch.mineBitextIvf(src, tgt, numPlanes = 4, dim = 64).count())
+      return
+    }
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       val ts = (1 to 3).map(i => time(s"$n run$i")(fn(spark, sfDir).count()))

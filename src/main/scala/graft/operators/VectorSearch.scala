@@ -565,15 +565,67 @@ object VectorSearch {
   def mineBitextExact(src: DataFrame, tgt: DataFrame,
       marginFpMin: Long = 1050000L, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val a = src.filter(col(embCol).isNotNull)
-      .select(col(idCol).as("src_id"), quantize(embCol).as("qa"))
+    val a = spread(src.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("src_id"), quantize(embCol).as("qa")))
     val b = tgt.filter(col(embCol).isNotNull)
       .select(col(idCol).as("tgt_id"), quantize(embCol).as("qb"))
+    marginTop2(a.crossJoin(b)
+      .select(col("src_id"), col("tgt_id"),
+        graft.expressions.DotProductLong(col("qa"), col("qb")).as("dot")),
+      marginFpMin)
+  }
+
+  /** The O(|src|·|tgt|) dot-product loop runs in the STREAMED side's
+    * partitioning (the broadcast join computes pair scores before any
+    * exchange), so a small corpus scanned as one parquet split serializes
+    * the whole quadratic loop on a single core — measured 4.9 s of the
+    * exact miner's 5.4 s at sf1. Repartition UP to default parallelism
+    * when narrower; an already-wide input (the 100 TB case) passes through
+    * untouched, so no data-sized shuffle is added at scale. Forces plan
+    * construction of `df` (a `.rdd` partition probe), same documented
+    * tradeoff as Multimodal.spread. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Corpus-scale bitext mining: [[mineBitextExact]]'s margin criterion with
+    * candidate generation routed through SHARED IVF coarse buckets — the
+    * CCMatrix recipe at its real scale. Both sides hash through the SAME
+    * [[lshBuckets]] hyperplanes, so candidates come from one bucket
+    * equi-join: O(Σ_bucket |src_b|·|tgt_b|) pairs that track match density,
+    * instead of the exact form's all-pairs |src|·|tgt| cross join. The
+    * margin arithmetic is UNCHANGED (one integer compare over the in-bucket
+    * best/runner-up dots). Approximation is standard IVF: a source whose
+    * true best target hashes elsewhere mines a different (or no) pair, and
+    * the runner-up is the in-bucket runner-up; a source with an empty
+    * candidate bucket emits no row — at corpus scale that IS the intent
+    * (nothing close enough to mine). 100 TB posture: each side shuffles
+    * once on `bucket`; the per-source top-2 window rides the join's
+    * partitioning with WindowGroupLimit keeping partial top-2 ahead of the
+    * exchange; skewed buckets split under AQE. */
+  def mineBitextIvf(src: DataFrame, tgt: DataFrame,
+      marginFpMin: Long = 1050000L, numPlanes: Int = 4, dim: Int = -1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(src, embCol)
+    def side(df: DataFrame, out: String) =
+      lshBuckets(df.filter(col(embCol).isNotNull)
+          .select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+        numPlanes, d)
+        .select(col("vec_id").as(out), col("q").as(s"__q_$out"), col("bucket"))
+    marginTop2(spread(side(src, "src_id")).join(side(tgt, "tgt_id"), Seq("bucket"))
+      .select(col("src_id"), col("tgt_id"),
+        graft.expressions.DotProductLong(col("__q_src_id"), col("__q_tgt_id"))
+          .as("dot")),
+      marginFpMin)
+  }
+
+  /** Shared tail of the bitext miners: per-source top-2 over candidate
+    * (src_id, tgt_id, dot) rows, then the fixed-point margin verdict. */
+  private def marginTop2(pairs: DataFrame, marginFpMin: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_id")).orderBy(col("dot").desc, col("tgt_id"))
-    a.crossJoin(b)
-      .select(col("src_id"), col("tgt_id"),
-        graft.expressions.DotProductLong(col("qa"), col("qb")).as("dot"))
+    pairs
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= 2)
       .groupBy(col("src_id"))

@@ -1124,6 +1124,48 @@ object VectorQueries {
                               OR s1 * 1000000 >= 1050000 * s2)) AS accepted
                FROM t2""")),
 
+    // The corpus-scale form of the same miner (VectorSearch.mineBitextIvf):
+    // BOTH language sides hash through the SAME 4 LSH hyperplanes, so
+    // candidates come from one bucket equi-join (O(Σ per-bucket src·tgt))
+    // instead of the all-pairs cross join — the CCMatrix shape. Margin
+    // arithmetic unchanged; best/runner-up are the in-bucket top-2. The
+    // oracle replays the shared bucketing on both sides, the bucket join,
+    // and the accept rule verbatim.
+    QueryDef("q_x_bitext_mining_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.VectorSearch.mineBitextIvf(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+          numPlanes = 4, dim = 64)
+      },
+      Some {
+        val planeList = planes.map(p => s"[${p.map(_.toDouble).mkString(", ")}]")
+        val bucket4 = (0 until 4).map { p =>
+          s"(CASE WHEN list_dot_product(q, ${planeList(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH a AS (SELECT vec_id AS src_id, q, $bucket4 AS bucket
+                       FROM (SELECT vec_id, $quantSql AS q FROM embeddings
+                             WHERE label = 0 AND embedding IS NOT NULL)),
+               b AS (SELECT vec_id AS tgt_id, q, $bucket4 AS bucket
+                     FROM (SELECT vec_id, $quantSql AS q FROM embeddings
+                           WHERE label = 1 AND embedding IS NOT NULL)),
+               sc AS (SELECT a.src_id, b.tgt_id,
+                        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+                      FROM a JOIN b ON a.bucket = b.bucket),
+               rk AS (SELECT src_id, tgt_id, dot, row_number() OVER
+                        (PARTITION BY src_id ORDER BY dot DESC, tgt_id) AS r
+                      FROM sc),
+               t2 AS (SELECT src_id,
+                        max(CASE WHEN r = 1 THEN tgt_id END) AS tgt_id,
+                        max(CASE WHEN r = 1 THEN dot END) AS s1,
+                        max(CASE WHEN r = 2 THEN dot END) AS s2
+                      FROM rk WHERE r <= 2 GROUP BY 1)
+               SELECT src_id, tgt_id, s1, s2,
+                 (s1 > 0 AND (coalesce(s2, 0) <= 0
+                              OR s1 * 1000000 >= 1050000 * s2)) AS accepted
+               FROM t2"""
+      }),
+
     // Cluster-balanced prototypicality selection: per k-means cluster keep
     // the 30 rows nearest their centroid (exact integer d², ties by id) —
     // the diversity-preserving quota between SemDeDup and a global quality

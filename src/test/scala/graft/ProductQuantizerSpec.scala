@@ -38,6 +38,43 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == Seq(true, false, true))
   }
 
+  test("mineBitextIvf: equals a per-bucket replay of the exact margin miner") {
+    // 8 src x 10 tgt in 2-d; numPlanes=1 splits both sides into two
+    // half-space buckets of the first deterministic hyperplane. Expected
+    // result computed here in plain Scala: bucket both sides with the SAME
+    // plane, per-src top-2 by quantized dot within the bucket, margin rule.
+    val srcRows = (0 until 8).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.8).toFloat, math.sin(i * 0.8).toFloat)))
+    val tgtRows = (0 until 10).map(i =>
+      (100L + i, Seq(math.cos(i * 0.63 + 0.3).toFloat, math.sin(i * 0.63 + 0.3).toFloat)))
+    val src = srcRows.toDF("vec_id", "embedding")
+    val tgt = tgtRows.toDF("vec_id", "embedding")
+    val pl = VectorSearch.planes(1, 2)(0)
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 10000))
+    def bucket(v: Seq[Float]): Long =
+      if (q(v).zip(pl).map { case (x, w) => x * w }.sum >= 0) 1L else 0L
+    val expected = srcRows.flatMap { case (sid, sv) =>
+      val cands = tgtRows.filter { case (_, tv) => bucket(tv) == bucket(sv) }
+        .map { case (tid, tv) => (tid, q(sv).zip(q(tv)).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (tid, dp) => (-dp, tid) }.take(2)
+      cands match {
+        case Seq() => None
+        case best +: rest =>
+          val s2 = rest.headOption.map(_._2)
+          val acc = best._2 > 0 &&
+            (s2.forall(_ <= 0) || s2.forall(v => best._2 * 1000000L >= 1050000L * v))
+          Some((sid, best._1, best._2, s2, acc))
+      }
+    }.sortBy(_._1)
+    val got = VectorSearch.mineBitextIvf(src, tgt, numPlanes = 1, dim = 2)
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
+    // in-bucket best can never beat the global best
+    val globalBest = VectorSearch.mineBitextExact(src, tgt)
+      .select("src_id", "s1").as[(Long, Long)].collect().toMap
+    got.foreach { case (sid, _, s1, _, _) => assert(s1 <= globalBest(sid)) }
+  }
+
   test("encode: m codes per vector, each a live codebook cluster id") {
     val model = PQ.fit(blobs, m = 2, ksub = 4, iters = 2, dim = 8)
     assert(model.m == 2 && model.subDim == 4)
