@@ -125,7 +125,13 @@ object QuantizeToLong {
       throw new ArithmeticException(
         s"quantize_long: cannot cast $y to BIGINT (ANSI cast contract)")
     val f = Math.floor(y)
-    if (y - f == 0.5) f.toLong + (if (y > 0) 1L else 0L)
+    // Exact-half test, exact on EVERY double: a true half y = f + 0.5
+    // (representable only when |f| < 2^52) satisfies both equalities; the
+    // two spurious cases each fail one. `y - f == 0.5` alone accepts
+    // y = -0.49999999999999994 (f = -1, fl(y + 1) rounds UP to 0.5) but
+    // there y != fl(f + 0.5) = -0.5; `y == f + 0.5` alone accepts integral
+    // y >= 2^52 (f + 0.5 rounds back to f) but there y - f == 0.
+    if (y - f == 0.5 && y == f + 0.5) f.toLong + (if (y > 0) 1L else 0L)
     else Math.rint(y).toLong
   }
 

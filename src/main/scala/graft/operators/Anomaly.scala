@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import CacheGuard.PersistTrackedOps
 
 /** Metric anomaly detection over keyed integer series (event counts per
   * window, rows per batch, bytes per source) — the pipeline-health monitor
@@ -201,9 +202,9 @@ object Anomaly {
     * no corpus-sized window), a broadcast 1-row total, and a global max.
     * The single-ordered-window oracle form is the 1-partition
     * anti-pattern this shape exists to avoid. The per-value frame stays
-    * persisted because the returned lazy plan reads it twice; the CALLER
-    * owns unpersist (distinct-value-sized — the Trend/TextDedup
-    * cache-lifetime contract). */
+    * persisted because the returned lazy plan reads it twice; release
+    * via [[CacheGuard.releaseAll]] (distinct-value-sized — the
+    * Trend/TextDedup cache-lifetime contract). */
   def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       bucketBits: Int = 20): DataFrame = {
     val u = ref.select(col(valueCol).cast("long").as("v"),
@@ -212,7 +213,7 @@ object Anomaly {
         lit(0L).as("ir"), lit(1L).as("ic")))
     val per = u.groupBy("v").agg(sum("ir").as("cr"), sum("ic").as("cc"))
       .withColumn("b", shiftright(col("v"), bucketBits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     // bucket-sized by construction (the two-level contract) → broadcast
     val bp = broadcast(per.groupBy("b")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import CacheGuard.PersistTrackedOps
 
 /** Threshold-free classifier evaluation over EXACT INTEGER scores — ROC-AUC
   * (tie-aware Mann–Whitney) and the precision/recall curve, one-vs-rest per
@@ -55,7 +56,7 @@ object Eval {
     val perScore = j.groupBy("label", "s")
       .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
       .withColumn("b", shiftright(col("s"), bucketBits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // level 1: per-label running totals over bucket aggregates (small frame)
     val wb = Window.partitionBy("label").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)

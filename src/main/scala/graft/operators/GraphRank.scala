@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheGuard.PersistTrackedOps
 
 /** PageRank-style link centrality over an edge list — the graph-quality
   * signal of large-scale pretraining data curation (host/URL authority from
@@ -65,7 +66,7 @@ object GraphRank {
     // per iteration (verified in the physical plan).
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // (node, outdeg) carrier: node-cardinality, referenced by every
     // iteration level — truncate it too, or each level re-runs its shuffles.
@@ -119,7 +120,7 @@ object GraphRank {
     // static-edge-layout Pregel shape)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("is_seed", lit(1L))
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
@@ -209,7 +210,7 @@ object GraphRank {
     val grp = memberships.select(col(groupCol).cast("long").as("g"),
         col(itemCol).cast("long").as("i"))
       .groupBy(col("g")).agg(array_sort(collect_set(col("i"))).as("items"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val nGroups = grp.agg(count(lit(1)).as("n_groups"))
     val itemCounts = grp.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
@@ -285,7 +286,7 @@ object GraphRank {
     val und = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     var labels = und.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
     (1 to rounds).foreach { r =>
@@ -439,7 +440,7 @@ object GraphRank {
       rounds: Int): DataFrame = {
     val lbl = oldLabels.select(col("n").cast("long").as("n"),
         col("component").cast("long").as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val e = newEdges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contracted = e
@@ -453,7 +454,7 @@ object GraphRank {
       .distinct()
       // referenced 4x by connectedComponents' self-looped edge build —
       // persist so the map joins run once (the q_x_er_resolve lesson)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val merged = connectedComponents(contracted, rounds)
       .select(col("n").as("component"), col("component").as("root"))
     val newNodes = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
@@ -503,7 +504,7 @@ object GraphRank {
       .select(col("src"), col("src").as("dst"), lit(0L).as("w"))
     val withSelf = und.union(selfLoops)
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     var dist = seedN.select(col("n"), lit(0L).as("dist"))
     (1 to rounds).foreach { r =>
       dist = withSelf.join(
@@ -589,9 +590,9 @@ object GraphRank {
     require(iters >= 1)
     val eSrc = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val eDst = eSrc.repartition(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val nodes = eSrc.select(col("src").as("node"))
       .union(eSrc.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -641,10 +642,10 @@ object GraphRank {
 
   def triangleStats(edges: DataFrame): DataFrame = {
     // the edge list feeds five subtrees (both wedge sides, the closing
-    // probe, the node census, the edge count) — persist it once; caller
-    // owns unpersist (edge-sized, spills)
+    // probe, the node census, the edge count) — persist it once;
+    // released via CacheGuard.releaseAll (edge-sized, spills)
     val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // the wedge frame is the big side (Σ deg(b)² rows): when a measured
     // count says the EDGE list fits in a broadcast, hint both the wedge
     // build and the closing probe so the wedge stream never shuffles —
@@ -681,7 +682,7 @@ object GraphRank {
     * tail before the degree joins. */
   def neighborJaccard(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
     val und = undirected(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val common = und.select(col("dst").as("w"), col("src").as("a"))
       .join(und.select(col("dst").as("w"), col("src").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
@@ -709,23 +710,23 @@ object GraphRank {
     * oracle replays the identical cap, so the gate is exact; the uncapped
     * [[neighborJaccard]] remains the small-graph form. The und/deg/centers
     * frames stay persisted because the returned lazy plan reads each more
-    * than once; the CALLER owns unpersist (edge-/node-sized — the
-    * Trend/TextDedup cache-lifetime contract). */
+    * than once; release via [[CacheGuard.releaseAll]] (edge-/node-sized —
+    * the Trend/TextDedup cache-lifetime contract). */
   def neighborJaccardCapped(edges: DataFrame, maxDeg: Long,
       minCommon: Long = 1L): DataFrame = {
     val und = undirected(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // node-sized and referenced 3× (center filter + both degree
     // join-backs); persisted so the capped form doesn't re-aggregate und
     // per reference
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // cap applied BEFORE the wedge join: only low-degree centers fan out.
     // Persisted: both sides of the wedge self-join read this frame.
     val centers = und.join(
         deg.filter(col("deg") <= maxDeg).select(col("node").as("dst")),
         Seq("dst"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val common = centers.select(col("dst").as("w"), col("src").as("a"))
       .join(centers.select(col("dst").as("w"), col("src").as("b")), Seq("w"))
       .filter(col("a") < col("b"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
+import CacheGuard.PersistTrackedOps
 
 /** Multinomial Naive Bayes text classification — the model-based curation
   * classifier tier: public large-corpus pipelines gate documents with a
@@ -94,7 +95,7 @@ object NaiveBayes {
     // over the corpus. Session-lifetime cache contract as in TextDedup.
     val f = docTokens(docs, idCol, textCol)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val nTok = f.groupBy("doc_id").agg(sum("f").as("n_tokens"))
     val seen = f.join(model.tokenProbs, Seq("tok"))
       .join(model.labels.select(col("label"), col("floor_micro")), Seq("label"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
+import CacheGuard.PersistTrackedOps
 
 /** N-gram language-model scoring for corpus curation — the model-based
   * quality tier that runs AFTER the heuristic batteries ([[QualityFilter]]):
@@ -240,8 +241,9 @@ object NgramLm {
     * sentinel). The two vocab-sized unigram join sides broadcast when a
     * measured vocab count says they fit (the
     * [[graft.operators.Trend.spearman]] device); past the cutoff they
-    * fall back to token-keyed shuffles. Caller owns unpersist of the
-    * returned plan's cached input (pair-vocab-sized, not corpus-sized). */
+    * fall back to token-keyed shuffles. The returned plan's cached input
+    * (pair-vocab-sized, not corpus-sized) releases via
+    * [[CacheGuard.releaseAll]]. */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -253,18 +255,23 @@ object NgramLm {
       element_at(toks, -1).as("w1"), lit(null).cast("string").as("w2"))))
     val counts = docs.select(explode(withLast).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("n_pair")).persist(lvl)
+      .agg(count(lit(1)).as("n_pair")).persistTracked(lvl)
     val c1 = counts.groupBy(col("w1").as("tok"))
-      .agg(sum(col("n_pair")).as("c")).persist(lvl)
+      .agg(sum(col("n_pair")).as("c")).persistTracked(lvl)
     // totals ride the already-persisted aggregates: one 1-row job each,
     // instead of extra corpus-tokenizing count() jobs
-    val uniTot = c1.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
+    val uniTot = c1.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1)),
+      coalesce(sum(length(col("tok"))), lit(0L))).head()
     val (nTok, nVocab) = (uniTot.getLong(0), uniTot.getLong(1))
+    // byte-aware broadcast gate (tokens are variable-width strings); the
+    // key-bytes measure rides the same 1-row aggregate, no extra job
+    val vocabFits = MeasuredBroadcast.fits(nVocab, uniTot.getLong(2),
+      maxRows = 1000000L)
     val nBig = counts.filter(col("w2").isNotNull)
       .agg(coalesce(sum(col("n_pair")), lit(0L))).head().getLong(0)
     def side(name: String, as: String) = {
       val s = c1.select(col("tok").as(name), col("c").as(as))
-      if (nVocab <= 1000000L) broadcast(s) else s
+      if (vocabFits) broadcast(s) else s
     }
     counts
       .filter(col("w2").isNotNull && col("n_pair") >= minCount)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheGuard.PersistTrackedOps
 
 /** Fuzzy record linkage by deletion-neighborhood blocking (the FastSS
   * device, Bocek et al. 2007): two strings within edit distance 1 MUST
@@ -64,7 +65,7 @@ object RecordLinkage {
     val groups = base.groupBy(col("key"))
       .agg(collect_list(col("id")).as("ids"), min(col("id")).as("rid"),
         count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // (a) exact-duplicate pairs: all id pairs inside one key group. Group
     // size = the key's duplication count — the usual hot-key caveat; a
     // key duplicated millions of times needs an upstream cap, same as any

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheGuard.PersistTrackedOps
 
 /** Skew mitigation for big-big equi-joins (SCALE.md).
   *
@@ -149,7 +150,7 @@ object Skew {
     // once per consumer (it feeds the probe join and the final select) and
     // the total would scan the input a third time
     val tru = it.groupBy("k").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val top = tru.orderBy(col("n").desc, col("k")).limit(topN)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -143,7 +143,7 @@ object TextClean {
     df.select(col(idCol).cast("long").as("doc_id"),
         when(valid, canonicalUrl(col(urlCol))).as("url_canon"))
       .withColumn("__grp", coalesce(col("url_canon"),
-        concat(lit(" invalid:"), col("doc_id"))))
+        concat(lit("\u0000invalid:"), col("doc_id"))))
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("n_dupes", count(lit(1)).over(w))
       .withColumn("is_keeper", col("doc_id") === col("keeper_id"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Text
+import CacheGuard.PersistTrackedOps
 
 /** Document deduplication operators — the library surface behind the
   * q_x_dedup_* gate queries. Input contract: a DataFrame with an id column
@@ -193,7 +194,7 @@ object TextDedup {
     // sides of the pair join — without it the full corpus aggregate runs
     // twice (see the persist-lifecycle note in the object doc)
     val sigs = groupSignatures(docs, groupCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val a = sigs.select(col(groupCol).as("g1"), col("sig").as("s1"))
     val b = sigs.select(col(groupCol).as("g2"), col("sig").as("s2"))
     a.join(b, col("g1") < col("g2"))
@@ -242,12 +243,12 @@ object TextDedup {
   def ngramCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxPrefixBucket,
       numHashes: Int = 16, numBands: Int = 8): DataFrame = {
     val s = shingled(docs).select(col("doc_id"), col("sh"), col("pfx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // Bucket census over the persisted frame: one cheap aggregate whose
     // result is prefix-cardinality sized; broadcast to both branch filters.
     val bigRaw = s.groupBy(col("pfx")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select(col("pfx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     def pairsOf(frame: DataFrame): DataFrame = frame
       .select(col("doc_id").as("id1"), col("sh").as("sh1"), col("pfx"))
       .join(frame.select(col("doc_id").as("id2"), col("sh").as("sh2"), col("pfx")), Seq("pfx"))
@@ -329,7 +330,7 @@ object TextDedup {
     shingled(docs)
       .withColumn("hs", shingleHashes)
       .select(col("doc_id"), col("sh"), col("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
   /** (doc_id, band) pairs: all `numHashes` signature minima in one codegen'd
     * pass ([[graft.expressions.MinHashSignatures]]), concatenated into
@@ -528,7 +529,7 @@ object TextDedup {
       .select(col("doc_id").as("batch_id"), col("band"))
       .join(bandIndex.select(col("doc_id").as("corpus_id"), col("band")), Seq("band"))
       .select(col("batch_id"), col("corpus_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val candCorpus = corpus.join(
       cands.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val sh2 = shingled(candCorpus).select(col("doc_id").as("corpus_id"), col("sh").as("sh2"))
@@ -562,7 +563,7 @@ object TextDedup {
     // persisted: the band frame feeds the self-join (twice), the index
     // candidate join, and the caller's index append
     val bands = bandFrame(bBase, numHashes, numBands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val selfCands = bands.select(col("doc_id").as("id1"), col("band"))
       .join(bands.select(col("doc_id").as("id2"), col("band")), Seq("band"))
       .filter(col("id1") < col("id2"))
@@ -579,7 +580,7 @@ object TextDedup {
         val cands = bands.select(col("doc_id").as("batch_id"), col("band"))
           .join(bandIndex.select(col("doc_id").as("corpus_id"), col("band")), Seq("band"))
           .select(col("batch_id"), col("corpus_id")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
         val candCorpus = corpus.join(
           cands.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
         val corpusDrops = cands
@@ -782,7 +783,7 @@ object TextDedup {
     * aggregate over the corpus. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 11): DataFrame = {
     val f = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val mask = (1L << BandBits) - 1
     val perBand = (0 until SimHashBands).map { b =>
       val keyed = f.withColumn("bk", expr(s"shiftright(simhash, ${BandBits * b}) & $mask"))

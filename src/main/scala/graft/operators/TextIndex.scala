@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import CacheGuard.PersistTrackedOps
 
 /** Full-text retrieval over a document corpus: inverted index (postings +
   * document frequencies) and term-at-a-time scoring.
@@ -161,14 +162,22 @@ object TextIndex {
     * cutoff it falls back to the term-keyed shuffle, the web-vocab
     * shape), a 1-row N broadcast, and a per-DOC window — partitions are
     * document-sized, never corpus-sized. NOTE the measured probe makes
-    * plan construction eager (two jobs); caller owns unpersist of the
-    * returned plan's cached inputs. */
+    * plan construction eager (two jobs); the returned plan's cached
+    * inputs release via [[CacheGuard.releaseAll]].
+    *
+    * `prebuilt`: a postings frame already derived from `docs` (the shared
+    * serving index — same slot as ProductQuantizer's `encoded`); when
+    * given, its cache lifecycle belongs to the caller and the corpus is
+    * never re-tokenized here. */
   def tfIdfTopK(docs: DataFrame, k: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      prebuilt: Option[DataFrame] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val post = postings(docs, idCol, textCol).persist(lvl)
-    val dfreq = docFrequencies(post).persist(lvl)
-    val dfSide = if (dfreq.count() <= 2000000L) broadcast(dfreq) else dfreq
+    val post = prebuilt.getOrElse(postings(docs, idCol, textCol).persistTracked(lvl))
+    val dfreq = docFrequencies(post).persistTracked(lvl)
+    // byte-aware gate: terms are variable-width strings, so the old pure
+    // row-count cutoff could hint a multi-hundred-MB broadcast
+    val dfSide = MeasuredBroadcast.stringKeyed(dfreq, "term")
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = post
       .join(dfSide, Seq("term"))
@@ -397,7 +406,7 @@ object TextIndex {
     // materialize postings to a table and search the stored index instead
     // (searchBM25MicroIndexed-style), which skips this frame entirely.
     val lens = docLengths(post)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
     if (stats.isNullAt(1))
       return post.select(col("doc_id")).limit(0)

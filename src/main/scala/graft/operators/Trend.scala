@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import CacheGuard.PersistTrackedOps
 
 /** Per-key sequence statistics over the event stream: exponentially-weighted
   * smoothing and least-squares trend. The monitoring layer a pipeline runs
@@ -280,9 +281,9 @@ object Trend {
     * NOTE this function is EAGER at construction time: the broadcast
     * cutoff is a MEASURED count, so building the plan runs two Spark jobs
     * (one per rank map) before returning. The rank-map and base frames
-    * stay persisted because the returned lazy plan reads them; the CALLER
-    * owns unpersist (or session teardown) — same cache-lifetime contract
-    * as TextDedup's persisted fingerprints. The row-count cutoff is a
+    * stay persisted because the returned lazy plan reads them; release
+    * via [[CacheGuard.releaseAll]] (or session teardown) — same
+    * cache-lifetime contract as TextDedup's persisted fingerprints. The row-count cutoff is a
     * deliberate simplification: rank-map rows are two fixed-width longs,
     * so rows × 16 B tracks bytes within a constant. */
   def spearman(df: DataFrame, xCol: String, yCol: String,
@@ -298,7 +299,7 @@ object Trend {
     def avgRank2(d: DataFrame, c: String, out: String): (DataFrame, Boolean) = {
       val per = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
         .withColumn("b", shiftright(col("v"), bucketBits))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
       // bp is BUCKET-sized (≤ distinct/1, in practice a handful of rows —
       // the two-level scheme already assumes it sorts on one partition),
@@ -318,7 +319,7 @@ object Trend {
     // session-lifetime contract as in TextDedup.
     val base = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val (rx, rxSmall) = avgRank2(base, "x", "rx2")
     val (ry, rySmall) = avgRank2(base, "y", "ry2")
     val ranked = base

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
+import CacheGuard.PersistTrackedOps
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -307,7 +308,7 @@ object VectorSearch {
       .withColumn("dp", dot("qv", "cv"))
       .withColumn("sim", cosine("dp", "qn", "cn"))
       .select(col("qid"), col("nid"), col("sim"))
-      .persist()
+      .persistTracked()
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     val pos = pairs.filter(col("sim") >= posThr)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -468,10 +469,10 @@ object VectorSearch {
   def nearDuplicates(emb: DataFrame, threshold: Double = 0.8, numPlanes: Int = 8,
       dim: Int = -1): DataFrame = {
     // both sides of the self-join read the same quantize + numPlanes-dot
-    // bucketing — persist it once instead of re-deriving per side (caller
-    // owns unpersist; the frame is corpus-row-sized, spills to disk)
+    // bucketing — persist it once instead of re-deriving per side
+    // (released via CacheGuard.releaseAll; corpus-row-sized, spills to disk)
     val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val a = e.select(col("vec_id").as("id1"), col("q").as("q1"), col("nn").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("q").as("q2"), col("nn").as("n2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
@@ -495,7 +496,7 @@ object VectorSearch {
       scale: Int = 20): DataFrame = {
     // same self-join device as nearDuplicates: one persisted bucketing
     val e = lshBuckets(emb, numPlanes, if (dim > 0) dim else probeDim(emb))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val a = e.select(col("vec_id").as("id1"), col("q").as("q1"), col("nn").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("q").as("q2"), col("nn").as("n2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))

@@ -462,7 +462,8 @@ object RetrievalQueries {
     // source so scores are exact integers tf·idf_micro and the per-doc
     // ranking replays bit-identically; window partitions are doc-sized.
     QueryDef("q_x_tfidf_topk",
-      (s, d) => graft.operators.TextIndex.tfIdfTopK(t(s, d, "documents"), k = 5),
+      (s, d) => graft.operators.TextIndex.tfIdfTopK(t(s, d, "documents"), k = 5,
+        prebuilt = Some(sharedPostings(s, d))),
       Some(s"""WITH post AS (SELECT doc_id, term, count(*) AS tf
                  FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
                  WHERE term <> '' GROUP BY 1, 2),

@@ -124,5 +124,17 @@ class ExtensionsSpec extends SparkSpec {
       .selectExpr("transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 1, 0) AS BIGINT)) AS q")
       .collect().head.getSeq[Long](0)
     assert(gotH == hofH)
+    // double-input boundary cases where an inexact half test diverges from
+    // the SQL form: y = -0.49999999999999994 has fl(y − floor(y)) == 0.5
+    // yet is NOT a half (SQL rounds it to 0, a subtraction-only test gave
+    // −1); integral y ≥ 2^52 has fl(floor(y) + 0.5) == y yet must stay y.
+    val edge = Seq(Seq(-0.49999999999999994d, 0.49999999999999994d,
+      4503599627370496.0d, -4503599627370496.0d, 4503599627370497.0d)).toDF("e")
+    val gotE = edge.select(graft.expressions.QuantizeToLong(col("e"), 1).as("q"))
+      .collect().head.getSeq[Long](0)
+    val hofE = edge
+      .selectExpr("transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 1, 0) AS BIGINT)) AS q")
+      .collect().head.getSeq[Long](0)
+    assert(gotE == hofE, s"double boundary: got $gotE vs sql $hofE")
   }
 }
