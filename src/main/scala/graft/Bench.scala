@@ -64,6 +64,14 @@ object Bench {
       // inputs are small enough that task scheduling dominates.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Prefer shuffled-hash over sort-merge for big-big equi-joins: on
+      // identical sf1 plans SHJ removed both sort passes with no failures
+      // (h3_top_revenue 1.44→0.93 s, salted_join 1.70→1.10 s, pipeline
+      // audit 2.22→1.87 s; nothing slower). Spark defaults to SMJ for
+      // robustness on skewed/oversized partitions; a cluster deployment
+      // keeps AQE skew-splitting ON (engine production builders do), which
+      // covers SHJ the same way.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // Single-node bench: shuffle blocks never cross a wire, so compression
       // is pure CPU overhead on the many tiny gate shuffles.
       .config("spark.shuffle.compress", "false")

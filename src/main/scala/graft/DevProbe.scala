@@ -79,6 +79,33 @@ object DevProbe {
       }
       return
     }
+    if (names == Seq("er-dissect")) {
+      import org.apache.spark.sql.functions._
+      val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.RecordLinkage.editNeighborPairs(
+            sup, "s_suppkey", "s_name")
+          .select(col("id1").as("a"), col("id2").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = pairs.count()
+        val t1 = System.nanoTime()
+        println(f"[probe] editNeighborPairs run$i: ${(t1 - t0) / 1e9}%.2fs ($n pairs)")
+        val comp = graft.operators.GraphRank.connectedComponents(pairs, rounds = 8)
+        comp.count()
+        val t2 = System.nanoTime()
+        println(f"[probe] connectedComponents run$i: ${(t2 - t1) / 1e9}%.2fs")
+        val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        comp.join(sizes, Seq("component"))
+          .join(sup.select(col("s_suppkey").cast("long").as("component"),
+            col("s_name").as("canonical_name")), Seq("component"))
+          .count()
+        println(f"[probe] tail joins run$i: ${(System.nanoTime() - t2) / 1e9}%.2fs")
+        pairs.unpersist()
+        spark.catalog.clearCache()
+      }
+      return
+    }
     if (names == Seq("bitext-dissect")) {
       import org.apache.spark.sql.functions._
       import graft.operators.VectorSearch

@@ -31,6 +31,11 @@ object Hashing {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** The thread-local digest itself, for expression hot loops that stream
+    * bytes in directly ([[graft.expressions.SpanHashes]]) instead of
+    * building a String per hash. Callers must end with digest() (resets). */
+  private[graft] def localDigest: java.security.MessageDigest = md.get()
   private val HexChars = "0123456789abcdef".toCharArray
 
   /** md5 hex digest of a UTF-8 string — the JVM-side twin of SQL `md5()`,

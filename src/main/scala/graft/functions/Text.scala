@@ -41,10 +41,13 @@ object Text {
     * multiplicity is computable by one hash aggregate instead of a
     * corpus-wide suffix sort. */
   def spanHashes(toksCol: String, w: Int): Column =
-    when(size(col(toksCol)) >= w, expr(
-      s"transform(sequence(0, size($toksCol) - $w), i -> " +
-        Hashing.hash64Expr(s"concat_ws(' ', slice($toksCol, i + 1, $w))") + ")"))
-      .otherwise(array().cast("array<bigint>"))
+    // coalesce keeps the pre-expression contract: a NULL token array yields
+    // an empty span array (the old when/otherwise guard), never NULL
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.SpanHashes(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col(toksCol)), w)),
+      array().cast("array<bigint>"))
 
   /** Count of tokens drawn from a fixed vocabulary (stopword scoring). */
   def vocabHits(toksCol: String, vocab: Seq[String]): Column = {

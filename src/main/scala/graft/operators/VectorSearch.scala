@@ -50,12 +50,14 @@ object VectorSearch {
     emb.select(col(idCol).as("vec_id"), quantize(embCol).as("q"))
       .withColumn("nn", dot("q", "q"))
 
-  /** Exact top-k cosine neighbors for each query row (self excluded). */
+  /** Exact top-k cosine neighbors for each query row (self excluded).
+    * The corpus side is [[spread]] because the O(|Q|·N) dot loop runs in
+    * ITS partitioning (broadcast join; see spread's doc). */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val e = prepared(emb)
     val qs = broadcast(e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nn").as("qn")))
-    qs.join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn")),
+    qs.join(spread(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn"))),
         col("qid") =!= col("nid"))
       .withColumn("dp", dot("qv", "cv"))
       .withColumn("sim", cosine("dp", "qn", "cn"))
@@ -86,8 +88,8 @@ object VectorSearch {
       col("q").as("qv"), col("nn").as("qn"),
       col("qp").as("qpv"), col("np").as("qpn")))
     val cand = qs
-      .join(e.select(col("vec_id").as("nid"), col("q").as("cv"),
-        col("nn").as("cn"), col("qp").as("cpv"), col("np").as("cpn")),
+      .join(spread(e.select(col("vec_id").as("nid"), col("q").as("cv"),
+        col("nn").as("cn"), col("qp").as("cpv"), col("np").as("cpn"))),
         col("qid") =!= col("nid"))
       .withColumn("pdp", dot("qpv", "cpv"))
       .withColumn("psim", cosine("pdp", "qpn", "cpn"))
@@ -140,8 +142,8 @@ object VectorSearch {
     val qs = broadcast(sig.filter(queryPred)
       .select(col("vec_id").as("qid"), col("sig").as("qsig"),
         col("q").as("qv"), col("nn").as("qn")))
-    qs.join(sig.select(col("vec_id").as("nid"), col("sig").as("csig"),
-        col("q").as("cv"), col("nn").as("cn")), col("qid") =!= col("nid"))
+    qs.join(spread(sig.select(col("vec_id").as("nid"), col("sig").as("csig"),
+        col("q").as("cv"), col("nn").as("cn"))), col("qid") =!= col("nid"))
       .withColumn("hamming", hammingDistance("qsig", "csig"))
       .withColumn("hrank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("hamming"), col("nid"))))
@@ -275,8 +277,8 @@ object VectorSearch {
     val qs = broadcast(e.filter(queryPred)
       .select(col("vec_id").as("qid"), quantize("embedding").as("qv"))
       .withColumn("qn", dot("qv", "qv")))
-    qs.join(prep.filter(col("__cand"))
-        .select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn")),
+    qs.join(spread(prep.filter(col("__cand"))
+        .select(col("vec_id").as("nid"), col("q").as("cv"), col("nn").as("cn"))),
         col("qid") =!= col("nid"))
       .withColumn("dp", dot("qv", "cv"))
       .withColumn("sim", cosine("dp", "qn", "cn"))
@@ -536,10 +538,17 @@ object VectorSearch {
       threshold: Double = 0.8, numPlanes: Int = 8, dim: Int = -1): DataFrame = {
     val c = index.select(col("vec_id").as("corpus_id"), col("q").as("q2"),
       col("nn").as("n2"), col("bucket"))
-    lshBuckets(batch, numPlanes, if (dim > 0) dim else probeDim(batch))
-      .select(col("vec_id").as("batch_id"), col("q").as("q1"),
-        col("nn").as("n1"), col("bucket"))
-      .join(c, Seq("bucket"))
+    // The BATCH is the small side by the shape's definition (a recurring
+    // ingest against a standing corpus), so hint it broadcast: the corpus/
+    // index side then STREAMS — no corpus shuffle at any scale, the same
+    // reason the probe families broadcast their query sets. A batch too
+    // large to broadcast is not this operator's shape (run nearDuplicates
+    // on the union instead). spread() the streamed index side: the
+    // per-pair dot loop runs in its partitioning.
+    spread(c).join(broadcast(
+        lshBuckets(batch, numPlanes, if (dim > 0) dim else probeDim(batch))
+          .select(col("vec_id").as("batch_id"), col("q").as("q1"),
+            col("nn").as("n1"), col("bucket"))), Seq("bucket"))
       .withColumn("dp", dot("q1", "q2"))
       .withColumn("sim", cosine("dp", "n1", "n2"))
       .filter(col("sim") >= threshold)

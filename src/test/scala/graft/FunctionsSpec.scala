@@ -8,6 +8,34 @@ import graft.operators.{TextDedup, VectorSearch}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spanHashes expression ≡ the md5 HOF form on random/unicode/null tokens") {
+    // the codegen'd one-pass span hasher must be BIT-identical to the SQL
+    // composition it replaced — including concat_ws's null-token skipping,
+    // multi-byte UTF-8, and the short-array empty result
+    val rng = new scala.util.Random(7)
+    val words = Vector("a", "bb", "caffé", "naïve", "東京", "x1", "", "zz")
+    val arrs: Seq[Seq[String]] =
+      Seq.fill(40)(Seq.fill(rng.nextInt(20))(words(rng.nextInt(words.size)))) ++
+      Seq(Seq("one", null, "three", "four", "five", "six", "seven", "eight", "nine"),
+        Seq("short"), Seq.empty[String], null)
+    val df = arrs.toDF("toks")
+    val w = 8
+    val hof = df.select(coalesce(
+      when(size(col("toks")) >= w, expr(
+        s"transform(sequence(0, size(toks) - $w), i -> " +
+          Hashing.hash64Expr(s"concat_ws(' ', slice(toks, i + 1, $w))") + ")")),
+      array().cast("array<bigint>")).as("h"))
+    val native = df.select(graft.functions.Text.spanHashes("toks", w).as("h"))
+    assert(rows(native) == rows(hof))
+    // width-2 path (the bigram shape)
+    val hof2 = df.select(coalesce(
+      when(size(col("toks")) >= 2, expr(
+        "transform(sequence(0, size(toks) - 2), i -> " +
+          Hashing.hash64Expr("concat_ws(' ', slice(toks, i + 1, 2))") + ")")),
+      array().cast("array<bigint>")).as("h"))
+    assert(rows(df.select(graft.functions.Text.spanHashes("toks", 2).as("h"))) == rows(hof2))
+  }
+
   test("hash64: column and driver-side twins agree; values are 60-bit non-negative") {
     val inputs = Seq("", "a", "hello world", "caffé")
     val fromCol = rows(inputs.toDF("s").select(Hashing.hash64(col("s")))).flatten
