@@ -19,6 +19,16 @@ object EventQueries {
 
   private val micro = graft.operators.NgramLm.MicroScale
 
+  /** Per-(session, sfDir) chunked parquet source for the streaming gate
+    * (write-once, the stored-stream-source shape). */
+  private val streamSrcRoots =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  /** Memory-sink query names must be unique per run (the bench executes
+    * the gate several times in one session). */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   lazy val all: Seq[QueryDef] = Seq(
 
     // Conversation-transcript assembly (operators.Dialog): each user's
@@ -84,6 +94,43 @@ object EventQueries {
                count(*) AS n_events,
                CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents,
                count(DISTINCT user_id) AS n_users
+               FROM events GROUP BY 1, 2""")),
+
+    // The SAME hourly aggregate executed AS A RUNNING STREAM — the one
+    // gate that drives Structured Streaming end-to-end instead of proving
+    // it by batch twins: the events table is chunked into 4 time-ranged
+    // parquet files (once per session, the stored-source shape), read back
+    // through readStream with maxFilesPerTrigger=1 so the aggregate passes
+    // through ≥4 micro-batches of the streaming state store, sunk with
+    // Trigger.AvailableNow, and the sink table returned as the result.
+    // The watermark is sized to the whole fixture horizon because the
+    // ORACLE is the lossless batch aggregate — drop-at-the-watermark
+    // semantics are pinned separately in StreamingSpec; complete-mode
+    // memory sink is the fixture-scale stand-in for a table sink.
+    QueryDef("q_x_stream_hourly",
+      (s, d) => {
+        val src = s"${tempRoot(streamSrcRoots, s, d, "graft-stream-src")}/chunks"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+          events(s, d).select(col("event_id"),
+              timestamp_micros(col("ts_us")).as("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+            .repartitionByRange(4, col("ts"))
+            .write.parquet(src)
+        val name = s"graft_stream_hourly_${streamRuns.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+        val stream = s.readStream.schema(graft.streaming.EventStream.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.EventStream.hourlyByType(stream, watermark = "720 hours")
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win, event_type,
+               count(*) AS n_events,
+               CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
                FROM events GROUP BY 1, 2""")),
 
     // SLIDING windows (1h window, 30min slide): each event lands in two
