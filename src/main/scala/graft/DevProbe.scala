@@ -79,6 +79,21 @@ object DevProbe {
       }
       return
     }
+    if (names == Seq("binning-dissect")) {
+      import org.apache.spark.sql.functions._
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(expr("CAST(round(o_totalprice*100,0) AS BIGINT)").as("p"))
+      for (i <- 1 to 2)
+        time(s"scan only run$i")(ord.agg(count(lit(1))).collect())
+      for (i <- 1 to 2)
+        time(s"percentile agg run$i")(ord.agg(expr(
+          "percentile(p, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")).collect())
+      for (i <- 1 to 2)
+        time(s"full binning run$i")(
+          graft.operators.QualityFilter.equalFrequencyBins(ord, "p", 10)
+            .groupBy(col("bin")).agg(count(lit(1))).collect())
+      return
+    }
     if (names == Seq("er-dissect")) {
       import org.apache.spark.sql.functions._
       val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
