@@ -64,14 +64,13 @@ object Bench {
       // inputs are small enough that task scheduling dominates.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Prefer shuffled-hash over sort-merge for big-big equi-joins: on
-      // identical sf1 plans SHJ removed both sort passes with no failures
-      // (h3_top_revenue 1.44→0.93 s, salted_join 1.70→1.10 s, pipeline
-      // audit 2.22→1.87 s; nothing slower). Spark defaults to SMJ for
-      // robustness on skewed/oversized partitions; a cluster deployment
-      // keeps AQE skew-splitting ON (engine production builders do), which
-      // covers SHJ the same way.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // Join preference stays at the Spark default (sort-merge). A session-
+      // global preferSortMergeJoin=false was tried in the r10→r11 interim:
+      // full-run A/B at sf0.1 showed it is NET NEGATIVE here — it wins on a
+      // few big-big joins but loses more broadly (j2_star_agg +0.7 s,
+      // k_core +1.0 s, anti/full-outer joins +0.5 s each; graph loops
+      // within noise). Joins where SHJ is measurably better carry an
+      // explicit shuffle_hash hint at the operator (pageRank et al.).
       // Single-node bench: shuffle blocks never cross a wire, so compression
       // is pure CPU overhead on the many tiny gate shuffles.
       .config("spark.shuffle.compress", "false")
@@ -88,11 +87,15 @@ object Bench {
       // Hundreds of dead checkpoint RDDs from the graph/dedup/ER round
       // loops otherwise pile up on the heap and make late-query timings a
       // function of driver memory (r10: the 48g/96g sf1 runs disagreed
-      // ~10× on late gates). 1-min periodic GC + the explicit gc() at the
-      // canary cadence below keep the two configs within host noise.
-      // Fixture serving indexes stay strongly referenced in the query
-      // registries, so the train-once/probe-many shape is untouched.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // ~10× on late gates). The cleanup lives in the explicit
+      // OFF-TIMING-PATH System.gc() at the canary cadence below (every 20
+      // queries ≈ every 1–2 min of wall). A periodicGC.interval=1min was
+      // tried in the r10→r11 interim and REVERTED: its full GCs land
+      // MID-QUERY and cost ~8–10 s across the sf0.1 run (q_x_stream_hourly
+      // alone paid ~5 s — a GC stall inside awaitTermination stretches
+      // every micro-batch). Fixture serving indexes stay strongly
+      // referenced in the query registries, so the train-once/probe-many
+      // shape is untouched.
       .config("spark.ui.enabled", "false")
     // Dev knob for conf A/B runs: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v".
     val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").toSeq
@@ -150,7 +153,7 @@ object Bench {
       println(f"""{"bench_query":"${q.name}","sec":$sec%.4f,"ok":$ok}""")
       if ((i + 1) % 20 == 0) {
         // Off the timing path: collect dead localCheckpoint RDDs (see the
-        // spark.cleaner.periodicGC.interval note above) before the canary.
+        // ContextCleaner note on the builder above) before the canary.
         System.gc()
         canarySamples += ((i + 1, timeOnce(canaryFn)._1))
       }

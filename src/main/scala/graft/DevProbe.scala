@@ -148,6 +148,35 @@ object DevProbe {
           VectorSearch.mineBitextIvf(src, tgt, numPlanes = 4, dim = 64).count())
       return
     }
+    if (names.headOption.contains("jobs")) {
+      // jobs-audit mode: DevProbe <sfDir> jobs <query...> — count the Spark
+      // jobs/stages/tasks a WARM run of each query schedules (run1 absorbs
+      // planning+codegen; run2 is counted). The 1–2 s sf1 "floor" queries
+      // are suspected to be sequential-job chains, not data cost — this is
+      // the measurement for that (VERDICT r10 item 5).
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+        }
+      })
+      for (n <- names.drop(1)) {
+        val fn = SparkEntry.queries(n)
+        time(s"$n warm-up")(fn(spark, sfDir).count())
+        spark.catalog.clearCache()
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val s = time(s"$n counted run")(fn(spark, sfDir).count())
+        // listener bus is async (and private to spark) — give it a beat
+        Thread.sleep(300)
+        println(f"[probe] $n: jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} sec=$s%.2f")
+        spark.catalog.clearCache()
+      }
+      return
+    }
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       val ts = (1 to 3).map(i => time(s"$n run$i")(fn(spark, sfDir).count()))

@@ -33,6 +33,13 @@ object GraphRank {
 
   final val Scale = 1000000000L // 1e9 fixed-point
 
+  /** Measured-width target for the iterative-loop exchanges (see
+    * [[connectedComponents]]): one reduce partition per ~20k edge rows,
+    * capped at the session shuffle width. 20k × ~16 B/row ≈ the point
+    * where a partition's work first exceeds its task-scheduling cost on
+    * gate-scale graphs (measured on the ER pair graph). */
+  final val TargetRowsPerPartition = 20000L
+
   /** Undirected expansion of a directed edge list: both directions, so no
     * node is dangling (every node has outdegree ≥ 1 by construction). */
   def undirected(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
@@ -362,22 +369,42 @@ object GraphRank {
     // lineage copies of the leaf (measured 137 s → ~5 s on the ER
     // composite at sf0.01).
     //
-    // `numPartitions` (0 = session shuffle partitions): the loop runs
-    // ~6 exchanges per level, and on a SMALL edge set (an ER pair graph:
-    // tens of thousands of rows) each session-width exchange is pure task
-    // scheduling — measured 3.5 s at 32 partitions vs 1.5 s at 8 for a
-    // 13.5k-edge graph. A caller that knows the edge count (it usually
-    // persisted the pairs) passes a width matched to the data; labels are
-    // partition-order-free (min-label), so the output is identical.
+    // Exchange width: the loop runs ~6 exchanges per level, and each
+    // session-width exchange on a SMALL edge set is pure task scheduling —
+    // measured 3.5 s at 32 partitions vs 1.5 s at 8 for a 13.5k-edge ER
+    // pair graph. `numPartitions` > 0 pins a caller-measured width (the
+    // er_resolve path, which already counted its persisted pairs);
+    // 0 (default) derives the width PER LEVEL from a measured edge count:
+    // the input count rides the persist this function pays anyway, and the
+    // per-level count IS the convergence probe (a contracted edge set is
+    // converged exactly when count == 0, so the old isEmpty probe becomes
+    // the width measurement for free). The contracted set shrinks
+    // geometrically, so late levels drop to a handful of partitions
+    // instead of idling a full session-width task wave 6× per level;
+    // at scale the ratio rows/TargetRowsPerPartition exceeds the session
+    // cap and the width saturates at the configured shuffle partitions —
+    // scale-adaptive in both directions (guide §2: derive partitioning
+    // from input size, don't tune a constant for either local or cluster).
+    // Labels are partition-order-free (min-label), so output is identical
+    // at any width.
+    val maxWidth = math.max(1,
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
+    def widthFor(rows: Long): Int =
+      math.max(1, math.min(maxWidth.toLong, rows / TargetRowsPerPartition + 1L).toInt)
+    var width = numPartitions
     def rp(df: DataFrame, cols: Column*): DataFrame =
-      if (numPartitions <= 0) df
-      else if (cols.isEmpty) df.repartition(numPartitions)
-      else df.repartition(numPartitions, cols: _*)
+      if (width <= 0) df
+      else if (cols.isEmpty) df.repartition(width)
+      else df.repartition(width, cols: _*)
     val PropagatesPerLevel = 3
     var e = rp(edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inputE = e
+    // measured input width (one count on the frame this function just
+    // persisted — the level-1 propagate re-reads the cached blocks)
+    if (numPartitions <= 0) width = widthFor(e.count())
+    val resolveWidth = width // node-scale, for the resolve joins below
     var maps = List.empty[DataFrame] // deepest level first
     var lvl = 0
     var done = false
@@ -409,7 +436,11 @@ object GraphRank {
         .distinct()
         .localCheckpoint(eager = false)
       e = contracted
-      done = e.isEmpty
+      // convergence probe doubles as the next level's width measurement
+      // (count materializes the lazy checkpoint, as the old isEmpty did)
+      val cnt = e.count()
+      done = cnt == 0L
+      if (numPartitions <= 0 && !done) width = widthFor(cnt)
       lvl += 1
     }
     inputE.unpersist(false)
@@ -422,6 +453,10 @@ object GraphRank {
           .withColumn("n", lit(0L)).withColumn("component", lit(0L))
           .limit(0)
       case m0 :: rest =>
+        // resolve at the INPUT-scale width: `out` starts node-sized (the
+        // level-1 map), so the last contracted level's near-1 width would
+        // squeeze it through too few partitions
+        width = resolveWidth
         rest.foldLeft(m0) { (out, m) =>
           rp(out, col("component"))
             .join(m.select(col("n").as("component"), col("component").as("root")),

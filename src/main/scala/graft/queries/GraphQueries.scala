@@ -459,14 +459,10 @@ object GraphQueries {
             t(s, d, "supplier"), "s_suppkey", "s_name")
           .select(col("id1").as("a"), col("id2").as("b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // CC width matched to the MEASURED pair graph (one cheap count on
-        // the just-persisted frame): the contraction loop's ~6 exchanges
-        // per level are pure task scheduling at session width on an
-        // ER-sized graph — see connectedComponents' numPartitions doc.
-        val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
-          (pairs.count() / 20000L + 1).toInt))
-        val comp = graft.operators.GraphRank.connectedComponents(pairs, rounds = 8,
-          numPartitions = parts)
+        // CC measures its own per-level exchange width from the persisted
+        // pair count (see connectedComponents' width doc) — the old
+        // caller-side count probe is gone, one fewer job.
+        val comp = graft.operators.GraphRank.connectedComponents(pairs, rounds = 8)
         val sizes = comp.groupBy(col("component"))
           .agg(count(lit(1)).as("n_members"))
         comp.join(sizes, Seq("component"))
