@@ -40,6 +40,19 @@ object GraphRank {
     * gate-scale graphs (measured on the ER pair graph). */
   final val TargetRowsPerPartition = 20000L
 
+  private def sessionWidth(df: DataFrame): Int =
+    math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** Exchange width for a measured row count: rows/[[TargetRowsPerPartition]],
+    * clamped to [1, session shuffle width]. At scale the ratio exceeds the
+    * cap and saturates — callers treat a saturated width as "leave the plan
+    * alone" so the 100 TB path keeps map-side partial aggregation (an
+    * explicit pre-aggregate repartition satisfies the groupBy's required
+    * distribution and would suppress the partial combine, moving edge-sized
+    * rows where node-sized suffice). */
+  private def widthFor(rows: Long, maxWidth: Int): Int =
+    math.max(1, math.min(maxWidth.toLong, rows / TargetRowsPerPartition + 1L).toInt)
+
   /** Undirected expansion of a directed edge list: both directions, so no
     * node is dangling (every node has outdegree ≥ 1 by construction). */
   def undirected(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
@@ -71,9 +84,24 @@ object GraphRank {
     // join sees the edge side already laid out and only moves ranks — a
     // checkpoint would erase the partitioning and re-exchange the edges
     // per iteration (verified in the physical plan).
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).repartition(col("src"))
-      .persistTracked()
+    // Iteration exchange width measured from the edge count (the
+    // connectedComponents device): the scan-layout persist absorbs the
+    // count, then the static layout is built at the measured width. On a
+    // gate-scale graph every session-width exchange is pure task
+    // scheduling; at scale the width saturates and rp() degrades to the
+    // plain plan (keeping map-side partial aggregation — see widthFor).
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persistTracked()
+    val maxW = sessionWidth(edges)
+    val w = widthFor(e0.count(), maxW)
+    // lay: the static layout is ALWAYS key-partitioned (the Pregel device);
+    // the measured width only sizes it. rp: pre-aggregate exchanges vanish
+    // at saturation so the scale path keeps its partial aggregates.
+    def lay(df: DataFrame, c: Column): DataFrame =
+      if (w >= maxW) df.repartition(c) else df.repartition(w, c)
+    def rp(df: DataFrame, c: Column): DataFrame =
+      if (w >= maxW) df else df.repartition(w, c)
+    val e = lay(e0, col("src")).persistTracked()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // (node, outdeg) carrier: node-cardinality, referenced by every
     // iteration level — truncate it too, or each level re-runs its shuffles.
@@ -83,6 +111,7 @@ object GraphRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .localCheckpoint()
+    e0.unpersist(false) // e + ndeg materialized above; the scan cache is dead
     // 1-row node count riding every row as a broadcast scalar (the same
     // no-collect pattern as the salted-join census)
     val n = ndeg.agg(count(lit(1)).as("n_nodes"))
@@ -97,11 +126,12 @@ object GraphRank {
       // shuffle_hash on the node-sized rank side: only it moves (to e's
       // static layout) and it hash-builds without sorting the edge stream —
       // SMJ would re-sort O(edges) every iteration for no benefit.
-      val contrib = e
-        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      val contrib = rp(e
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"),
+          col("dst"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
-      rank = ndeg.crossJoin(broadcast(n))
+      rank = rp(ndeg.crossJoin(broadcast(n)), col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           expr(s"($base div n_nodes) + (($dampNum * coalesce(inflow, 0)) div 100)")
@@ -124,10 +154,16 @@ object GraphRank {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
     // one edge materialization, pre-partitioned on the join key and
     // persisted WITH its partitioning metadata (see pageRank — the
-    // static-edge-layout Pregel shape)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).repartition(col("src"))
-      .persistTracked()
+    // static-edge-layout Pregel shape), at the measured iteration width
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persistTracked()
+    val maxW = sessionWidth(edges)
+    val w = widthFor(e0.count(), maxW)
+    def lay(df: DataFrame, c: Column): DataFrame = // static layout (see pageRank)
+      if (w >= maxW) df.repartition(c) else df.repartition(w, c)
+    def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
+      if (w >= maxW) df else df.repartition(w, c)
+    val e = lay(e0, col("src")).persistTracked()
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("is_seed", lit(1L))
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
@@ -148,16 +184,18 @@ object GraphRank {
         coalesce(col("is_seed"), lit(0L)).as("is_seed"),
         greatest(col("n_seeds"), lit(1L)).as("n_seeds"))
       .localCheckpoint()
+    e0.unpersist(false) // e + withSeed materialized above
     var rank = withSeed.select(col("node"), col("outdeg"),
       expr(s"(is_seed * $Scale) div n_seeds").as("rank"))
     for (_ <- 1 to iters) {
       // node-sized rank side shuffles to e's static layout and hash-builds
       // — the edge stream is never re-sorted or re-shuffled (see pageRank)
-      val contrib = e
-        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      val contrib = rp(e
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"),
+          col("dst"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
-      rank = withSeed.join(contrib, Seq("node"), "left")
+      rank = rp(withSeed, col("node")).join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           expr(s"((is_seed * $base) div n_seeds) + " +
             s"(($dampNum * coalesce(inflow, 0)) div 100)").as("rank"))
@@ -290,17 +328,32 @@ object GraphRank {
     // edge⋈label join sees the edge side already laid out and only the
     // node-sized label frame crosses the wire (one exchange per round on
     // the rank/label side, zero on the O(E) side).
-    val und = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val u0 = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
-      .repartition(col("src"))
       .persistTracked()
+    // measured iteration width (the connectedComponents device); rp is a
+    // no-op at saturation so the scale path keeps its partial aggregates
+    val maxW = sessionWidth(edges)
+    val w = widthFor(u0.count(), maxW)
+    def lay(df: DataFrame, c: Column): DataFrame = // static layout (see pageRank)
+      if (w >= maxW) df.repartition(c) else df.repartition(w, c)
+    def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
+      if (w >= maxW) df else df.repartition(w, c)
+    // (u0 stays persisted until CacheGuard.releaseAll: nothing here is
+    // eager, so an in-function unpersist would fire before und ever
+    // materializes and waste the measuring pass)
+    val und = lay(u0, col("src")).persistTracked()
     var labels = und.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
     (1 to rounds).foreach { r =>
       // shuffle_hash: hash-build the node-sized label side against und's
-      // static layout instead of sort-merging the edge stream every round
-      val counts = und.join(
-          labels.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
+      // static layout instead of sort-merging the edge stream every round.
+      // One rp(dst) covers BOTH aggregates: hash(dst, w) satisfies the
+      // (dst, community) clustering, and the argmax groupBy(n=dst) reuses
+      // the same partitioning — zero extra exchanges per round.
+      val counts = rp(und.join(
+          labels.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src")),
+          col("dst"))
         .groupBy(col("dst").as("n"), col("community"))
         .agg(count(lit(1)).as("c"))
       labels = counts
@@ -387,13 +440,15 @@ object GraphRank {
     // from input size, don't tune a constant for either local or cluster).
     // Labels are partition-order-free (min-label), so output is identical
     // at any width.
-    val maxWidth = math.max(1,
-      edges.sparkSession.sessionState.conf.numShufflePartitions)
-    def widthFor(rows: Long): Int =
-      math.max(1, math.min(maxWidth.toLong, rows / TargetRowsPerPartition + 1L).toInt)
+    val maxWidth = sessionWidth(edges)
     var width = numPartitions
+    // Saturated width = session width: skip the explicit repartition so
+    // the aggregates keep their map-side partial phase (an exchange whose
+    // distribution already satisfies the groupBy suppresses the partial
+    // combine and would move edge-sized rows where node-sized suffice —
+    // the 100 TB path must not pay for the gate-scale fix).
     def rp(df: DataFrame, cols: Column*): DataFrame =
-      if (width <= 0) df
+      if (width <= 0 || width >= maxWidth) df
       else if (cols.isEmpty) df.repartition(width)
       else df.repartition(width, cols: _*)
     val PropagatesPerLevel = 3
@@ -403,7 +458,7 @@ object GraphRank {
     val inputE = e
     // measured input width (one count on the frame this function just
     // persisted — the level-1 propagate re-reads the cached blocks)
-    if (numPartitions <= 0) width = widthFor(e.count())
+    if (numPartitions <= 0) width = widthFor(e.count(), maxWidth)
     val resolveWidth = width // node-scale, for the resolve joins below
     var maps = List.empty[DataFrame] // deepest level first
     var lvl = 0
@@ -440,7 +495,7 @@ object GraphRank {
       // (count materializes the lazy checkpoint, as the old isEmpty did)
       val cnt = e.count()
       done = cnt == 0L
-      if (numPartitions <= 0 && !done) width = widthFor(cnt)
+      if (numPartitions <= 0 && !done) width = widthFor(cnt, maxWidth)
       lvl += 1
     }
     inputE.unpersist(false)
@@ -552,13 +607,21 @@ object GraphRank {
     val selfLoops = und.select(col("src")).union(seedN.select(col("n").as("src")))
       .distinct()
       .select(col("src"), col("src").as("dst"), lit(0L).as("w"))
-    val withSelf = und.union(selfLoops)
-      .repartition(col("src"))
-      .persistTracked()
+    // measured iteration width (the connectedComponents device); ws0 stays
+    // persisted until CacheGuard.releaseAll — nothing below is eager
+    val ws0 = und.union(selfLoops).persistTracked()
+    val maxW = sessionWidth(edges)
+    val wdt = widthFor(ws0.count(), maxW)
+    def lay(df: DataFrame, c: Column): DataFrame = // static layout (see pageRank)
+      if (wdt >= maxW) df.repartition(c) else df.repartition(wdt, c)
+    def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
+      if (wdt >= maxW) df else df.repartition(wdt, c)
+    val withSelf = lay(ws0, col("src")).persistTracked()
     var dist = seedN.select(col("n"), lit(0L).as("dist"))
     (1 to rounds).foreach { r =>
-      dist = withSelf.join(
-          dist.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
+      dist = rp(withSelf.join(
+          dist.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src")),
+          col("dst"))
         .groupBy(col("dst").as("n"))
         .agg(min(col("dist") + col("w")).as("dist"))
       if (r % 8 == 0 && r < rounds) dist = dist.localCheckpoint()
@@ -599,11 +662,21 @@ object GraphRank {
     var prevCount = e.count()
     var done = false
     var r = 0
+    // per-round exchange width from the surviving-edge count the
+    // convergence test measures anyway (the connectedComponents device);
+    // rp is a no-op at saturation, keeping scale-path partial aggregates
+    val maxW = sessionWidth(edges)
     while (r < rounds && !done) {
-      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      val wr = widthFor(prevCount, maxW)
+      def rp(df: DataFrame, c: Column): DataFrame =
+        if (wr >= maxW) df else df.repartition(wr, c)
+      val deg = rp(e.select(col("a").as("n")).union(e.select(col("b").as("n"))),
+          col("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
       val survivors = deg.filter(col("dg") >= k).select(col("n"))
-      val next = e.join(survivors.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+      val next = rp(rp(e, col("a"))
+          .join(survivors.withColumnRenamed("n", "a"), Seq("a"), "left_semi"),
+          col("b"))
         .join(survivors.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b")).localCheckpoint()
       val nextCount = next.count()
@@ -638,13 +711,23 @@ object GraphRank {
     * Returns (node, hub_fp, auth_fp) at scale 1e9. */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1)
-    val eSrc = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).repartition(col("src"))
-      .persistTracked()
-    val eDst = eSrc.repartition(col("dst"))
-      .persistTracked()
+    // measured half-step width (the connectedComponents device): both
+    // static layouts and every per-iteration exchange run at a width
+    // matched to the edge count; rp is a no-op at saturation so the scale
+    // path keeps its partial aggregates
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).persistTracked()
+    val maxW = sessionWidth(edges)
+    val w = widthFor(e0.count(), maxW)
+    def lay(df: DataFrame, c: Column): DataFrame = // static layout (see pageRank)
+      if (w >= maxW) df.repartition(c) else df.repartition(w, c)
+    def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
+      if (w >= maxW) df else df.repartition(w, c)
+    val eSrc = lay(e0, col("src")).persistTracked()
+    val eDst = lay(eSrc, col("dst")).persistTracked() // re-layout of eSrc's cache
     val nodes = eSrc.select(col("src").as("node"))
       .union(eSrc.select(col("dst").as("node"))).distinct().localCheckpoint()
+    e0.unpersist(false) // eSrc materialized by the eager nodes checkpoint
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var hub = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"$Scale div n_nodes").as("hub"))
@@ -664,8 +747,9 @@ object GraphRank {
       // nodes left-join the oracle writes is deferred to the single final
       // densify below — four node-sized shuffle joins saved per fit,
       // value-identical output.
-      val rawA = eSrc
-        .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      val rawA = rp(eSrc
+        .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"),
+          col("dst"))
         .groupBy(col("dst").as("node")).agg(sum("hub").as("raw"))
         .localCheckpoint(eager = false)
       // greatest(…, 1): an all-zero score frame (n_nodes > Scale) must not
@@ -674,8 +758,9 @@ object GraphRank {
       auth = rawA.crossJoin(broadcast(ta))
         .select(col("node"), expr(s"(raw * $Scale) div total").as("auth"))
       // hub half-step: authority mass flows dst→src
-      val rawH = eDst
-        .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
+      val rawH = rp(eDst
+        .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"),
+          col("src"))
         .groupBy(col("src").as("node")).agg(sum("auth").as("raw"))
         .localCheckpoint(eager = false)
       val th = rawH.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
