@@ -84,24 +84,20 @@ object GraphRank {
     // join sees the edge side already laid out and only moves ranks — a
     // checkpoint would erase the partitioning and re-exchange the edges
     // per iteration (verified in the physical plan).
-    // Iteration exchange width measured from the edge count (the
-    // connectedComponents device): the scan-layout persist absorbs the
-    // count, then the static layout is built at the measured width. On a
-    // gate-scale graph every session-width exchange is pure task
-    // scheduling; at scale the width saturates and rp() degrades to the
-    // plain plan (keeping map-side partial aggregation — see widthFor).
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).persistTracked()
-    val maxW = sessionWidth(edges)
-    val w = widthFor(e0.count(), maxW)
-    // lay: the static layout is ALWAYS key-partitioned (the Pregel device);
-    // the measured width only sizes it. rp: pre-aggregate exchanges vanish
-    // at saturation so the scale path keeps its partial aggregates.
-    def lay(df: DataFrame, c: Column): DataFrame =
-      if (w >= maxW) df.repartition(c) else df.repartition(w, c)
-    def rp(df: DataFrame, c: Column): DataFrame =
-      if (w >= maxW) df else df.repartition(w, c)
-    val e = lay(e0, col("src")).persistTracked()
+    // NO measured-width pass here (r12): the r11 snapshot measured the
+    // edge count through a standalone persist+count of the scan — a full
+    // extra materialization of the O(E) frame per call — and then used the
+    // width for a pre-aggregate repartition that SUPPRESSES map-side
+    // partial aggregation whenever the width lands under the session
+    // width (the widthFor hazard note). Measured at local[32] sf0.1:
+    // q_x_pagerank 1.20 s (this shape) vs 2.82 s (measured-width shape),
+    // hits 3.18 vs 6.95 — the probe pass costs more than a narrow width
+    // ever saves, and at scale AQE coalesces the loop exchanges anyway.
+    // CC/LPA/kCore keep their measured widths: their counts ride existing
+    // convergence probes, so the width is free there.
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).repartition(col("src"))
+      .persistTracked()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // (node, outdeg) carrier: node-cardinality, referenced by every
     // iteration level — truncate it too, or each level re-runs its shuffles.
@@ -111,7 +107,6 @@ object GraphRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .localCheckpoint()
-    e0.unpersist(false) // e + ndeg materialized above; the scan cache is dead
     // 1-row node count riding every row as a broadcast scalar (the same
     // no-collect pattern as the salted-join census)
     val n = ndeg.agg(count(lit(1)).as("n_nodes"))
@@ -125,13 +120,16 @@ object GraphRank {
     for (_ <- 1 to iters) {
       // shuffle_hash on the node-sized rank side: only it moves (to e's
       // static layout) and it hash-builds without sorting the edge stream —
-      // SMJ would re-sort O(edges) every iteration for no benefit.
-      val contrib = rp(e
-        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"),
-          col("dst"))
+      // SMJ would re-sort O(edges) every iteration for no benefit. The
+      // groupBy shuffles NODE-sized partial aggregates (map-side combine
+      // runs on the join output — no explicit repartition may sit between
+      // the join and the aggregate, or the partial phase is dropped and
+      // edge-sized rows cross instead).
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
-      rank = rp(ndeg.crossJoin(broadcast(n)), col("node"))
+      rank = ndeg.crossJoin(broadcast(n))
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           expr(s"($base div n_nodes) + (($dampNum * coalesce(inflow, 0)) div 100)")
@@ -154,16 +152,11 @@ object GraphRank {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
     // one edge materialization, pre-partitioned on the join key and
     // persisted WITH its partitioning metadata (see pageRank — the
-    // static-edge-layout Pregel shape), at the measured iteration width
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).persistTracked()
-    val maxW = sessionWidth(edges)
-    val w = widthFor(e0.count(), maxW)
-    def lay(df: DataFrame, c: Column): DataFrame = // static layout (see pageRank)
-      if (w >= maxW) df.repartition(c) else df.repartition(w, c)
-    def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
-      if (w >= maxW) df else df.repartition(w, c)
-    val e = lay(e0, col("src")).persistTracked()
+    // static-edge-layout Pregel shape; no measured-width probe, same
+    // rationale as pageRank)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).repartition(col("src"))
+      .persistTracked()
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("is_seed", lit(1L))
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
@@ -184,18 +177,17 @@ object GraphRank {
         coalesce(col("is_seed"), lit(0L)).as("is_seed"),
         greatest(col("n_seeds"), lit(1L)).as("n_seeds"))
       .localCheckpoint()
-    e0.unpersist(false) // e + withSeed materialized above
     var rank = withSeed.select(col("node"), col("outdeg"),
       expr(s"(is_seed * $Scale) div n_seeds").as("rank"))
     for (_ <- 1 to iters) {
       // node-sized rank side shuffles to e's static layout and hash-builds
-      // — the edge stream is never re-sorted or re-shuffled (see pageRank)
-      val contrib = rp(e
-        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"),
-          col("dst"))
+      // — the edge stream is never re-sorted or re-shuffled (see pageRank);
+      // no repartition between join and groupBy (keeps partial aggregation)
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("inflow"))
-      rank = rp(withSeed, col("node")).join(contrib, Seq("node"), "left")
+      rank = withSeed.join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           expr(s"((is_seed * $base) div n_seeds) + " +
             s"(($dampNum * coalesce(inflow, 0)) div 100)").as("rank"))
@@ -339,10 +331,13 @@ object GraphRank {
       if (w >= maxW) df.repartition(c) else df.repartition(w, c)
     def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
       if (w >= maxW) df else df.repartition(w, c)
-    // (u0 stays persisted until CacheGuard.releaseAll: nothing here is
-    // eager, so an in-function unpersist would fire before und ever
-    // materializes and waste the measuring pass)
     val und = lay(u0, col("src")).persistTracked()
+    // eagerly materialize the laid-out frame (cheap: re-reads u0's cached
+    // blocks through one exchange) so the scan cache can be released
+    // in-function instead of doubling the edge-sized footprint until
+    // CacheGuard.releaseAll — mirrors the pageRank/hits path
+    und.count()
+    u0.unpersist(false)
     var labels = und.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
     (1 to rounds).foreach { r =>
@@ -607,21 +602,16 @@ object GraphRank {
     val selfLoops = und.select(col("src")).union(seedN.select(col("n").as("src")))
       .distinct()
       .select(col("src"), col("src").as("dst"), lit(0L).as("w"))
-    // measured iteration width (the connectedComponents device); ws0 stays
-    // persisted until CacheGuard.releaseAll — nothing below is eager
-    val ws0 = und.union(selfLoops).persistTracked()
-    val maxW = sessionWidth(edges)
-    val wdt = widthFor(ws0.count(), maxW)
-    def lay(df: DataFrame, c: Column): DataFrame = // static layout (see pageRank)
-      if (wdt >= maxW) df.repartition(c) else df.repartition(wdt, c)
-    def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
-      if (wdt >= maxW) df else df.repartition(wdt, c)
-    val withSelf = lay(ws0, col("src")).persistTracked()
+    // static layout on the join key (no measured-width probe: see
+    // pageRank — the probe double-cached the O(E) frame and its
+    // pre-aggregate repartition dropped the min's partial phase)
+    val withSelf = und.union(selfLoops)
+      .repartition(col("src"))
+      .persistTracked()
     var dist = seedN.select(col("n"), lit(0L).as("dist"))
     (1 to rounds).foreach { r =>
-      dist = rp(withSelf.join(
-          dist.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src")),
-          col("dst"))
+      dist = withSelf.join(
+          dist.withColumnRenamed("n", "src").hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("n"))
         .agg(min(col("dist") + col("w")).as("dist"))
       if (r % 8 == 0 && r < rounds) dist = dist.localCheckpoint()
@@ -711,23 +701,17 @@ object GraphRank {
     * Returns (node, hub_fp, auth_fp) at scale 1e9. */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1)
-    // measured half-step width (the connectedComponents device): both
-    // static layouts and every per-iteration exchange run at a width
-    // matched to the edge count; rp is a no-op at saturation so the scale
-    // path keeps its partial aggregates
-    val e0 = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).persistTracked()
-    val maxW = sessionWidth(edges)
-    val w = widthFor(e0.count(), maxW)
-    def lay(df: DataFrame, c: Column): DataFrame = // static layout (see pageRank)
-      if (w >= maxW) df.repartition(c) else df.repartition(w, c)
-    def rp(df: DataFrame, c: Column): DataFrame = // no-op at saturation
-      if (w >= maxW) df else df.repartition(w, c)
-    val eSrc = lay(e0, col("src")).persistTracked()
-    val eDst = lay(eSrc, col("dst")).persistTracked() // re-layout of eSrc's cache
+    // static layouts on both half-step join keys (no measured-width probe:
+    // see pageRank — the probe's extra materialization of the O(E) frame
+    // cost 2.2× at local[32] sf0.1, and the sub-session width it measured
+    // suppressed the half-steps' map-side partial aggregation: this graph
+    // lands at w=30 of 32, r11's 6.95 s vs 3.18 s for this shape)
+    val eSrc = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).repartition(col("src"))
+      .persistTracked()
+    val eDst = eSrc.repartition(col("dst")).persistTracked()
     val nodes = eSrc.select(col("src").as("node"))
       .union(eSrc.select(col("dst").as("node"))).distinct().localCheckpoint()
-    e0.unpersist(false) // eSrc materialized by the eager nodes checkpoint
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var hub = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"$Scale div n_nodes").as("hub"))
@@ -747,9 +731,8 @@ object GraphRank {
       // nodes left-join the oracle writes is deferred to the single final
       // densify below — four node-sized shuffle joins saved per fit,
       // value-identical output.
-      val rawA = rp(eSrc
-        .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"),
-          col("dst"))
+      val rawA = eSrc
+        .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node")).agg(sum("hub").as("raw"))
         .localCheckpoint(eager = false)
       // greatest(…, 1): an all-zero score frame (n_nodes > Scale) must not
@@ -758,9 +741,8 @@ object GraphRank {
       auth = rawA.crossJoin(broadcast(ta))
         .select(col("node"), expr(s"(raw * $Scale) div total").as("auth"))
       // hub half-step: authority mass flows dst→src
-      val rawH = rp(eDst
-        .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"),
-          col("src"))
+      val rawH = eDst
+        .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node")).agg(sum("auth").as("raw"))
         .localCheckpoint(eager = false)
       val th = rawH.agg(greatest(coalesce(sum("raw"), lit(1L)), lit(1L)).as("total"))
