@@ -223,15 +223,50 @@ object QualityFilter {
     * (pos−⌊pos⌋)·v[⌈pos⌉], same double expression order — so the result
     * is bit-identical to the old form (and to DuckDB's quantile_cont on
     * the gate fixtures, proven by the unchanged oracle). */
-  def equalFrequencyBins(df: DataFrame, metricCol: String, k: Int): DataFrame = {
+  def equalFrequencyBins(df: DataFrame, metricCol: String, k: Int,
+      singlePartMaxRows: Long = 1000000L): DataFrame = {
     require(k >= 2, s"need at least 2 bins, got $k")
+    import org.apache.spark.sql.expressions.Window
     val m = col(metricCol)
     val hist = df.filter(m.isNotNull).groupBy(m.as("__v"))
       .agg(count(lit(1)).as("__c")).persistTracked()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
-    val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    // Cumulative rank over the value histogram. A bare global
+    // Window.orderBy would land the WHOLE histogram on one task — on a
+    // continuous metric distinct ≈ rows, the same single-reducer hazard
+    // the distributed cut derivation exists to avoid. Measured gate (one
+    // count that rides the persist materialization — every later step
+    // re-reads the cached blocks): a histogram that comfortably fits one
+    // task's sort keeps the direct single-partition cumsum (the explicit
+    // pmod key is constant-valued but non-foldable, documenting that one
+    // partition is the DESIGN here and silencing WindowExec's
+    // unbounded-frame warning); a bigger one takes the two-level form —
+    // RANGE-partition by value, prefix-sum the session-width-sized
+    // per-partition offsets, window only within each slice (the
+    // Trend.spearman device, generalized to any ordered metric type).
+    // Exact integer cumsum either way — values are bit-identical.
+    val cum =
+      if (hist.count() <= singlePartMaxRows) {
+        hist.withColumn("__cum", sum(col("__c")).over(
+          Window.partitionBy(pmod(col("__c"), lit(1))).orderBy(col("__v"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      } else {
+        val width = math.max(1,
+          df.sparkSession.sessionState.conf.numShufflePartitions)
+        val ranged = hist.repartitionByRange(width, col("__v"))
+          .withColumn("__p", spark_partition_id())
+          .persistTracked()
+        val off = broadcast(ranged.groupBy(col("__p"))
+          .agg(sum(col("__c")).as("__pc"))
+          .select(col("__p"), coalesce(sum(col("__pc")).over(
+            Window.partitionBy(pmod(col("__p"), lit(1))).orderBy(col("__p"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("__base")))
+        ranged.join(off, Seq("__p"))
+          .withColumn("__cum", col("__base") + sum(col("__c")).over(
+            Window.partitionBy(col("__p")).orderBy(col("__v"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .drop("__p", "__base")
+      }
     val n = hist.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
     val qLits = (1 until k).map(i => lit(i.toDouble / k))
     val cutSpec = broadcast(n

@@ -39,6 +39,21 @@ class ColumnStatsSpec extends SparkSpec {
       3L -> ((25L, 51L, 75L)), 4L -> ((25L, 76L, 100L))))
   }
 
+  test("equalFrequencyBins: two-level rank path is bit-identical to the single-partition path") {
+    // force the range-partitioned cumulative (singlePartMaxRows = 0) on a
+    // tied, unordered fixture and compare against the direct window form —
+    // the measured gate must be invisible in the values
+    val df = ((1L to 100L) ++ (40L to 60L) ++ Seq(7L, 7L, 93L)).toDF("v")
+      .orderBy(graft.functions.Hashing.hash64(col("v").cast("string")))
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val small = QualityFilter.equalFrequencyBins(df, "v", 5).select("v", "bin")
+    val big = QualityFilter.equalFrequencyBins(df, "v", 5,
+      singlePartMaxRows = 0L).select("v", "bin")
+    assert(m(big) == m(small))
+    assert(m(big).map(_._2).distinct.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("winsorize: clamps to exact ceiling-rank order statistics; NULLs pass through") {
     // 1..100, [P10, P90]: kLo = ceil(100·10/100) = 10 → cut 10;
     // kHi = ceil(100·90/100) = 90 → cut 90
