@@ -31,6 +31,12 @@ object CacheGuard {
     df
   }
 
+  /** How many frames are currently tracked for `spark` (spec probe). */
+  private[graft] def trackedCount(spark: SparkSession): Int = {
+    val q = tracked.get(spark)
+    if (q == null) 0 else q.size
+  }
+
   /** Unpersist every graft-tracked frame of `spark` (blocking = false; the
     * block drop proceeds asynchronously). Returns how many were released.
     * Idempotent: frames already unpersisted release as no-ops. */
