@@ -357,6 +357,18 @@ class NgramLmSpec extends SparkSpec {
     assert(w == Map("A" -> 1000000L))
   }
 
+  test("spearman: moment-decomposition path is bit-identical to the broadcast join-back") {
+    // broadcastMaxRows = 0 forces the non-broadcastable scale path (shuffle
+    // join + per-key moment collapse); rho must match the default exactly
+    val df = ((1L to 80L).map(i => (i % 7, i * i % 31)) ++
+      Seq((3L, 5L), (3L, 5L), (0L, 0L))).toDF("x", "y")
+    val direct = Trend.spearman(df, "x", "y", "x", "y").head
+    val decomp = Trend.spearman(df, "x", "y", "x", "y",
+      broadcastMaxRows = 0L).head
+    assert(decomp.getLong(2) == direct.getLong(2))
+    assert(decomp.getAs[Double]("rho") == direct.getAs[Double]("rho"))
+  }
+
   test("spearman: monotone nonlinearity scores 1, reversal -1, degenerate NULL") {
     val mono = (1L to 50L).map(i => (i, i * i)).toDF("x", "y")
     val up = Trend.spearman(mono, "x", "y", "x", "y").head
