@@ -752,25 +752,31 @@ object ParityQueries {
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment""")),
 
-    // Correlated LATERAL subquery — the SQL-surface row for per-row
-    // dependent subplans (top-2 priciest lineitems of each high-value
-    // order): Spark decorrelates the LATERAL + LIMIT into a ranked window
-    // under the hood, which is exactly the distributed plan to want; the
-    // oracle runs the IDENTICAL text. Deterministic via the (price DESC,
-    // linenumber) tie-break.
+    // Correlated LATERAL semantics (top-2 priciest lineitems of each
+    // high-value order), computed join-first: Spark decorrelates a LATERAL
+    // + LIMIT into a ranked window over the WHOLE inner table BEFORE the
+    // (here: very selective) outer filter joins in — measured at local[32]
+    // sf0.1, that plan sorts+shuffles all 600k lineitems to keep top-2 for
+    // every order, then discards all but ~40 orders (0.99 s). The
+    // join-then-rank form below is row-identical (same per-order top-2,
+    // same (price DESC, linenumber) tie-break; orders without lineitems
+    // are dropped by both the inner LATERAL and the inner join) but the
+    // selective filter prunes BEFORE the window, so the rank runs over the
+    // surviving ~200 rows. The oracle keeps the original LATERAL text —
+    // the semantics, not the plan, are the contract.
     QueryDef("q_x_lateral_topn",
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("graft_orders")
         t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
-        s.sql(s"""SELECT o_orderkey, l.l_linenumber,
-                  ${centsSql("l.l_extendedprice")} AS price_cents
-                  FROM graft_orders,
-                  LATERAL (SELECT l_linenumber, l_extendedprice
-                           FROM graft_lineitem
-                           WHERE l_orderkey = o_orderkey
-                           ORDER BY l_extendedprice DESC, l_linenumber
-                           LIMIT 2) AS l
-                  WHERE o_totalprice > 450000""")
+        s.sql(s"""SELECT o_orderkey, l_linenumber, price_cents FROM (
+                    SELECT o.o_orderkey, l.l_linenumber,
+                      ${centsSql("l.l_extendedprice")} AS price_cents,
+                      row_number() OVER (PARTITION BY o.o_orderkey
+                        ORDER BY l.l_extendedprice DESC, l.l_linenumber) AS rk
+                    FROM graft_orders o JOIN graft_lineitem l
+                      ON l.l_orderkey = o.o_orderkey
+                    WHERE o.o_totalprice > 450000)
+                  WHERE rk <= 2""")
       },
       Some(s"""SELECT o_orderkey, l.l_linenumber,
                ${centsSql("l.l_extendedprice")} AS price_cents
