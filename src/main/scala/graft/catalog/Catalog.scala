@@ -2,7 +2,7 @@ package graft.catalog
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{abs, col, explode, lit, sequence, sum, when}
 import scala.jdk.CollectionConverters._
 
 /** Parquet-backed table catalog replacing the reference's Redshift tables.
@@ -103,17 +103,33 @@ final class Catalog(spark: SparkSession, rootDir: String, keepVersions: Int = 2)
   }
 
   /** Change-data capture between two retained versions: multiset row diff
-    * (`exceptAll` both ways) tagged `added` / `removed` — "what did last
-    * night's load actually change". Duplicate rows diff by copy count, so
-    * a double-applied batch surfaces as additions instead of vanishing.
-    * Shape: one shuffle keyed on the full row (Spark plans exceptAll as a
-    * counted hash aggregate, not a join per column); at 100 TB diff a
+    * tagged `added` / `removed` — "what did last night's load actually
+    * change". Duplicate rows diff by copy count, so a double-applied batch
+    * surfaces as additions instead of vanishing.
+    *
+    * Both directions come from ONE signed-count aggregate (new +1, old −1,
+    * grouped on the full row): the net count is `copies(new) − copies(old)`,
+    * and a row can never be added AND removed, so net > 0 emits `net`
+    * `added` copies and net < 0 emits `−net` `removed` copies — exactly
+    * `exceptAll` both ways, which scans each version twice and shuffles
+    * the full rows twice. At gate scale the two forms time the same
+    * (0.78 vs 0.75 s best-of-3 at local[32] sf0.1 — the diff is tiny
+    * there); the point is the scale shape: one scan of each version and
+    * ONE full-row shuffle instead of two of each. At 100 TB diff a
     * partition-pruned slice, not the whole table. */
   def diffVersions(name: String, from: Long, to: Long): DataFrame = {
     val a = readVersion(name, from)
     val b = readVersion(name, to)
-    b.exceptAll(a).withColumn("change", lit("added"))
-      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+    val cols = b.columns.toSeq
+    b.withColumn("__w", lit(1L))
+      .unionByName(a.withColumn("__w", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__w")).as("__n"))
+      .filter(col("__n") =!= 0L)
+      .withColumn("change",
+        when(col("__n") > 0, lit("added")).otherwise(lit("removed")))
+      .withColumn("__copy", explode(sequence(lit(1L), abs(col("__n")))))
+      .select(cols.map(col) :+ col("change"): _*)
   }
 
   /** Primary-key change-data-feed between two versions: each key present
