@@ -165,6 +165,22 @@ object Bench {
     // see the canary doc above: relative drift alone misses a window that
     // STARTS degraded, the absolute floor alone misses mid-run contention
     val hostDegraded = maxDrift > 3.0 || canaryBase > 0.35
+    // Acceptance band (SCALE.md "bench window acceptance"): the r11 32-core
+    // window published at drift 1.69 with host_degraded=false and its
+    // headline number was uninterpretable — the 5× degradation flag is for
+    // broken hosts, the band below is for COMPARABILITY. Round-over-round
+    // conclusions should only be drawn from `clean` windows; an `elevated`
+    // or `contaminated` artifact is publishable but must be annotated and
+    // re-run before it anchors a comparison.
+    val driftBand =
+      if (hostDegraded) "degraded"
+      else if (maxDrift > 1.5) "contaminated"
+      else if (maxDrift > 1.2) "elevated"
+      else "clean"
+    if (driftBand != "clean")
+      System.err.println(s"[bench] WARNING: canary drift band '$driftBand' " +
+        f"(max drift $maxDrift%.2fx, base $canaryBase%.3fs) — do not use this " +
+        "window for round-over-round comparison; re-run on a quiet host")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // A leftover SPARK_GRAFT_BENCH_ONLY must never let a partial run pass
@@ -175,7 +191,7 @@ object Bench {
     val summary =
       f"""{$filtered"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
       f""""n_failed":$failed,"host_degraded":$hostDegraded,"canary_base_sec":$canaryBase%.4f,""" +
-      f""""canary_max_drift":$maxDrift%.2f,"detail":"$outPath"}"""
+      f""""canary_max_drift":$maxDrift%.2f,"drift_band":"$driftBand","detail":"$outPath"}"""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
     val canaries = canarySamples.map { case (i, s) => f"""[$i,$s%.4f]""" }.mkString("[", ",", "]")

@@ -154,24 +154,40 @@ object DevProbe {
       // planning+codegen; run2 is counted). The 1–2 s sf1 "floor" queries
       // are suspected to be sequential-job chains, not data cost — this is
       // the measurement for that (VERDICT r10 item 5).
-      val jobs = new java.util.concurrent.atomic.AtomicInteger
-      val stages = new java.util.concurrent.atomic.AtomicInteger
-      val tasks = new java.util.concurrent.atomic.AtomicInteger
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.incrementAndGet()
-        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
-        }
-      })
       for (n <- names.drop(1)) {
         val fn = SparkEntry.queries(n)
         time(s"$n warm-up")(fn(spark, sfDir).count())
         spark.catalog.clearCache()
+        // fresh listener per counted run, removed after it; the async bus
+        // is private, so "drained" is observed by polling the counters
+        // until they are stable for 400 ms — both before the counted run
+        // (late warm-up events delivered to the new listener) and after
+        // it (the counted run's own tail), instead of the old shared
+        // listener + fixed 300 ms sleep that miscounted both ways
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+          }
+        }
+        def stabilize(): Unit = {
+          var prev = (-1, -1, -1)
+          var cur = (jobs.get, stages.get, tasks.get)
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while (prev != cur && System.nanoTime() < deadline) {
+            prev = cur; Thread.sleep(400); cur = (jobs.get, stages.get, tasks.get)
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        stabilize()
         jobs.set(0); stages.set(0); tasks.set(0)
         val s = time(s"$n counted run")(fn(spark, sfDir).count())
-        // listener bus is async (and private to spark) — give it a beat
-        Thread.sleep(300)
+        stabilize()
+        spark.sparkContext.removeSparkListener(l)
         println(f"[probe] $n: jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} sec=$s%.2f")
         spark.catalog.clearCache()
       }
